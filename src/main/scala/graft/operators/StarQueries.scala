@@ -12,7 +12,8 @@ import graft.Tables
   * Every query shape from the reference EDA surface
   * (/root/reference/spark_eda.py — see SURVEY.md §2.1) is re-expressed
   * here against the TPC-H-ish tables, plus the star-schema joins the
-  * reference never had (SURVEY.md §2.2 "Joins").
+  * reference never had (SURVEY.md §2.2 "Joins", /root/reference/stage3.md:64-67
+  * explicitly avoids joins by denormalizing — we support both shapes).
   *
   * == Cross-engine determinism conventions ==
   * The driver hash-compares our parquet output against DuckDB running
@@ -31,9 +32,10 @@ import graft.Tables
   * All plans are declarative DataFrame chains: filters/projections reach
   * the parquet scan (PushedFilters/ReadSchema), aggregates get
   * partial+final HashAggregate, dimension joins are broadcast
-  * (region/nation/supplier/part are small by star-schema construction),
-  * fact-fact joins (lineitem⋈orders) are shuffle joins on the join key
-  * that AQE can re-plan. No driver-side loops, no collect() mid-plan.
+  * (region/nation/supplier/part stay dimension-sized as the fact tables
+  * grow), fact-fact joins (lineitem⋈orders) shuffle on the join key and
+  * AQE can re-plan/skew-split them. No driver-side loops, no collect()
+  * mid-plan; every public result is bounded (agg or limit).
   */
 object StarQueries {
 
@@ -46,7 +48,7 @@ object StarQueries {
   private def davg(c: Column): Column =
     sum(c.cast(D)).cast(DoubleType) / count(c).cast(DoubleType)
 
-  /** DuckDB text for the same decimal-sum convention. */
+  /** DuckDB/SparkSQL text for the same decimal-sum convention. */
   private def sqlDsum(e: String): String =
     s"CAST(SUM(CAST(($e) AS DECIMAL(18,4))) AS DOUBLE)"
   private def sqlDavg(e: String): String =
@@ -56,10 +58,10 @@ object StarQueries {
   private val sqlRevenue = "l_extendedprice * (1.0 - l_discount)"
 
   // ---------------------------------------------------------------------------
-  // Q1-shape: pricing summary (scan → filter → groupBy agg → order)
-  // Reference shape: spark_eda.py:70-90 (genre revenue); TPC-H Q1 flavor.
-  // Plan: parquet scan w/ pushed filter → partial HashAggregate →
-  // exchange(32) → final HashAggregate → sort. Two stages at any scale.
+  // q01 — pricing summary (scan → filter → groupBy agg → order).
+  // Reference shape: spark_eda.py:70-90; TPC-H Q1 flavor.
+  // Plan: parquet scan w/ pushed filters → partial HashAggregate →
+  // exchange(key) → final HashAggregate → sort. Two stages at any scale.
   // ---------------------------------------------------------------------------
   def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -88,8 +90,9 @@ object StarQueries {
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   // ---------------------------------------------------------------------------
-  // Q1-analog: revenue by part type, top 15 (explode-genre analog via dim join)
-  // part is a dimension → broadcast hash join, no shuffle of lineitem.
+  // q02 — revenue by part type, top 15 (genre-revenue analog of
+  // spark_eda.py:70-90 with the genre dimension as a joined dim table).
+  // part is a dimension → broadcast hash join: no shuffle of lineitem.
   // ---------------------------------------------------------------------------
   def q02PartTypeRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -97,22 +100,22 @@ object StarQueries {
       .groupBy(col("p_type"))
       .agg(
         dsum(revenue).as("total_revenue"),
-        count(lit(1)).as("game_count"))
+        count(lit(1)).as("line_count"))
       .orderBy(col("total_revenue").desc, col("p_type"))
       .limit(15)
 
   val q02Sql: String =
     s"""SELECT p_type,
        |  ${sqlDsum(sqlRevenue)} AS total_revenue,
-       |  COUNT(*) AS game_count
+       |  COUNT(*) AS line_count
        |FROM lineitem JOIN part ON l_partkey = p_partkey
        |GROUP BY p_type
        |ORDER BY total_revenue DESC, p_type
        |LIMIT 15""".stripMargin
 
   // ---------------------------------------------------------------------------
-  // Q2-analog: supplier metrics (developer metrics shape: groupBy key w/o
-  // explode, three aggregates, top-15). Broadcast dim join.
+  // q03 — supplier metrics (developer-metrics shape, spark_eda.py:97-117:
+  // groupBy un-exploded key, three aggregates, top-15).
   // ---------------------------------------------------------------------------
   def q03SupplierMetrics(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -136,8 +139,8 @@ object StarQueries {
        |LIMIT 15""".stripMargin
 
   // ---------------------------------------------------------------------------
-  // Q3-analog: yearly trend (substring-year → filter range → agg → order asc;
-  // reference did the avg driver-side, spark_eda.py:147 — here it's in-plan).
+  // q04 — yearly trend (spark_eda.py:124-148; the reference computed
+  // avg_price driver-side at :147 — here it's in-plan).
   // ---------------------------------------------------------------------------
   def q04YearlyTrend(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -161,8 +164,9 @@ object StarQueries {
        |ORDER BY order_year""".stripMargin
 
   // ---------------------------------------------------------------------------
-  // Q4-analog: when-chain price buckets → avg + count, lexicographic order
-  // (the reference sorts bucket LABELS, spark_eda.py:175 — kept).
+  // q05 — when-chain price buckets → avg + count, ordered by the LABEL
+  // (the reference sorts bucket labels lexicographically, spark_eda.py:175
+  // — label prefixes keep that ordering meaningful here).
   // ---------------------------------------------------------------------------
   private def priceBucket: Column =
     when(col("o_totalprice") < 100000, "a_under_100k")
@@ -198,9 +202,9 @@ object StarQueries {
        |ORDER BY price_range""".stripMargin
 
   // ---------------------------------------------------------------------------
-  // Q5/Q6-analog: top supplier by revenue, then its top-10 lines.
-  // Reference pulls the winner to the driver (spark_eda.py:214) — here the
-  // "winner" is a rank-1 filter so the whole thing stays one distributed plan.
+  // q06 — top supplier by revenue, then its top-10 lines (spark_eda.py:
+  // 194-229 pulled the winner to the driver via first(); here the winner is
+  // a rank-1 filter so the whole thing stays one distributed plan).
   // ---------------------------------------------------------------------------
   def q06TopSupplierHits(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -237,22 +241,525 @@ object StarQueries {
        |ORDER BY line_revenue DESC, l_orderkey, l_linenumber
        |LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q07 — SQL-surface price stats with exact median + HAVING
+  // (spark_eda.py:235-265 used a temp view + PERCENTILE_APPROX; we keep the
+  // temp-view/spark.sql entry path and use exact percentile so the DuckDB
+  // quantile_cont oracle is bit-comparable — SURVEY.md §7.4 risk 4).
+  // ---------------------------------------------------------------------------
+  def q07FlagPriceStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q07_lineitem")
+    spark.sql(
+      s"""SELECT l_returnflag,
+         |  COUNT(*) AS cnt,
+         |  ${sqlDavg("l_extendedprice")} AS avg_price,
+         |  percentile(l_extendedprice, 0.5) AS median_price,
+         |  MIN(l_extendedprice) AS min_price,
+         |  MAX(l_extendedprice) AS max_price
+         |FROM graft_q07_lineitem
+         |GROUP BY l_returnflag
+         |HAVING COUNT(*) >= 10
+         |ORDER BY avg_price DESC, l_returnflag
+         |LIMIT 20""".stripMargin)
+  }
+
+  val q07Sql: String =
+    s"""SELECT l_returnflag,
+       |  COUNT(*) AS cnt,
+       |  ${sqlDavg("l_extendedprice")} AS avg_price,
+       |  quantile_cont(l_extendedprice, 0.5) AS median_price,
+       |  MIN(l_extendedprice) AS min_price,
+       |  MAX(l_extendedprice) AS max_price
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |HAVING COUNT(*) >= 10
+       |ORDER BY avg_price DESC, l_returnflag
+       |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q08 — SQL-surface with FROM-subquery + HAVING (spark_eda.py:271-298
+  // shape: per-key count/sum/avg, HAVING count>=3, top-20).
+  // orders⋈customer: customer stays dimension-sized → broadcast.
+  // ---------------------------------------------------------------------------
+  def q08CustomerOrderStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_q08_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_q08_customer")
+    spark.sql(
+      s"""SELECT c_custkey, c_name,
+         |  COUNT(*) AS order_count,
+         |  ${sqlDsum("o_totalprice")} AS total_spend,
+         |  ${sqlDavg("o_totalprice")} AS avg_spend
+         |FROM (SELECT c_custkey, c_name, o_totalprice
+         |      FROM graft_q08_orders JOIN graft_q08_customer
+         |        ON o_custkey = c_custkey) t
+         |GROUP BY c_custkey, c_name
+         |HAVING COUNT(*) >= 3
+         |ORDER BY order_count DESC, c_custkey
+         |LIMIT 20""".stripMargin)
+  }
+
+  val q08Sql: String =
+    s"""SELECT c_custkey, c_name,
+       |  COUNT(*) AS order_count,
+       |  ${sqlDsum("o_totalprice")} AS total_spend,
+       |  ${sqlDavg("o_totalprice")} AS avg_spend
+       |FROM (SELECT c_custkey, c_name, o_totalprice
+       |      FROM orders JOIN customer ON o_custkey = c_custkey) t
+       |GROUP BY c_custkey, c_name
+       |HAVING COUNT(*) >= 3
+       |ORDER BY order_count DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q09 — order-width performance (multi-genre analog, spark_eda.py:304-324:
+  // derive a per-entity cardinality, keep >1, aggregate metrics by it).
+  // Two-level aggregate: per-order line_count (shuffle on l_orderkey, which
+  // a bucketed-by-orderkey layout would make shuffle-free), then re-agg.
+  // ---------------------------------------------------------------------------
+  def q09OrderWidthPerf(spark: SparkSession, dir: String): DataFrame = {
+    val widths = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("line_count"),
+           dsum(revenue).as("order_revenue"))
+    widths.filter(col("line_count") > 1)
+      .groupBy(col("line_count"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        davg(col("order_revenue")).as("avg_order_revenue"))
+      .orderBy(col("line_count"))
+  }
+
+  val q09Sql: String =
+    s"""WITH widths AS (
+       |  SELECT l_orderkey, COUNT(*) AS line_count,
+       |         ${sqlDsum(sqlRevenue)} AS order_revenue
+       |  FROM lineitem GROUP BY l_orderkey)
+       |SELECT line_count, COUNT(*) AS order_count,
+       |       ${sqlDavg("order_revenue")} AS avg_order_revenue
+       |FROM widths WHERE line_count > 1
+       |GROUP BY line_count
+       |ORDER BY line_count""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q10 — month distribution (spark_eda.py:465-476 substring-month shape).
+  // ---------------------------------------------------------------------------
+  def q10MonthDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate").isNotNull)
+      .withColumn("order_month", month(col("o_orderdate")))
+      .groupBy(col("order_month"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("order_month"))
+
+  val q10Sql: String =
+    """SELECT CAST(MONTH(o_orderdate) AS INT) AS order_month,
+      |       COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY order_month""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q11 — categorical distribution (range-count shape of spark_eda.py:479-510).
+  // ---------------------------------------------------------------------------
+  def q11PriorityDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        davg(col("o_totalprice")).as("avg_price"))
+      .orderBy(col("o_orderpriority"))
+
+  val q11Sql: String =
+    s"""SELECT o_orderpriority,
+       |  COUNT(*) AS order_count,
+       |  ${sqlDavg("o_totalprice")} AS avg_price
+       |FROM orders
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q12 — seeded sample for scatter data (spark_eda.py:513-520; the
+  // reference sampled UNseeded — we pin seed 42, SURVEY.md §2.2 "Sampling").
+  // Sampling is engine-specific → no SQL oracle (rows-only check).
+  // ---------------------------------------------------------------------------
+  def q12SampleScatter(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_extendedprice") > 0 && col("l_discount") > 0)
+      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .select(col("l_extendedprice"),
+              revenue.cast(D).cast(DoubleType).as("line_revenue"))
+      .limit(5000)
+
+  // ---------------------------------------------------------------------------
+  // q13 — revenue concentration / Pareto (spark_eda.py:567-578 did a
+  // driver-side loop; proper Window cumulative sum instead, SURVEY.md §2.2).
+  // The windowed frame is the post-aggregate supplier table (dimension-
+  // sized), so the unpartitioned window is safe at any fact-table scale.
+  // ---------------------------------------------------------------------------
+  def q13SupplierPareto(spark: SparkSession, dir: String): DataFrame = {
+    val bySupp = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(sum(revenue.cast(D)).as("rev_dec"))
+    val w = Window.orderBy(col("rev_dec").desc, col("s_name"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("rev_dec").desc, col("s_name"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bySupp
+      .withColumn("cum_dec", sum(col("rev_dec")).over(w))
+      .withColumn("tot_dec", sum(col("rev_dec")).over(wAll))
+      .select(
+        col("s_name"),
+        col("rev_dec").cast(DoubleType).as("total_revenue"),
+        col("cum_dec").cast(DoubleType).as("cumulative_revenue"),
+        (col("cum_dec").cast(DoubleType) / col("tot_dec").cast(DoubleType))
+          .as("cumulative_share"))
+      .orderBy(col("total_revenue").desc, col("s_name"))
+  }
+
+  val q13Sql: String =
+    s"""WITH by_supp AS (
+       |  SELECT s_name, SUM(CAST($sqlRevenue AS DECIMAL(18,4))) AS rev_dec
+       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |  GROUP BY s_name)
+       |SELECT s_name,
+       |  CAST(rev_dec AS DOUBLE) AS total_revenue,
+       |  CAST(SUM(rev_dec) OVER (ORDER BY rev_dec DESC, s_name
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    AS cumulative_revenue,
+       |  CAST(SUM(rev_dec) OVER (ORDER BY rev_dec DESC, s_name
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    / CAST(SUM(rev_dec) OVER () AS DOUBLE) AS cumulative_share
+       |FROM by_supp
+       |ORDER BY total_revenue DESC, s_name""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q14 — market-segment revenue (genre-combo analog spark_eda.py:589-605:
+  // group by the un-exploded combo key).
+  // ---------------------------------------------------------------------------
+  def q14SegmentRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        dsum(col("o_totalprice")).as("total_revenue"),
+        count(lit(1)).as("order_count"))
+      .orderBy(col("total_revenue").desc, col("c_mktsegment"))
+      .limit(10)
+
+  val q14Sql: String =
+    s"""SELECT c_mktsegment,
+       |  ${sqlDsum("o_totalprice")} AS total_revenue,
+       |  COUNT(*) AS order_count
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment
+       |ORDER BY total_revenue DESC, c_mktsegment
+       |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q15 — avg revenue per entity (spark_eda.py:608-613: derived ratio of two
+  // aggregates, top-100).
+  // ---------------------------------------------------------------------------
+  def q15CustomerOrderValue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        dsum(col("o_totalprice")).as("total_spend"),
+        count(lit(1)).as("order_count"))
+      .withColumn("avg_order_value",
+        col("total_spend") / col("order_count").cast(DoubleType))
+      .filter(col("order_count") >= 2)
+      .orderBy(col("avg_order_value").desc, col("c_custkey"))
+      .limit(100)
+
+  val q15Sql: String =
+    s"""SELECT c_custkey, c_name,
+       |  ${sqlDsum("o_totalprice")} AS total_spend,
+       |  COUNT(*) AS order_count,
+       |  ${sqlDsum("o_totalprice")} / CAST(COUNT(*) AS DOUBLE) AS avg_order_value
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_custkey, c_name
+       |HAVING COUNT(*) >= 2
+       |ORDER BY avg_order_value DESC, c_custkey
+       |LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q16 / q17 — yearly averages (spark_eda.py:670-700 pair).
+  // ---------------------------------------------------------------------------
+  def q16YearlyAvgPrice(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("order_year", year(col("o_orderdate")))
+      .groupBy(col("order_year"))
+      .agg(davg(col("o_totalprice")).as("avg_price"))
+      .orderBy(col("order_year"))
+
+  val q16Sql: String =
+    s"""SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
+       |  ${sqlDavg("o_totalprice")} AS avg_price
+       |FROM orders
+       |GROUP BY 1
+       |ORDER BY order_year""".stripMargin
+
+  def q17YearlyAvgQuantity(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity").isNotNull)
+      .withColumn("ship_year", year(col("l_shipdate")))
+      .groupBy(col("ship_year"))
+      .agg(davg(col("l_quantity")).as("avg_quantity"),
+           count(lit(1)).as("line_count"))
+      .orderBy(col("ship_year"))
+
+  val q17Sql: String =
+    s"""SELECT CAST(YEAR(l_shipdate) AS INT) AS ship_year,
+       |  ${sqlDavg("l_quantity")} AS avg_quantity,
+       |  COUNT(*) AS line_count
+       |FROM lineitem
+       |WHERE l_quantity IS NOT NULL
+       |GROUP BY 1
+       |ORDER BY ship_year""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // e1 — serving profile with reversed rowkey (stage3.ipynb cell 2 /
+  // stage3.md:46-47 anti-hotspot key; same trick as shuffle-skew salting).
+  // ---------------------------------------------------------------------------
+  def e1CustomerProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        reverse(col("c_custkey").cast("string")).as("rowkey"),
+        col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+      .orderBy(col("rowkey"), col("c_custkey"))
+      .limit(50)
+
+  val e1Sql: String =
+    """SELECT reverse(CAST(c_custkey AS VARCHAR)) AS rowkey,
+      |       c_custkey, c_name, c_mktsegment, c_acctbal
+      |FROM customer
+      |ORDER BY rowkey, c_custkey
+      |LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // e2 — pre-aggregated serving summary (stage3.ipynb cell 2 dev_analytics:
+  // count, sum, round(avg, 2)).
+  // ---------------------------------------------------------------------------
+  def e2NationSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("customer_count"),
+        dsum(col("c_acctbal")).as("total_acctbal"),
+        round(davg(col("c_acctbal")), 2).as("avg_acctbal"))
+      .orderBy(col("n_name"))
+
+  val e2Sql: String =
+    s"""SELECT n_name,
+       |  COUNT(*) AS customer_count,
+       |  ${sqlDsum("c_acctbal")} AS total_acctbal,
+       |  ROUND(${sqlDavg("c_acctbal")}, 2) AS avg_acctbal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // e3 — inverted index (stage3.md:64-67 wide-column product_list: the
+  // one-to-many relation denormalized per key; sorted CSV keeps the
+  // cross-engine compare order-stable — the map-shaped variant is
+  // map_from_entries(collect_list(struct(...))) with identical plan shape).
+  // ---------------------------------------------------------------------------
+  def e3NationIndex(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("customer_count"),
+        array_join(sort_array(collect_list(col("c_custkey").cast("string"))), ",")
+          .as("custkey_index"))
+      .orderBy(col("n_name"))
+
+  val e3Sql: String =
+    """SELECT n_name,
+      |  COUNT(*) AS customer_count,
+      |  string_agg(CAST(c_custkey AS VARCHAR), ','
+      |             ORDER BY CAST(c_custkey AS VARCHAR)) AS custkey_index
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q20 — full star join: lineitem⋈orders (fact-fact shuffle join, AQE
+  // re-plannable) then customer→nation→region broadcast chain.
+  // ---------------------------------------------------------------------------
+  def q20RegionYearRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .withColumn("order_year", year(col("o_orderdate")))
+      .groupBy(col("r_name"), col("order_year"))
+      .agg(
+        dsum(revenue).as("total_revenue"),
+        count(lit(1)).as("line_count"))
+      .orderBy(col("r_name"), col("order_year"))
+
+  val q20Sql: String =
+    s"""SELECT r_name, CAST(YEAR(o_orderdate) AS INT) AS order_year,
+       |  ${sqlDsum(sqlRevenue)} AS total_revenue,
+       |  COUNT(*) AS line_count
+       |FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, 2
+       |ORDER BY r_name, order_year""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q21 / q22 — semi & anti join (EXISTS / NOT EXISTS; SURVEY.md §2.2 joins).
+  // ---------------------------------------------------------------------------
+  def q21CustomersWithOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("active_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  val q21Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS active_customers
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  def q22CustomersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+              .filter(year(col("o_orderdate")) === 2001),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("inactive_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  val q22Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS inactive_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND YEAR(o_orderdate) = 2001)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q23 — distinct counting (exact count-distinct shuffles on (key, value);
+  // the approx variant for 100 TB dashboards is approx_count_distinct —
+  // exact here because the oracle must match).
+  // ---------------------------------------------------------------------------
+  def q23SupplierPartBreadth(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        count(lit(1)).as("line_count"))
+      .orderBy(col("s_name"))
+
+  val q23Sql: String =
+    """SELECT s_name,
+      |  COUNT(DISTINCT l_partkey) AS distinct_parts,
+      |  COUNT(*) AS line_count
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name
+      |ORDER BY s_name""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q24 — windowed top-N per group (row_number over partitioned window;
+  // SURVEY.md §2.2 "Window functions" — claimed by the reference report but
+  // absent from its code; first-class here).
+  // ---------------------------------------------------------------------------
+  def q24TopBrandsPerFlag(spark: SparkSession, dir: String): DataFrame = {
+    val byBrand = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_returnflag"), col("p_brand"))
+      .agg(dsum(revenue).as("brand_revenue"))
+    byBrand
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("brand_revenue").desc, col("p_brand"))))
+      .filter(col("rk") <= 3)
+      .orderBy(col("l_returnflag"), col("rk"))
+  }
+
+  val q24Sql: String =
+    s"""WITH by_brand AS (
+       |  SELECT l_returnflag, p_brand,
+       |         ${sqlDsum(sqlRevenue)} AS brand_revenue
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY l_returnflag, p_brand)
+       |SELECT l_returnflag, p_brand, brand_revenue,
+       |       CAST(rk AS INT) AS rk
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+       |              ORDER BY brand_revenue DESC, p_brand) AS rk
+       |      FROM by_brand) t
+       |WHERE rk <= 3
+       |ORDER BY l_returnflag, rk""".stripMargin
+
   /** name → query for [[graft.SparkEntry]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_pricing_summary"  -> q01PricingSummary _,
-    "q02_parttype_revenue" -> q02PartTypeRevenue _,
-    "q03_supplier_metrics" -> q03SupplierMetrics _,
-    "q04_yearly_trend"     -> q04YearlyTrend _,
-    "q05_price_buckets"    -> q05PriceBuckets _,
-    "q06_top_supplier_hits" -> q06TopSupplierHits _,
+    "q01_pricing_summary"    -> q01PricingSummary _,
+    "q02_parttype_revenue"   -> q02PartTypeRevenue _,
+    "q03_supplier_metrics"   -> q03SupplierMetrics _,
+    "q04_yearly_trend"       -> q04YearlyTrend _,
+    "q05_price_buckets"      -> q05PriceBuckets _,
+    "q06_top_supplier_hits"  -> q06TopSupplierHits _,
+    "q07_flag_price_stats"   -> q07FlagPriceStats _,
+    "q08_customer_order_stats" -> q08CustomerOrderStats _,
+    "q09_order_width_perf"   -> q09OrderWidthPerf _,
+    "q10_month_distribution" -> q10MonthDistribution _,
+    "q11_priority_distribution" -> q11PriorityDistribution _,
+    "q12_sample_scatter"     -> q12SampleScatter _,
+    "q13_supplier_pareto"    -> q13SupplierPareto _,
+    "q14_segment_revenue"    -> q14SegmentRevenue _,
+    "q15_customer_order_value" -> q15CustomerOrderValue _,
+    "q16_yearly_avg_price"   -> q16YearlyAvgPrice _,
+    "q17_yearly_avg_quantity" -> q17YearlyAvgQuantity _,
+    "e1_customer_profile"    -> e1CustomerProfile _,
+    "e2_nation_summary"      -> e2NationSummary _,
+    "e3_nation_index"        -> e3NationIndex _,
+    "q20_region_year_revenue" -> q20RegionYearRevenue _,
+    "q21_customers_with_orders" -> q21CustomersWithOrders _,
+    "q22_customers_without_orders" -> q22CustomersWithoutOrders _,
+    "q23_supplier_part_breadth" -> q23SupplierPartBreadth _,
+    "q24_top_brands_per_flag" -> q24TopBrandsPerFlag _,
   )
 
+  /** name → DuckDB oracle (q12 sampling is engine-specific → rows-only). */
   val oracles: Map[String, String] = Map(
-    "q01_pricing_summary"  -> q01Sql,
-    "q02_parttype_revenue" -> q02Sql,
-    "q03_supplier_metrics" -> q03Sql,
-    "q04_yearly_trend"     -> q04Sql,
-    "q05_price_buckets"    -> q05Sql,
-    "q06_top_supplier_hits" -> q06Sql,
+    "q01_pricing_summary"    -> q01Sql,
+    "q02_parttype_revenue"   -> q02Sql,
+    "q03_supplier_metrics"   -> q03Sql,
+    "q04_yearly_trend"       -> q04Sql,
+    "q05_price_buckets"      -> q05Sql,
+    "q06_top_supplier_hits"  -> q06Sql,
+    "q07_flag_price_stats"   -> q07Sql,
+    "q08_customer_order_stats" -> q08Sql,
+    "q09_order_width_perf"   -> q09Sql,
+    "q10_month_distribution" -> q10Sql,
+    "q11_priority_distribution" -> q11Sql,
+    "q13_supplier_pareto"    -> q13Sql,
+    "q14_segment_revenue"    -> q14Sql,
+    "q15_customer_order_value" -> q15Sql,
+    "q16_yearly_avg_price"   -> q16Sql,
+    "q17_yearly_avg_quantity" -> q17Sql,
+    "e1_customer_profile"    -> e1Sql,
+    "e2_nation_summary"      -> e2Sql,
+    "e3_nation_index"        -> e3Sql,
+    "q20_region_year_revenue" -> q20Sql,
+    "q21_customers_with_orders" -> q21Sql,
+    "q22_customers_without_orders" -> q22Sql,
+    "q23_supplier_part_breadth" -> q23Sql,
+    "q24_top_brands_per_flag" -> q24Sql,
   )
 }
