@@ -18,10 +18,18 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.StarQueries.queries
+    operators.StarQueries.queries ++
+      operators.TextAnalysis.queries ++
+      operators.EventQueries.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.StarQueries.oracles
+    operators.StarQueries.oracles ++
+      operators.TextAnalysis.oracles ++
+      operators.EventQueries.oracles ++
+      operators.Dedup.oracles ++
+      operators.Similarity.oracles
 }

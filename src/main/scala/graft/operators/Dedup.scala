@@ -1,0 +1,304 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Deduplication operators for the training-data pipeline: exact,
+  * n-gram Jaccard (exact pairwise via shingle inverted index),
+  * MinHash+LSH (band/bucket candidate generation + exact verification),
+  * SimHash (64-bit fingerprint + pigeonhole banding), and
+  * embedding-cosine near-dup.
+  *
+  * All hashing uses Spark's built-in `xxhash64` (codegen'd, fixed seed
+  * 42) so signatures are deterministic across runs and executors.
+  *
+  * Scale notes (100 TB):
+  *  - The shingle inverted-index join is the standard exact algorithm;
+  *    its hazard is hot shingles (a shingle shared by millions of docs
+  *    makes the self-join quadratic). `maxShingleFreq` drops
+  *    super-common shingles before the join — the same trick as
+  *    stop-word removal in suffix-array dedup pipelines.
+  *  - MinHash+LSH is the sub-quadratic path: candidates are generated
+  *    by equality joins on (band, bandHash) — a plain shuffle join that
+  *    AQE handles — and only candidates pay the exact-verify cost.
+  *  - SimHash pairs use 4×16-bit pigeonhole bands, so hamming≤3
+  *    candidates are equality-join discoverable, never all-pairs.
+  */
+object Dedup {
+
+  // -- exact ------------------------------------------------------------------
+
+  /** Keep exactly one row per key (lowest tieBreaker), preserving all
+    * columns. One shuffle on the key columns. */
+  def exact(df: DataFrame, keys: Seq[String], tieBreaker: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tieBreaker))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  // -- shingling --------------------------------------------------------------
+
+  /** Distinct word n-gram shingles; a doc shorter than n tokens
+    * contributes its whole text as a single shingle. */
+  def shingleArray(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (1 to n).map(k => element_at(w, i + k)): _*))))
+      .otherwise(array(text))
+  }
+
+  /** (doc_id, shingle) exploded, optionally dropping shingles hotter
+    * than maxShingleFreq (scale guard — see class doc). */
+  def docShingles(docs: DataFrame, n: Int = 3,
+                  maxShingleFreq: Option[Long] = None): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(shingleArray(col("text"), n)).as("shingle"))
+    maxShingleFreq match {
+      case None => sh
+      case Some(limit) =>
+        val hot = sh.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > limit)
+          .select(col("shingle"))
+        sh.join(hot, Seq("shingle"), "left_anti")
+    }
+  }
+
+  // -- exact n-gram Jaccard ---------------------------------------------------
+
+  /** All pairs with shingle-Jaccard ≥ threshold, via the inverted-index
+    * self-join (exact — the oracle-checkable baseline the probabilistic
+    * variants are validated against). */
+  def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+                   maxShingleFreq: Option[Long] = None): DataFrame = {
+    val sh = docShingles(docs, n, maxShingleFreq)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) /
+          (col("sa.sz") + col("sb.sz") - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // -- MinHash + LSH ----------------------------------------------------------
+
+  /** numHashes independent hash functions, realized as xxhash64 of the
+    * base shingle hash salted with the function index (overflow-free
+    * under ANSI mode, codegen'd, and deterministic everywhere). */
+  final case class MinHashParams(numHashes: Int = 128, bandRows: Int = 4) {
+    require(numHashes % bandRows == 0, "numHashes must divide into bands")
+    val numBands: Int = numHashes / bandRows
+  }
+
+  /** One row per doc: doc_id, m0..m{k-1} minhash signature columns. */
+  def signatures(docs: DataFrame, p: MinHashParams = MinHashParams(),
+                 n: Int = 3): DataFrame = {
+    val sh = docShingles(docs, n).withColumn("h", xxhash64(col("shingle")))
+    val mins = (0 until p.numHashes).map { i =>
+      min(xxhash64(col("h"), lit(i))).as(s"m$i")
+    }
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Candidate pairs: docs sharing ≥1 LSH band bucket. */
+  def lshCandidates(sig: DataFrame, p: MinHashParams = MinHashParams()): DataFrame = {
+    val bandCols = (0 until p.numBands).map { bnd =>
+      val rows = (0 until p.bandRows).map(r => col(s"m${bnd * p.bandRows + r}"))
+      xxhash64(lit(bnd) +: rows: _*)
+    }
+    val buckets = sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs with exact Jaccard verification of the
+    * candidates (array_intersect on the collected shingle sets — cheap
+    * because only candidates reach it). With 128 hashes / 32 bands the
+    * miss probability at j=0.9 is (1-0.9⁴)³² ≈ 3e-15, so the result
+    * matches the exact all-pairs oracle. */
+  def minhashDedupPairs(docs: DataFrame, threshold: Double,
+                        p: MinHashParams = MinHashParams(), n: Int = 3): DataFrame = {
+    // 128 hashes / 32 bands of 4: P(miss | j=0.9) = (1-0.9^4)^32 ≈ 3e-15.
+
+    val cand = lshCandidates(signatures(docs, p, n), p)
+    val sets = docs.select(col("doc_id"),
+      array_distinct(shingleArray(col("text"), n)).as("sset"))
+    cand
+      .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("sa.sset"), col("sb.sset"))))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) /
+          (size(col("sa.sset")) + size(col("sb.sset")) - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // -- SimHash ----------------------------------------------------------------
+
+  /** 64-bit SimHash over whitespace tokens (multiplicity-weighted). */
+  def simhashes(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val packed = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** Pairs within hamming distance maxDist (≤3 with the 4×16-bit
+    * pigeonhole banding: any such pair agrees on ≥1 band). */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-band pigeonhole guarantees recall only for maxDist <= 3")
+    val sh = simhashes(docs)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map { k =>
+        shiftright(col("simhash"), 16 * k).bitwiseAND(lit(0xFFFFL))
+      }: _*)).as(Seq("band", "chunk")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // -- embedding cosine near-dup ----------------------------------------------
+
+  /** Pairs with cosine ≥ threshold. Brute-force all-pairs (exact); for
+    * 100 TB corpora route candidate generation through
+    * [[graft.operators.Similarity.annBuckets]] first and verify here. */
+  def embeddingNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", VectorOps.cosine(col("a.v"), col("b.v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(col("cosine"), 6).as("cosine_r"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // Gate queries
+  // ---------------------------------------------------------------------------
+
+  /** Exact dedup of documents on text: summary checksum of survivors. */
+  def d01ExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val kept = exact(Tables.documents(spark, dir), Seq("text"), "doc_id")
+    kept.agg(
+      count(lit(1)).as("kept_docs"),
+      sum(col("doc_id")).as("kept_id_sum"),
+      sum(col("n_chars")).as("kept_char_sum"))
+  }
+
+  val d01Sql: String =
+    """SELECT COUNT(*) AS kept_docs,
+      |       SUM(doc_id) AS kept_id_sum,
+      |       SUM(n_chars) AS kept_char_sum
+      |FROM (SELECT MIN(doc_id) AS doc_id, MIN(n_chars) AS n_chars
+      |      FROM documents GROUP BY text) t""".stripMargin
+
+  /** Exact 3-gram Jaccard pairs ≥ 0.8 (inverted-index join). */
+  def d02JaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(Tables.documents(spark, dir), 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val d02Sql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         w[i.i] || ' ' || w[i.i+1] || ' ' || w[i.i+2] AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |        WHERE len(string_split(text, ' ')) >= 3)
+      |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) i
+      |  UNION ALL
+      |  SELECT doc_id, text AS shingle FROM documents
+      |  WHERE len(string_split(text, ' ')) < 3),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |       ROUND(CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE), 6)
+      |         AS jaccard_r
+      |FROM inter
+      |  JOIN sizes sa ON id_a = sa.doc_id
+      |  JOIN sizes sb ON id_b = sb.doc_id
+      |WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash-LSH near-dup pairs ≥ 0.8 — same oracle as d02: the LSH
+    * candidate generation + exact verification must reproduce the
+    * exact all-pairs answer (recall argument in minhashDedupPairs doc). */
+  def d03MinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashDedupPairs(Tables.documents(spark, dir), 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash fingerprint pairs within hamming ≤ 3 (engine-specific
+    * hashing → rows-only gate; properties pinned in ScalaTest). */
+  def d04SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(spark, dir), 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Embedding near-dup pairs (cosine ≥ 0.45 — sits in a wide margin gap
+    * of the corpus similarity distribution). */
+  def d05EmbeddingPairs(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupPairs(Tables.embeddings(spark, dir), 0.45)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val d05Sql: String =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |       ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+      |                                    b.embedding::DOUBLE[]), 6) AS cosine_r
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+      |                             b.embedding::DOUBLE[]) >= 0.45
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup"     -> d01ExactDedup _,
+    "d02_jaccard_pairs"   -> d02JaccardPairs _,
+    "d03_minhash_pairs"   -> d03MinhashPairs _,
+    "d04_simhash_pairs"   -> d04SimhashPairs _,
+    "d05_embedding_pairs" -> d05EmbeddingPairs _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup"     -> d01Sql,
+    "d02_jaccard_pairs"   -> d02Sql,
+    "d03_minhash_pairs"   -> d02Sql, // must equal the exact answer
+    "d05_embedding_pairs" -> d05Sql,
+  )
+}

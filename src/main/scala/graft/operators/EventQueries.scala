@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+
+/** Batch analytics over the `events` table whose semantics mirror the
+  * Structured Streaming pipelines in [[graft.streaming.EventStreams]]:
+  * tumbling-window aggregation, gap-based sessionization, and
+  * dedup-within-window. The batch forms are DuckDB-oracle-checkable;
+  * the streaming forms reuse the same column logic and are replay-tested
+  * in ScalaTest (SURVEY.md §2.2 "Streaming").
+  *
+  * Timestamps: the corpus has exact-microsecond values, so Spark's
+  * ns→µs truncation is lossless and epoch-µs arithmetic is identical in
+  * both engines.
+  */
+object EventQueries {
+
+  private val D = DecimalType(18, 4)
+
+  private def dsum(c: Column): Column = sum(c.cast(D)).cast(DoubleType)
+  private def sqlDsum(e: String): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(18,4))) AS DOUBLE)"
+
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  // ---------------------------------------------------------------------------
+  // v01 — tumbling 10-minute windows per event type (epoch-aligned, the
+  // same alignment Structured Streaming's window() uses).
+  // ---------------------------------------------------------------------------
+  def v01TumblingCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        dsum(col("value")).as("total_value"))
+      .select(
+        date_format(col("window.start"), tsFmt).as("window_start"),
+        col("event_type"), col("event_count"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val v01Sql: String =
+    s"""SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),
+       |                '%Y-%m-%d %H:%M:%S') AS window_start,
+       |  event_type,
+       |  COUNT(*) AS event_count,
+       |  ${sqlDsum("value")} AS total_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY window_start, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // v02 — gap-based sessionization (30-min inactivity gap), the batch twin
+  // of session_window()/flatMapGroupsWithState. Classic lag→flag→running-sum
+  // session ids; all arithmetic in epoch-µs longs (exact).
+  // Shuffles once on user_id; at 100 TB the window partitions by user so
+  // state never concentrates on one task (skew = one hyperactive user —
+  // mitigated by per-(user, day) pre-split if observed).
+  // ---------------------------------------------------------------------------
+  def v02Sessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    val newSession =
+      when(lag(col("ts"), 1).over(byUser).isNull, 1)
+        .when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)) > gapUs, 1)
+        .otherwise(0)
+    Tables.events(spark, dir)
+      .withColumn("new_s", newSession)
+      .withColumn("session_id",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        date_format(min(col("ts")), tsFmt).as("session_start"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .cast(DoubleType) / lit(1000000.0)).as("duration_sec"),
+        dsum(col("value")).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+      .limit(2000)
+  }
+
+  val v02Sql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+       |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+       |         ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sessions AS (
+       |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       |  COUNT(*) AS event_count,
+       |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       |  CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS DOUBLE) / 1000000.0
+       |    AS duration_sec,
+       |  ${sqlDsum("value")} AS session_value
+       |FROM sessions
+       |GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id
+       |LIMIT 2000""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // v03 — dedup within a minute bucket (batch twin of
+  // dropDuplicatesWithinWatermark: one event per (user, type, minute)).
+  // ---------------------------------------------------------------------------
+  def v03MinuteDedupCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+              date_trunc("minute", col("ts")).as("minute"))
+      .dropDuplicates("user_id", "event_type", "minute")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("deduped_count"))
+      .orderBy(col("event_type"))
+
+  val v03Sql: String =
+    """SELECT event_type, COUNT(*) AS deduped_count
+      |FROM (SELECT DISTINCT user_id, event_type,
+      |             date_trunc('minute', ts) AS minute
+      |      FROM events) t
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // v04 — sliding windows (10-min window, 5-min slide): each event lands in
+  // two windows. Mirrors streaming window(ts, "10 minutes", "5 minutes").
+  // ---------------------------------------------------------------------------
+  def v04SlidingCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        dsum(col("value")).as("total_value"))
+      .select(
+        date_format(col("window.start"), tsFmt).as("window_start"),
+        col("event_count"), col("total_value"))
+      .orderBy(col("window_start"))
+      .limit(2000)
+
+  val v04Sql: String =
+    s"""WITH buckets AS (
+       |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS b5, value
+       |  FROM events),
+       |both_windows AS (
+       |  SELECT b5 AS wstart, value FROM buckets
+       |  UNION ALL
+       |  SELECT b5 - INTERVAL '5 minutes' AS wstart, value FROM buckets)
+       |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       |  COUNT(*) AS event_count,
+       |  ${sqlDsum("value")} AS total_value
+       |FROM both_windows
+       |GROUP BY wstart
+       |ORDER BY window_start
+       |LIMIT 2000""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v01_tumbling_counts"     -> v01TumblingCounts _,
+    "v02_sessions"            -> v02Sessions _,
+    "v03_minute_dedup_counts" -> v03MinuteDedupCounts _,
+    "v04_sliding_counts"      -> v04SlidingCounts _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "v01_tumbling_counts"     -> v01Sql,
+    "v02_sessions"            -> v02Sql,
+    "v03_minute_dedup_counts" -> v03Sql,
+    "v04_sliding_counts"      -> v04Sql,
+  )
+}

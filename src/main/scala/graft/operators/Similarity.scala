@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Similarity search over the `embeddings` table: exact brute-force
+  * cosine top-k (the correctness baseline) and a random-hyperplane
+  * LSH-bucketed approximate variant (the scale path).
+  *
+  * Scale notes (100 TB):
+  *  - Brute force is a query⋈corpus cross join: fine when the query set
+  *    is small (broadcast the queries, stream the corpus — cost is one
+  *    corpus scan per batch of queries). It is the oracle-checkable
+  *    exact form.
+  *  - The LSH form buckets the corpus once (one narrow shuffle on
+  *    bucket id) and joins queries only to their bucket — sub-linear
+  *    per query. Recall versus exact top-k is pinned in ScalaTest; at
+  *    production scale you'd multi-probe neighboring buckets
+  *    (flip-1-bit probes) to trade compute back for recall — the
+  *    bucket-id expression makes those probes plain bit-twiddles.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors (cosine) for each query vector. */
+  def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      VectorOps.asDouble(col("embedding")).as("qv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      VectorOps.asDouble(col("embedding")).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorOps.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"))
+  }
+
+  /** Corpus with its LSH bucket id attached. */
+  def annBuckets(emb: DataFrame, numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val dim = 64
+    val planes = VectorOps.randomPlanes(numPlanes, dim, seed)
+    emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", VectorOps.hyperplaneBucket(col("v"), planes))
+  }
+
+  /** Approximate top-k: exact ranking restricted to the query's bucket. */
+  def annKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+             numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val qb = annBuckets(queries, numPlanes, seed)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+    val cb = annBuckets(corpus, numPlanes, seed)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    qb.join(cb, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorOps.cosine(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // Gate queries
+  // ---------------------------------------------------------------------------
+
+  /** Exact top-5 for the first 20 vectors. Rank-only output: ids are
+    * integers, so the hash compare is immune to last-ulp cosine noise. */
+  def s01KnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    bruteForceKnn(emb.filter(col("vec_id") < 20), emb, 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val s01Sql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      |      FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |         list_cosine_similarity(qv, cv) AS cosine
+      |  FROM q JOIN c ON query_id <> neighbor_id)
+      |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |             ORDER BY cosine DESC, neighbor_id) AS rk
+      |      FROM scored) t
+      |WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+
+  /** LSH-bucketed ANN for the same queries (approximate → rows-only
+    * gate; recall vs s01 pinned in ScalaTest). */
+  def s02KnnAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    annKnn(emb.filter(col("vec_id") < 20), emb, 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Corpus bucket histogram (rows-only; exercises the bucketing shape
+    * that the 100 TB path shuffles on). */
+  def s03AnnBucketProfile(spark: SparkSession, dir: String): DataFrame =
+    annBuckets(Tables.embeddings(spark, dir))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("vec_count"))
+      .orderBy(col("bucket"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_knn_bruteforce"    -> s01KnnBruteForce _,
+    "s02_knn_ann"           -> s02KnnAnn _,
+    "s03_ann_bucket_profile" -> s03AnnBucketProfile _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s01_knn_bruteforce" -> s01Sql,
+  )
+}

@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Tables
+
+/** Text-analysis operators for the training-data pipeline over the
+  * `documents` table: tokenization, quality scoring, language-ID, and
+  * document fingerprinting.
+  *
+  * Everything is built from codegen'd Catalyst expressions
+  * (`split`/`regexp_count`/`filter`/`md5` — no UDFs), so the per-doc
+  * work stays inside WholeStageCodegen and scales embarrassingly
+  * parallel: no shuffles except the final distribution aggregates.
+  *
+  * Each heuristic is deliberately expressible in ANSI SQL so the DuckDB
+  * oracle can replay the identical scoring (the gate hash-matches our
+  * operator's semantics, not just row counts).
+  */
+object TextAnalysis {
+
+  // -- tokenization -----------------------------------------------------------
+
+  /** Whitespace tokens (single-space convention of the corpus). */
+  def wsTokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(wsTokens(text))
+
+  /** BPE-ish token regex: letter runs, digit runs, single symbols.
+    * Chosen to behave identically under Java regex and RE2. */
+  val tokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def regexTokenCount(text: Column): Column = regexp_count(text, lit(tokenRegex))
+
+  // -- quality scoring --------------------------------------------------------
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "is", "to", "in", "that")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(wsTokens(text), w => w.isInCollection(stopwords)))
+
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text).cast(DoubleType) / tokenCount(text).cast(DoubleType)
+
+  def digitRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[0-9]", "")))
+      .cast(DoubleType) / length(text).cast(DoubleType)
+
+  /** Mean token length (chars excluding the single separators). */
+  def avgTokenLen(text: Column): Column =
+    (length(text) - tokenCount(text) + lit(1)).cast(DoubleType) /
+      tokenCount(text).cast(DoubleType)
+
+  /** Composite [0,1]-ish quality heuristic (stopword density + word-length
+    * plausibility + digit sparsity) — the shape of C4/Gopher-style rules. */
+  def qualityScore(text: Column): Column =
+    lit(0.5) * stopwordRatio(text) +
+      lit(0.3) * least(avgTokenLen(text) / lit(10.0), lit(1.0)) +
+      lit(0.2) * (lit(1.0) - digitRatio(text))
+
+  // SQL mirrors of the above (DuckDB dialect).
+  private val sqlTok = "string_split(text, ' ')"
+  private val sqlNTok = s"CAST(len($sqlTok) AS DOUBLE)"
+  private val sqlStops = stopwords.map(s => s"'$s'").mkString(", ")
+  private val sqlStopCnt =
+    s"CAST(len(list_filter($sqlTok, w -> w IN ($sqlStops))) AS DOUBLE)"
+  private val sqlDigitRatio =
+    "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)"
+  private val sqlAvgTokLen =
+    s"CAST(length(text) - len($sqlTok) + 1 AS DOUBLE) / $sqlNTok"
+  private val sqlQuality =
+    s"0.5 * ($sqlStopCnt / $sqlNTok) + 0.3 * least($sqlAvgTokLen / 10.0, 1.0) + 0.2 * (1.0 - $sqlDigitRatio)"
+
+  // -- language identification ------------------------------------------------
+
+  /** Stopword-profile scores per language + a CJK character trigger.
+    * Marker lists are disjoint-enough for a deterministic argmax; ties
+    * break by the fixed chain order (en > es > de > fr). */
+  val langMarkers: Map[String, String] = Map(
+    "en" -> "\\b(the|and|of|is|to|in|that|it)\\b",
+    "es" -> "\\b(el|los|las|de|que|y|en|un|una|es)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|mit|ein|zu|von)\\b",
+    "fr" -> "\\b(le|les|et|est|dans|pour|une|du|des)\\b")
+
+  val cjkRegex = "[一-鿿]"
+
+  def langScore(text: Column, lang: String): Column =
+    regexp_count(text, lit(langMarkers(lang)))
+
+  def langId(text: Column): Column = {
+    val en = langScore(text, "en")
+    val es = langScore(text, "es")
+    val de = langScore(text, "de")
+    val fr = langScore(text, "fr")
+    when(regexp_count(text, lit(cjkRegex)) > 0, "zh")
+      .when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
+  private def sqlLangScore(lang: String): String =
+    s"len(regexp_extract_all(text, '${langMarkers(lang)}'))"
+
+  private val sqlLangId: String = {
+    val en = sqlLangScore("en"); val es = sqlLangScore("es")
+    val de = sqlLangScore("de"); val fr = sqlLangScore("fr")
+    s"""CASE WHEN len(regexp_extract_all(text, '$cjkRegex')) > 0 THEN 'zh'
+       |     WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
+       |     WHEN $es >= $de AND $es >= $fr THEN 'es'
+       |     WHEN $de >= $fr THEN 'de'
+       |     ELSE 'fr' END""".stripMargin
+  }
+
+  // -- fingerprinting ---------------------------------------------------------
+
+  /** Canonical-form fingerprint: lowercase, collapse whitespace, md5.
+    * (The rolling-hash variant lives in graft.functions.RollingHash as a
+    * custom Catalyst expression; md5 is the cross-engine-checkable one.) */
+  def fingerprint(text: Column): Column =
+    md5(to_binary(trim(regexp_replace(lower(text), " +", " ")), lit("utf-8")))
+
+  private val sqlFingerprint =
+    "md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))"
+
+  // ---------------------------------------------------------------------------
+  // Gate queries
+  // ---------------------------------------------------------------------------
+
+  /** Per-document token statistics (bounded output). */
+  def t01TokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).as("ws_tokens"),
+        regexTokenCount(col("text")).as("re_tokens"),
+        length(col("text")).as("n_chars_calc"),
+        avgTokenLen(col("text")).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+      .limit(1000)
+
+  val t01Sql: String =
+    s"""SELECT doc_id,
+       |  CAST(len($sqlTok) AS INT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '$tokenRegex')) AS INT) AS re_tokens,
+       |  CAST(length(text) AS INT) AS n_chars_calc,
+       |  $sqlAvgTokLen AS avg_token_len
+       |FROM documents
+       |ORDER BY doc_id
+       |LIMIT 1000""".stripMargin
+
+  /** Per-document quality heuristics. */
+  def t02QualityScores(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        stopwordRatio(col("text")).as("stop_ratio"),
+        digitRatio(col("text")).as("digit_ratio"),
+        qualityScore(col("text")).as("quality_score"))
+      .orderBy(col("doc_id"))
+      .limit(1000)
+
+  val t02Sql: String =
+    s"""SELECT doc_id,
+       |  $sqlStopCnt / $sqlNTok AS stop_ratio,
+       |  $sqlDigitRatio AS digit_ratio,
+       |  $sqlQuality AS quality_score
+       |FROM documents
+       |ORDER BY doc_id
+       |LIMIT 1000""".stripMargin
+
+  /** Language-ID prediction vs the labeled column. */
+  def t03LangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), langId(col("text")).as("pred_lang"))
+      .orderBy(col("doc_id"))
+      .limit(1000)
+
+  val t03Sql: String =
+    s"""SELECT doc_id, lang, $sqlLangId AS pred_lang
+       |FROM documents
+       |ORDER BY doc_id
+       |LIMIT 1000""".stripMargin
+
+  /** Canonical fingerprints. */
+  def t04Fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+      .limit(1000)
+
+  val t04Sql: String =
+    s"""SELECT doc_id, $sqlFingerprint AS fingerprint
+       |FROM documents
+       |ORDER BY doc_id
+       |LIMIT 1000""".stripMargin
+
+  /** Corpus profile: per labeled lang, volume + mean quality.
+    * Per-doc quality is an arbitrary double, so the mean goes through the
+    * decimal(18,8) convention (round each value once, sum exactly) to stay
+    * partition-order-independent — same trick as StarQueries money sums. */
+  def t05LangProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val qDec = qualityScore(col("text")).cast(DecimalType(18, 8))
+    Tables.documents(spark, dir)
+      .withColumn("q", qDec)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("doc_count"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("q")).cast(DoubleType) / count(col("q")).cast(DoubleType))
+          .as("avg_quality"))
+      .orderBy(col("lang"))
+  }
+
+  val t05Sql: String =
+    s"""SELECT lang, COUNT(*) AS doc_count,
+       |  SUM(n_chars) AS total_chars,
+       |  CAST(SUM(q) AS DOUBLE) / CAST(COUNT(q) AS DOUBLE) AS avg_quality
+       |FROM (SELECT lang, n_chars,
+       |        CAST(($sqlQuality) AS DECIMAL(18,8)) AS q FROM documents) t
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_stats"    -> t01TokenStats _,
+    "t02_quality_scores" -> t02QualityScores _,
+    "t03_lang_id"        -> t03LangId _,
+    "t04_fingerprints"   -> t04Fingerprints _,
+    "t05_lang_profile"   -> t05LangProfile _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_stats"    -> t01Sql,
+    "t02_quality_scores" -> t02Sql,
+    "t03_lang_id"        -> t03Sql,
+    "t04_fingerprints"   -> t04Sql,
+    "t05_lang_profile"   -> t05Sql,
+  )
+}
