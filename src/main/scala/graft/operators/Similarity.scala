@@ -49,11 +49,25 @@ object Similarity {
       .withColumn("bucket", VectorOps.hyperplaneBucket(col("v"), planes))
   }
 
-  /** Approximate top-k: exact ranking restricted to the query's bucket. */
+  /** Approximate top-k: exact ranking restricted to the query's bucket,
+    * plus `multiProbe` flip-1-bit neighbor buckets (standard multi-probe
+    * LSH: a true neighbor differing on exactly one hyperplane sign is
+    * still found). Probing b buckets multiplies candidate volume by ~b
+    * while staying sub-linear in the corpus — the recall/compute dial.
+    * multiProbe = 0 is single-probe; multiProbe = numPlanes probes every
+    * hamming-1 bucket. */
   def annKnn(queries: DataFrame, corpus: DataFrame, k: Int,
-             numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
-    val qb = annBuckets(queries, numPlanes, seed)
+             numPlanes: Int = 8, seed: Long = 42L,
+             multiProbe: Int = 0): DataFrame = {
+    require(multiProbe >= 0 && multiProbe <= numPlanes)
+    val qb0 = annBuckets(queries, numPlanes, seed)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+    // probe buckets are plain bit-twiddles on the query's own bucket id;
+    // the corpus side stays single-bucketed so its shuffle key is unchanged
+    val probes = col("bucket") +: (0 until multiProbe).map(i =>
+      col("bucket").bitwiseXOR(lit(1L << i)))
+    val qb = qb0.select(col("query_id"), col("qv"),
+      explode(array(probes: _*)).as("bucket"))
     val cb = annBuckets(corpus, numPlanes, seed)
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("bucket"))
     val w = Window.partitionBy(col("query_id"))
@@ -94,10 +108,12 @@ object Similarity {
       |ORDER BY query_id, rk""".stripMargin
 
   /** LSH-bucketed ANN for the same queries (approximate → rows-only
-    * gate; recall vs s01 pinned in ScalaTest). */
+    * gate; recall vs s01 pinned in ScalaTest). Full hamming-1
+    * multi-probe: the corpus here is small relative to bucket count, so
+    * probing buys recall at negligible candidate cost. */
   def s02KnnAnn(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    annKnn(emb.filter(col("vec_id") < 20), emb, 5)
+    annKnn(emb.filter(col("vec_id") < 20), emb, 5, multiProbe = 8)
       .orderBy(col("query_id"), col("rk"))
   }
 

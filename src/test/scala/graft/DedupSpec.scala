@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Hand-crafted corpus: A≈B (one token differs), C=A verbatim, D unrelated.
+  private def docs: DataFrame = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy cat today"),
+    (3L, "the quick brown fox jumps over the lazy dog today"),
+    (4L, "completely different text about spark catalyst optimizer internals")
+  ).toDF("doc_id", "text")
+
+  test("exact() keeps one row per key, lowest tiebreaker") {
+    val df = Seq((1L, "a", 3L), (1L, "b", 1L), (2L, "c", 5L))
+      .toDF("k", "v", "ts")
+    val out = Dedup.exact(df, Seq("k"), "ts").orderBy("k")
+      .as[(Long, String, Long)].collect()
+    assert(out.toSeq == Seq((1L, "b", 1L), (2L, "c", 5L)))
+  }
+
+  test("shingleArray: n-grams are distinct and positional") {
+    val got = spark.range(1)
+      .select(Dedup.shingleArray(lit("a b c d"), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d"))
+  }
+
+  test("shingleArray: doc shorter than n falls back to whole text") {
+    val got = spark.range(1)
+      .select(Dedup.shingleArray(lit("a b"), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(got == Seq("a b"))
+  }
+
+  test("jaccardPairs finds the verbatim pair at j=1.0 and excludes unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, 0.5, n = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 3L)
+    assert(exact.exists(_._3 == 1.0), s"expected (1,3,1.0) in $pairs")
+    // near pair (1,2): 10 tokens → 8 shingles each; the differing 9th
+    // token appears in the 2 final shingles → |∩|=6, |∪|=10
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L &&
+      math.abs(p._3 - 0.6) < 1e-12))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "doc 4 is unrelated")
+  }
+
+  test("minhashDedupPairs matches exact jaccardPairs on the same corpus") {
+    val exact = Dedup.jaccardPairs(docs, 0.4, n = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.minhashDedupPairs(docs, 0.4, n = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs get identical fingerprints") {
+    val fp = Dedup.simhashes(docs).orderBy("doc_id")
+      .select("simhash").as[Long].collect()
+    assert(fp(0) == fp(2), "verbatim duplicates must collide")
+    assert(fp(0) != fp(3), "unrelated docs should differ")
+  }
+
+  test("simhashPairs: verbatim pair at distance 0, unrelated excluded") {
+    val pairs = Dedup.simhashPairs(docs, maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 0))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("hot-shingle guard drops high-frequency shingles before the join") {
+    val n = Dedup.docShingles(docs, n = 3, maxShingleFreq = Some(2L))
+    // "the quick brown" etc. appear in docs 1,2,3 (freq 3 > 2) → dropped
+    assert(n.filter($"shingle" === "the quick brown").count() == 0)
+    // doc-4-only shingles (freq 1) survive
+    assert(n.filter($"shingle" === "completely different text").count() == 1)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventQueries
+
+class EventQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("v01: tumbling window counts sum to the table count") {
+    val total = EventQueries.v01TumblingCounts(spark, sf)
+      .agg(sum("event_count")).as[Long].head()
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("v01: tumbling window starts are 10-minute aligned") {
+    // "yyyy-MM-dd HH:m0:00" — minute ends in 0, seconds are 00
+    val misaligned = EventQueries.v01TumblingCounts(spark, sf)
+      .filter(!$"window_start".rlike("^.{14}[0-5]0:00$"))
+      .count()
+    assert(misaligned == 0, "tumbling starts must be 10-min aligned")
+  }
+
+  test("v02: sessions partition each user's events; gaps within a session < 30min") {
+    val sess = EventQueries.v02Sessions(spark, sf)
+    // duration of an n-event session is bounded by (n-1) * gap
+    val bad = sess.filter($"duration_sec" > ($"event_count" - 1) * 1800.0).count()
+    assert(bad == 0, "a session cannot span more than (n-1) max gaps")
+    val nonPositive = sess.filter($"event_count" <= 0 || $"duration_sec" < 0).count()
+    assert(nonPositive == 0)
+  }
+
+  test("v03: deduped counts never exceed raw per-type counts") {
+    val raw = Tables.events(spark, sf)
+      .groupBy($"event_type").agg(count(lit(1)).as("raw_count"))
+    val bad = EventQueries.v03MinuteDedupCounts(spark, sf)
+      .join(raw, "event_type")
+      .filter($"deduped_count" > $"raw_count").count()
+    assert(bad == 0)
+  }
+
+  test("v04: sliding windows double-count each event exactly twice") {
+    val total = EventQueries.v04SlidingCounts(spark, sf)
+      .agg(sum("event_count")).as[Long].head()
+    // limit(2000) may truncate at larger SF; sf0.001 has few windows, so
+    // the invariant holds exactly: every event is in 2 of the 5-min slides
+    val windows = EventQueries.v04SlidingCounts(spark, sf).count()
+    if (windows < 2000)
+      assert(total == 2 * Tables.events(spark, sf).count())
+  }
+}

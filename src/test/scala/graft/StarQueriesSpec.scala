@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.StarQueries
+
+/** Cross-query semantic invariants over the sf0.001 fixtures — these
+  * catch logic regressions the rows>0 smoke can't (the DuckDB hash gate
+  * runs driver-side; here we pin relationships that must hold on ANY
+  * input, so they stay valid if the fixtures are regenerated). */
+class StarQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q01: group counts partition the filtered lineitem table") {
+    val li = Tables.lineitem(spark, sf)
+      .filter($"l_quantity".isNotNull && $"l_extendedprice".isNotNull)
+    val total = StarQueries.q01PricingSummary(spark, sf)
+      .agg(sum("count_order")).as[Long].head()
+    assert(total == li.count())
+  }
+
+  test("q01: avg_qty equals sum_qty / count_order") {
+    val bad = StarQueries.q01PricingSummary(spark, sf)
+      .filter(abs($"avg_qty" - $"sum_qty" / $"count_order") > 1e-9)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("q05: price buckets are a disjoint total partition of orders") {
+    val total = StarQueries.q05PriceBuckets(spark, sf)
+      .agg(sum("order_count")).as[Long].head()
+    val orders = Tables.orders(spark, sf).filter($"o_totalprice".isNotNull)
+    assert(total == orders.count())
+  }
+
+  test("q06: all result lines belong to one supplier") {
+    val suppliers = StarQueries.q06TopSupplierHits(spark, sf)
+      .select("s_name").distinct().count()
+    assert(suppliers == 1)
+  }
+
+  test("q13: cumulative revenue is monotone and ends at the total share 1.0") {
+    val rows = StarQueries.q13SupplierPareto(spark, sf)
+      .select("cumulative_revenue", "cumulative_share")
+      .as[(Double, Double)].collect()
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => b._1 >= a._1; case _ => true
+    }, "cumulative_revenue must be non-decreasing")
+    assert(math.abs(rows.last._2 - 1.0) < 1e-9, "last share must be 1.0")
+  }
+
+  test("q21 + q22(no filter year) partition customers per segment") {
+    // q21 = semi join (any order), q22 = anti join on year-2001 orders.
+    // Complement check with the same predicate on both sides:
+    val cust = Tables.customer(spark, sf)
+    val withAny = StarQueries.q21CustomersWithOrders(spark, sf)
+      .agg(sum("active_customers")).as[Long].head()
+    val semiCount = cust.join(Tables.orders(spark, sf),
+      $"c_custkey" === $"o_custkey", "left_semi").count()
+    assert(withAny == semiCount)
+    val without2001 = StarQueries.q22CustomersWithoutOrders(spark, sf)
+      .agg(sum("inactive_customers")).as[Long].head()
+    val with2001 = cust.join(
+      Tables.orders(spark, sf).filter(year($"o_orderdate") === 2001),
+      $"c_custkey" === $"o_custkey", "left_semi").count()
+    assert(without2001 + with2001 == cust.count())
+  }
+
+  test("q12: pinned-seed sample is reproducible") {
+    val a = digest(StarQueries.q12SampleScatter(spark, sf))
+    val b = digest(StarQueries.q12SampleScatter(spark, sf))
+    assert(a == b, "sample must be seed-pinned (SURVEY.md §2.2 Sampling)")
+  }
+
+  test("e3: inverted index entry count equals customer_count per nation") {
+    val bad = StarQueries.e3NationIndex(spark, sf)
+      .select($"customer_count",
+        size(split($"custkey_index", ",")).cast("long").as("idx_size"))
+      .filter($"customer_count" =!= $"idx_size").count()
+    assert(bad == 0, "index must list exactly the aggregated customers")
+  }
+
+  test("dimension joins broadcast: q02 physical plan contains BroadcastHashJoin") {
+    val plan = StarQueries.q02PartTypeRevenue(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part-dim join should broadcast, plan was:\n$plan")
+  }
+
+  test("parquet scans prune columns: q01 reads only the 5 needed lineitem cols") {
+    val scans = StarQueries.q01PricingSummary(spark, sf)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    // ReadSchema must exclude untouched columns like l_shipdate/l_partkey
+    assert(!scans.contains("l_shipdate") && !scans.contains("l_partkey"),
+      "column pruning regressed")
+  }
+}

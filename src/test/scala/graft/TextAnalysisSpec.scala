@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def evalS(c: Column): String =
+    spark.range(1).select(c.cast("string").as("x")).as[String].head()
+  private def evalD(c: Column): Double =
+    spark.range(1).select(c.cast("double").as("x")).as[Double].head()
+
+  test("tokenCount counts whitespace tokens") {
+    assert(evalD(TextAnalysis.tokenCount(lit("one two three"))) == 3.0)
+    assert(evalD(TextAnalysis.tokenCount(lit("single"))) == 1.0)
+  }
+
+  test("regexTokenCount splits words, numbers and punctuation") {
+    // "it's 42%" → it, ', s, 42, % = 5 BPE-ish tokens
+    assert(evalD(TextAnalysis.regexTokenCount(lit("it's 42%"))) == 5.0)
+  }
+
+  test("stopword and digit ratios are bounded and exact on crafted input") {
+    // 4 tokens, 2 stopwords (the, of)
+    val t = lit("the acceleration of bodies")
+    assert(evalD(TextAnalysis.stopwordRatio(t)) == 0.5)
+    // "a1b2" → 2 digits / 4 chars
+    assert(evalD(TextAnalysis.digitRatio(lit("a1b2"))) == 0.5)
+  }
+
+  test("langId identifies obvious languages by marker words") {
+    assert(evalS(TextAnalysis.langId(lit("the cat and the dog are in that house"))) == "en")
+    assert(evalS(TextAnalysis.langId(lit("el perro y la casa de los gatos"))) == "es")
+    assert(evalS(TextAnalysis.langId(lit("le chien et la maison des chats"))) == "fr")
+    assert(evalS(TextAnalysis.langId(lit("der Hund und die Katze nicht das Haus"))) == "de")
+  }
+
+  test("fingerprint canonicalizes case and runs of spaces") {
+    val a = TextAnalysis.fingerprint(lit("Hello,  World!"))
+    val b = TextAnalysis.fingerprint(lit("hello, world!"))
+    assert(evalS(a) == evalS(b), "fingerprint must be case/space-run-invariant")
+    val c = TextAnalysis.fingerprint(lit("hello,world!"))
+    assert(evalS(a) != evalS(c), "distinct canonical forms must differ")
+  }
+
+  test("qualityScore stays within [0,1] on the real corpus") {
+    val out = Tables.documents(spark, sf)
+      .select(TextAnalysis.qualityScore(col("text")).as("q"))
+      .agg(min("q").as("mn"), max("q").as("mx"))
+      .as[(Double, Double)].head()
+    assert(out._1 >= 0.0 && out._2 <= 1.0, s"quality out of range: $out")
+  }
+
+  test("langId is total over the corpus: always one of the known codes") {
+    // (the fixture's lang column is a synthetic label — its text is one
+    // shared vocabulary, so accuracy-vs-label is not a meaningful pin;
+    // real-language behavior is pinned by the crafted sentences above)
+    val known = Seq("en", "es", "de", "fr", "zh")
+    val bad = Tables.documents(spark, sf)
+      .select(TextAnalysis.langId(col("text")).as("pred"))
+      .filter(!col("pred").isin(known: _*)).count()
+    assert(bad == 0)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.VectorOps
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lift(v: Seq[Double]) = array(v.map(lit): _*)
+
+  private def eval1(c: org.apache.spark.sql.Column): Double =
+    spark.range(1).select(c.cast("double").as("x")).as[Double].head()
+
+  test("dot/norm/cosine match hand-computed values") {
+    val a = Seq(1.0, 2.0, 3.0)
+    val b = Seq(4.0, -5.0, 6.0)
+    assert(eval1(VectorOps.dot(lift(a), lift(b))) == 12.0)
+    assert(math.abs(eval1(VectorOps.norm(lift(a))) - math.sqrt(14.0)) < 1e-12)
+    val expected = 12.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(eval1(VectorOps.cosine(lift(a), lift(b))) - expected) < 1e-12)
+  }
+
+  test("cosine properties: self≈1, bounded, symmetric (20 seeded samples)") {
+    // no scalatest↔scalacheck bridge in the offline cache → sample Gen
+    // directly with pinned seeds (still property-shaped, reproducible)
+    val vecGen = Gen.listOfN(8, Gen.choose(-10.0, 10.0))
+      .suchThat(v => v.exists(x => math.abs(x) > 1e-3))
+    for (i <- 0 until 20) {
+      val a = vecGen.apply(Gen.Parameters.default, Seed(2 * i)).get
+      val b = vecGen.apply(Gen.Parameters.default, Seed(2 * i + 1)).get
+      val self = eval1(VectorOps.cosine(lift(a), lift(a)))
+      assert(math.abs(self - 1.0) < 1e-9)
+      val ab = eval1(VectorOps.cosine(lift(a), lift(b)))
+      val ba = eval1(VectorOps.cosine(lift(b), lift(a)))
+      assert(ab <= 1.0 + 1e-9 && ab >= -1.0 - 1e-9)
+      assert(math.abs(ab - ba) < 1e-12)
+    }
+  }
+
+  test("hyperplaneBucket: opposite vectors land in complementary buckets") {
+    val planes = VectorOps.randomPlanes(8, 3, seed = 42L)
+    val v = Seq(0.3, -0.7, 0.5)
+    val bv = eval1(VectorOps.hyperplaneBucket(lift(v), planes)).toLong
+    val bn = eval1(VectorOps.hyperplaneBucket(lift(v.map(-_)), planes)).toLong
+    // sign flips on every plane (no exact-zero dot products for this v)
+    assert((bv ^ bn) == 255L)
+  }
+
+  test("randomPlanes is seed-deterministic") {
+    assert(VectorOps.randomPlanes(4, 16, 7L) == VectorOps.randomPlanes(4, 16, 7L))
+    assert(VectorOps.randomPlanes(4, 16, 7L) != VectorOps.randomPlanes(4, 16, 8L))
+  }
+}
