@@ -1,0 +1,199 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import java.sql.Timestamp
+
+/** Structured Streaming pipelines over the `events` stream — the
+  * streaming twins of [[graft.operators.EventQueries]] (the reference
+  * has no streaming surface, SURVEY.md §2.2 "Streaming"; this is the
+  * north-star extension). Each transform takes an unbounded DataFrame
+  * (`readStream` file source in production, MemoryStream in tests) with
+  * the events schema `(event_id, ts: timestamp, user_id, event_type,
+  * value, props)` and returns the streaming DataFrame to hand to
+  * `writeStream`.
+  *
+  * Batch equivalence is the correctness contract: run on a bounded
+  * replay of the same rows, each pipeline must produce exactly the
+  * batch counterpart's rows (pinned in EventStreamsSpec). That makes
+  * the DuckDB oracle for the batch forms transitively cover these.
+  *
+  * Scale posture (100 TB/day of events):
+  *  - All aggregations key state by (window, event_type) or
+  *    (user, session) — state is sharded by the shuffle on those keys
+  *    across executors; nothing accumulates driver-side.
+  *  - Watermarks bound state: 15 min lateness → state for a 10-min
+  *    window is dropped ~25 min after its end. Without a watermark the
+  *    windowed-state map grows forever.
+  *  - `dropDuplicatesWithinWatermark` keeps only in-horizon keys: exact
+  *    dedup over an unbounded stream with bounded memory.
+  *  - flatMapGroupsWithState holds one small case class per active
+  *    user — state size tracks active users, not event volume.
+  */
+object EventStreams {
+
+  private val D = DecimalType(18, 4)
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** Default allowed event-time lateness. */
+  val defaultLateness = "15 minutes"
+
+  // ---------------------------------------------------------------------------
+  // Tumbling windows (streaming v01)
+  // ---------------------------------------------------------------------------
+
+  /** 10-minute tumbling counts+sums per event type. Append-mode capable:
+    * a (window, type) result row is emitted once the watermark passes
+    * window end. */
+  def tumblingCounts(events: DataFrame, lateness: String = defaultLateness): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        sum(col("value").cast(D)).cast(DoubleType).as("total_value"))
+      .select(
+        date_format(col("window.start"), tsFmt).as("window_start"),
+        col("event_type"), col("event_count"), col("total_value"))
+
+  // ---------------------------------------------------------------------------
+  // Sliding windows (streaming v04)
+  // ---------------------------------------------------------------------------
+
+  /** 10-minute windows sliding every 5 — each event contributes to two
+    * windows, state keyed per window instance. */
+  def slidingCounts(events: DataFrame, lateness: String = defaultLateness): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        sum(col("value").cast(D)).cast(DoubleType).as("total_value"))
+      .select(
+        date_format(col("window.start"), tsFmt).as("window_start"),
+        col("event_count"), col("total_value"))
+
+  // ---------------------------------------------------------------------------
+  // Session windows (streaming v02)
+  // ---------------------------------------------------------------------------
+
+  /** Gap-based sessionization: a session closes after 30 minutes of
+    * user inactivity — the built-in session_window keeps per-(user,
+    * session) state and merges windows as late events arrive. Semantics
+    * match the batch lag()-based sessionizer in EventQueries.v02Sessions
+    * (same 30-min gap rule). */
+  def sessions(events: DataFrame, gap: String = "30 minutes",
+               lateness: String = defaultLateness): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(
+        count(lit(1)).as("event_count"),
+        date_format(min(col("ts")), tsFmt).as("session_start"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .cast(DoubleType) / lit(1000000.0)).as("duration_sec"),
+        sum(col("value").cast(D)).cast(DoubleType).as("session_value"))
+      .select(col("user_id"), col("event_count"), col("session_start"),
+        col("duration_sec"), col("session_value"))
+
+  // ---------------------------------------------------------------------------
+  // Streaming dedup (streaming v03)
+  // ---------------------------------------------------------------------------
+
+  /** One event per (user, type, minute) with state bounded by the
+    * watermark horizon — the streaming form of the batch
+    * dropDuplicates in v03. Emits the first arrival, suppresses
+    * duplicates arriving within the watermark delay. */
+  def minuteDedup(events: DataFrame, lateness: String = defaultLateness): DataFrame =
+    events
+      .select(col("user_id"), col("event_type"),
+        date_trunc("minute", col("ts")).as("minute"), col("ts"))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
+      .select(col("user_id"), col("event_type"), col("minute"))
+
+  // ---------------------------------------------------------------------------
+  // Custom state: per-user running profile via flatMapGroupsWithState
+  // ---------------------------------------------------------------------------
+
+  /** Input row shape for the stateful profile. */
+  final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                      event_type: String, value: Double)
+
+  /** Mutable-per-user accumulator carried across micro-batches. */
+  final case class UserState(events: Long, totalValue: Double,
+                             firstTs: Long, lastTs: Long)
+
+  /** Emitted once per user per micro-batch that touched the user. */
+  final case class UserProfile(user_id: Long, events: Long,
+                               total_value: Double, active_span_sec: Double)
+
+  /** Per-user lifetime profile with explicit state — the escape hatch
+    * for aggregations the built-in operators can't express (here:
+    * first/last-seen span plus running totals, emitted incrementally).
+    * State: one UserState per user. Pass `idleTimeout = Some("1 hour")`
+    * in production so abandoned users don't pin memory forever; the
+    * default keeps timers off, which lets bounded replays terminate
+    * (processing-time timers force perpetual no-data micro-batches). */
+  def userProfiles(events: Dataset[Ev],
+                   idleTimeout: Option[String] = None): Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserProfile](
+        OutputMode.Append(), timeoutConf) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[UserState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(
+              UserState(0L, 0.0, Long.MaxValue, Long.MinValue))
+            // decimal accumulation: micro-batch arrival order is not
+            // deterministic, double += would drift across replays
+            var n = prev.events
+            var tot = BigDecimal(prev.totalValue).setScale(4)
+            var first = prev.firstTs
+            var last = prev.lastTs
+            rows.foreach { e =>
+              n += 1
+              tot += BigDecimal(e.value).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+              val t = e.ts.getTime
+              if (t < first) first = t
+              if (t > last) last = t
+            }
+            val next = UserState(n, tot.toDouble, first, last)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator.single(UserProfile(
+              userId, n, next.totalValue, (last - first) / 1000.0))
+          }
+      }
+  }
+
+  // ---------------------------------------------------------------------------
+  // Production entry points (file-source streams)
+  // ---------------------------------------------------------------------------
+
+  /** The stream's wire schema (micro-second timestamps — the batch
+    * loader's post-conversion shape, see [[graft.Tables.events]]). */
+  val eventsSchemaDdl: String =
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+
+  /** Unbounded file-source reader for an events directory: new parquet
+    * files appearing under `dir` become micro-batches. `maxFilesPerTrigger`
+    * bounds batch size so one huge backlog file can't blow executor
+    * memory at 100 TB replay. */
+  def readEvents(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(eventsSchemaDdl)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import java.sql.Timestamp
+
+import graft.operators.EventQueries
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Ev, UserProfile}
+
+/** Deterministic replay tests: each streaming pipeline, fed the sf0.001
+  * events through a MemoryStream (plus a far-future sentinel that pushes
+  * the watermark past all real data so append-mode state flushes), must
+  * emit exactly what its batch twin computes. This is the correctness
+  * story for the streaming surface — the batch twins are DuckDB-oracle
+  * checked, so equivalence extends the oracle to the streams. */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events: Dataset[Ev] =
+    Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Ev]
+
+  /** Sentinel a year past the corpus: advances the event-time watermark
+    * beyond every real window/session so they all close and emit. */
+  private val sentinel =
+    Ev(-1L, Timestamp.valueOf("2025-01-30 00:00:00"), -1L, "sentinel", 0.0)
+
+  private var qn = 0
+
+  /** Run a streaming transform over the full corpus + sentinel in
+    * append mode; return the memory-sink table of emitted rows. */
+  private def replay(build: DataFrame => DataFrame,
+                     batches: Seq[Seq[Ev]] = null): DataFrame = {
+    qn += 1
+    val name = s"stream_out_$qn"
+    val ms = MemoryStream[Ev](spark)
+    val q = build(ms.toDF()).writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    val data = Option(batches).getOrElse(Seq(events.collect().toSeq))
+    data.foreach { b => ms.addData(b); q.processAllAvailable() }
+    ms.addData(Seq(sentinel)); q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  private def assertSameRows(streamed: DataFrame, batch: DataFrame): Unit = {
+    val cols = batch.columns.sorted.map(col)
+    val s = streamed.select(cols: _*)
+    val b = batch.select(cols: _*)
+    val extra = s.exceptAll(b).count()
+    val missing = b.exceptAll(s).count()
+    assert(extra == 0 && missing == 0,
+      s"stream vs batch divergence: extra=$extra missing=$missing")
+  }
+
+  test("tumblingCounts replay matches batch v01 exactly") {
+    val streamed = replay(EventStreams.tumblingCounts(_))
+      .filter($"event_type" =!= "sentinel")
+    assertSameRows(streamed, EventQueries.v01TumblingCounts(spark, sf))
+  }
+
+  test("slidingCounts replay matches batch v04 (first 2000 windows)") {
+    val streamed = replay(EventStreams.slidingCounts(_))
+      // drop the sentinel's two windows (start >= 2025)
+      .filter($"window_start" < "2025-01-01")
+      .orderBy($"window_start").limit(2000)
+    assertSameRows(streamed, EventQueries.v04SlidingCounts(spark, sf))
+  }
+
+  test("sessions replay matches the batch sessionizer") {
+    val streamed = replay(EventStreams.sessions(_))
+      .filter($"user_id" =!= -1L)
+    val batch = EventQueries.v02Sessions(spark, sf)
+      .drop("session_id")
+    assert(batch.count() < 2000, "fixture outgrew v02's limit; rework test")
+    assertSameRows(streamed, batch)
+  }
+
+  test("minuteDedup replay matches batch v03 counts, duplicates suppressed") {
+    val all = events.collect().toSeq
+    // feed every event twice in separate batches: within-watermark
+    // duplicates must be suppressed by state, not by chance
+    val streamed = replay(EventStreams.minuteDedup(_), Seq(all, all))
+      .filter($"user_id" =!= -1L)
+      .groupBy($"event_type").agg(count(lit(1)).as("deduped_count"))
+    assertSameRows(streamed, EventQueries.v03MinuteDedupCounts(spark, sf))
+  }
+
+  test("userProfiles accumulates state across micro-batches") {
+    val all = events.collect().toSeq.sortBy(_.ts.getTime)
+    val (h1, h2) = all.splitAt(all.size / 2)
+    qn += 1
+    val name = s"stream_out_$qn"
+    val ms = MemoryStream[Ev](spark)
+    val q = EventStreams.userProfiles(ms.toDS()).writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    ms.addData(h1); q.processAllAvailable()
+    ms.addData(h2); q.processAllAvailable()
+    q.stop()
+    // last emission per user (max events — the count is monotone)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"events".desc)
+    val finalProfiles = spark.table(name)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+    val expected = events.toDF()
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("events"),
+        sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("total_value"),
+        ((unix_millis(max($"ts")) - unix_millis(min($"ts"))) / 1000.0)
+          .as("active_span_sec"))
+    assertSameRows(finalProfiles, expected)
+  }
+}
