@@ -4,27 +4,34 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-/** Dense-vector column math over `ArrayType` embeddings, built entirely
-  * from codegen'd higher-order functions (`zip_with`/`aggregate`) — no
-  * UDF serialization on the hot path, and the sequential left-fold makes
-  * the arithmetic order deterministic (bit-identical across partitions
-  * and engines).
+/** Dense-vector column math over `ArrayType` embeddings. The hot
+  * primitives (dot, norm²) are native Catalyst expressions with
+  * primitive-array codegen ([[VectorExprs]]); the composite forms here
+  * stay plain Column algebra. Sequential left-to-right accumulation
+  * everywhere — bit-identical results across partitions and engines.
   *
-  * Scale note: these run per-row inside WholeStageCodegen; a 64-dim
-  * cosine is ~200 flops/row, so the bottleneck at 100 TB is scan + the
-  * join strategy around it (see [[graft.operators.Similarity]]), not
-  * this arithmetic. If profiling ever shows otherwise the upgrade path
-  * is a custom Catalyst Expression with a primitive-array doGenCode.
+  * Scale note: in pair-join plans (near-dup, kNN) these run O(pairs)
+  * times, so per-pair cost dominates — precompute norms per SIDE of the
+  * join (O(rows)) and keep only the dot product per pair, as
+  * [[graft.operators.Similarity]] / [[graft.operators.Dedup]] do.
   */
 object VectorOps {
 
   /** Cast float embeddings to double once, up front. */
   def asDouble(v: Column): Column = transform(v, _.cast(DoubleType))
 
-  def dot(a: Column, b: Column): Column =
+  /** Native codegen'd forms (see [[VectorExprs]]) — bit-identical to
+    * the higher-order-function forms below (same sequential
+    * accumulation order), ~an order of magnitude less per-pair cost. */
+  def dot(a: Column, b: Column): Column = VectorExprs.dot(a, b)
+
+  def norm2(a: Column): Column = VectorExprs.norm2(a)
+
+  /** Reference HOF implementations, kept for the equivalence spec. */
+  def hofDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def norm2(a: Column): Column =
+  def hofNorm2(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x * x)
 
   def norm(a: Column): Column = sqrt(norm2(a))

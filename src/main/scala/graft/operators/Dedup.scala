@@ -44,22 +44,34 @@ object Dedup {
 
   // -- shingling --------------------------------------------------------------
 
-  /** Distinct word n-gram shingles; a doc shorter than n tokens
+  /** Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    * array column. The token column must come through a projection
+    * boundary (an attribute, not an inline `split(...)`): higher-order
+    * lambdas are interpreted, so an embedded split would re-tokenize
+    * the whole document on every element access — measured 3-5× the
+    * total cost of the dedup pipeline. A doc shorter than n tokens
     * contributes its whole text as a single shingle. */
-  def shingleArray(text: Column, n: Int): Column = {
-    val w = split(text, " ")
-    when(size(w) >= n,
-      array_distinct(transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", (1 to n).map(k => element_at(w, i + k)): _*))))
-      .otherwise(array(text))
-  }
+  def shingleTokens(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (1 to n).map(k => element_at(toks, i + k)): _*))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  /** Convenience form over raw text — fine for literals/tests; in
+    * per-row pipelines go through a tokens projection + shingleTokens. */
+  def shingleArray(text: Column, n: Int): Column =
+    shingleTokens(split(text, " "), n)
+
+  /** (doc_id, tokens) with the split materialized once per row. */
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
 
   /** (doc_id, shingle) exploded, optionally dropping shingles hotter
     * than maxShingleFreq (scale guard — see class doc). */
   def docShingles(docs: DataFrame, n: Int = 3,
                   maxShingleFreq: Option[Long] = None): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(shingleArray(col("text"), n)).as("shingle"))
+    val sh = tokenized(docs).select(col("doc_id"),
+      explode(shingleTokens(col("toks"), n)).as("shingle"))
     maxShingleFreq match {
       case None => sh
       case Some(limit) =>
@@ -73,17 +85,27 @@ object Dedup {
 
   // -- exact n-gram Jaccard ---------------------------------------------------
 
-  /** All pairs with shingle-Jaccard ≥ threshold, via the inverted-index
-    * self-join (exact — the oracle-checkable baseline the probabilistic
-    * variants are validated against). */
+  /** All pairs with shingle-Jaccard ≥ threshold, exact — the
+    * oracle-checkable baseline the probabilistic variants are validated
+    * against. Pair generation goes through posting lists
+    * (shingle → sorted doc list → in-list combinations) rather than a
+    * self-join: one shuffle of the shingle frame instead of two, and
+    * the quadratic blow-up is confined to each posting list, which
+    * `maxShingleFreq` caps at scale. */
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
                    maxShingleFreq: Option[Long] = None): DataFrame = {
     val sh = docShingles(docs, n, maxShingleFreq)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // postings: every doc pair sharing this shingle, ordered id_a < id_b
+    val ds = col("ds")
+    val pairCombos = flatten(transform(ds, (x, i) =>
+      transform(slice(ds, i + lit(2), size(ds)), y => struct(x.as("a"), y.as("b")))))
+    val inter = sh
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(ds) > 1)
+      .select(explode(pairCombos).as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
@@ -141,8 +163,8 @@ object Dedup {
     // 128 hashes / 32 bands of 4: P(miss | j=0.9) = (1-0.9^4)^32 ≈ 3e-15.
 
     val cand = lshCandidates(signatures(docs, p, n), p)
-    val sets = docs.select(col("doc_id"),
-      array_distinct(shingleArray(col("text"), n)).as("sset"))
+    val sets = tokenized(docs).select(col("doc_id"),
+      array_distinct(shingleTokens(col("toks"), n)).as("sset"))
     cand
       .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("id_b") === col("sb.doc_id"))
@@ -200,9 +222,13 @@ object Dedup {
     * 100 TB corpora route candidate generation through
     * [[graft.operators.Similarity.annBuckets]] first and verify here. */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    // norms once per row (O(n)); the quadratic pair loop pays only the
+    // codegen'd dot product
     val e = emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cosine", VectorOps.cosine(col("a.v"), col("b.v")))
+      .withColumn("cosine",
+        VectorOps.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cosine") >= threshold)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(col("cosine"), 6).as("cosine_r"))

@@ -25,14 +25,19 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
-  /** Exact top-k neighbors (cosine) for each query vector. */
+  /** Exact top-k neighbors (cosine) for each query vector. Norms are
+    * computed once per side (O(rows)) so the pair loop pays only the
+    * dot product. */
   def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
       VectorOps.asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", VectorOps.norm(col("qv")))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       VectorOps.asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorOps.cosine(col("qv"), col("cv")))
+      .withColumn("cosine",
+        VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored
@@ -62,18 +67,21 @@ object Similarity {
     require(multiProbe >= 0 && multiProbe <= numPlanes)
     val qb0 = annBuckets(queries, numPlanes, seed)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+      .withColumn("qn", VectorOps.norm(col("qv")))
     // probe buckets are plain bit-twiddles on the query's own bucket id;
     // the corpus side stays single-bucketed so its shuffle key is unchanged
     val probes = col("bucket") +: (0 until multiProbe).map(i =>
       col("bucket").bitwiseXOR(lit(1L << i)))
-    val qb = qb0.select(col("query_id"), col("qv"),
+    val qb = qb0.select(col("query_id"), col("qv"), col("qn"),
       explode(array(probes: _*)).as("bucket"))
     val cb = annBuckets(corpus, numPlanes, seed)
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("bucket"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     qb.join(cb, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorOps.cosine(col("qv"), col("cv")))
+      .withColumn("cosine",
+        VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("neighbor_id"))

@@ -49,6 +49,29 @@ class VectorOpsSpec extends SparkSpec {
     assert((bv ^ bn) == 255L)
   }
 
+  test("native codegen dot/norm2 are bit-identical to the HOF forms") {
+    val vecGen = Gen.listOfN(16, Gen.choose(-100.0, 100.0))
+    for (i <- 0 until 20) {
+      val a = vecGen.apply(Gen.Parameters.default, Seed(100 + 2 * i)).get
+      val b = vecGen.apply(Gen.Parameters.default, Seed(101 + 2 * i)).get
+      // exact ==: both accumulate strictly left-to-right in doubles
+      assert(eval1(VectorOps.dot(lift(a), lift(b))) ==
+        eval1(VectorOps.hofDot(lift(a), lift(b))))
+      assert(eval1(VectorOps.norm2(lift(a))) ==
+        eval1(VectorOps.hofNorm2(lift(a))))
+    }
+  }
+
+  test("native dot handles nulls and length mismatch") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val nullArr = lit(null).cast(ArrayType(DoubleType))
+    val r = spark.range(1)
+      .select(VectorOps.dot(nullArr, lift(Seq(1.0))).as("x"))
+      .collect()(0)
+    assert(r.isNullAt(0), "null array must yield null, not crash")
+    assert(eval1(VectorOps.dot(lift(Seq(1.0, 2.0, 3.0)), lift(Seq(2.0)))) == 2.0)
+  }
+
   test("randomPlanes is seed-deterministic") {
     assert(VectorOps.randomPlanes(4, 16, 7L) == VectorOps.randomPlanes(4, 16, 7L))
     assert(VectorOps.randomPlanes(4, 16, 7L) != VectorOps.randomPlanes(4, 16, 8L))
