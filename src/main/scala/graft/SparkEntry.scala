@@ -23,7 +23,8 @@ object SparkEntry {
       operators.EventQueries.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
-      operators.Media.queries
+      operators.Media.queries ++
+      operators.GameAnalytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       operators.EventQueries.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
-      operators.Media.oracles
+      operators.Media.oracles ++
+      operators.GameAnalytics.oracles
 }

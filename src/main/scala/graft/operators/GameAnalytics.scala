@@ -1,0 +1,685 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+
+import graft.sources.GamesSource
+
+/** The reference's games-table catalog, quirks included — every query
+  * from /root/reference/spark_eda.py §2.1 (SURVEY.md) plus the stage-3
+  * ETL frames, re-expressed in Scala over the games-shaped derivation
+  * of the driver's `part` table ([[GamesSource.deriveFromPart]]), which
+  * makes each one DuckDB-oracle-checkable.
+  *
+  * Bug-compatibility contract (SURVEY.md §1.4/§1.5/§7.4 — preserved
+  * deliberately, with the reference line cited per query):
+  *  - Genres are exploded; Developers are grouped as the whole cleaned
+  *    string (the `Ltd.` pseudo-developer artifact survives).
+  *  - Year range filters compare STRINGS before casting int.
+  *  - Bucket when-chains order-evaluate; NULLs fall into `otherwise`.
+  *  - revenue is float32 arithmetic (price float × owners int).
+  * Deviations (documented): limits get a total-order tiebreaker so the
+  * cut is deterministic; float sums go through the DECIMAL(18,4)
+  * convention (cross-engine/partition-order proof — see StarQueries);
+  * year cast uses try_cast (ANSI-safe; the reference ran non-ANSI 3.5
+  * where a junk year became NULL instead of an error).
+  */
+object GameAnalytics {
+
+  private val D = DecimalType(18, 4)
+
+  /** float → DOUBLE → DECIMAL: the direct float→decimal cast is a
+    * cross-engine trap (DuckDB scales in float32 and fabricates digits,
+    * e.g. 5100349.0f → 5100349.0304); via double both engines convert
+    * exactly. */
+  private def dec(c: Column): Column = c.cast(DoubleType).cast(D)
+  private def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+  private def davg(c: Column): Column =
+    sum(dec(c)).cast(DoubleType) / count(c).cast(DoubleType)
+  private def sqlDec(e: String): String =
+    s"CAST(CAST(($e) AS DOUBLE) AS DECIMAL(18,4))"
+  private def sqlDsum(e: String): String =
+    s"CAST(SUM(${sqlDec(e)}) AS DOUBLE)"
+  private def sqlDavg(e: String): String =
+    s"CAST(SUM(${sqlDec(e)}) AS DOUBLE) / CAST(COUNT($e) AS DOUBLE)"
+
+  private def games(spark: SparkSession, dir: String): DataFrame =
+    GamesSource.deriveFromPart(spark, dir)
+
+  private val rev = GamesSource.sqlRevenue
+  private val cte = GamesSource.oracleCte
+
+  /** Two-step strip used by the EDA queries (spark_eda.py:73,101):
+    * quotes first, then brackets. */
+  private def strip2(c: Column): Column =
+    regexp_replace(regexp_replace(c, "'", ""), "\\[|\\]", "")
+  private def sqlStrip2(e: String): String =
+    s"regexp_replace(regexp_replace($e, '''', '', 'g'), '\\[|\\]', '', 'g')"
+
+  /** Exploded-genre frame (spark_eda.py:70-75 shape). */
+  def genresExploded(g: DataFrame): DataFrame =
+    g.withColumn("Genre", explode(split(strip2(col("Genres")), ",")))
+      .withColumn("Genre", trim(col("Genre")))
+
+  private val sqlGenresExploded =
+    s"""games CROSS JOIN LATERAL (
+       |    SELECT trim(t.g) AS Genre
+       |    FROM (SELECT unnest(string_split(${sqlStrip2("Genres")}, ',')) AS g) t) ge""".stripMargin
+
+  /** Whole-string developer key — NO explode (spark_eda.py:101,202). */
+  private def devKey: Column = trim(strip2(col("Developers")))
+  private val sqlDevKey = s"trim(${sqlStrip2("Developers")})"
+
+  // ---------------------------------------------------------------------------
+  // g01 — genre revenue top-15 (Q1, spark_eda.py:70-90)
+  // ---------------------------------------------------------------------------
+  def g01GenreRevenue(spark: SparkSession, dir: String): DataFrame =
+    g01(games(spark, dir))
+
+  def g01(g: DataFrame): DataFrame =
+    genresExploded(g)
+      .filter(col("Genre") =!= "" && col("Genre").isNotNull && col("revenue").isNotNull)
+      .groupBy(col("Genre"))
+      .agg(dsum(col("revenue")).as("total_revenue"),
+        count(lit(1)).as("game_count"))
+      .orderBy(col("total_revenue").desc, col("Genre"))
+      .limit(15)
+
+  val g01Sql: String =
+    s"""$cte
+       |SELECT Genre, ${sqlDsum(rev)} AS total_revenue, COUNT(*) AS game_count
+       |FROM $sqlGenresExploded
+       |WHERE Genre <> '' AND Genre IS NOT NULL AND $rev IS NOT NULL
+       |GROUP BY Genre
+       |ORDER BY total_revenue DESC, Genre
+       |LIMIT 15""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // g02 — developer metrics top-15 (Q2, spark_eda.py:97-117; §1.4: the
+  // whole cleaned string is the key, so ['Ltd.'] groups as 'Ltd.')
+  // ---------------------------------------------------------------------------
+  def g02DevMetrics(spark: SparkSession, dir: String): DataFrame =
+    g02(games(spark, dir))
+
+  def g02(g: DataFrame): DataFrame =
+    g.withColumn("Developer", devKey)
+      .filter(col("Developer") =!= "" && col("Developer").isNotNull)
+      .groupBy(col("Developer"))
+      .agg(
+        dsum(col("revenue")).as("total_revenue"),
+        sum(col("avg_owners")).as("total_owners"),
+        count(lit(1)).as("game_count"))
+      .orderBy(col("total_revenue").desc_nulls_last, col("Developer"))
+      .limit(15)
+
+  val g02Sql: String =
+    s"""$cte
+       |SELECT $sqlDevKey AS Developer,
+       |  ${sqlDsum(rev)} AS total_revenue,
+       |  SUM(avg_owners) AS total_owners,
+       |  COUNT(*) AS game_count
+       |FROM games
+       |WHERE $sqlDevKey <> '' AND $sqlDevKey IS NOT NULL
+       |GROUP BY Developer
+       |ORDER BY total_revenue DESC NULLS LAST, Developer
+       |LIMIT 15""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // g03 — yearly trend (Q3, spark_eda.py:124-148: STRING-compared year
+  // range, int cast after; avg_price pushed into the agg instead of the
+  // reference's driver-side division)
+  // ---------------------------------------------------------------------------
+  def g03YearlyTrend(spark: SparkSession, dir: String): DataFrame =
+    games(spark, dir)
+      .select(substring(col("release_date"), 1, 4).as("Year"),
+        col("revenue"), col("clean_price"))
+      .filter(col("Year").isNotNull && col("Year") >= "2000" &&
+        col("Year") <= "2024" && col("revenue").isNotNull)
+      .withColumn("Year", expr("try_cast(Year AS INT)"))
+      .groupBy(col("Year"))
+      .agg(
+        dsum(col("revenue")).as("total_revenue"),
+        dsum(col("clean_price")).as("total_price"),
+        count(lit(1)).as("game_count"))
+      .withColumn("avg_price",
+        col("total_price") / col("game_count").cast(DoubleType))
+      .orderBy(col("Year"))
+
+  val g03Sql: String =
+    s"""$cte
+       |SELECT TRY_CAST(Year AS INT) AS Year,
+       |  ${sqlDsum(rev)} AS total_revenue,
+       |  ${sqlDsum("clean_price")} AS total_price,
+       |  COUNT(*) AS game_count,
+       |  ${sqlDsum("clean_price")} / CAST(COUNT(*) AS DOUBLE) AS avg_price
+       |FROM (SELECT substring(release_date, 1, 4) AS Year, clean_price,
+       |             avg_owners FROM games) g
+       |WHERE Year IS NOT NULL AND Year >= '2000' AND Year <= '2024'
+       |  AND $rev IS NOT NULL
+       |GROUP BY 1
+       |ORDER BY Year""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // g04 — price bucket → avg owners (Q4, spark_eda.py:156-180: ordered
+  // when-chain, 免费 label, lexicographic output order)
+  // ---------------------------------------------------------------------------
+  private def priceBucket: Column =
+    when(col("clean_price") === 0, "免费")
+      .when(col("clean_price") < 5, "$0-5")
+      .when(col("clean_price") < 10, "$5-10")
+      .when(col("clean_price") < 20, "$10-20")
+      .when(col("clean_price") < 40, "$20-40")
+      .otherwise("$40+")
+
+  private val sqlPriceBucket =
+    """CASE WHEN clean_price = 0 THEN '免费'
+      |     WHEN clean_price < 5 THEN '$0-5'
+      |     WHEN clean_price < 10 THEN '$5-10'
+      |     WHEN clean_price < 20 THEN '$10-20'
+      |     WHEN clean_price < 40 THEN '$20-40'
+      |     ELSE '$40+' END""".stripMargin
+
+  def g04PriceOwnerBuckets(spark: SparkSession, dir: String): DataFrame =
+    g04(games(spark, dir))
+
+  def g04(g: DataFrame): DataFrame =
+    g.withColumn("price_category", priceBucket)
+      .filter(col("avg_owners").isNotNull)
+      .groupBy(col("price_category"))
+      .agg(davg(col("avg_owners")).as("avg_owners"),
+        count(lit(1)).as("game_count"))
+      .orderBy(col("price_category"))
+
+  val g04Sql: String =
+    s"""$cte
+       |SELECT $sqlPriceBucket AS price_category,
+       |  ${sqlDavg("avg_owners")} AS avg_owners,
+       |  COUNT(*) AS game_count
+       |FROM games
+       |WHERE avg_owners IS NOT NULL
+       |GROUP BY 1
+       |ORDER BY price_category""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // g05 — top developer's hit games (Q5+Q6, spark_eda.py:194-229: the
+  // reference first()s the winner to the driver; here a rank-1 filter
+  // keeps it one distributed plan)
+  // ---------------------------------------------------------------------------
+  def g05TopDevHits(spark: SparkSession, dir: String): DataFrame = {
+    val withDev = games(spark, dir).withColumn("Developer", devKey)
+      .filter(col("Developer") =!= "" && col("Developer").isNotNull)
+    val top = withDev.groupBy(col("Developer"))
+      .agg(sum(dec(col("revenue"))).as("rev_dec"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rev_dec").desc_nulls_last, col("Developer"))))
+      .filter(col("rk") === 1)
+      .select(col("Developer").as("top_dev"))
+    withDev.join(broadcast(top), col("Developer") === col("top_dev"))
+      .select(col("Developer"), col("Name"), col("Genres"),
+        dec(col("revenue")).cast(DoubleType).as("revenue"),
+        col("avg_owners"), col("clean_price"))
+      .orderBy(col("revenue").desc_nulls_last, col("Name"), col("avg_owners"))
+      .limit(10)
+  }
+
+  val g05Sql: String =
+    s"""$cte, with_dev AS (
+       |  SELECT $sqlDevKey AS Developer, Name, Genres,
+       |         CAST(CAST(CAST($rev AS DOUBLE) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+       |         avg_owners, clean_price
+       |  FROM games
+       |  WHERE $sqlDevKey <> '' AND $sqlDevKey IS NOT NULL),
+       |top AS (
+       |  SELECT Developer AS top_dev FROM with_dev
+       |  GROUP BY Developer
+       |  ORDER BY SUM(CAST(CAST(revenue AS DOUBLE) AS DECIMAL(18,4))) DESC NULLS LAST, Developer
+       |  LIMIT 1)
+       |SELECT Developer, Name, Genres, revenue, avg_owners, clean_price
+       |FROM with_dev JOIN top ON Developer = top_dev
+       |ORDER BY revenue DESC NULLS LAST, Name, avg_owners
+       |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // g06 — genre price stats, SQL entry path (Q7, spark_eda.py:235-265).
+  // Exact percentile instead of PERCENTILE_APPROX so the DuckDB
+  // quantile_cont oracle is bit-comparable (SURVEY.md §7.4 risk 4).
+  // ---------------------------------------------------------------------------
+  def g06GenrePriceStats(spark: SparkSession, dir: String): DataFrame = {
+    genresExploded(games(spark, dir))
+      .filter(col("Genre") =!= "" && col("Genre").isNotNull && col("clean_price").isNotNull)
+      .select(col("Genre"), col("clean_price"))
+      .createOrReplaceTempView("graft_games_genres")
+    spark.sql(
+      s"""SELECT Genre,
+         |  COUNT(*) AS game_count,
+         |  ${sqlDavg("clean_price")} AS avg_price,
+         |  CAST(percentile(clean_price, 0.5) AS DOUBLE) AS median_price,
+         |  MIN(clean_price) AS min_price,
+         |  MAX(clean_price) AS max_price
+         |FROM graft_games_genres
+         |WHERE Genre IS NOT NULL AND Genre != ''
+         |GROUP BY Genre
+         |HAVING COUNT(*) >= 10
+         |ORDER BY avg_price DESC, Genre
+         |LIMIT 20""".stripMargin)
+  }
+
+  val g06Sql: String =
+    s"""$cte
+       |SELECT Genre,
+       |  COUNT(*) AS game_count,
+       |  ${sqlDavg("clean_price")} AS avg_price,
+       |  CAST(quantile_cont(clean_price, 0.5) AS DOUBLE) AS median_price,
+       |  MIN(clean_price) AS min_price,
+       |  MAX(clean_price) AS max_price
+       |FROM $sqlGenresExploded
+       |WHERE Genre IS NOT NULL AND Genre <> '' AND clean_price IS NOT NULL
+       |GROUP BY Genre
+       |HAVING COUNT(*) >= 10
+       |ORDER BY avg_price DESC, Genre
+       |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // g07 — developer game-count distribution, SQL FROM-subquery (Q8,
+  // spark_eda.py:271-298)
+  // ---------------------------------------------------------------------------
+  def g07DevGameDist(spark: SparkSession, dir: String): DataFrame = {
+    games(spark, dir).createOrReplaceTempView("graft_games_temp")
+    spark.sql(
+      s"""SELECT Developer,
+         |  COUNT(*) AS game_count,
+         |  ${sqlDsum("revenue")} AS total_revenue,
+         |  ${sqlDavg("revenue")} AS avg_revenue_per_game
+         |FROM (
+         |  SELECT AppID, Name,
+         |         trim(regexp_replace(regexp_replace(Developers, "'", ""), "\\\\[|\\\\]", "")) AS Developer,
+         |         revenue
+         |  FROM graft_games_temp
+         |  WHERE Developers IS NOT NULL
+         |    AND trim(regexp_replace(regexp_replace(Developers, "'", ""), "\\\\[|\\\\]", "")) != ''
+         |) t2
+         |GROUP BY Developer
+         |HAVING COUNT(*) >= 3
+         |ORDER BY game_count DESC, Developer
+         |LIMIT 20""".stripMargin)
+  }
+
+  val g07Sql: String =
+    s"""$cte
+       |SELECT $sqlDevKey AS Developer,
+       |  COUNT(*) AS game_count,
+       |  ${sqlDsum(rev)} AS total_revenue,
+       |  ${sqlDavg(rev)} AS avg_revenue_per_game
+       |FROM games
+       |WHERE Developers IS NOT NULL AND $sqlDevKey <> ''
+       |GROUP BY Developer
+       |HAVING COUNT(*) >= 3
+       |ORDER BY game_count DESC, Developer
+       |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // g08 — multi-genre performance (Q9, spark_eda.py:304-324: contains
+  // ',' tested on the RAW string; count via size(split(cleaned)))
+  // ---------------------------------------------------------------------------
+  def g08MultiGenrePerf(spark: SparkSession, dir: String): DataFrame =
+    games(spark, dir)
+      .filter(col("Genres").isNotNull)
+      .withColumn("genre_count",
+        when(col("Genres").contains(","),
+          size(split(strip2(col("Genres")), ","))).otherwise(1))
+      .filter(col("genre_count") > 1)
+      .groupBy(col("genre_count"))
+      .agg(
+        count(lit(1)).as("game_count"),
+        davg(col("revenue")).as("avg_revenue"),
+        davg(col("clean_price")).as("avg_price"),
+        davg(col("avg_owners")).as("avg_owners"))
+      .orderBy(col("genre_count"))
+
+  val g08Sql: String =
+    s"""$cte
+       |SELECT genre_count, COUNT(*) AS game_count,
+       |  ${sqlDavg("revenue")} AS avg_revenue,
+       |  ${sqlDavg("clean_price")} AS avg_price,
+       |  ${sqlDavg("avg_owners")} AS avg_owners
+       |FROM (
+       |  SELECT CASE WHEN position(',' IN Genres) > 0
+       |              THEN len(string_split(${sqlStrip2("Genres")}, ','))
+       |              ELSE 1 END AS genre_count,
+       |         $rev AS revenue, clean_price, avg_owners
+       |  FROM games WHERE Genres IS NOT NULL) t
+       |WHERE genre_count > 1
+       |GROUP BY genre_count
+       |ORDER BY genre_count""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // g09 — release-month distribution (Q10, spark_eda.py:465-476; the
+  // malformed date's month slice '6-' flows through — quirk preserved)
+  // ---------------------------------------------------------------------------
+  def g09MonthDistribution(spark: SparkSession, dir: String): DataFrame =
+    g09(games(spark, dir))
+
+  def g09(g: DataFrame): DataFrame =
+    g.select(substring(col("release_date"), 6, 2).as("Month"))
+      .filter(col("Month").isNotNull && col("Month") =!= "")
+      .groupBy(col("Month"))
+      .agg(count(lit(1)).as("game_count"))
+      .orderBy(col("Month"))
+
+  val g09Sql: String =
+    s"""$cte
+       |SELECT substring(release_date, 6, 2) AS Month, COUNT(*) AS game_count
+       |FROM games
+       |WHERE substring(release_date, 6, 2) IS NOT NULL
+       |  AND substring(release_date, 6, 2) <> ''
+       |GROUP BY 1
+       |ORDER BY Month""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // g10 — owners-range counts (fig 3.3, spark_eda.py:496-510: NO null
+  // filter — NULL owners fall into the otherwise bucket '200万+')
+  // ---------------------------------------------------------------------------
+  def g10OwnersRanges(spark: SparkSession, dir: String): DataFrame =
+    games(spark, dir)
+      .select(
+        when(col("avg_owners") < 10000, "0-1万")
+          .when(col("avg_owners") < 50000, "1-5万")
+          .when(col("avg_owners") < 150000, "5-15万")
+          .when(col("avg_owners") < 500000, "15-50万")
+          .when(col("avg_owners") < 2000000, "50-200万")
+          .otherwise("200万+").as("owners_range"))
+      .groupBy(col("owners_range"))
+      .agg(count(lit(1)).as("game_count"))
+      .orderBy(col("owners_range"))
+
+  val g10Sql: String =
+    s"""$cte
+       |SELECT CASE WHEN avg_owners < 10000 THEN '0-1万'
+       |            WHEN avg_owners < 50000 THEN '1-5万'
+       |            WHEN avg_owners < 150000 THEN '5-15万'
+       |            WHEN avg_owners < 500000 THEN '15-50万'
+       |            WHEN avg_owners < 2000000 THEN '50-200万'
+       |            ELSE '200万+' END AS owners_range,
+       |  COUNT(*) AS game_count
+       |FROM games
+       |GROUP BY 1
+       |ORDER BY owners_range""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // g11 — genre-combo revenue (fig 4.2 / Q15, spark_eda.py:589-605: the
+  // UN-exploded cleaned string is the key, untrimmed; NULL keys group)
+  // ---------------------------------------------------------------------------
+  def g11GenreCombos(spark: SparkSession, dir: String): DataFrame =
+    games(spark, dir)
+      .withColumn("genres_clean", strip2(col("Genres")))
+      .groupBy(col("genres_clean"))
+      .agg(dsum(col("revenue")).as("total_revenue"),
+        count(lit(1)).as("game_count"))
+      .orderBy(col("total_revenue").desc_nulls_last, col("genres_clean"))
+      .limit(10)
+
+  val g11Sql: String =
+    s"""$cte
+       |SELECT ${sqlStrip2("Genres")} AS genres_clean,
+       |  ${sqlDsum(rev)} AS total_revenue,
+       |  COUNT(*) AS game_count
+       |FROM games
+       |GROUP BY 1
+       |ORDER BY total_revenue DESC NULLS LAST, genres_clean
+       |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // g12 — dev avg revenue per game (fig 4.3 / Q16, spark_eda.py:608-613)
+  // ---------------------------------------------------------------------------
+  def g12DevAvgRevenue(spark: SparkSession, dir: String): DataFrame =
+    games(spark, dir)
+      .withColumn("Developer", devKey)
+      .filter(col("Developer") =!= "" && col("Developer").isNotNull)
+      .groupBy(col("Developer"))
+      .agg(dsum(col("revenue")).as("total_revenue"),
+        count(lit(1)).as("game_count"))
+      .withColumn("avg_revenue_per_game",
+        col("total_revenue") / col("game_count").cast(DoubleType))
+      .orderBy(col("total_revenue").desc_nulls_last, col("Developer"))
+      .limit(100)
+
+  val g12Sql: String =
+    s"""$cte
+       |SELECT $sqlDevKey AS Developer,
+       |  ${sqlDsum(rev)} AS total_revenue,
+       |  COUNT(*) AS game_count,
+       |  ${sqlDsum(rev)} / CAST(COUNT(*) AS DOUBLE) AS avg_revenue_per_game
+       |FROM games
+       |WHERE $sqlDevKey <> '' AND $sqlDevKey IS NOT NULL
+       |GROUP BY Developer
+       |ORDER BY total_revenue DESC NULLS LAST, Developer
+       |LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // g13 — revenue concentration of the top-50 devs (fig 4.1 / Q14,
+  // spark_eda.py:567-578: the reference's driver-side cumulative loop
+  // becomes a proper window cumsum; share of the GLOBAL revenue total)
+  // ---------------------------------------------------------------------------
+  def g13DevPareto(spark: SparkSession, dir: String): DataFrame = {
+    val g = games(spark, dir)
+    val byDev = g.withColumn("Developer", devKey)
+      .filter(col("Developer") =!= "" && col("Developer").isNotNull)
+      .groupBy(col("Developer"))
+      .agg(sum(dec(col("revenue"))).as("rev_dec"))
+    val globalTotal = g.agg(sum(dec(col("revenue"))).as("tot_dec"))
+    val w = Window.orderBy(col("rev_dec").desc_nulls_last, col("Developer"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDev
+      .withColumn("cum_dec", sum(col("rev_dec")).over(w))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rev_dec").desc_nulls_last, col("Developer"))))
+      .filter(col("rk") <= 50)
+      .crossJoin(broadcast(globalTotal))
+      .select(
+        col("rk").as("top_rank"),
+        col("Developer"),
+        col("rev_dec").cast(DoubleType).as("total_revenue"),
+        (col("cum_dec").cast(DoubleType) / col("tot_dec").cast(DoubleType) * 100.0)
+          .as("cum_percent"))
+      .orderBy(col("top_rank"))
+  }
+
+  val g13Sql: String =
+    s"""$cte, by_dev AS (
+       |  SELECT $sqlDevKey AS Developer,
+       |         SUM(CAST(CAST($rev AS DOUBLE) AS DECIMAL(18,4))) AS rev_dec
+       |  FROM games
+       |  WHERE $sqlDevKey <> '' AND $sqlDevKey IS NOT NULL
+       |  GROUP BY 1),
+       |tot AS (SELECT SUM(CAST(CAST($rev AS DOUBLE) AS DECIMAL(18,4))) AS tot_dec FROM games),
+       |ranked AS (
+       |  SELECT Developer, rev_dec,
+       |    ROW_NUMBER() OVER (ORDER BY rev_dec DESC NULLS LAST, Developer) AS rk,
+       |    SUM(rev_dec) OVER (ORDER BY rev_dec DESC NULLS LAST, Developer
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dec
+       |  FROM by_dev)
+       |SELECT rk AS top_rank, Developer,
+       |  CAST(rev_dec AS DOUBLE) AS total_revenue,
+       |  CAST(cum_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE) * 100.0 AS cum_percent
+       |FROM ranked, tot
+       |WHERE rk <= 50
+       |ORDER BY top_rank""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // g14 — yearly avg price (fig 5.2 / Q17, spark_eda.py:670-676: Q3's
+  // filtered frame, avg only)
+  // ---------------------------------------------------------------------------
+  def g14YearlyAvgPrice(spark: SparkSession, dir: String): DataFrame =
+    games(spark, dir)
+      .select(substring(col("release_date"), 1, 4).as("Year"), col("clean_price"),
+        col("revenue"))
+      .filter(col("Year").isNotNull && col("Year") >= "2000" &&
+        col("Year") <= "2024" && col("revenue").isNotNull)
+      .withColumn("Year", expr("try_cast(Year AS INT)"))
+      .groupBy(col("Year"))
+      .agg(davg(col("clean_price")).as("avg_price"))
+      .orderBy(col("Year"))
+
+  val g14Sql: String =
+    s"""$cte
+       |SELECT TRY_CAST(Year AS INT) AS Year,
+       |  ${sqlDavg("clean_price")} AS avg_price
+       |FROM (SELECT substring(release_date, 1, 4) AS Year, clean_price,
+       |             $rev AS revenue FROM games) g
+       |WHERE Year IS NOT NULL AND Year >= '2000' AND Year <= '2024'
+       |  AND revenue IS NOT NULL
+       |GROUP BY 1
+       |ORDER BY Year""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // g15 — yearly avg owners (fig 5.4 / Q18, spark_eda.py:684-700:
+  // filters on OWNERS not revenue — a different frame than g14)
+  // ---------------------------------------------------------------------------
+  def g15YearlyAvgOwners(spark: SparkSession, dir: String): DataFrame =
+    games(spark, dir)
+      .select(substring(col("release_date"), 1, 4).as("Year"), col("avg_owners"))
+      .filter(col("Year").isNotNull && col("Year") >= "2000" &&
+        col("Year") <= "2024" && col("avg_owners").isNotNull)
+      .withColumn("Year", expr("try_cast(Year AS INT)"))
+      .groupBy(col("Year"))
+      .agg(davg(col("avg_owners")).as("avg_owners"))
+      .orderBy(col("Year"))
+
+  val g15Sql: String =
+    s"""$cte
+       |SELECT TRY_CAST(Year AS INT) AS Year,
+       |  ${sqlDavg("avg_owners")} AS avg_owners
+       |FROM (SELECT substring(release_date, 1, 4) AS Year, avg_owners
+       |      FROM games) g
+       |WHERE Year IS NOT NULL AND Year >= '2000' AND Year <= '2024'
+       |  AND avg_owners IS NOT NULL
+       |GROUP BY 1
+       |ORDER BY Year""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // g16 — game_profile ETL (E1, stage3.ipynb cell 2: single-regex clean,
+  // reverse-AppID rowkey for storage anti-hotspotting, 7-col projection)
+  // ---------------------------------------------------------------------------
+  private def strip1(c: Column): Column = regexp_replace(c, "[\\[\\]']", "")
+  private def sqlStrip1(e: String): String =
+    s"regexp_replace($e, '[\\[\\]'']', '', 'g')"
+
+  def g16GameProfile(spark: SparkSession, dir: String): DataFrame =
+    g16(games(spark, dir))
+
+  def g16(g: DataFrame): DataFrame =
+    g.withColumn("clean_dev", strip1(col("Developers")))
+      .withColumn("clean_genre", strip1(col("Genres")))
+      .withColumn("rowkey", reverse(col("AppID").cast("string")))
+      .select(col("rowkey"), col("Name"), col("clean_dev"), col("clean_genre"),
+        col("release_date"), col("clean_price"), col("avg_owners"))
+      .orderBy(col("rowkey"))
+
+  val g16Sql: String =
+    s"""$cte
+       |SELECT reverse(CAST(AppID AS VARCHAR)) AS rowkey, Name,
+       |  ${sqlStrip1("Developers")} AS clean_dev,
+       |  ${sqlStrip1("Genres")} AS clean_genre,
+       |  release_date, clean_price, avg_owners
+       |FROM games
+       |ORDER BY rowkey""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // g17 — dev_analytics summary ETL (E2, stage3.ipynb cell 2: no trim,
+  // no filter — and round(avg, 2))
+  // ---------------------------------------------------------------------------
+  def g17DevAnalytics(spark: SparkSession, dir: String): DataFrame =
+    games(spark, dir)
+      .withColumn("clean_dev", strip1(col("Developers")))
+      .groupBy(col("clean_dev"))
+      .agg(
+        count(col("AppID")).as("game_count"),
+        sum(col("avg_owners")).as("total_owners"),
+        round(davg(col("clean_price")), 2).as("avg_price"))
+      .orderBy(col("clean_dev"))
+
+  val g17Sql: String =
+    s"""$cte
+       |SELECT ${sqlStrip1("Developers")} AS clean_dev,
+       |  COUNT(AppID) AS game_count,
+       |  SUM(avg_owners) AS total_owners,
+       |  ROUND(${sqlDavg("clean_price")}, 2) AS avg_price
+       |FROM games
+       |GROUP BY 1
+       |ORDER BY clean_dev""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // g18 — product_list inverted index (E3, stage3.ipynb cell 3 +
+  // stage3.md:64-67: the per-developer {AppID → Name} wide-column map,
+  // denormalized so the serving layer never joins; top-20 devs by
+  // total_owners). Map rendered as a sorted CSV so DuckDB can compare.
+  // ---------------------------------------------------------------------------
+  def g18ProductList(spark: SparkSession, dir: String): DataFrame =
+    games(spark, dir)
+      .withColumn("clean_dev", strip1(col("Developers")))
+      .groupBy(col("clean_dev"))
+      .agg(
+        sum(col("avg_owners")).as("total_owners"),
+        array_join(sort_array(collect_list(
+          concat(col("AppID").cast("string"), lit(":"), col("Name")))), ",")
+          .as("product_list"))
+      .orderBy(col("total_owners").desc_nulls_last, col("clean_dev"))
+      .limit(20)
+
+  val g18Sql: String =
+    s"""$cte
+       |SELECT ${sqlStrip1("Developers")} AS clean_dev,
+       |  SUM(avg_owners) AS total_owners,
+       |  string_agg(AppID || ':' || Name, ',' ORDER BY AppID || ':' || Name)
+       |    AS product_list
+       |FROM games
+       |GROUP BY 1
+       |ORDER BY total_owners DESC NULLS LAST, clean_dev
+       |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g01_genre_revenue"      -> g01GenreRevenue _,
+    "g02_dev_metrics"        -> g02DevMetrics _,
+    "g03_yearly_trend"       -> g03YearlyTrend _,
+    "g04_price_owner_buckets" -> g04PriceOwnerBuckets _,
+    "g05_top_dev_hits"       -> g05TopDevHits _,
+    "g06_genre_price_stats"  -> g06GenrePriceStats _,
+    "g07_dev_game_dist"      -> g07DevGameDist _,
+    "g08_multi_genre_perf"   -> g08MultiGenrePerf _,
+    "g09_month_distribution" -> g09MonthDistribution _,
+    "g10_owners_ranges"      -> g10OwnersRanges _,
+    "g11_genre_combos"       -> g11GenreCombos _,
+    "g12_dev_avg_revenue"    -> g12DevAvgRevenue _,
+    "g13_dev_pareto"         -> g13DevPareto _,
+    "g14_yearly_avg_price"   -> g14YearlyAvgPrice _,
+    "g15_yearly_avg_owners"  -> g15YearlyAvgOwners _,
+    "g16_game_profile"       -> g16GameProfile _,
+    "g17_dev_analytics"      -> g17DevAnalytics _,
+    "g18_product_list"       -> g18ProductList _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "g01_genre_revenue"      -> g01Sql,
+    "g02_dev_metrics"        -> g02Sql,
+    "g03_yearly_trend"       -> g03Sql,
+    "g04_price_owner_buckets" -> g04Sql,
+    "g05_top_dev_hits"       -> g05Sql,
+    "g06_genre_price_stats"  -> g06Sql,
+    "g07_dev_game_dist"      -> g07Sql,
+    "g08_multi_genre_perf"   -> g08Sql,
+    "g09_month_distribution" -> g09Sql,
+    "g10_owners_ranges"      -> g10Sql,
+    "g11_genre_combos"       -> g11Sql,
+    "g12_dev_avg_revenue"    -> g12Sql,
+    "g13_dev_pareto"         -> g13Sql,
+    "g14_yearly_avg_price"   -> g14Sql,
+    "g15_yearly_avg_owners"  -> g15Sql,
+    "g16_game_profile"       -> g16Sql,
+    "g17_dev_analytics"      -> g17Sql,
+    "g18_product_list"       -> g18Sql,
+  )
+}
