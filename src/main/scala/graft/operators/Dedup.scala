@@ -216,6 +216,31 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  // -- winnowing (rolling-hash) near-dup --------------------------------------
+
+  /** Near-dup candidate pairs via rolling-hash winnowing
+    * ([[graft.functions.RollingHash]]): per-band window-hash minima are
+    * equality-join keys, exactly the MinHash-LSH join shape but with no
+    * shingle strings materialized — the whole signature is one pass
+    * over the document bytes. Returns pairs with the number of agreeing
+    * bands (more bands ⇒ longer shared byte runs). */
+  def winnowPairs(docs: DataFrame, k: Int = 24, numBands: Int = 8,
+                  minShared: Int = 1): DataFrame = {
+    val sig = docs.select(col("doc_id"),
+      posexplode(graft.functions.RollingHash.windowMins(col("text"), k, numBands))
+        .as(Seq("band", "min_hash")))
+      // Long.MaxValue marks a band no window hashed into — joining on
+      // it would pair every document that shares an empty band
+      .filter(col("min_hash") =!= Long.MaxValue)
+    sig.as("a")
+      .join(sig.as("b"),
+        col("a.band") === col("b.band") && col("a.min_hash") === col("b.min_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared_bands"))
+      .filter(col("shared_bands") >= minShared)
+  }
+
   // -- embedding cosine near-dup ----------------------------------------------
 
   /** Pairs with cosine ≥ threshold. Brute-force all-pairs (exact); for
@@ -298,6 +323,12 @@ object Dedup {
     simhashPairs(Tables.documents(spark, dir), 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Winnowing near-dup pairs (engine-specific wrapping-arithmetic
+    * hash → rows-only gate; semantics pinned in ScalaTest). */
+  def d06WinnowPairs(spark: SparkSession, dir: String): DataFrame =
+    winnowPairs(Tables.documents(spark, dir), k = 24, minShared = 2)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Embedding near-dup pairs (cosine ≥ 0.45 — sits in a wide margin gap
     * of the corpus similarity distribution). */
   def d05EmbeddingPairs(spark: SparkSession, dir: String): DataFrame =
@@ -319,6 +350,7 @@ object Dedup {
     "d03_minhash_pairs"   -> d03MinhashPairs _,
     "d04_simhash_pairs"   -> d04SimhashPairs _,
     "d05_embedding_pairs" -> d05EmbeddingPairs _,
+    "d06_winnow_pairs"    -> d06WinnowPairs _,
   )
 
   val oracles: Map[String, String] = Map(

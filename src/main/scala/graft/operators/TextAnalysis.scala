@@ -225,12 +225,23 @@ object TextAnalysis {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  /** Rolling-hash fingerprints via the native PolyHash expression
+    * (wrapping mod-2⁶⁴ arithmetic → engine-specific → rows-only gate;
+    * determinism + collision behavior pinned in ScalaTest). */
+  def t06PolyFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.RollingHash.polyHash(col("text")).as("poly_fp"))
+      .orderBy(col("doc_id"))
+      .limit(1000)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats"    -> t01TokenStats _,
     "t02_quality_scores" -> t02QualityScores _,
     "t03_lang_id"        -> t03LangId _,
     "t04_fingerprints"   -> t04Fingerprints _,
     "t05_lang_profile"   -> t05LangProfile _,
+    "t06_poly_fingerprints" -> t06PolyFingerprints _,
   )
 
   val oracles: Map[String, String] = Map(
