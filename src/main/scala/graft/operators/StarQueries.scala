@@ -588,6 +588,67 @@ object StarQueries {
       |ORDER BY n_name""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // q18 — set operations (SURVEY.md §2.2 lists union/intersect/except as
+  // absent in the reference; they are part of a complete engine surface).
+  // Customers active in 2001 vs 2002: UNION counts both-years customers
+  // once, INTERSECT keeps the loyal set, EXCEPT the churned one. All
+  // three plan as aggregates/joins — no custom work.
+  // ---------------------------------------------------------------------------
+  def q18CustomerSetOps(spark: SparkSession, dir: String): DataFrame = {
+    def activeIn(yr: Int) =
+      Tables.orders(spark, dir)
+        .filter(year(col("o_orderdate")) === yr)
+        .select(col("o_custkey"))
+        .distinct()
+    val a = activeIn(2001)
+    val b = activeIn(2002)
+    val rows = Seq(
+      ("union", a.union(b).distinct()),
+      ("intersect", a.intersect(b)),
+      ("except", a.except(b)))
+    rows.map { case (name, df) =>
+      df.agg(count(lit(1)).as("customers")).select(lit(name).as("op"), col("customers"))
+    }.reduce(_.unionAll(_)).orderBy(col("op"))
+  }
+
+  val q18Sql: String =
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE YEAR(o_orderdate) = 2001),
+      |b AS (SELECT DISTINCT o_custkey FROM orders WHERE YEAR(o_orderdate) = 2002)
+      |SELECT 'except' AS op, COUNT(*) AS customers FROM (SELECT * FROM a EXCEPT SELECT * FROM b) t
+      |UNION ALL
+      |SELECT 'intersect', COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b) t
+      |UNION ALL
+      |SELECT 'union', COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b) t
+      |ORDER BY op""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q19 — rollup with grouping_id (multi-level pre-aggregation in ONE
+  // pass — the Expand operator feeds every grouping set from a single
+  // scan, which is how a 100 TB dashboard cube avoids N scans).
+  // ---------------------------------------------------------------------------
+  def q19RollupRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .withColumn("order_year", year(col("o_orderdate")))
+      .rollup(col("c_mktsegment"), col("order_year"))
+      .agg(
+        dsum(col("o_totalprice")).as("total_price"),
+        count(lit(1)).as("order_count"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("c_mktsegment"), col("order_year"))
+
+  val q19Sql: String =
+    s"""SELECT c_mktsegment, order_year,
+       |  ${sqlDsum("o_totalprice")} AS total_price,
+       |  COUNT(*) AS order_count,
+       |  GROUPING(c_mktsegment, order_year) AS gid
+       |FROM (SELECT c_mktsegment, CAST(YEAR(o_orderdate) AS INT) AS order_year,
+       |             o_totalprice
+       |      FROM orders JOIN customer ON o_custkey = c_custkey) t
+       |GROUP BY ROLLUP(c_mktsegment, order_year)
+       |ORDER BY gid, c_mktsegment, order_year""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // q20 — full star join: lineitem⋈orders (fact-fact shuffle join, AQE
   // re-plannable) then customer→nation→region broadcast chain.
   // ---------------------------------------------------------------------------
@@ -728,6 +789,8 @@ object StarQueries {
     "e1_customer_profile"    -> e1CustomerProfile _,
     "e2_nation_summary"      -> e2NationSummary _,
     "e3_nation_index"        -> e3NationIndex _,
+    "q18_customer_set_ops"  -> q18CustomerSetOps _,
+    "q19_rollup_revenue"    -> q19RollupRevenue _,
     "q20_region_year_revenue" -> q20RegionYearRevenue _,
     "q21_customers_with_orders" -> q21CustomersWithOrders _,
     "q22_customers_without_orders" -> q22CustomersWithoutOrders _,
@@ -756,6 +819,8 @@ object StarQueries {
     "e1_customer_profile"    -> e1Sql,
     "e2_nation_summary"      -> e2Sql,
     "e3_nation_index"        -> e3Sql,
+    "q18_customer_set_ops"  -> q18Sql,
+    "q19_rollup_revenue"    -> q19Sql,
     "q20_region_year_revenue" -> q20Sql,
     "q21_customers_with_orders" -> q21Sql,
     "q22_customers_without_orders" -> q22Sql,

@@ -92,6 +92,34 @@ class EventStreamsSpec extends SparkSpec {
     assertSameRows(streamed, EventQueries.v03MinuteDedupCounts(spark, sf))
   }
 
+  test("file-source stream end-to-end: readEvents + tumblingCounts matches batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    try {
+      // stage the corpus as TWO files so the source takes multiple batches
+      val ev = Tables.events(spark, sf)
+      ev.filter($"event_id" % 2 === 0).coalesce(1).write.mode("append").parquet(dir)
+      ev.filter($"event_id" % 2 === 1).coalesce(1).write.mode("append").parquet(dir)
+      qn += 1
+      val name = s"stream_out_$qn"
+      val q = EventStreams.tumblingCounts(
+          EventStreams.readEvents(spark, dir, maxFilesPerTrigger = 1))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      q.processAllAvailable()
+      // sentinel file pushes the watermark past all real windows
+      Seq((-1L, java.sql.Timestamp.valueOf("2025-01-30 00:00:00"), -1L, "sentinel", 0.0, ""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table(name).filter($"event_type" =!= "sentinel")
+      assertSameRows(streamed, EventQueries.v01TumblingCounts(spark, sf))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("userProfiles accumulates state across micro-batches") {
     val all = events.collect().toSeq.sortBy(_.ts.getTime)
     val (h1, h2) = all.splitAt(all.size / 2)
