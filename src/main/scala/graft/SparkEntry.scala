@@ -24,7 +24,8 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Media.queries ++
-      operators.GameAnalytics.queries
+      operators.GameAnalytics.queries ++
+      operators.AsOf.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
       operators.Media.oracles ++
-      operators.GameAnalytics.oracles
+      operators.GameAnalytics.oracles ++
+      operators.AsOf.oracles
 }

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+
+/** As-of (point-in-time) join — for each left row, the most recent
+  * right row with `right.ts <= left.ts` per key. Spark has no native
+  * operator for this; per the preference order (SURVEY.md §7.3), it is
+  * COMPOSED from built-ins rather than given a custom SparkStrategy,
+  * because the composition already produces the optimal physical
+  * shape:
+  *
+  *   union(tagged left, tagged right) → one shuffle on key →
+  *   one sort (ts, side) → running last(right value, ignoreNulls)
+  *
+  * — exactly the partition-and-merge a bespoke as-of SortMergeJoin
+  * exec would perform, with AQE/skew handling inherited for free. A
+  * custom LogicalPlan+Strategy would only pay off for broadcast-able
+  * right sides with per-row binary search.
+  *
+  * Tie semantics: equal timestamps match (the right row sorts before
+  * the left at the same ts) — identical to DuckDB's
+  * `ASOF JOIN ... ON l.ts >= r.ts`, which the v05 gate verifies
+  * cross-engine. The right side must be unique per (key, ts);
+  * pre-aggregate it otherwise.
+  */
+object AsOf {
+
+  /** Left as-of join. Output: every left column, plus `asof_ts` (the
+    * matched right timestamp) and `asof_<c>` for each requested right
+    * value column — all null when no right row precedes the left row. */
+  def join(left: DataFrame, right: DataFrame, key: String, ts: String,
+           rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val carried = ("__rts", col(ts), "asof_ts") +:
+      rightVals.map(c => (s"__rv_$c", col(c), s"asof_$c"))
+
+    val l = carried.foldLeft(left.withColumn("__side", lit(1))) {
+      case (df, (tmp, src, _)) =>
+        df.withColumn(tmp, lit(null).cast(
+          if (tmp == "__rts") right.schema(ts).dataType
+          else right.schema(tmp.stripPrefix("__rv_")).dataType))
+    }
+    val r = {
+      val withCarried = carried.foldLeft(
+        right.withColumn("__side", lit(0))) { case (df, (tmp, src, _)) =>
+        df.withColumn(tmp, src)
+      }
+      // align to the left schema: absent left columns become nulls
+      leftCols.filterNot(c => c == key || c == ts).foldLeft(
+        withCarried.select((Seq(col(key), col(ts), col("__side")) ++
+          carried.map(t => col(t._1))): _*)) { (df, c) =>
+        df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    }
+    val cols = (leftCols :+ "__side") ++ carried.map(_._1)
+    val unioned = l.select(cols.map(col): _*)
+      .unionByName(r.select(cols.map(col): _*))
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = carried.foldLeft(unioned) { case (df, (tmp, _, out)) =>
+      df.withColumn(out, last(col(tmp), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select((leftCols ++ carried.map(_._3)).map(col): _*)
+  }
+
+  // ---------------------------------------------------------------------------
+  // Gate query
+  // ---------------------------------------------------------------------------
+
+  private val D = DecimalType(18, 4)
+
+  /** v05 — per click, the user's most recent prior (or simultaneous)
+    * purchase: lag seconds + purchase value. Cross-engine oracle uses
+    * DuckDB's native ASOF JOIN against this composed implementation. */
+  def v05AsofPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    AsOf.join(clicks, purchases, key = "user_id", ts = "ts",
+        rightVals = Seq("value"))
+      .select(
+        col("event_id"), col("user_id"),
+        ((unix_micros(col("ts")) - unix_micros(col("asof_ts")))
+          .cast(DoubleType) / 1e6).as("secs_since_purchase"),
+        col("asof_value").cast(D).cast(DoubleType).as("purchase_value"))
+      .orderBy(col("event_id"))
+      .limit(2000)
+  }
+
+  val v05Sql: String =
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |purchases AS (
+      |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id, c.user_id,
+      |  CAST(epoch_us(c.ts) - epoch_us(p.ts) AS DOUBLE) / 1e6
+      |    AS secs_since_purchase,
+      |  CAST(CAST(p.value AS DECIMAL(18,4)) AS DOUBLE) AS purchase_value
+      |FROM clicks c ASOF LEFT JOIN purchases p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.event_id
+      |LIMIT 2000""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v05_asof_purchase" -> v05AsofPurchase _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "v05_asof_purchase" -> v05Sql,
+  )
+}

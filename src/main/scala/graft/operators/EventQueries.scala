@@ -160,11 +160,40 @@ object EventQueries {
        |ORDER BY window_start
        |LIMIT 2000""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // v06 — JSON property extraction (events.props carries a JSON object;
+  // from_json with an explicit schema is the codegen-friendly path —
+  // a schema'd parse, not a per-access string scan).
+  // ---------------------------------------------------------------------------
+  def v06PropsProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("with_k"),
+        (sum(col("k").cast(DecimalType(18, 4))).cast(DoubleType) /
+          count(col("k")).cast(DoubleType)).as("avg_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val v06Sql: String =
+    """SELECT event_type,
+      |  COUNT(k) AS with_k,
+      |  CAST(SUM(CAST(k AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(k) AS DOUBLE)
+      |    AS avg_k,
+      |  MAX(k) AS max_k
+      |FROM (SELECT event_type,
+      |             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |      FROM events) t
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_tumbling_counts"     -> v01TumblingCounts _,
     "v02_sessions"            -> v02Sessions _,
     "v03_minute_dedup_counts" -> v03MinuteDedupCounts _,
     "v04_sliding_counts"      -> v04SlidingCounts _,
+    "v06_props_profile"       -> v06PropsProfile _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -172,5 +201,6 @@ object EventQueries {
     "v02_sessions"            -> v02Sql,
     "v03_minute_dedup_counts" -> v03Sql,
     "v04_sliding_counts"      -> v04Sql,
+    "v06_props_profile"       -> v06Sql,
   )
 }

@@ -1,0 +1,44 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOf
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof join: latest prior match, inclusive ties, null before first right row") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:05")),  // before any right → null
+      (2L, 10L, ts("2024-01-01 00:00:10")),  // tie with right @10 → matches it
+      (3L, 10L, ts("2024-01-01 00:00:20")),  // after 10 and 15 → matches 15
+      (4L, 99L, ts("2024-01-01 00:00:30"))   // key with no right rows → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:10"), 100.0),
+      (10L, ts("2024-01-01 00:00:15"), 200.0)
+    ).toDF("user_id", "ts", "value")
+
+    val out = AsOf.join(left, right, "user_id", "ts", Seq("value"))
+      .orderBy("event_id")
+      .select($"event_id", $"asof_value")
+      .as[(Long, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (1L, None), (2L, Some(100.0)), (3L, Some(200.0)), (4L, None)))
+  }
+
+  test("asof join carries every left column through unchanged") {
+    val left = Seq((1L, 5L, ts("2024-01-01 00:00:10"), "extra"))
+      .toDF("event_id", "user_id", "ts", "tag")
+    val right = Seq((5L, ts("2024-01-01 00:00:01"), 7.0))
+      .toDF("user_id", "ts", "value")
+    val row = AsOf.join(left, right, "user_id", "ts", Seq("value"))
+      .select("event_id", "tag", "asof_value")
+      .as[(Long, String, Double)].head()
+    assert(row == ((1L, "extra", 7.0)))
+  }
+}
