@@ -31,4 +31,21 @@ object Warehouse {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed + sorted table write — the co-located-join layout.
+    * Two tables bucketed on their join key with the SAME bucket count
+    * sort-merge-join with NO exchange on either side (each bucket pair
+    * joins file-to-file), which at 100 TB removes the single biggest
+    * cost of a recurring fact⋈fact join. Requires the session catalog
+    * (bucket metadata lives in the table definition, not the files) —
+    * this is the standing-warehouse layout decision, made once at
+    * write time and amortized over every subsequent join. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write
+      .mode(mode)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -60,4 +60,31 @@ class ScalePostureSpec extends SparkSpec {
     }
   }
 
+  test("bucketed tables sort-merge-join with zero exchanges") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force SMJ so the assertion is about bucketing, not broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Warehouse.writeBucketed(
+        Tables.orders(spark, sf), "graft_orders_b", "o_custkey", 4)
+      Warehouse.writeBucketed(
+        Tables.customer(spark, sf), "graft_customer_b", "c_custkey", 4)
+      val joined = spark.table("graft_orders_b")
+        .join(spark.table("graft_customer_b"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      // and it is still correct
+      val expected = Tables.orders(spark, sf)
+        .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+        .count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_customer_b")
+    }
+  }
 }
