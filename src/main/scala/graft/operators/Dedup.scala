@@ -173,8 +173,15 @@ object Dedup {
     // 128 hashes / 32 bands of 4: P(miss | j=0.9) = (1-0.9^4)^32 ≈ 3e-15.
 
     val cand = lshCandidates(signatures(docs, p, n), p)
-    val sets = tokenized(docs).select(col("doc_id"),
-      array_distinct(shingleTokens(col("toks"), n)).as("sset"))
+    // shingle sets are only needed for documents that appear in a
+    // candidate pair — semi-join first so the expensive re-shingling
+    // is O(candidates), not O(corpus)
+    val candDocs = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+    val sets = tokenized(docs.join(candDocs, Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"),
+        array_distinct(shingleTokens(col("toks"), n)).as("sset"))
     cand
       .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("id_b") === col("sb.doc_id"))
