@@ -23,8 +23,19 @@ object Bench {
       } catch { case _: Throwable => false }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val warmDir = "/root/testdata/sf0.001"
-    names.foreach(runOnce(warmDir, _))
+    // warmup dir: explicit env, else the smallest sibling SF, else the
+    // bench dir itself — and report failures rather than silently
+    // skipping warmup (an unwarmed first query inflates its number)
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", {
+      val sibling = new java.io.File(sfDir).getParentFile match {
+        case null => sfDir
+        case p    => new java.io.File(p, "sf0.001").getPath
+      }
+      if (new java.io.File(sibling).isDirectory) sibling else sfDir
+    })
+    val warmFailures = names.count(n => !runOnce(warmDir, n))
+    if (warmFailures > 0)
+      System.err.println(s"[bench] $warmFailures/${names.size} warmup runs failed (dir=$warmDir)")
 
     val results = names.map { name =>
       val t0 = System.nanoTime()

@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSession
 
 /** One place for the engine's Spark configuration posture, local and
   * cluster. Everything here is a plain conf — no custom extensions are
-  * required for this engine (SURVEY.md §7.3); Catalyst + AQE plan all
-  * 66 catalog queries.
+  * required for this engine (SURVEY.md §7.3); Catalyst + AQE plan the
+  * whole catalog.
   *
   * The cluster rationale, per conf:
   *  - AQE on (default since 3.2) with `skewJoin` — fact-fact joins

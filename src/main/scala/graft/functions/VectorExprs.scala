@@ -19,9 +19,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Semantics: strict sequential left-to-right accumulation, identical
   * to VectorOps' `aggregate`-based forms and to a single-threaded
   * loop — results are bit-identical across engines and partitionings.
-  * Nulls propagate (null array → null result); lengths are not
-  * required to match (the shorter bound wins, as zip_with-with-nulls
-  * would otherwise poison the sum).
+  * Nulls propagate (null array OR null element → null result, same as
+  * the HOF forms); lengths are not required to match (the shorter
+  * bound wins, as zip_with-with-nulls would otherwise poison the sum).
   */
 object VectorExprs {
 
@@ -33,14 +33,22 @@ object VectorExprs {
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_dot"
+    // null even when both arrays are non-null (element nulls propagate)
+    override def nullable: Boolean = true
 
+    // a null ELEMENT nulls the whole result, matching the HOF forms
+    // (ArrayData.getDouble would silently read a null slot as 0.0)
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
       val n = math.min(x.numElements(), y.numElements())
       var s = 0.0
       var i = 0
-      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
       s
     }
 
@@ -53,6 +61,7 @@ object VectorExprs {
            |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
            |double $s = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
+           |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
            |  $s += $x.getDouble($i) * $y.getDouble($i);
            |}
            |${ev.value} = $s;
@@ -69,13 +78,19 @@ object VectorExprs {
       extends UnaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_norm2"
+    override def nullable: Boolean = true
 
     override def nullSafeEval(a: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val n = x.numElements()
       var s = 0.0
       var i = 0
-      while (i < n) { val v = x.getDouble(i); s += v * v; i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i)) return null
+        val v = x.getDouble(i)
+        s += v * v
+        i += 1
+      }
       s
     }
 
@@ -89,6 +104,7 @@ object VectorExprs {
            |final int $n = $x.numElements();
            |double $s = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
+           |  if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
            |  final double $v = $x.getDouble($i);
            |  $s += $v * $v;
            |}

@@ -32,43 +32,44 @@ object AsOf {
 
   /** Left as-of join. Output: every left column, plus `asof_ts` (the
     * matched right timestamp) and `asof_<c>` for each requested right
-    * value column — all null when no right row precedes the left row. */
+    * value column — all null when no right row precedes the left row.
+    *
+    * The carried right row travels as ONE struct filled by a single
+    * running last(): filling each column independently would let a
+    * NULL value on the matched row be "filled through" by a stale
+    * value from an older row — a torn (asof_ts, asof_value) pair that
+    * DuckDB's ASOF JOIN never produces. */
   def join(left: DataFrame, right: DataFrame, key: String, ts: String,
            rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val carried = ("__rts", col(ts), "asof_ts") +:
-      rightVals.map(c => (s"__rv_$c", col(c), s"asof_$c"))
+    val packed = struct(
+      (col(ts).as("rts") +: rightVals.map(c => col(c).as(c))): _*)
 
-    val l = carried.foldLeft(left.withColumn("__side", lit(1))) {
-      case (df, (tmp, src, _)) =>
-        df.withColumn(tmp, lit(null).cast(
-          if (tmp == "__rts") right.schema(ts).dataType
-          else right.schema(tmp.stripPrefix("__rv_")).dataType))
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          right.schema(ts).copy(name = "rts") +:
+            rightVals.map(c => right.schema(c)))))
+    val r0 = right
+      .withColumn("__side", lit(0))
+      .withColumn("__r", packed)
+      .select(col(key), col(ts), col("__side"), col("__r"))
+    val r = leftCols.filterNot(c => c == key || c == ts).foldLeft(r0) {
+      (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
-    val r = {
-      val withCarried = carried.foldLeft(
-        right.withColumn("__side", lit(0))) { case (df, (tmp, src, _)) =>
-        df.withColumn(tmp, src)
-      }
-      // align to the left schema: absent left columns become nulls
-      leftCols.filterNot(c => c == key || c == ts).foldLeft(
-        withCarried.select((Seq(col(key), col(ts), col("__side")) ++
-          carried.map(t => col(t._1))): _*)) { (df, c) =>
-        df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-      }
-    }
-    val cols = (leftCols :+ "__side") ++ carried.map(_._1)
+    val cols = (leftCols :+ "__side") :+ "__r"
     val unioned = l.select(cols.map(col): _*)
       .unionByName(r.select(cols.map(col): _*))
 
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = carried.foldLeft(unioned) { case (df, (tmp, _, out)) =>
-      df.withColumn(out, last(col(tmp), ignoreNulls = true).over(w))
-    }
+    val filled = unioned
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
-      .select((leftCols ++ carried.map(_._3)).map(col): _*)
+      .select((leftCols.map(col) :+ col("__asof.rts").as("asof_ts")) ++
+        rightVals.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 
   // ---------------------------------------------------------------------------

@@ -20,11 +20,8 @@ import graft.Tables
   */
 object EventQueries {
 
-  private val D = DecimalType(18, 4)
-
-  private def dsum(c: Column): Column = sum(c.cast(D)).cast(DoubleType)
-  private def sqlDsum(e: String): String =
-    s"CAST(SUM(CAST(($e) AS DECIMAL(18,4))) AS DOUBLE)"
+  private def dsum(c: Column): Column = graft.functions.DecimalSums.dsum(c)
+  private def sqlDsum(e: String): String = graft.functions.DecimalSums.sqlDsum(e)
 
   private val tsFmt = "yyyy-MM-dd HH:mm:ss"
 

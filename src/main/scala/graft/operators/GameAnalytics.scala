@@ -28,22 +28,9 @@ import graft.sources.GamesSource
   */
 object GameAnalytics {
 
-  private val D = DecimalType(18, 4)
-
-  /** float → DOUBLE → DECIMAL: the direct float→decimal cast is a
-    * cross-engine trap (DuckDB scales in float32 and fabricates digits,
-    * e.g. 5100349.0f → 5100349.0304); via double both engines convert
-    * exactly. */
-  private def dec(c: Column): Column = c.cast(DoubleType).cast(D)
-  private def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
-  private def davg(c: Column): Column =
-    sum(dec(c)).cast(DoubleType) / count(c).cast(DoubleType)
-  private def sqlDec(e: String): String =
-    s"CAST(CAST(($e) AS DOUBLE) AS DECIMAL(18,4))"
-  private def sqlDsum(e: String): String =
-    s"CAST(SUM(${sqlDec(e)}) AS DOUBLE)"
-  private def sqlDavg(e: String): String =
-    s"CAST(SUM(${sqlDec(e)}) AS DOUBLE) / CAST(COUNT($e) AS DOUBLE)"
+  // determinism convention: one shared owner (graft.functions.DecimalSums)
+  import graft.functions.DecimalSums.{dec, dsum, davg, sqlDsum, sqlDavg}
+  private val D = graft.functions.DecimalSums.D
 
   private def games(spark: SparkSession, dir: String): DataFrame =
     GamesSource.deriveFromPart(spark, dir)

@@ -128,9 +128,12 @@ object Media {
     sequence(lit(0), length(content) - 1, lit(FrameSize))
 
   /** One row per sampled frame: (frame_no, byte_off, frame bytes). The
-    * slice happens inside the row — payload bytes never shuffle. */
+    * slice happens inside the row — payload bytes never shuffle.
+    * Empty payloads contribute no frames (sequence(0, -1) would throw;
+    * the DuckDB oracle's range(0, 0) is likewise empty). */
   def sampleFrames(media: DataFrame, everyKth: Int = 1): DataFrame =
     media
+      .filter(length(col("content")) > 0)
       .select(col("media_id"), col("content"),
         posexplode(frameOffsets(col("content"))).as(Seq("frame_no", "byte_off")))
       .filter(col("frame_no") % everyKth === 0)

@@ -39,20 +39,12 @@ import graft.Tables
   */
 object StarQueries {
 
-  private val D = DecimalType(18, 4)
-
-  /** Exact decimal sum surfaced as double — see determinism notes. */
-  private def dsum(c: Column): Column = sum(c.cast(D)).cast(DoubleType)
-
-  /** avg = exact-decimal sum / count, one double division. */
-  private def davg(c: Column): Column =
-    sum(c.cast(D)).cast(DoubleType) / count(c).cast(DoubleType)
-
-  /** DuckDB/SparkSQL text for the same decimal-sum convention. */
-  private def sqlDsum(e: String): String =
-    s"CAST(SUM(CAST(($e) AS DECIMAL(18,4))) AS DOUBLE)"
-  private def sqlDavg(e: String): String =
-    s"CAST(SUM(CAST(($e) AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT($e) AS DOUBLE)"
+  // determinism convention: one shared owner (graft.functions.DecimalSums)
+  private val D = graft.functions.DecimalSums.D
+  private def dsum(c: Column): Column = graft.functions.DecimalSums.dsum(c)
+  private def davg(c: Column): Column = graft.functions.DecimalSums.davg(c)
+  private def sqlDsum(e: String): String = graft.functions.DecimalSums.sqlDsum(e)
+  private def sqlDavg(e: String): String = graft.functions.DecimalSums.sqlDavg(e)
 
   private def revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
   private val sqlRevenue = "l_extendedprice * (1.0 - l_discount)"

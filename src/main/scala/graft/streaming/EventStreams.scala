@@ -54,7 +54,7 @@ object EventStreams {
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
       .agg(
         count(lit(1)).as("event_count"),
-        sum(col("value").cast(D)).cast(DoubleType).as("total_value"))
+        graft.functions.DecimalSums.dsum(col("value")).as("total_value"))
       .select(
         date_format(col("window.start"), tsFmt).as("window_start"),
         col("event_type"), col("event_count"), col("total_value"))
@@ -71,7 +71,7 @@ object EventStreams {
       .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
       .agg(
         count(lit(1)).as("event_count"),
-        sum(col("value").cast(D)).cast(DoubleType).as("total_value"))
+        graft.functions.DecimalSums.dsum(col("value")).as("total_value"))
       .select(
         date_format(col("window.start"), tsFmt).as("window_start"),
         col("event_count"), col("total_value"))
@@ -95,7 +95,7 @@ object EventStreams {
         date_format(min(col("ts")), tsFmt).as("session_start"),
         ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
           .cast(DoubleType) / lit(1000000.0)).as("duration_sec"),
-        sum(col("value").cast(D)).cast(DoubleType).as("session_value"))
+        graft.functions.DecimalSums.dsum(col("value")).as("session_value"))
       .select(col("user_id"), col("event_count"), col("session_start"),
         col("duration_sec"), col("session_value"))
 
@@ -123,8 +123,12 @@ object EventStreams {
   final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
                       event_type: String, value: Double)
 
-  /** Mutable-per-user accumulator carried across micro-batches. */
-  final case class UserState(events: Long, totalValue: Double,
+  /** Mutable-per-user accumulator carried across micro-batches.
+    * `totalValueE4` holds the running sum in ten-thousandths (a scaled
+    * Long): a Double accumulator would round at every micro-batch
+    * boundary once totals grow past ~15 significant digits, making the
+    * final profile depend on how a replay happened to batch the rows. */
+  final case class UserState(events: Long, totalValueE4: Long,
                              firstTs: Long, lastTs: Long)
 
   /** Emitted once per user per micro-batch that touched the user. */
@@ -153,25 +157,28 @@ object EventStreams {
             Iterator.empty
           } else {
             val prev = state.getOption.getOrElse(
-              UserState(0L, 0.0, Long.MaxValue, Long.MinValue))
-            // decimal accumulation: micro-batch arrival order is not
-            // deterministic, double += would drift across replays
+              UserState(0L, 0L, Long.MaxValue, Long.MinValue))
+            // integer accumulation in ten-thousandths: micro-batch
+            // boundaries are not deterministic, so the state must not
+            // round between batches (see UserState doc)
             var n = prev.events
-            var tot = BigDecimal(prev.totalValue).setScale(4)
+            var totE4 = prev.totalValueE4
             var first = prev.firstTs
             var last = prev.lastTs
             rows.foreach { e =>
               n += 1
-              tot += BigDecimal(e.value).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+              totE4 += BigDecimal(e.value)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                .bigDecimal.unscaledValue.longValueExact()
               val t = e.ts.getTime
               if (t < first) first = t
               if (t > last) last = t
             }
-            val next = UserState(n, tot.toDouble, first, last)
+            val next = UserState(n, totE4, first, last)
             state.update(next)
             idleTimeout.foreach(state.setTimeoutDuration)
             Iterator.single(UserProfile(
-              userId, n, next.totalValue, (last - first) / 1000.0))
+              userId, n, totE4 / 1e4, (last - first) / 1000.0))
           }
       }
   }

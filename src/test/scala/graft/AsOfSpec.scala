@@ -31,6 +31,22 @@ class AsOfSpec extends SparkSpec {
       (1L, None), (2L, Some(100.0)), (3L, Some(200.0)), (4L, None)))
   }
 
+  test("a NULL value on the matched right row stays NULL (no torn pair)") {
+    val left = Seq((1L, 7L, ts("2024-01-01 12:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, ts("2024-01-01 10:00:00"), Some(5.0)),
+      (7L, ts("2024-01-01 11:00:00"), None: Option[Double])
+    ).toDF("user_id", "ts", "value")
+    val row = AsOf.join(left, right, "user_id", "ts", Seq("value"))
+      .select($"asof_ts", $"asof_value")
+      .as[(Timestamp, Option[Double])].head()
+    assert(row._1 == ts("2024-01-01 11:00:00"),
+      "must match the LATEST prior row")
+    assert(row._2.isEmpty,
+      "its NULL value must not be filled from an older row")
+  }
+
   test("asof join carries every left column through unchanged") {
     val left = Seq((1L, 5L, ts("2024-01-01 00:00:10"), "extra"))
       .toDF("event_id", "user_id", "ts", "tag")

@@ -30,6 +30,14 @@ class MediaSpec extends SparkSpec {
       "k=1 frame sampling must tile the payload with no gap/overlap")
   }
 
+  test("sampleFrames: empty payload yields zero frames, not an error") {
+    val withEmpty = Seq((1L, Array[Byte](1, 2, 3)), (2L, Array.empty[Byte]))
+      .toDF("media_id", "content")
+    val frames = Media.sampleFrames(withEmpty)
+    assert(frames.filter($"media_id" === 2L).count() == 0)
+    assert(frames.filter($"media_id" === 1L).count() == 1)
+  }
+
   test("sampleFrames every 2nd frame keeps only even frame_no") {
     val video = catalog.filter($"kind" === "video").limit(10)
     val odd = Media.sampleFrames(video, everyKth = 2)

@@ -72,6 +72,19 @@ class VectorOpsSpec extends SparkSpec {
     assert(eval1(VectorOps.dot(lift(Seq(1.0, 2.0, 3.0)), lift(Seq(2.0)))) == 2.0)
   }
 
+  test("null ELEMENTS null the result, same as the HOF forms") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val withNull = array(lit(1.0), lit(null).cast(DoubleType), lit(3.0))
+    val clean = lift(Seq(2.0, 2.0, 2.0))
+    val row = spark.range(1).select(
+      VectorOps.dot(withNull, clean).as("d"),
+      VectorOps.norm2(withNull).as("n"),
+      VectorOps.hofDot(withNull, clean).as("hd")).collect()(0)
+    assert(row.isNullAt(0), "native dot must not read a null slot as 0.0")
+    assert(row.isNullAt(1), "native norm2 must not read a null slot as 0.0")
+    assert(row.isNullAt(2), "HOF reference agrees")
+  }
+
   test("randomPlanes is seed-deterministic") {
     assert(VectorOps.randomPlanes(4, 16, 7L) == VectorOps.randomPlanes(4, 16, 7L))
     assert(VectorOps.randomPlanes(4, 16, 7L) != VectorOps.randomPlanes(4, 16, 8L))
