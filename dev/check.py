@@ -9,13 +9,22 @@ value compare) so mismatches are caught before the round ends.
 Dev tooling only — NOT part of the shipped library (which is pure
 Scala/Spark; duckdb/pyarrow live only on the driver side).
 """
-import json, math, subprocess, sys, os
+import json, math, shutil, subprocess, sys, os
 
-SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/root/testdata/sf0.01"
+# first positional arg is the sf dir only if it IS a directory;
+# anything else non-flag is a query-name filter
+_pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+if _pos and os.path.isdir(_pos[0]):
+    SF, ONLY = _pos[0], _pos[1:]
+else:
+    SF, ONLY = "/root/testdata/sf0.01", _pos
 OUT = "/tmp/graft_verify"
-ONLY = [a for a in sys.argv[2:] if not a.startswith("-")]
+
+fails = 0
 
 if "--skip-verify" not in sys.argv:
+    # stale outputs from a previous run would mask a now-failing query
+    shutil.rmtree(OUT, ignore_errors=True)
     r = subprocess.run(
         ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
         cwd="/root/repo", capture_output=True, text=True)
@@ -25,6 +34,7 @@ if "--skip-verify" not in sys.argv:
     for line in (r.stdout + r.stderr).splitlines():
         if "[verify]" in line:
             print(line)
+            fails += 1  # a query that threw in Verify is a failure
 
 import duckdb  # noqa: E402
 
@@ -34,6 +44,12 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+# full catalog manifest: a query missing from the output dir (e.g. a
+# rows-only query that threw on its FIRST ever run) must fail loudly
+try:
+    manifest = set(json.load(open(f"{OUT}/queries.json")))
+except FileNotFoundError:
+    manifest = set(oracle)
 
 def canon(v):
     if isinstance(v, float):
@@ -42,7 +58,6 @@ def canon(v):
         return f"{v!r}"
     return str(v)
 
-fails = 0
 for name, sql in sorted(oracle.items()):
     if ONLY and name not in ONLY:
         continue
@@ -76,17 +91,19 @@ for name, sql in sorted(oracle.items()):
         print(f"ERR  {name}: {e}")
         fails += 1
 
-# rows-only queries (no oracle)
-for d in sorted(os.listdir(OUT)):
-    p = os.path.join(OUT, d)
-    if os.path.isdir(p) and d not in oracle:
-        try:
-            n = con.sql(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
-            print(f"ROWS {d} ({n} rows{'' if n else ' — EMPTY!'})")
-            if n == 0:
-                fails += 1
-        except Exception as e:
-            print(f"ERR  {d}: {e}")
+# rows-only queries (no oracle) — driven by the manifest, not by
+# whichever output dirs happen to exist
+for name in sorted(manifest - set(oracle)):
+    if ONLY and name not in ONLY:
+        continue
+    p = os.path.join(OUT, name)
+    try:
+        n = con.sql(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
+        print(f"ROWS {name} ({n} rows{'' if n else ' — EMPTY!'})")
+        if n == 0:
             fails += 1
+    except Exception as e:
+        print(f"ERR  {name}: {e}")
+        fails += 1
 
 sys.exit(1 if fails else 0)

@@ -28,7 +28,15 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4's vectorized
     * reader rejects. Read it as a nanos long (legacy conf) and convert to
     * a proper TimestampType column — the corpus has exact-microsecond
-    * values, so ns→µs is lossless. */
+    * values, so ns→µs is lossless.
+    *
+    * KNOWN SESSION-WIDE EFFECT: the `nanosAsLong` conf stays set for
+    * the session. It cannot be save/restored here because the returned
+    * DataFrame is lazy — the scan consults the conf at execution, after
+    * this method returned. It only alters reads of TIMESTAMP(NANOS)
+    * parquet (the events table is the sole such source in this system);
+    * a session that must read other nanos sources as timestamps should
+    * load events first and flip the conf back after materializing. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(s, d, "events")

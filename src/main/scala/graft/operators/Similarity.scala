@@ -46,9 +46,15 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"))
   }
 
-  /** Corpus with its LSH bucket id attached. */
+  /** Corpus with its LSH bucket id attached. The plane dimensionality
+    * is probed from the data (one cheap first-row action) — a
+    * hardcoded dim on mismatched embeddings would null every dot
+    * product and silently funnel ALL rows into bucket 0, turning the
+    * sub-linear path into a hidden cross join. */
   def annBuckets(emb: DataFrame, numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
-    val dim = 64
+    val probed = emb.select(size(col("embedding")).as("d"))
+      .filter(col("d").isNotNull).head(1)
+    val dim = if (probed.isEmpty) 1 else probed(0).getInt(0)
     val planes = VectorOps.randomPlanes(numPlanes, dim, seed)
     emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
       .withColumn("bucket", VectorOps.hyperplaneBucket(col("v"), planes))

@@ -39,6 +39,14 @@ class SimilaritySpec extends SparkSpec {
     assert(badRank == 0, "ranks must be dense starting at 1")
   }
 
+  test("annBuckets probes dimensionality from the data (no 64-dim assumption)") {
+    // 3-dim corpus must still spread across buckets; a wrong-dim plane
+    // set would null the dots and funnel everything into bucket 0
+    val buckets = Similarity.annBuckets(corpus, numPlanes = 4)
+      .select("bucket").distinct().count()
+    assert(buckets > 1, "3-dim vectors must not all collapse to one bucket")
+  }
+
   test("annBuckets is deterministic and bounded by numPlanes bits") {
     val emb = Tables.embeddings(spark, sf)
     val b1 = digest(Similarity.annBuckets(emb).select("vec_id", "bucket"))
