@@ -95,7 +95,14 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
                    maxShingleFreq: Option[Long] = None): DataFrame = {
     val sh = docShingles(docs, n, maxShingleFreq)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // per-doc set size: without a hot-shingle cap it is just the
+    // shingle-array length — one narrow pass over docs, no second
+    // explode+shuffle; with a cap, sizes must count what SURVIVED it
+    val sizes = maxShingleFreq match {
+      case None => tokenized(docs).select(col("doc_id"),
+        size(shingleTokens(col("toks"), n)).cast("long").as("sz"))
+      case Some(_) => sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    }
     // postings: every doc pair sharing this shingle, ordered id_a < id_b
     val ds = col("ds")
     val pairCombos = flatten(transform(ds, (x, i) =>
