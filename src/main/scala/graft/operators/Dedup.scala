@@ -267,9 +267,10 @@ object Dedup {
 
   // -- embedding cosine near-dup ----------------------------------------------
 
-  /** Pairs with cosine ≥ threshold. Brute-force all-pairs (exact); for
-    * 100 TB corpora route candidate generation through
-    * [[graft.operators.Similarity.annBuckets]] first and verify here. */
+  /** Pairs with cosine ≥ threshold. Brute-force all-pairs — EXACT, the
+    * oracle-checkable baseline; quadratic, so it is the small-corpus /
+    * verification tool. The 100 TB path is
+    * [[embeddingNearDupPairsLSH]]. */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
     // norms once per row (O(n)); the quadratic pair loop pays only the
     // codegen'd dot product
@@ -281,6 +282,42 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(col("cosine"), 6).as("cosine_r"))
+  }
+
+  /** Sub-quadratic embedding near-dup: banded hyperplane LSH candidate
+    * generation + exact cosine verification — the same band/bucket
+    * equality-join shape as MinHash-LSH, applied to vectors. With G
+    * independent bands of b hyperplanes, a pair at angle θ shares some
+    * band's bucket with probability 1-(1-(1-θ/π)ᵇ)ᴳ — the defaults
+    * (12 bands × 3 planes) give ~0.98 recall at cosine 0.45 while
+    * keeping candidates ~linear in corpus size. Precision is exactly 1:
+    * every emitted pair passed the true cosine test. */
+  def embeddingNearDupPairsLSH(emb: DataFrame, threshold: Double,
+                               bands: Int = 12, planesPerBand: Int = 3,
+                               seed: Long = 42L): DataFrame = {
+    val e = emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+    val probed = e.select(size(col("v")).as("d"))
+      .filter(col("d").isNotNull).head(1)
+    val dim = if (probed.isEmpty) 1 else probed(0).getInt(0)
+    val bandBuckets = (0 until bands).map { b =>
+      VectorOps.hyperplaneBucket(col("v"),
+        VectorOps.randomPlanes(planesPerBand, dim, seed + b))
+    }
+    val bucketed = e.select(col("vec_id"), col("v"), col("nrm"),
+      posexplode(array(bandBuckets: _*)).as(Seq("band", "bucket")))
+    val cand = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cosine", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
   }
 
   // ---------------------------------------------------------------------------
@@ -353,6 +390,13 @@ object Dedup {
     winnowPairs(Tables.documents(spark, dir), k = 24, minShared = 2)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Banded-LSH embedding near-dup at the same threshold (recall < 1 by
+    * construction → rows-only gate; recall/precision vs the exact d05
+    * answer pinned in ScalaTest). */
+  def d07EmbeddingLshPairs(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupPairsLSH(Tables.embeddings(spark, dir), 0.45)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Embedding near-dup pairs (cosine ≥ 0.45 — sits in a wide margin gap
     * of the corpus similarity distribution). */
   def d05EmbeddingPairs(spark: SparkSession, dir: String): DataFrame =
@@ -375,6 +419,7 @@ object Dedup {
     "d04_simhash_pairs"   -> d04SimhashPairs _,
     "d05_embedding_pairs" -> d05EmbeddingPairs _,
     "d06_winnow_pairs"    -> d06WinnowPairs _,
+    "d07_embedding_lsh_pairs" -> d07EmbeddingLshPairs _,
   )
 
   val oracles: Map[String, String] = Map(

@@ -72,6 +72,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("banded-LSH embedding pairs: precision 1, recall high vs exact") {
+    val emb = Tables.embeddings(spark, sf)
+    val exactPairs = Dedup.embeddingNearDupPairs(emb, 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lshPairs = Dedup.embeddingNearDupPairsLSH(emb, 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lshPairs.subsetOf(exactPairs),
+      "every LSH-found pair must pass the exact cosine test (precision 1)")
+    val recall = lshPairs.size.toDouble / exactPairs.size
+    // analytic expectation at cosine 0.45 with 12 bands x 3 planes ≈ 0.98
+    assert(recall >= 0.7, f"LSH recall degraded to $recall%.2f")
+  }
+
   test("hot-shingle guard drops high-frequency shingles before the join") {
     val n = Dedup.docShingles(docs, n = 3, maxShingleFreq = Some(2L))
     // "the quick brown" etc. appear in docs 1,2,3 (freq 3 > 2) → dropped
