@@ -70,6 +70,19 @@ for name, sql in sorted(oracle.items()):
             print(f"FAIL {name}: columns spark={scols} duck={dcols}")
             fails += 1
             continue
+        # The real driver hashes through Arrow, which is TYPE-SENSITIVE:
+        # DuckDB widening SUM(int)->HUGEINT vs Spark's int64 parquet is a
+        # hash mismatch even when every value agrees (round-1 failure
+        # class). Compare declared types, not just values.
+        stypes = dict(zip(spark_rel.columns, map(str, spark_rel.types)))
+        dtypes = dict(zip(duck_rel.columns, map(str, duck_rel.types)))
+        badtypes = [c for c in scols if stypes[c] != dtypes[c]]
+        if badtypes:
+            detail = ", ".join(
+                f"{c}: spark={stypes[c]} duck={dtypes[c]}" for c in badtypes)
+            print(f"FAIL {name}: types {detail}")
+            fails += 1
+            continue
         collist = ", ".join(f'"{c}"' for c in scols)
         srows = con.sql(f"SELECT {collist} FROM spark_rel ORDER BY ALL").fetchall()
         drows = con.sql(f"SELECT {collist} FROM duck_rel ORDER BY ALL").fetchall()

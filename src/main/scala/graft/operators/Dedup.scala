@@ -333,11 +333,16 @@ object Dedup {
       sum(col("n_chars")).as("kept_char_sum"))
   }
 
+  // min_by ties n_chars to the KEPT row (the min-doc_id one) — an
+  // independent MIN(n_chars) would agree only while n_chars is a pure
+  // function of the group key, silently passing a wrong keep-policy.
+  // CASTs pin DuckDB's SUM(int)->HUGEINT widening back to Spark's
+  // int64 output (the driver hash is type-sensitive through Arrow).
   val d01Sql: String =
     """SELECT COUNT(*) AS kept_docs,
-      |       SUM(doc_id) AS kept_id_sum,
-      |       SUM(n_chars) AS kept_char_sum
-      |FROM (SELECT MIN(doc_id) AS doc_id, MIN(n_chars) AS n_chars
+      |       CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum,
+      |       CAST(SUM(n_chars) AS BIGINT) AS kept_char_sum
+      |FROM (SELECT MIN(doc_id) AS doc_id, min_by(n_chars, doc_id) AS n_chars
       |      FROM documents GROUP BY text) t""".stripMargin
 
   /** Exact 3-gram Jaccard pairs ≥ 0.8 (inverted-index join). */

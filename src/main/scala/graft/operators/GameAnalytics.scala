@@ -105,7 +105,7 @@ object GameAnalytics {
     s"""$cte
        |SELECT $sqlDevKey AS Developer,
        |  ${sqlDsum(rev)} AS total_revenue,
-       |  SUM(avg_owners) AS total_owners,
+       |  CAST(SUM(avg_owners) AS BIGINT) AS total_owners,
        |  COUNT(*) AS game_count
        |FROM games
        |WHERE $sqlDevKey <> '' AND $sqlDevKey IS NOT NULL
@@ -332,9 +332,9 @@ object GameAnalytics {
        |  ${sqlDavg("clean_price")} AS avg_price,
        |  ${sqlDavg("avg_owners")} AS avg_owners
        |FROM (
-       |  SELECT CASE WHEN position(',' IN Genres) > 0
+       |  SELECT CAST(CASE WHEN position(',' IN Genres) > 0
        |              THEN len(string_split(${sqlStrip2("Genres")}, ','))
-       |              ELSE 1 END AS genre_count,
+       |              ELSE 1 END AS INTEGER) AS genre_count,
        |         $rev AS revenue, clean_price, avg_owners
        |  FROM games WHERE Genres IS NOT NULL) t
        |WHERE genre_count > 1
@@ -487,7 +487,7 @@ object GameAnalytics {
        |    SUM(rev_dec) OVER (ORDER BY rev_dec DESC NULLS LAST, Developer
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dec
        |  FROM by_dev)
-       |SELECT rk AS top_rank, Developer,
+       |SELECT CAST(rk AS INT) AS top_rank, Developer,
        |  CAST(rev_dec AS DOUBLE) AS total_revenue,
        |  CAST(cum_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE) * 100.0 AS cum_percent
        |FROM ranked, tot
@@ -591,7 +591,7 @@ object GameAnalytics {
     s"""$cte
        |SELECT ${sqlStrip1("Developers")} AS clean_dev,
        |  COUNT(AppID) AS game_count,
-       |  SUM(avg_owners) AS total_owners,
+       |  CAST(SUM(avg_owners) AS BIGINT) AS total_owners,
        |  ROUND(${sqlDavg("clean_price")}, 2) AS avg_price
        |FROM games
        |GROUP BY 1
@@ -618,7 +618,7 @@ object GameAnalytics {
   val g18Sql: String =
     s"""$cte
        |SELECT ${sqlStrip1("Developers")} AS clean_dev,
-       |  SUM(avg_owners) AS total_owners,
+       |  CAST(SUM(avg_owners) AS BIGINT) AS total_owners,
        |  string_agg(AppID || ':' || Name, ',' ORDER BY AppID || ':' || Name)
        |    AS product_list
        |FROM games

@@ -178,8 +178,8 @@ object Media {
       |                             WHEN 2 THEN 'audio'
       |                             ELSE 'video' END AS kind,
       |  COUNT(*) AS media_count,
-      |  SUM(octet_length(encode(text))) AS total_bytes,
-      |  MAX(octet_length(encode(text))) AS max_bytes
+      |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      |  CAST(MAX(octet_length(encode(text))) AS INTEGER) AS max_bytes
       |FROM documents
       |GROUP BY kind
       |ORDER BY kind""".stripMargin
@@ -214,7 +214,7 @@ object Media {
        |  CROSS JOIN LATERAL (SELECT unnest(range(0, length(content),
        |                                          $FrameSize)) AS o) o)
        |SELECT media_id, COUNT(*) AS frame_count,
-       |  SUM(length(frame)) AS frame_bytes,
+       |  CAST(SUM(length(frame)) AS BIGINT) AS frame_bytes,
        |  MAX(CASE WHEN byte_off = 0 THEN md5(frame) END) AS first_frame_md5
        |FROM frames
        |GROUP BY media_id

@@ -218,7 +218,7 @@ object TextAnalysis {
 
   val t05Sql: String =
     s"""SELECT lang, COUNT(*) AS doc_count,
-       |  SUM(n_chars) AS total_chars,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        |  CAST(SUM(q) AS DOUBLE) / CAST(COUNT(q) AS DOUBLE) AS avg_quality
        |FROM (SELECT lang, n_chars,
        |        CAST(($sqlQuality) AS DECIMAL(18,8)) AS q FROM documents) t
