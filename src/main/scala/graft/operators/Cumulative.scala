@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Distributed cumulative sum + rank under a TOTAL order — the scalable
+  * replacement for `Window.orderBy(...)` with no `partitionBy`, which
+  * Spark executes by moving every row to one task ("WindowExec: No
+  * Partition Defined"). That is fine for a 25-row yearly table and a
+  * hazard when the windowed frame is group-key-sized (developers,
+  * suppliers): group-key cardinality grows with the data, so at 100×
+  * scale the single task sorts everything.
+  *
+  * Shape (the classic two-phase prefix sum):
+  *  1. range-repartition on the sort order, so physical partition i
+  *     holds a contiguous slice of the global order;
+  *  2. run the window PER PARTITION (`partitionBy(spark_partition_id)`)
+  *     — P parallel local windows instead of one global one;
+  *  3. correct each partition by the sums/counts of its predecessors:
+  *     a P-row per-partition summary, prefix-combined with a triangle
+  *     join (P² pairs, P = shuffle parallelism — trivial), broadcast
+  *     back onto the rows.
+  * The range exchange feeds both the row-level window and the summary
+  * aggregate, so Catalyst's ReuseExchange computes the upstream once.
+  *
+  * `sortCols` must be a total order (unique tiebreaker) — with ties the
+  * range partitioner and the rank would not agree on a single global
+  * order.
+  */
+object Cumulative {
+
+  /** Adds `cumName` (running sum of `valueCol`, nulls skipped exactly as
+    * an unpartitioned window would) and `rankName` (row_number, INT)
+    * under `sortCols`. When `totName` is set, also adds the GLOBAL sum of
+    * `valueCol` as a column — derived from the per-partition summaries,
+    * so it costs one tiny aggregate instead of a second pass over the
+    * input's lineage.
+    *
+    * The input is persisted (MEMORY_AND_DISK): range partitioning runs a
+    * boundary-sampling job over the child before the shuffle, which
+    * would otherwise recompute the input's whole lineage a second time.
+    * The persisted frame is the windowed frame itself — group-key
+    * cardinality, not fact data. */
+  def withCumsumAndRank(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
+                        cumName: String, rankName: String,
+                        totName: String = null,
+                        numPartitions: Int = 0): DataFrame = {
+    val p =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val parted = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .repartitionByRange(p, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLoc = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+    val local = parted
+      .withColumn("__cum_loc", sum(valueCol).over(
+        wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__rn_loc", row_number().over(wLoc))
+    val parts = parted.groupBy(col("__pid"))
+      .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
+    val preds = parts.select(col("__pid").as("__bpid"),
+      col("__psum").as("__bpsum"), col("__pcnt").as("__bpcnt"))
+    // prefix offsets: for partition k, the sum/count over partitions < k
+    val offs = parts.join(preds, col("__bpid") < col("__pid"), "left")
+      .groupBy(col("__pid"))
+      .agg(sum(col("__bpsum")).as("__osum"), sum(col("__bpcnt")).as("__ocnt"))
+    val withOffs = local.join(broadcast(offs), Seq("__pid"))
+    val out =
+      if (totName == null) withOffs
+      else withOffs.crossJoin(broadcast(parts.agg(sum(col("__psum")).as(totName))))
+    out
+      // null-skipping semantics of the one-phase window: cum is null only
+      // while no non-null value has been seen yet in the global prefix
+      .withColumn(cumName,
+        when(col("__cum_loc").isNull && col("__osum").isNull, lit(null))
+          .otherwise(coalesce(col("__cum_loc"), lit(0)) +
+                     coalesce(col("__osum"), lit(0))))
+      .withColumn(rankName,
+        (col("__rn_loc") + coalesce(col("__ocnt"), lit(0L))).cast("int"))
+      .drop("__pid", "__cum_loc", "__rn_loc", "__osum", "__ocnt")
+  }
+}

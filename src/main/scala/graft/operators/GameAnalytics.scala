@@ -197,11 +197,12 @@ object GameAnalytics {
   def g05TopDevHits(spark: SparkSession, dir: String): DataFrame = {
     val withDev = games(spark, dir).withColumn("Developer", devKey)
       .filter(col("Developer") =!= "" && col("Developer").isNotNull)
+    // rank-1 as orderBy().limit(1): plans as TakeOrderedAndProject
+    // instead of an unpartitioned row_number window (round-1 weak plan)
     val top = withDev.groupBy(col("Developer"))
       .agg(sum(dec(col("revenue"))).as("rev_dec"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("rev_dec").desc_nulls_last, col("Developer"))))
-      .filter(col("rk") === 1)
+      .orderBy(col("rev_dec").desc_nulls_last, col("Developer"))
+      .limit(1)
       .select(col("Developer").as("top_dev"))
     withDev.join(broadcast(top), col("Developer") === col("top_dev"))
       .select(col("Developer"), col("Name"), col("Genres"),
@@ -456,12 +457,11 @@ object GameAnalytics {
       .groupBy(col("Developer"))
       .agg(sum(dec(col("revenue"))).as("rev_dec"))
     val globalTotal = g.agg(sum(dec(col("revenue"))).as("tot_dec"))
-    val w = Window.orderBy(col("rev_dec").desc_nulls_last, col("Developer"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    byDev
-      .withColumn("cum_dec", sum(col("rev_dec")).over(w))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("rev_dec").desc_nulls_last, col("Developer"))))
+    // developer cardinality grows with the data → no unpartitioned
+    // window; two-phase cumsum + rank (see Cumulative), then keep top-50
+    Cumulative.withCumsumAndRank(byDev,
+        Seq(col("rev_dec").desc_nulls_last, col("Developer")), col("rev_dec"),
+        cumName = "cum_dec", rankName = "rk")
       .filter(col("rk") <= 50)
       .crossJoin(broadcast(globalTotal))
       .select(
