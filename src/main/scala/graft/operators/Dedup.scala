@@ -375,6 +375,42 @@ object Dedup {
       |WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Jaccard pairs WITH the hot-shingle cap engaged — the 100 TB scale
+    * guard (a shingle shared by k docs costs k²/2 pairs; the cap bounds
+    * k). Oracle-checked: the DuckDB side drops the same hot shingles and
+    * recomputes per-doc sizes over the survivors, so both the pair set
+    * AND the capped-size jaccard values must agree. */
+  def d08JaccardCapped(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(Tables.documents(spark, dir), 0.8, maxShingleFreq = Some(8))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val d08Sql: String =
+    """WITH sh_all AS (
+      |  SELECT DISTINCT doc_id,
+      |         w[i.i] || ' ' || w[i.i+1] || ' ' || w[i.i+2] AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |        WHERE len(string_split(text, ' ')) >= 3)
+      |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) i
+      |  UNION ALL
+      |  SELECT doc_id, text AS shingle FROM documents
+      |  WHERE len(string_split(text, ' ')) < 3),
+      |hot AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > 8),
+      |sh AS (SELECT * FROM sh_all ANTI JOIN hot USING (shingle)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |       ROUND(CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE), 6)
+      |         AS jaccard_r
+      |FROM inter
+      |  JOIN sizes sa ON id_a = sa.doc_id
+      |  JOIN sizes sb ON id_b = sb.doc_id
+      |WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** MinHash-LSH near-dup pairs ≥ 0.8 — same oracle as d02: the LSH
     * candidate generation + exact verification must reproduce the
     * exact all-pairs answer (recall argument in minhashDedupPairs doc). */
@@ -425,6 +461,7 @@ object Dedup {
     "d05_embedding_pairs" -> d05EmbeddingPairs _,
     "d06_winnow_pairs"    -> d06WinnowPairs _,
     "d07_embedding_lsh_pairs" -> d07EmbeddingLshPairs _,
+    "d08_jaccard_capped"  -> d08JaccardCapped _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -432,5 +469,6 @@ object Dedup {
     "d02_jaccard_pairs"   -> d02Sql,
     "d03_minhash_pairs"   -> d02Sql, // must equal the exact answer
     "d05_embedding_pairs" -> d05Sql,
+    "d08_jaccard_capped"  -> d08Sql,
   )
 }

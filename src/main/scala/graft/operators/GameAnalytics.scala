@@ -627,6 +627,90 @@ object GameAnalytics {
        |LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // g19 — price-range counts (fig 3.2, spark_eda.py:479-493: the same
+  // ordered when-chain as g04 but COUNT-only and with NO null filter —
+  // a NULL clean_price falls through every comparison into '$40+')
+  // ---------------------------------------------------------------------------
+  def g19PriceRanges(spark: SparkSession, dir: String): DataFrame =
+    games(spark, dir)
+      .select(priceBucket.as("price_range"))
+      .groupBy(col("price_range"))
+      .agg(count(lit(1)).as("game_count"))
+      .orderBy(col("price_range"))
+
+  val g19Sql: String =
+    s"""$cte
+       |SELECT $sqlPriceBucket AS price_range,
+       |  COUNT(*) AS game_count
+       |FROM games
+       |GROUP BY 1
+       |ORDER BY price_range""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // g20 — price/revenue scatter sample (fig 3.4, spark_eda.py:513-520;
+  // the reference sampled UNseeded — seed pinned to 42 as in q12).
+  // Sampling is engine-specific → rows-only gate.
+  // ---------------------------------------------------------------------------
+  def g20SampleScatter(spark: SparkSession, dir: String): DataFrame =
+    games(spark, dir)
+      .filter(col("clean_price") > 0 && col("revenue") > 0)
+      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .select(col("clean_price"), col("revenue"))
+      .limit(5000)
+
+  // ---------------------------------------------------------------------------
+  // g21 — genre median via PERCENTILE_APPROX, the reference's actual
+  // aggregate (spark_eda.py:250). The sketch is engine-specific → rows-
+  // only gate; |approx − exact| tolerance vs g06's exact median is
+  // pinned in GamesSpec.
+  // ---------------------------------------------------------------------------
+  def g21GenreApproxMedian(spark: SparkSession, dir: String): DataFrame =
+    genresExploded(games(spark, dir))
+      .filter(col("Genre") =!= "" && col("Genre").isNotNull && col("clean_price").isNotNull)
+      .groupBy(col("Genre"))
+      .agg(
+        percentile_approx(col("clean_price"), lit(0.5), lit(10000))
+          .cast(DoubleType).as("approx_median_price"),
+        count(lit(1)).as("game_count"))
+      .orderBy(col("Genre"))
+
+  // ---------------------------------------------------------------------------
+  // g22 — the PRODUCTION CSV ingest path under the gate: readCsv + clean
+  // (reference spark_eda.py:42-49) over the checked-in quirk fixture
+  // (quoted commas, doubled-quote escapes, empty→NULL fields, a short
+  // corrupt row). Spark excludes the corrupt-captured row; the DuckDB
+  // oracle reads the same file with ignore_errors, which rejects the
+  // same short row. Corrupt-capture itself is pinned in GamesSpec.
+  // ---------------------------------------------------------------------------
+  def g22CsvIngest(spark: SparkSession, dir: String): DataFrame = {
+    val path = GamesSource.ensureFixture()
+    // cache before filtering on _corrupt_record: Spark's CSV parser only
+    // parses the columns a query needs, so on the lazy reader a
+    // malformed-row predicate can silently see NULL (documented Spark
+    // CSV semantics — same pattern as the ingest unit test)
+    GamesSource.clean(GamesSource.readCsv(spark, path)).cache()
+      .filter(col("_corrupt_record").isNull)
+      .select(col("AppID"), col("Name"), col("release_date"),
+        col("clean_price"), col("avg_owners"), col("Developers"),
+        col("Genres"), col("revenue"))
+      .orderBy(col("AppID"))
+  }
+
+  val g22Sql: String =
+    s"""WITH raw AS (
+       |  SELECT CAST(AppID AS INT) AS AppID, Name, release_date,
+       |         CAST(clean_price AS FLOAT) AS clean_price,
+       |         CAST(avg_owners AS INT) AS avg_owners,
+       |         Developers, Genres
+       |  FROM read_csv('${GamesSource.fixtureTmpPath}',
+       |                header=true, all_varchar=true, ignore_errors=true))
+       |SELECT AppID, Name, release_date, clean_price, avg_owners,
+       |       Developers, Genres,
+       |       CAST(clean_price * avg_owners AS FLOAT) AS revenue
+       |FROM raw
+       |ORDER BY AppID""".stripMargin
+
+  // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_genre_revenue"      -> g01GenreRevenue _,
@@ -647,6 +731,10 @@ object GameAnalytics {
     "g16_game_profile"       -> g16GameProfile _,
     "g17_dev_analytics"      -> g17DevAnalytics _,
     "g18_product_list"       -> g18ProductList _,
+    "g19_price_ranges"       -> g19PriceRanges _,
+    "g20_sample_scatter"     -> g20SampleScatter _,
+    "g21_genre_approx_median" -> g21GenreApproxMedian _,
+    "g22_csv_ingest"         -> g22CsvIngest _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -668,5 +756,7 @@ object GameAnalytics {
     "g16_game_profile"       -> g16Sql,
     "g17_dev_analytics"      -> g17Sql,
     "g18_product_list"       -> g18Sql,
+    "g19_price_ranges"       -> g19Sql,
+    "g22_csv_ingest"         -> g22Sql,
   )
 }

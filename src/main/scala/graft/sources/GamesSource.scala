@@ -117,4 +117,20 @@ object GamesSource {
   /** Oracle text for the revenue column — CAST to FLOAT normalizes
     * DuckDB's arithmetic to the same float32 rounding Spark performs. */
   val sqlRevenue: String = "CAST(clean_price * avg_owners AS FLOAT)"
+
+  /** Stable on-disk location of the checked-in quirk fixture, so the
+    * gate query (Spark) and its oracle (DuckDB) read the SAME file. */
+  val fixtureTmpPath: String = "/tmp/graft_games_fixture.csv"
+
+  /** Materialize the bundled quirk fixture (a classpath resource — the
+    * library jar is self-contained) to [[fixtureTmpPath]]. Idempotent. */
+  def ensureFixture(): String = {
+    val in = getClass.getResourceAsStream("/games_cleaned.csv")
+    require(in != null, "games_cleaned.csv missing from classpath")
+    try java.nio.file.Files.copy(in,
+      java.nio.file.Paths.get(fixtureTmpPath),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    fixtureTmpPath
+  }
 }

@@ -113,6 +113,37 @@ class GamesSpec extends SparkSpec {
     assert(!fy.contains("1999") && !fy.contains("2029") && !fy.contains("999-"))
   }
 
+  test("g21: percentile_approx median lands between the discrete middle elements") {
+    // approx_percentile returns an ELEMENT of the group; the exact
+    // `percentile` interpolates between the two middle elements on even
+    // counts. The operator contract to pin: the approx median sits in
+    // [lower-middle, upper-middle], and within that gap of the
+    // interpolated exact value.
+    val approx = GameAnalytics.g21GenreApproxMedian(spark, sf)
+    val base = GameAnalytics.genresExploded(GamesSource.deriveFromPart(spark, sf))
+      .filter($"Genre" =!= "" && $"Genre".isNotNull && $"clean_price".isNotNull)
+    val bounds = base.groupBy($"Genre")
+      .agg(sort_array(collect_list($"clean_price".cast("double"))).as("ps"),
+        expr("CAST(percentile(clean_price, 0.5) AS DOUBLE)").as("exact_median"))
+      .select($"Genre", $"exact_median",
+        element_at($"ps", ((size($"ps") + 1) / 2).cast("int")).as("lo_mid"),
+        element_at($"ps", ((size($"ps") / 2) + 1).cast("int")).as("hi_mid"))
+    val joined = approx.join(bounds, "Genre")
+    assert(joined.count() == approx.count(), "every genre must have an exact twin")
+    val bad = joined.filter(
+      $"approx_median_price" < $"lo_mid" || $"approx_median_price" > $"hi_mid" ||
+        abs($"approx_median_price" - $"exact_median") > ($"hi_mid" - $"lo_mid") + 1e-9)
+    assert(bad.isEmpty, s"approx median outside middle-element bounds:\n${bad.collect().mkString("\n")}")
+  }
+
+  test("g22 gate shape: corrupt row excluded, quirk rows ingested") {
+    val out = GameAnalytics.g22CsvIngest(spark, sf)
+    val ids = out.select("AppID").as[Int].collect().toSet
+    assert(!ids.contains(98), "corrupt-captured row must not reach the gate output")
+    assert(ids.contains(3) && ids.contains(4), "quoted-comma and escaped-quote rows survive")
+    assert(out.filter($"AppID" === 9).select($"revenue").isEmpty == false)
+  }
+
   test("derivation parity smoke: Spark-side games table matches row count of part") {
     val derived = GamesSource.deriveFromPart(spark, sf)
     assert(derived.count() == Tables.part(spark, sf).count())
