@@ -33,9 +33,13 @@ object Bench {
       }
       if (new java.io.File(sibling).isDirectory) sibling else sfDir
     })
-    val warmFailures = names.count(n => !runOnce(warmDir, n))
+    // two passes: the second catches code JIT'd only after the first
+    // execution (measured on the typed mapPartitions decode path, the
+    // one query outside WholeStageCodegen — first timed run was ~2.5×
+    // its steady state with a single warmup)
+    val warmFailures = (1 to 2).map(_ => names.count(n => !runOnce(warmDir, n))).sum
     if (warmFailures > 0)
-      System.err.println(s"[bench] $warmFailures/${names.size} warmup runs failed (dir=$warmDir)")
+      System.err.println(s"[bench] $warmFailures/${2 * names.size} warmup runs failed (dir=$warmDir)")
 
     val results = names.map { name =>
       val t0 = System.nanoTime()

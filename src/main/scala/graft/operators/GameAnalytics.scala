@@ -33,7 +33,7 @@ object GameAnalytics {
   private val D = graft.functions.DecimalSums.D
 
   private def games(spark: SparkSession, dir: String): DataFrame =
-    GamesSource.deriveFromPart(spark, dir)
+    GamesSource.cachedGames(spark, dir)
 
   private val rev = GamesSource.sqlRevenue
   private val cte = GamesSource.oracleCte

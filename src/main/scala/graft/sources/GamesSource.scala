@@ -118,6 +118,21 @@ object GamesSource {
     * DuckDB's arithmetic to the same float32 rounding Spark performs. */
   val sqlRevenue: String = "CAST(clean_price * avg_owners AS FLOAT)"
 
+  /** The "one pass over the corpus, many queries" usage shape (SURVEY
+    * §4): ~20 catalog queries share this frame, so derive it once per
+    * (session, dir) and serve the rest from cache — the `df.cache()`
+    * the reference's report claims but its code never performs. The
+    * cached frame is |part|-sized (input-table cardinality, no fact
+    * blow-up); queries that need a cold path can still call
+    * [[deriveFromPart]] directly. */
+  private val derivedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def cachedGames(spark: SparkSession, dir: String): DataFrame =
+    derivedCache.computeIfAbsent((spark, dir), _ =>
+      deriveFromPart(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Stable on-disk location of the checked-in quirk fixture, so the
     * gate query (Spark) and its oracle (DuckDB) read the SAME file. */
   val fixtureTmpPath: String = "/tmp/graft_games_fixture.csv"

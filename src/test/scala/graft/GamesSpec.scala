@@ -144,6 +144,15 @@ class GamesSpec extends SparkSpec {
     assert(out.filter($"AppID" === 9).select($"revenue").isEmpty == false)
   }
 
+  test("catalog queries share one cached base frame (InMemoryRelation in plan)") {
+    GamesSource.cachedGames(spark, sf).count()  // materialize
+    val plan = GameAnalytics.g01GenreRevenue(spark, sf).queryExecution.optimizedPlan
+    val cachedScans = plan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(cachedScans.nonEmpty, s"expected cached games scan, plan:\n$plan")
+  }
+
   test("derivation parity smoke: Spark-side games table matches row count of part") {
     val derived = GamesSource.deriveFromPart(spark, sf)
     assert(derived.count() == Tables.part(spark, sf).count())
