@@ -27,6 +27,12 @@ import org.apache.spark.sql.expressions.Window
   * `sortCols` must be a total order (unique tiebreaker) — with ties the
   * range partitioner and the rank would not agree on a single global
   * order.
+  *
+  * Cache lifetime: the two persisted intermediates are group-key-sized
+  * and are NOT eagerly unpersisted (the result is lazy); they age out
+  * through Spark's LRU block eviction. Callers running this in a
+  * long-lived session loop can unpersist via `spark.catalog.clearCache`
+  * between batches.
   */
 object Cumulative {
 
@@ -49,9 +55,15 @@ object Cumulative {
     val p =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val parted = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // persist BOTH frames: the input so the range-boundary sampling job
+    // doesn't recompute its lineage, and the repartitioned+labeled frame
+    // so the row-level window, the partition summary, and the optional
+    // total all read ONE materialized exchange instead of three
+    val parted = df.persist(lvl)
       .repartitionByRange(p, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
+      .persist(lvl)
     val wLoc = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
     val local = parted
       .withColumn("__cum_loc", sum(valueCol).over(
