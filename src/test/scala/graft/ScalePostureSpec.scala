@@ -60,6 +60,30 @@ class ScalePostureSpec extends SparkSpec {
     }
   }
 
+  test("q09 first-level aggregate over a bucketed-by-orderkey layout has no exchange") {
+    // q09's first shuffle is the per-order groupBy(l_orderkey); a
+    // lineitem table bucketed on l_orderkey satisfies that aggregate's
+    // distribution from the files, removing the shuffle entirely — the
+    // standing-warehouse layout the q09 scaladoc promises.
+    Warehouse.writeBucketed(
+      Tables.lineitem(spark, sf), "graft_lineitem_b", "l_orderkey", 4)
+    try {
+      def widths(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("line_count"))
+      val bucketed = widths(spark.table("graft_lineitem_b"))
+      val plan = bucketed.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed per-order aggregate must not shuffle:\n$plan")
+      // same answer as the plain parquet path
+      val viaParquet = widths(Tables.lineitem(spark, sf))
+      assert(bucketed.exceptAll(viaParquet).count() == 0)
+      assert(viaParquet.exceptAll(bucketed).count() == 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+    }
+  }
+
   test("bucketed tables sort-merge-join with zero exchanges") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
