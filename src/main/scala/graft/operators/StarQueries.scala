@@ -742,6 +742,22 @@ object StarQueries {
       |ORDER BY s_name""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // q25 — APPROXIMATE distinct counting: the 100 TB dashboard variant of
+  // q23. HLL++ sketches merge associatively, so the plan is one partial+
+  // final aggregate pass with fixed-size state — no (key, value) pair
+  // expansion at all. Sketch output is engine-specific → rows-only gate;
+  // the relative-error contract vs exact q23 is pinned in
+  // StarQueriesSpec.
+  // ---------------------------------------------------------------------------
+  def q25ApproxPartBreadth(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("approx_parts"))
+      .orderBy(col("s_name"))
+
+  // ---------------------------------------------------------------------------
   // q24 — windowed top-N per group (row_number over partitioned window;
   // SURVEY.md §2.2 "Window functions" — claimed by the reference report but
   // absent from its code; first-class here).
@@ -802,6 +818,7 @@ object StarQueries {
     "q22_customers_without_orders" -> q22CustomersWithoutOrders _,
     "q23_supplier_part_breadth" -> q23SupplierPartBreadth _,
     "q24_top_brands_per_flag" -> q24TopBrandsPerFlag _,
+    "q25_approx_part_breadth" -> q25ApproxPartBreadth _,
   )
 
   /** name → DuckDB oracle (q12 sampling is engine-specific → rows-only). */

@@ -87,6 +87,21 @@ class StarQueriesSpec extends SparkSpec {
       s"part-dim join should broadcast, plan was:\n$plan")
   }
 
+  test("q25: approx distinct within the HLL++ error contract of exact q23") {
+    val exact = StarQueries.q23SupplierPartBreadth(spark, sf)
+      .select($"s_name", $"distinct_parts")
+    val approx = StarQueries.q25ApproxPartBreadth(spark, sf)
+    val joined = approx.join(exact, "s_name")
+    assert(joined.count() == exact.count())
+    val maxRelErr = joined
+      .select(max(abs($"approx_parts" - $"distinct_parts")
+        / $"distinct_parts".cast("double")))
+      .as[Double].head()
+    // rsd=0.02; 5 standard deviations of headroom keeps this a contract
+    // pin (deterministic sketch on fixed data), not a flake
+    assert(maxRelErr <= 0.10, s"approx_count_distinct rel err $maxRelErr")
+  }
+
   test("parquet scans prune columns: q01 reads only the 5 needed lineitem cols") {
     val scans = StarQueries.q01PricingSummary(spark, sf)
       .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
