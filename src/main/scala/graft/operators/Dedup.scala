@@ -126,9 +126,13 @@ object Dedup {
 
   // -- MinHash + LSH ----------------------------------------------------------
 
-  /** numHashes independent hash functions, realized as xxhash64 of the
-    * base shingle hash salted with the function index (overflow-free
-    * under ANSI mode, codegen'd, and deterministic everywhere). */
+  /** numHashes hash functions realized as a two-hash linear family
+    * g_i(x) = (a + i·b) mod 2³², with (a, b) the two 32-bit halves of
+    * one xxhash64 of the shingle (b forced odd so every g_i is a
+    * bijection). One hash evaluation per shingle row instead of
+    * numHashes — the Kirsch–Mitzenmacher construction, which preserves
+    * LSH banding guarantees; 32-bit arithmetic keeps every product
+    * < 2⁴⁰, overflow-free under ANSI mode, and fully codegen'd. */
   final case class MinHashParams(numHashes: Int = 128, bandRows: Int = 4) {
     require(numHashes % bandRows == 0, "numHashes must divide into bands")
     val numBands: Int = numHashes / bandRows
@@ -145,11 +149,16 @@ object Dedup {
     * requirement from the repartition: one shuffle total. */
   def signatures(docs: DataFrame, p: MinHashParams = MinHashParams(),
                  n: Int = 3): DataFrame = {
+    val mask = lit(0xFFFFFFFFL)
     val sh = docShingles(docs, n)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      // two-hash family: a = low half, b = high half forced odd
+      .select(col("doc_id"),
+        col("h").bitwiseAND(mask).as("a"),
+        shiftrightunsigned(col("h"), 32).bitwiseOR(lit(1L)).as("b"))
       .repartition(col("doc_id"))
     val mins = (0 until p.numHashes).map { i =>
-      min(xxhash64(col("h"), lit(i))).as(s"m$i")
+      min((col("a") + lit(i.toLong) * col("b")).bitwiseAND(mask)).as(s"m$i")
     }
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
