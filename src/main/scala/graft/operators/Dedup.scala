@@ -126,12 +126,15 @@ object Dedup {
 
   // -- MinHash + LSH ----------------------------------------------------------
 
-  /** numHashes hash functions realized as a two-hash linear family
-    * g_i(x) = (a + i·b) mod 2³², with (a, b) the two 32-bit halves of
-    * one xxhash64 of the shingle (b forced odd so every g_i is a
-    * bijection). One hash evaluation per shingle row instead of
-    * numHashes — the Kirsch–Mitzenmacher construction, which preserves
-    * LSH banding guarantees; 32-bit arithmetic keeps every product
+  /** numHashes hash functions: one INDEPENDENT xxhash64 per band, with
+    * the band's rows derived from it by a two-hash linear family
+    * g_i(x) = (a + i·b) mod 2³² (a/b the 32-bit halves, b forced odd —
+    * the Kirsch–Mitzenmacher construction). The banding miss-probability
+    * analysis ((1-J^r)^B) needs independence BETWEEN bands, which the
+    * per-band hashes provide; within a band the r=4 rows only need
+    * approximate min-wise behavior, where the linear family is the
+    * standard practical choice. numBands hash evaluations per shingle
+    * row instead of numHashes; 32-bit arithmetic keeps every product
     * < 2⁴⁰, overflow-free under ANSI mode, and fully codegen'd. */
   final case class MinHashParams(numHashes: Int = 128, bandRows: Int = 4) {
     require(numHashes % bandRows == 0, "numHashes must divide into bands")
@@ -150,15 +153,22 @@ object Dedup {
   def signatures(docs: DataFrame, p: MinHashParams = MinHashParams(),
                  n: Int = 3): DataFrame = {
     val mask = lit(0xFFFFFFFFL)
+    // one independent base hash per band; a = low half, b = high half
+    // forced odd (bijection), materialized through a projection so the
+    // min-agg expressions below reference attributes, not re-hashes
+    val bandCols = (0 until p.numBands).flatMap { bnd =>
+      val h = xxhash64(col("shingle"), lit(bnd))
+      Seq(h.bitwiseAND(mask).as(s"a$bnd"),
+        shiftrightunsigned(h, 32).bitwiseOR(lit(1L)).as(s"b$bnd"))
+    }
     val sh = docShingles(docs, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      // two-hash family: a = low half, b = high half forced odd
-      .select(col("doc_id"),
-        col("h").bitwiseAND(mask).as("a"),
-        shiftrightunsigned(col("h"), 32).bitwiseOR(lit(1L)).as("b"))
+      .select(col("doc_id") +: bandCols: _*)
       .repartition(col("doc_id"))
     val mins = (0 until p.numHashes).map { i =>
-      min((col("a") + lit(i.toLong) * col("b")).bitwiseAND(mask)).as(s"m$i")
+      val bnd = i / p.bandRows
+      val row = i % p.bandRows
+      min((col(s"a$bnd") + lit(row.toLong) * col(s"b$bnd")).bitwiseAND(mask))
+        .as(s"m$i")
     }
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }

@@ -655,6 +655,10 @@ object GameAnalytics {
     games(spark, dir)
       .filter(col("clean_price") > 0 && col("revenue") > 0)
       .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .select(col("AppID"), col("clean_price"), col("revenue"))
+      // total order before the cut: without it the kept 5000 is an
+      // arbitrary partition prefix that shifts with parallelism
+      .orderBy(col("AppID"))
       .select(col("clean_price"), col("revenue"))
       .limit(5000)
 

@@ -381,8 +381,12 @@ object StarQueries {
     Tables.lineitem(spark, dir)
       .filter(col("l_extendedprice") > 0 && col("l_discount") > 0)
       .sample(withReplacement = false, fraction = 0.1, seed = 42L)
-      .select(col("l_extendedprice"),
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
               revenue.cast(D).cast(DoubleType).as("line_revenue"))
+      // total order before the cut: without it the kept 5000 is an
+      // arbitrary partition prefix that shifts with parallelism
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .select(col("l_extendedprice"), col("line_revenue"))
       .limit(5000)
 
   // ---------------------------------------------------------------------------
@@ -725,7 +729,9 @@ object StarQueries {
       .agg(count(lit(1)).as("pair_lines"))
     val perSupp = perPair
       .groupBy(col("l_suppkey"))
-      .agg(count(lit(1)).as("distinct_parts"),
+      // count(col) skips the NULL-partkey group, matching
+      // COUNT(DISTINCT l_partkey) semantics; line_count keeps all rows
+      .agg(count(col("l_partkey")).as("distinct_parts"),
            sum(col("pair_lines")).as("line_count"))
     perSupp
       .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))

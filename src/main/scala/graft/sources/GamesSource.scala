@@ -128,10 +128,14 @@ object GamesSource {
   private val derivedCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def cachedGames(spark: SparkSession, dir: String): DataFrame =
+  def cachedGames(spark: SparkSession, dir: String): DataFrame = {
+    // bound the map: entries of stopped sessions are dead weight (their
+    // cached blocks died with the session) — evict them on access
+    derivedCache.keySet.removeIf { case (s, _) => s.sparkContext.isStopped }
     derivedCache.computeIfAbsent((spark, dir), _ =>
       deriveFromPart(spark, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** Stable on-disk location of the checked-in quirk fixture, so the
     * gate query (Spark) and its oracle (DuckDB) read the SAME file. */
