@@ -153,22 +153,25 @@ object Dedup {
   def signatures(docs: DataFrame, p: MinHashParams = MinHashParams(),
                  n: Int = 3): DataFrame = {
     val mask = lit(0xFFFFFFFFL)
-    // one independent base hash per band; a = low half, b = high half
-    // forced odd (bijection), materialized through a projection so the
-    // min-agg expressions below reference attributes, not re-hashes
-    val bandCols = (0 until p.numBands).flatMap { bnd =>
-      val h = xxhash64(col("shingle"), lit(bnd))
-      Seq(h.bitwiseAND(mask).as(s"a$bnd"),
-        shiftrightunsigned(h, 32).bitwiseOR(lit(1L)).as(s"b$bnd"))
-    }
+    // shuffle carries only (doc_id, h) — 16 B/row; the numBands band
+    // hashes are derived AFTER the exchange from h (collision-free over
+    // the corpus at 64 bits), so band independence costs no shuffle
+    // bytes. They are materialized in a post-shuffle projection because
+    // codegen does not share subexpressions ACROSS aggregate update
+    // expressions — referencing attributes keeps it at numBands hash
+    // evaluations per row instead of numHashes.
     val sh = docShingles(docs, n)
-      .select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .repartition(col("doc_id"))
+      .select(col("doc_id") +: (0 until p.numBands).map { bnd =>
+        xxhash64(col("h"), lit(bnd)).as(s"hb$bnd")
+      }: _*)
     val mins = (0 until p.numHashes).map { i =>
       val bnd = i / p.bandRows
       val row = i % p.bandRows
-      min((col(s"a$bnd") + lit(row.toLong) * col(s"b$bnd")).bitwiseAND(mask))
-        .as(s"m$i")
+      val a = col(s"hb$bnd").bitwiseAND(mask)
+      val b = shiftrightunsigned(col(s"hb$bnd"), 32).bitwiseOR(lit(1L))
+      min((a + lit(row.toLong) * b).bitwiseAND(mask)).as(s"m$i")
     }
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }

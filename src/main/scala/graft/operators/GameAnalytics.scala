@@ -656,11 +656,12 @@ object GameAnalytics {
       .filter(col("clean_price") > 0 && col("revenue") > 0)
       .sample(withReplacement = false, fraction = 0.1, seed = 42L)
       .select(col("AppID"), col("clean_price"), col("revenue"))
-      // total order before the cut: without it the kept 5000 is an
+      // total order directly under the cut (plans as
+      // TakeOrderedAndProject): without it the kept 5000 is an
       // arbitrary partition prefix that shifts with parallelism
       .orderBy(col("AppID"))
-      .select(col("clean_price"), col("revenue"))
       .limit(5000)
+      .select(col("clean_price"), col("revenue"))
 
   // ---------------------------------------------------------------------------
   // g21 — genre median via PERCENTILE_APPROX, the reference's actual

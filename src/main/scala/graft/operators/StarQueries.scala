@@ -383,11 +383,12 @@ object StarQueries {
       .sample(withReplacement = false, fraction = 0.1, seed = 42L)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
               revenue.cast(D).cast(DoubleType).as("line_revenue"))
-      // total order before the cut: without it the kept 5000 is an
+      // total order directly under the cut (plans as
+      // TakeOrderedAndProject): without it the kept 5000 is an
       // arbitrary partition prefix that shifts with parallelism
       .orderBy(col("l_orderkey"), col("l_linenumber"))
-      .select(col("l_extendedprice"), col("line_revenue"))
       .limit(5000)
+      .select(col("l_extendedprice"), col("line_revenue"))
 
   // ---------------------------------------------------------------------------
   // q13 — revenue concentration / Pareto (spark_eda.py:567-578 did a
