@@ -102,6 +102,13 @@ class StarQueriesSpec extends SparkSpec {
     assert(maxRelErr <= 0.10, s"approx_count_distinct rel err $maxRelErr")
   }
 
+  test("q12: deterministic cut plans as TakeOrderedAndProject, not a full sort") {
+    val plan = StarQueries.q12SampleScatter(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"sample cut must be top-K, not a global sort:\n$plan")
+  }
+
   test("parquet scans prune columns: q01 reads only the 5 needed lineitem cols") {
     val scans = StarQueries.q01PricingSummary(spark, sf)
       .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
