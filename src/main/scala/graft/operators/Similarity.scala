@@ -93,6 +93,60 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"))
   }
 
+  /** IVF (inverted-file) approximate kNN — the second standard ANN
+    * scale path next to LSH ([[annKnn]]), mirroring the public
+    * IVF-Flat design: a k-means coarse quantizer (MLlib, seeded)
+    * partitions the corpus into `nlist` cells; each query probes its
+    * `nprobe` nearest centroids (by the same Euclidean metric k-means
+    * assigns with) and exact-ranks only those cells' vectors.
+    *
+    * Scale notes: the index is built once (at 100 TB, fit the
+    * quantizer on a sample — `KMeans.fit` already aggregates
+    * per-partition), the corpus is shuffled once on cell id, and each
+    * query touches nprobe/nlist of the corpus — the recall/compute
+    * dial. `nprobe = nlist` degenerates to exact brute force, which the
+    * ScalaTest pin exploits. */
+  def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+             nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c0 = corpus.select(col("vec_id").as("neighbor_id"),
+      VectorOps.asDouble(col("embedding")).as("cv"))
+      .withColumn("fv", array_to_vector(col("cv")))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(c0)
+    val cells = model.transform(c0)
+      .select(col("neighbor_id"), col("cv"), col("cell"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+    // centroid table: nlist rows of index metadata — broadcast side
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.toSeq.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.toSeq) }.toDF("cell", "centroid")
+    val q = queries.select(col("vec_id").as("query_id"),
+      VectorOps.asDouble(col("embedding")).as("qv"))
+      .withColumn("qn2", VectorOps.norm2(col("qv")))
+    // squared euclidean to each centroid: |q|² − 2·q·c + |c|²
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("d2", col("qn2")
+        - lit(2.0) * VectorOps.dot(col("qv"), col("centroid"))
+        + VectorOps.norm2(col("centroid")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("query_id"), col("qv"), sqrt(col("qn2")).as("qn"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    probed.join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"))
+  }
+
   // ---------------------------------------------------------------------------
   // Gate queries
   // ---------------------------------------------------------------------------
@@ -131,6 +185,15 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** IVF ANN for the same queries (k-means quantizer is
+    * engine-specific → rows-only gate; exhaustive-probe == exact and
+    * recall-at-default pinned in SimilaritySpec). */
+  def s04KnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    ivfKnn(emb.filter(col("vec_id") < 20), emb, 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Corpus bucket histogram (rows-only; exercises the bucketing shape
     * that the 100 TB path shuffles on). */
   def s03AnnBucketProfile(spark: SparkSession, dir: String): DataFrame =
@@ -143,6 +206,7 @@ object Similarity {
     "s01_knn_bruteforce"    -> s01KnnBruteForce _,
     "s02_knn_ann"           -> s02KnnAnn _,
     "s03_ann_bucket_profile" -> s03AnnBucketProfile _,
+    "s04_knn_ivf"           -> s04KnnIvf _,
   )
 
   val oracles: Map[String, String] = Map(

@@ -74,4 +74,28 @@ class SimilaritySpec extends SparkSpec {
     // single-probe ≈ 0.22, hamming-1 multi-probe ≈ 0.6 — pin well below
     assert(recall >= 0.4, f"recall@5 degraded to $recall%.2f")
   }
+
+  test("ivfKnn with exhaustive probe equals exact brute force") {
+    // nprobe = nlist means every cell is ranked — IVF degenerates to
+    // the exact answer by construction; any divergence is a bug in the
+    // cell assignment/probe/rerank plumbing.
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceKnn(queries, emb, 5)
+    val ivf = Similarity.ivfKnn(queries, emb, 5, nlist = 8, nprobe = 8)
+    assert(ivf.exceptAll(exact).count() == 0 && exact.exceptAll(ivf).count() == 0)
+  }
+
+  test("ivfKnn recall@5 at the default probe setting is usable") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceKnn(queries, emb, 5)
+      .select("query_id", "neighbor_id")
+    val ivf = Similarity.ivfKnn(queries, emb, 5)
+      .select("query_id", "neighbor_id")
+    val recall = exact.intersect(ivf).count().toDouble / exact.count()
+    // 10 label clusters vs nlist=16 cells, nprobe=4: near neighbors
+    // overwhelmingly share the query's cell or an adjacent one
+    assert(recall >= 0.5, f"IVF recall@5 degraded to $recall%.2f")
+  }
 }
