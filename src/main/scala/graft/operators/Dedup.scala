@@ -154,8 +154,9 @@ object Dedup {
                  n: Int = 3): DataFrame = {
     val mask = lit(0xFFFFFFFFL)
     // shuffle carries only (doc_id, h) — 16 B/row; the numBands band
-    // hashes are derived AFTER the exchange from h (collision-free over
-    // the corpus at 64 bits), so band independence costs no shuffle
+    // hashes are derived AFTER the exchange from h (64-bit collisions
+    // are birthday-bounded and merely merge two shingles' minhash
+    // contributions — harmless), so band independence costs no shuffle
     // bytes. They are materialized in a post-shuffle projection because
     // codegen does not share subexpressions ACROSS aggregate update
     // expressions — referencing attributes keeps it at numBands hash

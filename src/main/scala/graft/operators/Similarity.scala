@@ -83,14 +83,7 @@ object Similarity {
     val cb = annBuckets(corpus, numPlanes, seed)
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("bucket"))
       .withColumn("cn", VectorOps.norm(col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    qb.join(cb, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine",
-        VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("neighbor_id"))
+    rankCandidates(qb.join(cb, Seq("bucket")), k)
   }
 
   /** IVF (inverted-file) approximate kNN — the second standard ANN
@@ -114,32 +107,48 @@ object Similarity {
     val c0 = corpus.select(col("vec_id").as("neighbor_id"),
       VectorOps.asDouble(col("embedding")).as("cv"))
       .withColumn("fv", array_to_vector(col("cv")))
+    // fit on ONE partition: k-means partial-sum merge order is
+    // task-completion-dependent, so a distributed fit is not
+    // bit-deterministic across runs. Quantizers are trained on a
+    // driver-scale sample in practice anyway (sample-then-fit); only
+    // the FIT is single-partition — assignment and search stay
+    // distributed.
     val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(c0)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(c0.coalesce(1))
     val cells = model.transform(c0)
       .select(col("neighbor_id"), col("cv"), col("cell"))
       .withColumn("cn", VectorOps.norm(col("cv")))
-    // centroid table: nlist rows of index metadata — broadcast side
+    // centroid table: nlist rows of index metadata — broadcast side,
+    // with |c|² precomputed once per centroid
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = model.clusterCenters.toSeq.zipWithIndex
       .map { case (v, i) => (i, v.toArray.toSeq) }.toDF("cell", "centroid")
+      .withColumn("cn2", VectorOps.norm2(col("centroid")))
     val q = queries.select(col("vec_id").as("query_id"),
       VectorOps.asDouble(col("embedding")).as("qv"))
-      .withColumn("qn2", VectorOps.norm2(col("qv")))
-    // squared euclidean to each centroid: |q|² − 2·q·c + |c|²
+      .withColumn("qn", VectorOps.norm(col("qv")))
+    // centroid ranking: argmin over |q|² − 2·q·c + |c|², and |q|² is
+    // constant within a query's ranking — rank by (−2·q·c + |c|²)
     val probed = q.crossJoin(broadcast(centroids))
-      .withColumn("d2", col("qn2")
-        - lit(2.0) * VectorOps.dot(col("qv"), col("centroid"))
-        + VectorOps.norm2(col("centroid")))
+      .withColumn("d2p",
+        VectorOps.dot(col("qv"), col("centroid")) * lit(-2.0) + col("cn2"))
       .withColumn("crk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))))
+        Window.partitionBy(col("query_id")).orderBy(col("d2p"), col("cell"))))
       .filter(col("crk") <= nprobe)
-      .select(col("query_id"), col("qv"), sqrt(col("qn2")).as("qn"), col("cell"))
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    rankCandidates(probed.join(cells, Seq("cell")), k)
+  }
+
+  /** Shared exact-rerank tail of every ANN path: drop self-pairs, score
+    * candidates by true cosine, keep the top-k per query under the
+    * (cosine desc, neighbor_id) total order. Expects columns
+    * query_id/qv/qn on the query side and neighbor_id/cv/cn on the
+    * candidate side. */
+  private def rankCandidates(cands: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    probed.join(cells, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    cands.filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rk", row_number().over(w))

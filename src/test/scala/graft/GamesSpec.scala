@@ -144,6 +144,13 @@ class GamesSpec extends SparkSpec {
     assert(out.filter($"AppID" === 9).select($"revenue").isEmpty == false)
   }
 
+  test("g20: deterministic cut plans as TakeOrderedAndProject, not a full sort") {
+    val plan = GameAnalytics.g20SampleScatter(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"sample cut must be top-K, not a global sort:\n$plan")
+  }
+
   test("catalog queries share one cached base frame (InMemoryRelation in plan)") {
     GamesSource.cachedGames(spark, sf).count()  // materialize
     val plan = GameAnalytics.g01GenreRevenue(spark, sf).queryExecution.optimizedPlan
