@@ -236,6 +236,50 @@ object Media {
       .orderBy(col("kind"))
   }
 
+  /** m05 — resize bookkeeping profile: per kind, how many payloads the
+    * resize touched, total bytes after, and a payload checksum proving
+    * the truncation slices identical bytes in both engines. The ASCII
+    * guard mirrors m02's: DuckDB substring is character-based, so the
+    * oracle is byte-exact only over single-byte text (the whole corpus,
+    * asserted by the guard itself). */
+  def m05ResizeProfile(spark: SparkSession, dir: String): DataFrame = {
+    val maxBytes = 100
+    // same ASCII guard as the m02 oracle (byte length == char length),
+    // applied on BOTH sides so the character-based DuckDB substring and
+    // the byte-based Spark slice see the same rows
+    val asciiDocs = Tables.documents(spark, dir)
+      .filter(length(encode(col("text"), "utf-8")) === length(col("text")))
+    resizeTo(mediaCatalog(asciiDocs), maxBytes)
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("media_count"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(when(col("n_bytes") === maxBytes, 1).otherwise(0)).as("capped_count"),
+        max(md5(col("content"))).as("max_md5"))
+      .orderBy(col("kind"))
+  }
+
+  val m05Sql: String =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id,
+      |         CASE (doc_id % 3 + 1) WHEN 1 THEN 'image'
+      |                               WHEN 2 THEN 'audio'
+      |                               ELSE 'video' END AS kind,
+      |         text AS content
+      |  FROM documents
+      |  WHERE octet_length(encode(text)) = length(text)),
+      |r AS (SELECT kind, substring(content, 1, 100) AS rc,
+      |             CAST(least(length(content), 100) AS INT) AS n_bytes
+      |      FROM media)
+      |SELECT kind, COUNT(*) AS media_count,
+      |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+      |  CAST(SUM(CASE WHEN n_bytes = 100 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS capped_count,
+      |  MAX(md5(rc)) AS max_md5
+      |FROM r
+      |GROUP BY kind
+      |ORDER BY kind""".stripMargin
+
   /** m04 — media feature vectors routed into the similarity stack:
     * nearest neighbor per media among the first 50 (rows-only: feature
     * hashing is engine-specific; geometry invariants in ScalaTest). */
@@ -253,10 +297,12 @@ object Media {
     "m02_frame_sample"   -> m02FrameSample _,
     "m03_decode_profile" -> m03DecodeProfile _,
     "m04_feature_knn"    -> m04FeatureKnn _,
+    "m05_resize_profile" -> m05ResizeProfile _,
   )
 
   val oracles: Map[String, String] = Map(
     "m01_media_stats"  -> m01Sql,
     "m02_frame_sample" -> m02Sql,
+    "m05_resize_profile" -> m05Sql,
   )
 }

@@ -796,6 +796,27 @@ object StarQueries {
        |WHERE rk <= 3
        |ORDER BY l_returnflag, rk""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // p01 — bounded per-group sampling through the typed Aggregator UDAF
+  // ([[graft.functions.PrioritySample]]): 5 deterministic hash-priority
+  // samples per brand, O(k) state per group regardless of group size.
+  // Hash priorities are engine-specific → rows-only gate; uniformity,
+  // bound, and merge-order-independence are pinned in
+  // PrioritySampleSpec.
+  // ---------------------------------------------------------------------------
+  def p01PrioritySample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_name"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.PrioritySample.topK(5).toColumn.name("sample"))
+      .toDF("p_brand", "sample")
+      .select(col("p_brand"), array_join(col("sample"), ",").as("sample_csv"))
+      .orderBy(col("p_brand"))
+  }
+
   /** name → query for [[graft.SparkEntry]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> q01PricingSummary _,
@@ -826,6 +847,7 @@ object StarQueries {
     "q23_supplier_part_breadth" -> q23SupplierPartBreadth _,
     "q24_top_brands_per_flag" -> q24TopBrandsPerFlag _,
     "q25_approx_part_breadth" -> q25ApproxPartBreadth _,
+    "p01_priority_sample" -> p01PrioritySample _,
   )
 
   /** name → DuckDB oracle (q12 sampling is engine-specific → rows-only). */
