@@ -343,6 +343,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
   }
 
+  // -- duplicate clustering ---------------------------------------------------
+
+  /** Connected components over a near-dup pair list: every document in a
+    * component is a near-duplicate (possibly transitively) of its
+    * cluster head, the minimum doc_id — the canonical survivor a dedup
+    * pass keeps.
+    *
+    * Pregel-style iterative min-label propagation: each round every node
+    * takes the min of its own label and its neighbors' labels, until a
+    * round changes nothing. Rounds = component diameter, and near-dup
+    * components at a high threshold are near-cliques (diameter ~2), so
+    * the loop is short; the driver only ever sees the per-round changed
+    * COUNT, never data. Each round is one shuffle of (node, lbl) pairs —
+    * 16 bytes/row — joined against the edge list; at 100 TB this is the
+    * standard formulation (alternating large-star/small-star is the
+    * same join shape with a better worst-case round bound).
+    *
+    * Every round MUST truncate lineage, not merely cache: the round's
+    * plan references the previous labels twice (join + convergence
+    * check), so the logical plan doubles per round and the analyzer
+    * itself goes exponential long before any data moves (a 10-round
+    * path graph OOMs the driver on explain-string generation alone).
+    * `localCheckpoint(eager)` replaces the plan with the materialized
+    * partitions; a multi-job production run would use reliable
+    * `checkpoint` to survive executor loss.
+    *
+    * Returns (node, lbl): every document that appears in a pair, with
+    * its cluster head. Singletons never enter (they have no pair — a
+    * full dedup keeps them untouched). */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("node"), least(col("src"), col("mn")).as("lbl"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(edges("src")).agg(min(col("lbl")).as("nlbl"))
+        .select(col("src").as("node"), col("nlbl"))
+      val next = labels.as("l").join(nbrMin.as("n"), Seq("node"))
+        .select(col("node"), least(col("l.lbl"), col("n.nlbl")).as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.as("a").join(labels.as("b"), Seq("node"))
+        .filter(col("a.lbl") < col("b.lbl")).count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   // ---------------------------------------------------------------------------
   // Gate queries
   // ---------------------------------------------------------------------------
@@ -476,6 +532,63 @@ object Dedup {
       |                             b.embedding::DOUBLE[]) >= 0.45
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** d09 — duplicate clusters over the exact Jaccard pairs: per cluster
+    * head, how many documents collapse into it. The exact pairs feed the
+    * gate for oracle determinism; at scale the same [[dupClusters]] runs
+    * off d03's LSH pairs (identical schema, and on this corpus an
+    * identical pair set — see d03). Oracle = transitive closure by
+    * recursive CTE in DuckDB. */
+  def d09DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(Tables.documents(spark, dir), 0.8)
+      .select(col("id_a"), col("id_b"))
+    dupClusters(pairs)
+      .groupBy(col("lbl"))
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        sum(col("node")).as("member_id_sum"),
+        max(col("node")).as("max_doc_id"))
+      .select(col("lbl").as("cluster_id"), col("cluster_size"),
+        col("member_id_sum"), col("max_doc_id"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val d09Sql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         w[i.i] || ' ' || w[i.i+1] || ' ' || w[i.i+2] AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |        WHERE len(string_split(text, ' ')) >= 3)
+      |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) i
+      |  UNION ALL
+      |  SELECT doc_id, text AS shingle FROM documents
+      |  WHERE len(string_split(text, ' ')) < 3),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |    JOIN sizes sa ON id_a = sa.doc_id
+      |    JOIN sizes sb ON id_b = sb.doc_id
+      |  WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.8),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |labels AS (
+      |  SELECT src AS node, least(src, MIN(dst)) AS lbl
+      |  FROM reach GROUP BY src)
+      |SELECT lbl AS cluster_id,
+      |  COUNT(*) AS cluster_size,
+      |  CAST(SUM(node) AS BIGINT) AS member_id_sum,
+      |  MAX(node) AS max_doc_id
+      |FROM labels
+      |GROUP BY lbl
+      |ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"     -> d01ExactDedup _,
     "d02_jaccard_pairs"   -> d02JaccardPairs _,
@@ -485,6 +598,7 @@ object Dedup {
     "d06_winnow_pairs"    -> d06WinnowPairs _,
     "d07_embedding_lsh_pairs" -> d07EmbeddingLshPairs _,
     "d08_jaccard_capped"  -> d08JaccardCapped _,
+    "d09_dup_clusters"    -> d09DupClusters _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -493,5 +607,6 @@ object Dedup {
     "d03_minhash_pairs"   -> d02Sql, // must equal the exact answer
     "d05_embedding_pairs" -> d05Sql,
     "d08_jaccard_capped"  -> d08Sql,
+    "d09_dup_clusters"    -> d09Sql,
   )
 }

@@ -225,6 +225,120 @@ object TextAnalysis {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  /** t07 — stopword scrubbing: the cleaning transform of a training-data
+    * pipeline (C4-style token filtering) as a pure projection. The token
+    * array is materialized once per row, the kept-token array once more
+    * (HOF lambdas are interpreted and re-evaluate their inputs — the
+    * projection chain keeps each `split` to a single evaluation), then
+    * every reported metric and the canonical md5 of the cleaned text are
+    * plain codegen'd column ops: no shuffle at all before the bounding
+    * ORDER BY/LIMIT, so the transform itself is embarrassingly parallel
+    * at any corpus size. */
+  def t07Scrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        filter(col("toks"), w => !w.isInCollection(stopwords)).as("kept"))
+      .select(col("doc_id"), col("toks"), col("kept"),
+        array_join(col("kept"), " ").as("cleaned"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("tokens_before"),
+        size(col("kept")).as("tokens_after"),
+        length(col("cleaned")).as("chars_after"),
+        md5(to_binary(col("cleaned"), lit("utf-8"))).as("clean_fp"))
+      .orderBy(col("doc_id"))
+      .limit(1000)
+
+  val t07Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |k AS (
+       |  SELECT doc_id, toks,
+       |         list_filter(toks, w -> w NOT IN ($sqlStops)) AS kept
+       |  FROM t),
+       |s AS (
+       |  SELECT doc_id, toks, kept, array_to_string(kept, ' ') AS cleaned
+       |  FROM k)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS INT) AS tokens_before,
+       |  CAST(len(kept) AS INT) AS tokens_after,
+       |  CAST(length(cleaned) AS INT) AS chars_after,
+       |  md5(cleaned) AS clean_fp
+       |FROM s
+       |ORDER BY doc_id
+       |LIMIT 1000""".stripMargin
+
+  /** In-row longest-equal-run over a SORTED array — the max multiplicity
+    * of any element, computed by a single `aggregate` fold instead of an
+    * explode + groupBy: per-document repetition never leaves the row, so
+    * the repetition scan has no shuffle and no skew surface (a
+    * pathological doc costs its own O(n log n) sort, nobody else's). */
+  def maxMultiplicity(sortedArr: Column): Column = {
+    val step = (acc: Column, x: Column) => {
+      val run = when(x === acc.getField("prev"), acc.getField("run") + lit(1))
+        .otherwise(lit(1))
+      struct(x.as("prev"), run.as("run"),
+        greatest(acc.getField("best"), run).as("best"))
+    }
+    aggregate(
+      sortedArr,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      step,
+      _.getField("best"))
+  }
+
+  /** ALL adjacent bigrams with multiplicity (unlike the dedup shingler,
+    * which is distinct-set semantics). Empty array below 2 tokens — the
+    * guard matters because `sequence(0, -1)` would count DOWN. */
+  def bigramsAll(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** t08 — Gopher-style repetition signals per document: the fraction of
+    * tokens that are repeats of an earlier token, and the share of
+    * bigram slots taken by the single most frequent bigram. High values
+    * of either are the classic machine-generated/boilerplate tells a
+    * training-data filter cuts on. All in-row (see [[maxMultiplicity]]). */
+  def t08Repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        sort_array(bigramsAll(col("toks"))).as("bigrams"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        (lit(1.0) -
+          size(array_distinct(col("toks"))).cast(DoubleType) /
+            size(col("toks")).cast(DoubleType)).as("dup_token_frac"),
+        maxMultiplicity(col("bigrams")).as("top_bigram_count"),
+        (maxMultiplicity(col("bigrams")).cast(DoubleType) /
+          size(col("bigrams")).cast(DoubleType)).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+      .limit(1000)
+
+  val t08Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |bg AS (
+       |  SELECT doc_id, w[i.i] || ' ' || w[i.i+1] AS bigram
+       |  FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(w))) AS i) i),
+       |top AS (
+       |  SELECT doc_id, MAX(c) AS topc FROM (
+       |    SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+       |  GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(len(w) AS INT) AS n_tokens,
+       |  1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+       |    AS dup_token_frac,
+       |  CAST(topc AS INT) AS top_bigram_count,
+       |  CAST(topc AS DOUBLE) / CAST(len(w) - 1 AS DOUBLE) AS top_bigram_frac
+       |FROM toks t JOIN top USING (doc_id)
+       |ORDER BY doc_id
+       |LIMIT 1000""".stripMargin
+
   /** Rolling-hash fingerprints via the native PolyHash expression
     * (wrapping mod-2⁶⁴ arithmetic → engine-specific → rows-only gate;
     * determinism + collision behavior pinned in ScalaTest). */
@@ -242,6 +356,8 @@ object TextAnalysis {
     "t04_fingerprints"   -> t04Fingerprints _,
     "t05_lang_profile"   -> t05LangProfile _,
     "t06_poly_fingerprints" -> t06PolyFingerprints _,
+    "t07_scrub"          -> t07Scrub _,
+    "t08_repetition"     -> t08Repetition _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -250,5 +366,7 @@ object TextAnalysis {
     "t03_lang_id"        -> t03Sql,
     "t04_fingerprints"   -> t04Sql,
     "t05_lang_profile"   -> t05Sql,
+    "t07_scrub"          -> t07Sql,
+    "t08_repetition"     -> t08Sql,
   )
 }

@@ -92,4 +92,26 @@ class DedupSpec extends SparkSpec {
     // doc-4-only shingles (freq 1) survive
     assert(n.filter($"shingle" === "completely different text").count() == 1)
   }
+
+  private def clustersOf(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.dupClusters(pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("dupClusters: transitive chain collapses to the min label") {
+    // 1-2, 2-3, 3-4 share no direct pair between 1 and 4
+    val got = clustersOf(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("dupClusters: disjoint components keep separate heads") {
+    val got = clustersOf(Seq((5L, 9L), (2L, 7L), (7L, 3L)))
+    assert(got == Map(5L -> 5L, 9L -> 5L, 2L -> 2L, 7L -> 2L, 3L -> 2L))
+  }
+
+  test("dupClusters: long path needs multiple propagation rounds") {
+    // path 10-9-8-...-1: diameter 9, label 1 must reach node 10
+    val path = (1L until 10L).map(i => (i, i + 1))
+    val got = clustersOf(path)
+    assert(got.size == 10 && got.values.forall(_ == 1L))
+  }
 }
