@@ -185,15 +185,61 @@ object EventQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // v07 — click→purchase attribution: every purchase a user makes within
+  // 30 minutes of a click, the batch twin of the watermarked
+  // stream-stream interval join in EventStreams.attributedPurchases.
+  // Plans as an equi-join on user_id (one shuffle each side, or a
+  // broadcast when one side is small) with the time-range predicate
+  // evaluated inside the join — the scalable shape for interval joins
+  // whose key carries most of the selectivity.
+  // ---------------------------------------------------------------------------
+  def v07AttributedPurchases(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        ((unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .cast(DoubleType) / lit(1000000.0)).as("lag_sec"),
+        col("value").as("purchase_value"))
+      .orderBy(col("click_id"), col("purchase_id"))
+      .limit(2000)
+  }
+
+  val v07Sql: String =
+    """WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT click_id, purchase_id, c.user_id AS user_id,
+      |  CAST(epoch_us(purchase_ts) - epoch_us(click_ts) AS DOUBLE) / 1000000.0
+      |    AS lag_sec,
+      |  value AS purchase_value
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND purchase_ts >= click_ts
+      |  AND purchase_ts <= click_ts + INTERVAL 30 MINUTES
+      |ORDER BY click_id, purchase_id
+      |LIMIT 2000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_tumbling_counts"     -> v01TumblingCounts _,
     "v02_sessions"            -> v02Sessions _,
     "v03_minute_dedup_counts" -> v03MinuteDedupCounts _,
     "v04_sliding_counts"      -> v04SlidingCounts _,
     "v06_props_profile"       -> v06PropsProfile _,
+    "v07_attributed_purchases" -> v07AttributedPurchases _,
   )
 
   val oracles: Map[String, String] = Map(
+    "v07_attributed_purchases" -> v07Sql,
     "v01_tumbling_counts"     -> v01Sql,
     "v02_sessions"            -> v02Sql,
     "v03_minute_dedup_counts" -> v03Sql,

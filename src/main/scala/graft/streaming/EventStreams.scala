@@ -116,6 +116,40 @@ object EventStreams {
       .select(col("user_id"), col("event_type"), col("minute"))
 
   // ---------------------------------------------------------------------------
+  // Stream-stream interval join (streaming v07)
+  // ---------------------------------------------------------------------------
+
+  /** Click→purchase attribution as a watermarked stream-stream self-join:
+    * each purchase joins every click by the same user in the preceding
+    * 30 minutes. Both sides carry a watermark AND the join condition
+    * bounds purchase_ts to [click_ts, click_ts + 30 min] — that pair is
+    * what lets Spark expire join state: a buffered click can be dropped
+    * once the purchase-side watermark passes click_ts + 30 min, so state
+    * is one watermark-horizon of clicks per shuffle partition, not the
+    * whole history. Semantics match the batch
+    * EventQueries.v07AttributedPurchases (oracle-checked); equivalence
+    * pinned in EventStreamsSpec. */
+  def attributedPurchases(events: DataFrame,
+                          lateness: String = defaultLateness): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", lateness)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", lateness)
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        ((unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .cast(DoubleType) / lit(1000000.0)).as("lag_sec"),
+        col("value").as("purchase_value"))
+  }
+
+  // ---------------------------------------------------------------------------
   // Custom state: per-user running profile via flatMapGroupsWithState
   // ---------------------------------------------------------------------------
 

@@ -120,6 +120,26 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("attributedPurchases replay matches batch v07 exactly") {
+    val streamed = replay(EventStreams.attributedPurchases(_))
+    assertSameRows(streamed, EventQueries.v07AttributedPurchases(spark, sf))
+  }
+
+  test("attributedPurchases: multi-click attribution and window edge") {
+    def ev(id: Long, t: String, u: Long, typ: String) =
+      Ev(id, Timestamp.valueOf(t), u, typ, 1.0)
+    val crafted = Seq(
+      ev(1, "2024-01-01 10:00:00", 7, "click"),
+      ev(2, "2024-01-01 10:20:00", 7, "click"),
+      ev(3, "2024-01-01 10:30:00", 7, "purchase"),  // joins clicks 1 AND 2
+      ev(4, "2024-01-01 12:00:00", 7, "click"),
+      ev(5, "2024-01-01 12:31:00", 7, "purchase"),  // 31 min > window: no pair
+      ev(6, "2024-01-01 10:25:00", 8, "click"))     // other user: no pair
+    val got = replay(EventStreams.attributedPurchases(_), Seq(crafted))
+      .select($"click_id", $"purchase_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L), (2L, 3L)))
+  }
+
   test("userProfiles accumulates state across micro-batches") {
     val all = events.collect().toSeq.sortBy(_.ts.getTime)
     val (h1, h2) = all.splitAt(all.size / 2)
