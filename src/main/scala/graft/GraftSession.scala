@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** One place for the engine's Spark configuration posture, local and
-  * cluster. Everything here is a plain conf — no custom extensions are
-  * required for this engine (SURVEY.md §7.3); Catalyst + AQE plan the
-  * whole catalog.
+  * cluster. Catalyst + AQE plan the whole catalog (SURVEY.md §7.3); the
+  * one extension, [[GraftExtensions]], only registers the library's
+  * native expressions as SQL functions — it adds no planner rules.
   *
   * The cluster rationale, per conf:
   *  - AQE on (default since 3.2) with `skewJoin` — fact-fact joins
@@ -26,6 +26,7 @@ object GraftSession {
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -120,7 +120,10 @@ object RollingHash {
 
   // -- Column surface ---------------------------------------------------------
 
-  def polyHash(text: Column, seed: Long = 0xcbf29ce484222325L): Column =
+  /** FNV-1a offset basis — the default polynomial seed. */
+  val defaultSeed: Long = 0xcbf29ce484222325L
+
+  def polyHash(text: Column, seed: Long = defaultSeed): Column =
     GraftSqlBridge.column(PolyHash(
       GraftSqlBridge.expression(text),
       GraftSqlBridge.expression(org.apache.spark.sql.functions.lit(seed))))

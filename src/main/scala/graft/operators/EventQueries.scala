@@ -229,6 +229,40 @@ object EventQueries {
       |ORDER BY click_id, purchase_id
       |LIMIT 2000""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // v08 — trailing 1-hour spend per user at every event: a time-RANGE
+  // window frame (not ROWS — peers with equal timestamps all enter the
+  // frame, which is what makes the result order-independent). Frame
+  // bounds are epoch-µs longs because Spark's rangeBetween needs a
+  // numeric ORDER BY; one shuffle on user_id, per-user sort.
+  // ---------------------------------------------------------------------------
+  def v08TrailingSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("trail_1h_value",
+        sum(graft.functions.DecimalSums.dec(col("value"))).over(w)
+          .cast(DoubleType))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), tsFmt).as("event_ts"), col("trail_1h_value"))
+      .orderBy(col("user_id"), col("us"), col("event_id"))
+      .limit(2000)
+  }
+
+  val v08Sql: String = {
+    val decVal = graft.functions.DecimalSums.sqlDec("value")
+    s"""SELECT event_id, user_id,
+       |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       |  CAST(SUM($decVal) OVER (
+       |    PARTITION BY user_id ORDER BY epoch_us(ts)
+       |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    AS trail_1h_value
+       |FROM events
+       |ORDER BY user_id, epoch_us(ts), event_id
+       |LIMIT 2000""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_tumbling_counts"     -> v01TumblingCounts _,
     "v02_sessions"            -> v02Sessions _,
@@ -236,10 +270,12 @@ object EventQueries {
     "v04_sliding_counts"      -> v04SlidingCounts _,
     "v06_props_profile"       -> v06PropsProfile _,
     "v07_attributed_purchases" -> v07AttributedPurchases _,
+    "v08_trailing_spend"       -> v08TrailingSpend _,
   )
 
   val oracles: Map[String, String] = Map(
     "v07_attributed_purchases" -> v07Sql,
+    "v08_trailing_spend"       -> v08Sql,
     "v01_tumbling_counts"     -> v01Sql,
     "v02_sessions"            -> v02Sql,
     "v03_minute_dedup_counts" -> v03Sql,

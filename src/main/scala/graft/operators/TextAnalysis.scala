@@ -339,6 +339,27 @@ object TextAnalysis {
        |ORDER BY doc_id
        |LIMIT 1000""".stripMargin
 
+  /** t09 — corpus-wide top-20 tokens: the exact heavy-hitters query.
+    * explode + hash-aggregate is the right distributed shape — the
+    * partial aggregate collapses each task's token counts BEFORE the
+    * shuffle, so shuffle volume is (distinct tokens × tasks), not token
+    * occurrences; the final top-k is a TakeOrderedAndProject (no global
+    * sort). Token ties break lexicographically for a total order. */
+  def t09TokenTopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(wsTokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("token"))
+      .limit(20)
+
+  val t09Sql: String =
+    """SELECT token, COUNT(*) AS occurrences
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      |GROUP BY token
+      |ORDER BY occurrences DESC, token
+      |LIMIT 20""".stripMargin
+
   /** Rolling-hash fingerprints via the native PolyHash expression
     * (wrapping mod-2⁶⁴ arithmetic → engine-specific → rows-only gate;
     * determinism + collision behavior pinned in ScalaTest). */
@@ -358,6 +379,7 @@ object TextAnalysis {
     "t06_poly_fingerprints" -> t06PolyFingerprints _,
     "t07_scrub"          -> t07Scrub _,
     "t08_repetition"     -> t08Repetition _,
+    "t09_token_topk"     -> t09TokenTopK _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -368,5 +390,6 @@ object TextAnalysis {
     "t05_lang_profile"   -> t05Sql,
     "t07_scrub"          -> t07Sql,
     "t08_repetition"     -> t08Sql,
+    "t09_token_topk"     -> t09Sql,
   )
 }
