@@ -817,6 +817,36 @@ object StarQueries {
       .orderBy(col("p_brand"))
   }
 
+  // ---------------------------------------------------------------------------
+  // q26 — pivot: ship-year rows × return-flag columns of decimal-summed
+  // revenue. The value list is EXPLICIT (Seq("A","N","R")) — with it,
+  // pivot is a single pass (one partial+final aggregate, no extra
+  // values-discovery job, schema fixed at plan time), which is the only
+  // form you'd run at 100 TB.
+  // ---------------------------------------------------------------------------
+  def q26ReturnflagPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(year(col("l_shipdate")).as("ship_year"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(dsum(col("l_extendedprice")))
+      .select(col("ship_year"), col("A").as("rev_a"),
+        col("N").as("rev_n"), col("R").as("rev_r"))
+      .orderBy(col("ship_year"))
+
+  val q26Sql: String = {
+    def branch(flag: String) =
+      "CAST(SUM(CASE WHEN l_returnflag = '" + flag + "' THEN " +
+        graft.functions.DecimalSums.sqlDec("l_extendedprice") +
+        " END) AS DOUBLE)"
+    s"""SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+       |  ${branch("A")} AS rev_a,
+       |  ${branch("N")} AS rev_n,
+       |  ${branch("R")} AS rev_r
+       |FROM lineitem
+       |GROUP BY 1
+       |ORDER BY ship_year""".stripMargin
+  }
+
   /** name → query for [[graft.SparkEntry]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> q01PricingSummary _,
@@ -848,10 +878,12 @@ object StarQueries {
     "q24_top_brands_per_flag" -> q24TopBrandsPerFlag _,
     "q25_approx_part_breadth" -> q25ApproxPartBreadth _,
     "p01_priority_sample" -> p01PrioritySample _,
+    "q26_returnflag_pivot" -> q26ReturnflagPivot _,
   )
 
   /** name → DuckDB oracle (q12 sampling is engine-specific → rows-only). */
   val oracles: Map[String, String] = Map(
+    "q26_returnflag_pivot" -> q26Sql,
     "q01_pricing_summary"    -> q01Sql,
     "q02_parttype_revenue"   -> q02Sql,
     "q03_supplier_metrics"   -> q03Sql,

@@ -360,6 +360,28 @@ object TextAnalysis {
       |ORDER BY occurrences DESC, token
       |LIMIT 20""".stripMargin
 
+  /** t10 — count-min-sketch token counts beside the exact answer: the
+    * sketch is the 100 TB heavy-hitters path (one aggregate pass to a
+    * few-KB mergeable summary; the exact t09 shuffle carries every
+    * distinct token). The collected sketch is the OUTPUT of the
+    * distributed pass, not a driver-side loop over data — estimating
+    * the 20 probe tokens from it is O(k·depth). Engine-specific
+    * hashing → rows-only gate; the CMS guarantees (never under, over by
+    * ≤ ε·N w.h.p.) are pinned in TextAnalysisSpec. */
+  def t10CmsTopkEstimates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sketchBytes = Tables.documents(spark, dir)
+      .select(explode(wsTokens(col("text"))).as("token"))
+      .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+    t09TokenTopK(spark, dir).as[(String, Long)].collect().toSeq
+      .map { case (tok, exact) => (tok, exact, cms.estimateCount(tok)) }
+      .toDF("token", "occurrences", "cms_estimate")
+      .orderBy(col("occurrences").desc, col("token"))
+  }
+
   /** Rolling-hash fingerprints via the native PolyHash expression
     * (wrapping mod-2⁶⁴ arithmetic → engine-specific → rows-only gate;
     * determinism + collision behavior pinned in ScalaTest). */
@@ -380,6 +402,7 @@ object TextAnalysis {
     "t07_scrub"          -> t07Scrub _,
     "t08_repetition"     -> t08Repetition _,
     "t09_token_topk"     -> t09TokenTopK _,
+    "t10_cms_estimates"  -> t10CmsTopkEstimates _,
   )
 
   val oracles: Map[String, String] = Map(

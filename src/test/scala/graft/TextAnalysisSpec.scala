@@ -64,4 +64,31 @@ class TextAnalysisSpec extends SparkSpec {
       .filter(!col("pred").isin(known: _*)).count()
     assert(bad == 0)
   }
+
+  test("maxMultiplicity equals the naive mode count, in-row") {
+    val got = spark.range(1)
+      .select(TextAnalysis.maxMultiplicity(
+        sort_array(split(lit("b a c a b a"), " "))).as("m"))
+      .as[Int].head()
+    assert(got == 3) // "a" appears 3 times
+    val empty = spark.range(1)
+      .select(TextAnalysis.maxMultiplicity(
+        array().cast("array<string>")).as("m")).as[Int].head()
+    assert(empty == 0)
+  }
+
+  test("CMS estimates: never under the exact count, over by at most eps*N") {
+    val rows = TextAnalysis.t10CmsTopkEstimates(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(rows.length == 20)
+    val n = Tables.documents(spark, sf)
+      .select(explode(TextAnalysis.wsTokens(col("text")))).count()
+    rows.foreach { case (tok, exact, est) =>
+      assert(est >= exact, s"$tok: CMS under-estimated $est < $exact")
+      // per-query guarantee is ≤ eps*N with prob 0.99; across 20 probes
+      // allow a small multiple before calling it broken
+      assert(est - exact <= (0.001 * n * 5).toLong,
+        s"$tok: estimate $est too far above exact $exact (N=$n)")
+    }
+  }
 }
