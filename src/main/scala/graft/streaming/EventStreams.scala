@@ -129,8 +129,18 @@ object EventStreams {
     * whole history. Semantics match the batch
     * EventQueries.v07AttributedPurchases (oracle-checked); equivalence
     * pinned in EventStreamsSpec. */
+  /** As [[attributedPurchases]] but LEFT OUTER: clicks that never
+    * convert still emit (null purchase columns) — but only once the
+    * watermark proves no in-window purchase can still arrive, i.e. the
+    * null row for a click surfaces after the purchase-side watermark
+    * passes click_ts + 30 min. Same state bound as the inner form. */
+  def attributionFunnel(events: DataFrame,
+                        lateness: String = defaultLateness): DataFrame =
+    attributedPurchases(events, lateness, "left_outer")
+
   def attributedPurchases(events: DataFrame,
-                          lateness: String = defaultLateness): DataFrame = {
+                          lateness: String = defaultLateness,
+                          joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -142,7 +152,8 @@ object EventStreams {
     clicks.join(purchases,
         col("user_id") === col("p_user") &&
           col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        joinType)
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         ((unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
           .cast(DoubleType) / lit(1000000.0)).as("lag_sec"),

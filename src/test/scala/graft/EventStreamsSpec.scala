@@ -140,6 +140,30 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == Set((1L, 3L), (2L, 3L)))
   }
 
+  test("attributionFunnel: unconverted clicks emit nulls after watermark") {
+    def ev(id: Long, t: String, u: Long, typ: String) =
+      Ev(id, Timestamp.valueOf(t), u, typ, 1.0)
+    val crafted = Seq(
+      ev(1, "2024-01-01 10:00:00", 7, "click"),
+      ev(2, "2024-01-01 10:10:00", 7, "purchase"),  // converts click 1
+      ev(3, "2024-01-01 11:00:00", 9, "click"))     // never converts
+    // outer-join eviction needs (a) watermark-advancing rows that pass
+    // the click/purchase FILTERS — the type-filtered replay sentinel
+    // never reaches the watermark operator — and (b) one further batch:
+    // eviction runs with the watermark computed at the END of the
+    // previous batch. So: far-future click+purchase advance both
+    // watermarks in batch 2; replay()'s trailing sentinel batch then
+    // evicts click 3 and emits its null row.
+    val wmPush = Seq(
+      ev(98, "2024-06-01 00:00:00", 98, "click"),
+      ev(99, "2024-06-01 00:00:00", 99, "purchase"))
+    val got = replay(EventStreams.attributionFunnel(_), Seq(crafted, wmPush))
+      .filter($"click_id" < 90)
+      .select($"click_id", $"purchase_id")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(got == Set((1L, Some(2L)), (3L, None)))
+  }
+
   test("userProfiles accumulates state across micro-batches") {
     val all = events.collect().toSeq.sortBy(_.ts.getTime)
     val (h1, h2) = all.splitAt(all.size / 2)
