@@ -32,6 +32,46 @@ object Warehouse {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Small-file compaction — the standing maintenance job of any
+    * long-lived parquet warehouse: streaming/append producers leave
+    * thousands of KB-scale files per directory, and at 100 TB the
+    * resulting task-per-file scheduling + open/footer overhead dominates
+    * scans. Rewrites `path` into ⌈bytes / targetFileBytes⌉ files via a
+    * round-robin repartition (size-balanced without needing a shuffle
+    * key), writes to a temp sibling, then swaps atomically-enough for a
+    * single-writer maintenance window (a production lakehouse does the
+    * swap under a table-format transaction — Spark-level compaction is
+    * the same rewrite). For a `partitionBy` layout, run per partition
+    * directory (each is a flat parquet dir); compacting the root would
+    * flatten the partition columns out of the directory structure.
+    *
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def parquetFiles(p: String) =
+      Files.walk(Paths.get(p)).iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
+        .toSeq
+    val before = parquetFiles(path)
+    val totalBytes = before.map(Files.size).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = path.stripSuffix("/") + "__compacting"
+    spark.read.parquet(path)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val dir = Paths.get(path)
+    Files.walk(dir).iterator().asScala.toSeq.reverse
+      .filter(_ != dir).foreach(Files.delete)
+    Files.walk(Paths.get(tmp)).iterator().asScala.toSeq
+      .filter(Files.isRegularFile(_))
+      .foreach(f => Files.move(f, dir.resolve(f.getFileName)))
+    Files.walk(Paths.get(tmp)).iterator().asScala.toSeq.reverse
+      .foreach(Files.delete)
+    (before.size, parquetFiles(path).size)
+  }
+
   /** Bucketed + sorted table write — the co-located-join layout.
     * Two tables bucketed on their join key with the SAME bucket count
     * sort-merge-join with NO exchange on either side (each bucket pair

@@ -111,4 +111,22 @@ class ScalePostureSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_customer_b")
     }
   }
+
+  test("compact collapses a fragmented directory without changing data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    try {
+      val events = Tables.events(spark, sf)
+      // simulate an append-heavy producer: 64 tiny files
+      events.repartition(64).write.mode("overwrite").parquet(dir)
+      val fragmented = digest(Warehouse.read(spark, dir))
+      val (before, after) = Warehouse.compact(spark, dir)
+      assert(before >= 64, s"fixture not fragmented: $before files")
+      assert(after < 8, s"compaction left $after files")
+      assert(digest(Warehouse.read(spark, dir)) == fragmented,
+        "compaction changed the data")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }
