@@ -847,6 +847,101 @@ object StarQueries {
        |ORDER BY ship_year""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q27 — unpivot (melt) of the q26 matrix back to long form. Spark's
+  // unpivot EXCLUDES null cells by design; the oracle's UNION-ALL
+  // branches carry the matching IS NOT NULL guard.
+  // ---------------------------------------------------------------------------
+  def q27ReturnflagUnpivot(spark: SparkSession, dir: String): DataFrame =
+    q26ReturnflagPivot(spark, dir)
+      .unpivot(Array(col("ship_year")),
+        Array(col("rev_a"), col("rev_n"), col("rev_r")), "flag", "revenue")
+      .orderBy(col("ship_year"), col("flag"))
+
+  val q27Sql: String = {
+    val base = q26Sql.replace("ORDER BY ship_year", "")
+    def branch(c: String) =
+      s"SELECT ship_year, '$c' AS flag, $c AS revenue FROM p WHERE $c IS NOT NULL"
+    s"""WITH p AS ($base)
+       |${branch("rev_a")}
+       |UNION ALL ${branch("rev_n")}
+       |UNION ALL ${branch("rev_r")}
+       |ORDER BY ship_year, flag""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
+  // q28 — correlation & stddev WITHOUT the built-in corr()/stddev():
+  // the builtins accumulate running doubles, so their result depends on
+  // partition visit order — they can never hash-match a serial engine.
+  // Instead the five moment sums (Σx, Σy, Σxy, Σx², Σy²) are summed
+  // EXACTLY in decimal (products of (18,4) values fit decimal(38,8)),
+  // and the textbook formulas combine them in a handful of IEEE double
+  // ops: deterministic at any parallelism, same value in DuckDB.
+  // ---------------------------------------------------------------------------
+  def q28PriceQtyStats(spark: SparkSession, dir: String): DataFrame = {
+    val m = DecimalType(38, 8)
+    def mdec(c: Column): Column = c.cast(DoubleType).cast(m)
+    val x = col("l_quantity"); val y = col("l_extendedprice")
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(mdec(x)).as("sx"), sum(mdec(y)).as("sy"),
+        sum(mdec(x * y)).as("sxy"),
+        sum(mdec(x * x)).as("sxx"), sum(mdec(y * y)).as("syy"))
+      // combine in DOUBLE on both engines (decimal×decimal at width 38
+      // would overflow DuckDB's multiply). The decimal→double hop goes
+      // THROUGH A STRING: once a moment's unscaled value passes 2^53,
+      // DuckDB's direct decimal→double ((double)unscaled / 10^scale)
+      // rounds twice and drifts an ulp from the JVM's conversion —
+      // decimal→string is exact in both engines and string→double is
+      // correctly rounded in both, so the string hop makes the doubles
+      // bit-identical. Then the formulas are a fixed sequence of IEEE ops.
+      .select(col("l_returnflag"), col("n"),
+        col("n").cast(DoubleType).as("nd"),
+        col("sx").cast("string").cast(DoubleType).as("dsx"),
+        col("sy").cast("string").cast(DoubleType).as("dsy"),
+        col("sxy").cast("string").cast(DoubleType).as("dsxy"),
+        col("sxx").cast("string").cast(DoubleType).as("dsxx"),
+        col("syy").cast("string").cast(DoubleType).as("dsyy"))
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        ((col("dsxy") - col("dsx") * col("dsy") / col("nd")) /
+          sqrt((col("dsxx") - col("dsx") * col("dsx") / col("nd")) *
+            (col("dsyy") - col("dsy") * col("dsy") / col("nd"))))
+          .as("price_qty_corr"),
+        sqrt((col("dsxx") - col("dsx") * col("dsx") / col("nd")) /
+          (col("nd") - lit(1.0))).as("qty_stddev"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q28Sql: String =
+    """WITH mom AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(38,8))) AS sx,
+      |    SUM(CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,8))) AS sy,
+      |    SUM(CAST(CAST(l_quantity * l_extendedprice AS DOUBLE) AS DECIMAL(38,8))) AS sxy,
+      |    SUM(CAST(CAST(l_quantity * l_quantity AS DOUBLE) AS DECIMAL(38,8))) AS sxx,
+      |    SUM(CAST(CAST(l_extendedprice * l_extendedprice AS DOUBLE) AS DECIMAL(38,8))) AS syy
+      |  FROM lineitem
+      |  GROUP BY l_returnflag),
+      |d AS (
+      |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+      |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dsx,
+      |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dsy,
+      |    CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dsxy,
+      |    CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dsxx,
+      |    CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dsyy
+      |  FROM mom)
+      |SELECT l_returnflag, n,
+      |  (dsxy - dsx * dsy / nd) /
+      |    sqrt((dsxx - dsx * dsx / nd) * (dsyy - dsy * dsy / nd))
+      |    AS price_qty_corr,
+      |  sqrt((dsxx - dsx * dsx / nd) / (nd - 1.0)) AS qty_stddev
+      |FROM d
+      |ORDER BY l_returnflag""".stripMargin
+
   /** name → query for [[graft.SparkEntry]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> q01PricingSummary _,
@@ -879,11 +974,15 @@ object StarQueries {
     "q25_approx_part_breadth" -> q25ApproxPartBreadth _,
     "p01_priority_sample" -> p01PrioritySample _,
     "q26_returnflag_pivot" -> q26ReturnflagPivot _,
+    "q27_returnflag_unpivot" -> q27ReturnflagUnpivot _,
+    "q28_price_qty_stats" -> q28PriceQtyStats _,
   )
 
   /** name → DuckDB oracle (q12 sampling is engine-specific → rows-only). */
   val oracles: Map[String, String] = Map(
     "q26_returnflag_pivot" -> q26Sql,
+    "q27_returnflag_unpivot" -> q27Sql,
+    "q28_price_qty_stats" -> q28Sql,
     "q01_pricing_summary"    -> q01Sql,
     "q02_parttype_revenue"   -> q02Sql,
     "q03_supplier_metrics"   -> q03Sql,
