@@ -25,7 +25,8 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.Media.queries ++
       operators.GameAnalytics.queries ++
-      operators.AsOf.queries
+      operators.AsOf.queries ++
+      operators.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       operators.Similarity.oracles ++
       operators.Media.oracles ++
       operators.GameAnalytics.oracles ++
-      operators.AsOf.oracles
+      operators.AsOf.oracles ++
+      operators.Pipeline.oracles
 }

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The end-to-end training-data preparation pipeline — the composition
+  * the north-star modules exist for, as ONE job:
+  *
+  *   ingest → stopword scrub → exact dedup → quality filter →
+  *   near-dup clustering → keep cluster heads
+  *
+  * The gate query reports the funnel (documents and kept-token volume
+  * after each stage), which pins every stage's semantics at once: a
+  * wrong scrub, keep-policy, threshold, or cluster drop changes some
+  * row of the funnel.
+  *
+  * Composition notes at scale:
+  *  - stages 0–3 are pure projections/filters over one scan plus ONE
+  *    window shuffle for the exact dedup — the corpus passes through
+  *    once;
+  *  - the near-dup stage runs the posting-list pair join over quality
+  *    SURVIVORS only (the cheapest place to do it — every earlier stage
+  *    shrinks its input), then [[Dedup.dupClusters]] label propagation;
+  *  - stage frames that several funnel rows consume are
+  *    localCheckpoint'd: the funnel is one union-of-aggregates plan, so
+  *    an unmaterialized stage would re-execute once per referencing
+  *    branch (same race d09 hit — see dupClusters doc);
+  *  - the exact pair generator keeps the gate deterministic; swapping
+  *    in [[Dedup.minhashDedupPairs]] (identical output, sub-quadratic)
+  *    is the documented 100 TB configuration.
+  */
+object Pipeline {
+
+  val minQuality = 0.35
+  val minKeptTokens = 25
+  val nearDupThreshold = 0.8
+
+  /** p02 — the pipeline funnel: (stage_id, stage, docs, tokens). */
+  def p02PipelineFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val enriched = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"), col("toks"),
+        filter(col("toks"),
+          w => !w.isInCollection(TextAnalysis.stopwords)).as("kept"))
+      .select(
+        col("doc_id"), col("text"),
+        size(col("toks")).as("raw_tok"),
+        size(col("kept")).as("kept_tok"),
+        array_join(col("kept"), " ").as("cleaned"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      .localCheckpoint(true)
+
+    val deduped = Dedup.exact(enriched, Seq("cleaned"), "doc_id")
+      .localCheckpoint(true)
+    val quality = deduped
+      .filter(col("q") >= minQuality && col("kept_tok") >= minKeptTokens)
+      .localCheckpoint(true)
+    val pairs = Dedup.jaccardPairs(
+      quality.select(col("doc_id"), col("text")), nearDupThreshold)
+    val nonHeads = Dedup.dupClusters(pairs)
+      .filter(col("node") =!= col("lbl"))
+    val finalKept = quality
+      .join(nonHeads, quality("doc_id") === nonHeads("node"), "left_anti")
+
+    def stage(id: Int, name: String, df: DataFrame, tok: String): DataFrame =
+      df.agg(count(lit(1)).as("docs"), sum(col(tok)).as("tokens"))
+        .select(lit(id).as("stage_id"), lit(name).as("stage"),
+          col("docs"), col("tokens"))
+
+    stage(0, "ingest", enriched, "raw_tok")
+      .unionAll(stage(1, "scrub", enriched, "kept_tok"))
+      .unionAll(stage(2, "exact_dedup", deduped, "kept_tok"))
+      .unionAll(stage(3, "quality_filter", quality, "kept_tok"))
+      .unionAll(stage(4, "near_dedup", finalKept, "kept_tok"))
+      .orderBy(col("stage_id"))
+  }
+
+  val p02Sql: String =
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+       |k AS (
+       |  SELECT doc_id, text, toks,
+       |         list_filter(toks, w -> w NOT IN (${TextAnalysis.sqlStops}))
+       |           AS kept
+       |  FROM t),
+       |e AS (
+       |  SELECT doc_id, text, len(toks) AS raw_tok, len(kept) AS kept_tok,
+       |         array_to_string(kept, ' ') AS cleaned,
+       |         ${TextAnalysis.sqlQuality} AS q
+       |  FROM k),
+       |dd AS (
+       |  SELECT * FROM e
+       |  QUALIFY row_number() OVER (PARTITION BY cleaned ORDER BY doc_id) = 1),
+       |qf AS (
+       |  SELECT * FROM dd WHERE q >= $minQuality AND kept_tok >= $minKeptTokens),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         w[i.i] || ' ' || w[i.i+1] || ' ' || w[i.i+2] AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM qf
+       |        WHERE len(string_split(text, ' ')) >= 3)
+       |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) i
+       |  UNION ALL
+       |  SELECT doc_id, text AS shingle FROM qf
+       |  WHERE len(string_split(text, ' ')) < 3),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |    JOIN sizes sa ON id_a = sa.doc_id
+       |    JOIN sizes sb ON id_b = sb.doc_id
+       |  WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE)
+       |          >= $nearDupThreshold),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+       |labels AS (
+       |  SELECT src AS node, least(src, MIN(dst)) AS lbl
+       |  FROM reach GROUP BY src),
+       |dropped AS (SELECT node FROM labels WHERE node <> lbl),
+       |fin AS (SELECT * FROM qf ANTI JOIN dropped ON doc_id = node)
+       |SELECT CAST(0 AS INT) AS stage_id, 'ingest' AS stage,
+       |       COUNT(*) AS docs, CAST(SUM(raw_tok) AS BIGINT) AS tokens FROM e
+       |UNION ALL SELECT 1, 'scrub', COUNT(*), CAST(SUM(kept_tok) AS BIGINT) FROM e
+       |UNION ALL SELECT 2, 'exact_dedup', COUNT(*), CAST(SUM(kept_tok) AS BIGINT) FROM dd
+       |UNION ALL SELECT 3, 'quality_filter', COUNT(*), CAST(SUM(kept_tok) AS BIGINT) FROM qf
+       |UNION ALL SELECT 4, 'near_dedup', COUNT(*), CAST(SUM(kept_tok) AS BIGINT) FROM fin
+       |ORDER BY stage_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p02_pipeline_funnel" -> p02PipelineFunnel _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p02_pipeline_funnel" -> p02Sql,
+  )
+}

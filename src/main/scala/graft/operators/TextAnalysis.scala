@@ -64,14 +64,14 @@ object TextAnalysis {
   // SQL mirrors of the above (DuckDB dialect).
   private val sqlTok = "string_split(text, ' ')"
   private val sqlNTok = s"CAST(len($sqlTok) AS DOUBLE)"
-  private val sqlStops = stopwords.map(s => s"'$s'").mkString(", ")
+  private[operators] val sqlStops = stopwords.map(s => s"'$s'").mkString(", ")
   private val sqlStopCnt =
     s"CAST(len(list_filter($sqlTok, w -> w IN ($sqlStops))) AS DOUBLE)"
   private val sqlDigitRatio =
     "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)"
   private val sqlAvgTokLen =
     s"CAST(length(text) - len($sqlTok) + 1 AS DOUBLE) / $sqlNTok"
-  private val sqlQuality =
+  private[operators] val sqlQuality =
     s"0.5 * ($sqlStopCnt / $sqlNTok) + 0.3 * least($sqlAvgTokLen / 10.0, 1.0) + 0.2 * (1.0 - $sqlDigitRatio)"
 
   // -- language identification ------------------------------------------------

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.{Dedup, Pipeline}
+
+/** Funnel invariants at fixture scale (the gate hash-pins exact values
+  * at sf0.01; these pin the shape wherever it runs). */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("p02 funnel: five stages, monotone docs, tokens track docs") {
+    val rows = Pipeline.p02PipelineFunnel(spark, sf)
+      .as[(Int, String, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3, 4))
+    assert(rows.map(_._2).toSeq ==
+      Seq("ingest", "scrub", "exact_dedup", "quality_filter", "near_dedup"))
+    val docs = rows.map(_._3)
+    // doc counts never grow through the funnel (scrub keeps all docs)
+    assert(docs.sliding(2).forall { case Array(a, b) => b <= a })
+    // scrub removes tokens, never documents
+    assert(rows(1)._3 == rows(0)._3 && rows(1)._4 < rows(0)._4)
+    // the final corpus is non-empty and lost something on the way
+    assert(docs.last > 0 && docs.last < docs.head)
+  }
+
+  test("p02 near-dedup drops exactly the cluster non-heads") {
+    val quality = {
+      // rebuild the quality-survivor set the pipeline filters down to
+      import org.apache.spark.sql.functions._
+      import graft.operators.TextAnalysis
+      Tables.documents(spark, sf)
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.wsTokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("text"),
+          size(filter(col("toks"),
+            w => !w.isInCollection(TextAnalysis.stopwords))).as("kept_tok"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        .filter(col("q") >= Pipeline.minQuality &&
+          col("kept_tok") >= Pipeline.minKeptTokens)
+    }
+    val pairs = Dedup.jaccardPairs(
+      quality.select($"doc_id", $"text"), Pipeline.nearDupThreshold)
+    val nonHeads = Dedup.dupClusters(pairs)
+      .filter($"node" =!= $"lbl").count()
+    val funnel = Pipeline.p02PipelineFunnel(spark, sf)
+      .as[(Int, String, Long, Long)].collect()
+    assert(funnel(3)._3 - funnel(4)._3 == nonHeads)
+  }
+}
