@@ -263,6 +263,58 @@ object EventQueries {
        |LIMIT 2000""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // v09 — resample to a dense minutely grid (day one of the corpus):
+  // time-series consumers need explicit zeros, not absent rows. The
+  // spine is generated IN-PLAN (sequence + explode — ~1440 rows/day per
+  // type, cost-free at any fact-table size) and the fact side is
+  // pre-aggregated per (minute, type) BEFORE the join, so the left join
+  // is spine ⋈ aggregate — never spine ⋈ raw events.
+  // ---------------------------------------------------------------------------
+  def v09MinuteGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val dayStart = "2024-01-01 00:00:00"
+    val dayEnd = "2024-01-01 23:59:00"
+    val counts = Tables.events(spark, dir)
+      .filter(col("ts") >= to_timestamp(lit(dayStart)) &&
+        col("ts") < to_timestamp(lit(dayEnd)) + expr("INTERVAL 1 MINUTE"))
+      .groupBy(date_trunc("minute", col("ts")).as("minute"),
+        col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val types = Tables.events(spark, dir)
+      .select(col("event_type")).distinct()
+    val spine = spark.range(1)
+      .select(explode(sequence(
+        to_timestamp(lit(dayStart)), to_timestamp(lit(dayEnd)),
+        expr("INTERVAL 1 MINUTE"))).as("minute"))
+      .crossJoin(types)
+    spine.join(counts, Seq("minute", "event_type"), "left")
+      .select(
+        date_format(col("minute"), tsFmt).as("minute"),
+        col("event_type"),
+        coalesce(col("c"), lit(0L)).as("event_count"))
+      .orderBy(col("minute"), col("event_type"))
+  }
+
+  val v09Sql: String =
+    """WITH spine AS (
+      |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+      |                                TIMESTAMP '2024-01-01 23:59:00',
+      |                                INTERVAL 1 MINUTE)) AS minute),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |counts AS (
+      |  SELECT date_trunc('minute', ts) AS minute, event_type,
+      |         COUNT(*) AS c
+      |  FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+      |    AND ts < TIMESTAMP '2024-01-01 23:59:00' + INTERVAL 1 MINUTE
+      |  GROUP BY 1, 2)
+      |SELECT strftime(s.minute, '%Y-%m-%d %H:%M:%S') AS minute,
+      |       t.event_type,
+      |       CAST(COALESCE(c.c, 0) AS BIGINT) AS event_count
+      |FROM spine s CROSS JOIN types t
+      |  LEFT JOIN counts c ON c.minute = s.minute AND c.event_type = t.event_type
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_tumbling_counts"     -> v01TumblingCounts _,
     "v02_sessions"            -> v02Sessions _,
@@ -271,11 +323,13 @@ object EventQueries {
     "v06_props_profile"       -> v06PropsProfile _,
     "v07_attributed_purchases" -> v07AttributedPurchases _,
     "v08_trailing_spend"       -> v08TrailingSpend _,
+    "v09_minute_gap_fill"      -> v09MinuteGapFill _,
   )
 
   val oracles: Map[String, String] = Map(
     "v07_attributed_purchases" -> v07Sql,
     "v08_trailing_spend"       -> v08Sql,
+    "v09_minute_gap_fill"      -> v09Sql,
     "v01_tumbling_counts"     -> v01Sql,
     "v02_sessions"            -> v02Sql,
     "v03_minute_dedup_counts" -> v03Sql,
