@@ -35,9 +35,35 @@ object DecimalSums {
   def davg(c: Column): Column =
     sum(dec(c)).cast(DoubleType) / count(c).cast(DoubleType)
 
+  /** Wide-moment convention for Σx², Σxy-style sums whose row values
+    * are PRODUCTS of (18,4) quantities: decimal(38,8) holds them
+    * exactly and the sum stays order-proof. Combine moments in DOUBLE
+    * (decimal×decimal at width 38 overflows DuckDB's multiply), and
+    * convert each moment via [[asDouble]]. */
+  val M: DecimalType = DecimalType(38, 8)
+
+  def mdec(c: Column): Column = c.cast(DoubleType).cast(M)
+
+  /** Decimal → double THROUGH A STRING. Once a decimal's unscaled value
+    * passes 2^53, DuckDB's direct cast ((double)unscaled / 10^scale)
+    * rounds twice and drifts an ulp from the JVM's conversion;
+    * decimal→string is exact in both engines and string→double is
+    * correctly rounded in both, so the hop makes the doubles
+    * bit-identical. */
+  def asDouble(c: Column): Column =
+    c.cast(org.apache.spark.sql.types.StringType).cast(DoubleType)
+
   /** DuckDB text of [[dec]]. */
   def sqlDec(e: String): String =
     s"CAST(CAST(($e) AS DOUBLE) AS DECIMAL(18,4))"
+
+  /** DuckDB text of [[mdec]]. */
+  def sqlMdec(e: String): String =
+    s"CAST(CAST(($e) AS DOUBLE) AS DECIMAL(38,8))"
+
+  /** DuckDB text of [[asDouble]]. */
+  def sqlAsDouble(e: String): String =
+    s"CAST(CAST(($e) AS VARCHAR) AS DOUBLE)"
 
   /** DuckDB text of [[dsum]]. */
   def sqlDsum(e: String): String =

@@ -402,6 +402,15 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // fail LOUD on truncation: partially-propagated labels look exactly
+    // like finished ones (each is some doc_id), so returning them would
+    // hand the caller silently-wrong survivors. Components wider than
+    // maxIter hops mean either raise maxIter or switch the propagation
+    // to pointer-jumping (label-of-label doubles the hop per round).
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge within $maxIter rounds — " +
+          "a component's diameter exceeds maxIter; raise it")
     labels
   }
 

@@ -39,17 +39,12 @@ object Pipeline {
 
   /** p02 — the pipeline funnel: (stage_id, stage, docs, tokens). */
   def p02PipelineFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val enriched = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"),
-        TextAnalysis.wsTokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("text"), col("toks"),
-        filter(col("toks"),
-          w => !w.isInCollection(TextAnalysis.stopwords)).as("kept"))
+    val enriched = TextAnalysis.scrubFrame(Tables.documents(spark, dir))
       .select(
         col("doc_id"), col("text"),
         size(col("toks")).as("raw_tok"),
         size(col("kept")).as("kept_tok"),
-        array_join(col("kept"), " ").as("cleaned"),
+        col("cleaned"),
         TextAnalysis.qualityScore(col("text")).as("q"))
       .localCheckpoint(true)
 

@@ -879,8 +879,7 @@ object StarQueries {
   // ops: deterministic at any parallelism, same value in DuckDB.
   // ---------------------------------------------------------------------------
   def q28PriceQtyStats(spark: SparkSession, dir: String): DataFrame = {
-    val m = DecimalType(38, 8)
-    def mdec(c: Column): Column = c.cast(DoubleType).cast(m)
+    import graft.functions.DecimalSums.{mdec, asDouble}
     val x = col("l_quantity"); val y = col("l_extendedprice")
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
@@ -889,21 +888,16 @@ object StarQueries {
         sum(mdec(x)).as("sx"), sum(mdec(y)).as("sy"),
         sum(mdec(x * y)).as("sxy"),
         sum(mdec(x * x)).as("sxx"), sum(mdec(y * y)).as("syy"))
-      // combine in DOUBLE on both engines (decimal×decimal at width 38
-      // would overflow DuckDB's multiply). The decimal→double hop goes
-      // THROUGH A STRING: once a moment's unscaled value passes 2^53,
-      // DuckDB's direct decimal→double ((double)unscaled / 10^scale)
-      // rounds twice and drifts an ulp from the JVM's conversion —
-      // decimal→string is exact in both engines and string→double is
-      // correctly rounded in both, so the string hop makes the doubles
-      // bit-identical. Then the formulas are a fixed sequence of IEEE ops.
+      // moments → double via DecimalSums.asDouble (string hop — see its
+      // doc for why a direct cast drifts an ulp between engines), then
+      // the formulas are a fixed sequence of IEEE ops
       .select(col("l_returnflag"), col("n"),
         col("n").cast(DoubleType).as("nd"),
-        col("sx").cast("string").cast(DoubleType).as("dsx"),
-        col("sy").cast("string").cast(DoubleType).as("dsy"),
-        col("sxy").cast("string").cast(DoubleType).as("dsxy"),
-        col("sxx").cast("string").cast(DoubleType).as("dsxx"),
-        col("syy").cast("string").cast(DoubleType).as("dsyy"))
+        asDouble(col("sx")).as("dsx"),
+        asDouble(col("sy")).as("dsy"),
+        asDouble(col("sxy")).as("dsxy"),
+        asDouble(col("sxx")).as("dsxx"),
+        asDouble(col("syy")).as("dsyy"))
       .select(
         col("l_returnflag"),
         col("n"),
@@ -916,23 +910,24 @@ object StarQueries {
       .orderBy(col("l_returnflag"))
   }
 
-  val q28Sql: String =
-    """WITH mom AS (
+  val q28Sql: String = {
+    import graft.functions.DecimalSums.{sqlMdec, sqlAsDouble}
+    s"""WITH mom AS (
       |  SELECT l_returnflag, COUNT(*) AS n,
-      |    SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(38,8))) AS sx,
-      |    SUM(CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,8))) AS sy,
-      |    SUM(CAST(CAST(l_quantity * l_extendedprice AS DOUBLE) AS DECIMAL(38,8))) AS sxy,
-      |    SUM(CAST(CAST(l_quantity * l_quantity AS DOUBLE) AS DECIMAL(38,8))) AS sxx,
-      |    SUM(CAST(CAST(l_extendedprice * l_extendedprice AS DOUBLE) AS DECIMAL(38,8))) AS syy
+      |    SUM(${sqlMdec("l_quantity")}) AS sx,
+      |    SUM(${sqlMdec("l_extendedprice")}) AS sy,
+      |    SUM(${sqlMdec("l_quantity * l_extendedprice")}) AS sxy,
+      |    SUM(${sqlMdec("l_quantity * l_quantity")}) AS sxx,
+      |    SUM(${sqlMdec("l_extendedprice * l_extendedprice")}) AS syy
       |  FROM lineitem
       |  GROUP BY l_returnflag),
       |d AS (
       |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
-      |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dsx,
-      |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dsy,
-      |    CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dsxy,
-      |    CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dsxx,
-      |    CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dsyy
+      |    ${sqlAsDouble("sx")} AS dsx,
+      |    ${sqlAsDouble("sy")} AS dsy,
+      |    ${sqlAsDouble("sxy")} AS dsxy,
+      |    ${sqlAsDouble("sxx")} AS dsxx,
+      |    ${sqlAsDouble("syy")} AS dsyy
       |  FROM mom)
       |SELECT l_returnflag, n,
       |  (dsxy - dsx * dsy / nd) /
@@ -941,6 +936,7 @@ object StarQueries {
       |  sqrt((dsxx - dsx * dsx / nd) / (nd - 1.0)) AS qty_stddev
       |FROM d
       |ORDER BY l_returnflag""".stripMargin
+  }
 
   /** name → query for [[graft.SparkEntry]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

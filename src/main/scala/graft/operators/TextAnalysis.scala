@@ -225,22 +225,26 @@ object TextAnalysis {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
-  /** t07 — stopword scrubbing: the cleaning transform of a training-data
-    * pipeline (C4-style token filtering) as a pure projection. The token
-    * array is materialized once per row, the kept-token array once more
-    * (HOF lambdas are interpreted and re-evaluate their inputs — the
-    * projection chain keeps each `split` to a single evaluation), then
-    * every reported metric and the canonical md5 of the cleaned text are
-    * plain codegen'd column ops: no shuffle at all before the bounding
-    * ORDER BY/LIMIT, so the transform itself is embarrassingly parallel
-    * at any corpus size. */
-  def t07Scrub(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"),
+  /** The scrub frame every scrub consumer shares (t07 gate,
+    * [[Pipeline]], specs): (doc_id, text, toks, kept, cleaned) as a
+    * pure projection chain. Each array materializes once per row (HOF
+    * lambdas are interpreted and re-evaluate their inputs — the
+    * projection boundaries keep each `split` to a single evaluation);
+    * no shuffle, embarrassingly parallel at any corpus size. One owner
+    * so the scrub semantics cannot drift between its gates. */
+  def scrubFrame(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"), col("toks"),
         filter(col("toks"), w => !w.isInCollection(stopwords)).as("kept"))
-      .select(col("doc_id"), col("toks"), col("kept"),
+      .select(col("doc_id"), col("text"), col("toks"), col("kept"),
         array_join(col("kept"), " ").as("cleaned"))
+
+  /** t07 — stopword scrubbing: the cleaning transform of a training-data
+    * pipeline (C4-style token filtering); metrics + canonical md5 over
+    * [[scrubFrame]], all codegen'd column ops. */
+  def t07Scrub(spark: SparkSession, dir: String): DataFrame =
+    scrubFrame(Tables.documents(spark, dir))
       .select(
         col("doc_id"),
         size(col("toks")).as("tokens_before"),
@@ -314,8 +318,12 @@ object TextAnalysis {
           size(array_distinct(col("toks"))).cast(DoubleType) /
             size(col("toks")).cast(DoubleType)).as("dup_token_frac"),
         maxMultiplicity(col("bigrams")).as("top_bigram_count"),
-        (maxMultiplicity(col("bigrams")).cast(DoubleType) /
-          size(col("bigrams")).cast(DoubleType)).as("top_bigram_frac"))
+        // a doc below 2 tokens has no bigram slots: define its share as
+        // 0.0 (0/0 would be NaN here and a dropped row in a naive
+        // oracle join — both engines must take this branch)
+        when(size(col("bigrams")) === 0, lit(0.0))
+          .otherwise(maxMultiplicity(col("bigrams")).cast(DoubleType) /
+            size(col("bigrams")).cast(DoubleType)).as("top_bigram_frac"))
       .orderBy(col("doc_id"))
       .limit(1000)
 
@@ -333,9 +341,11 @@ object TextAnalysis {
        |  CAST(len(w) AS INT) AS n_tokens,
        |  1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)
        |    AS dup_token_frac,
-       |  CAST(topc AS INT) AS top_bigram_count,
-       |  CAST(topc AS DOUBLE) / CAST(len(w) - 1 AS DOUBLE) AS top_bigram_frac
-       |FROM toks t JOIN top USING (doc_id)
+       |  CAST(COALESCE(topc, 0) AS INT) AS top_bigram_count,
+       |  CASE WHEN len(w) <= 1 THEN 0.0
+       |       ELSE CAST(topc AS DOUBLE) / CAST(len(w) - 1 AS DOUBLE) END
+       |    AS top_bigram_frac
+       |FROM toks t LEFT JOIN top USING (doc_id)
        |ORDER BY doc_id
        |LIMIT 1000""".stripMargin
 

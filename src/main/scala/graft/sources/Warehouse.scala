@@ -48,12 +48,17 @@ object Warehouse {
     * Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Path, Paths}
     import scala.jdk.CollectionConverters._
+    // Files.walk streams hold open DirectoryStreams — materialize under
+    // try/finally or a per-partition maintenance loop leaks an fd per call
+    def walk(p: Path): Seq[Path] = {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
     def parquetFiles(p: String) =
-      Files.walk(Paths.get(p)).iterator().asScala
+      walk(Paths.get(p))
         .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
-        .toSeq
     val before = parquetFiles(path)
     val totalBytes = before.map(Files.size).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
@@ -62,13 +67,11 @@ object Warehouse {
       .repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
     val dir = Paths.get(path)
-    Files.walk(dir).iterator().asScala.toSeq.reverse
-      .filter(_ != dir).foreach(Files.delete)
-    Files.walk(Paths.get(tmp)).iterator().asScala.toSeq
+    walk(dir).reverse.filter(_ != dir).foreach(Files.delete)
+    walk(Paths.get(tmp))
       .filter(Files.isRegularFile(_))
       .foreach(f => Files.move(f, dir.resolve(f.getFileName)))
-    Files.walk(Paths.get(tmp)).iterator().asScala.toSeq.reverse
-      .foreach(Files.delete)
+    walk(Paths.get(tmp)).reverse.foreach(Files.delete)
     (before.size, parquetFiles(path).size)
   }
 

@@ -129,15 +129,6 @@ object EventStreams {
     * whole history. Semantics match the batch
     * EventQueries.v07AttributedPurchases (oracle-checked); equivalence
     * pinned in EventStreamsSpec. */
-  /** As [[attributedPurchases]] but LEFT OUTER: clicks that never
-    * convert still emit (null purchase columns) — but only once the
-    * watermark proves no in-window purchase can still arrive, i.e. the
-    * null row for a click surfaces after the purchase-side watermark
-    * passes click_ts + 30 min. Same state bound as the inner form. */
-  def attributionFunnel(events: DataFrame,
-                        lateness: String = defaultLateness): DataFrame =
-    attributedPurchases(events, lateness, "left_outer")
-
   def attributedPurchases(events: DataFrame,
                           lateness: String = defaultLateness,
                           joinType: String = "inner"): DataFrame = {
@@ -159,6 +150,15 @@ object EventStreams {
           .cast(DoubleType) / lit(1000000.0)).as("lag_sec"),
         col("value").as("purchase_value"))
   }
+
+  /** As [[attributedPurchases]] but LEFT OUTER: clicks that never
+    * convert still emit (null purchase columns) — but only once the
+    * watermark proves no in-window purchase can still arrive, i.e. the
+    * null row for a click surfaces after the purchase-side watermark
+    * passes click_ts + 30 min. Same state bound as the inner form. */
+  def attributionFunnel(events: DataFrame,
+                        lateness: String = defaultLateness): DataFrame =
+    attributedPurchases(events, lateness, "left_outer")
 
   // ---------------------------------------------------------------------------
   // Custom state: per-user running profile via flatMapGroupsWithState

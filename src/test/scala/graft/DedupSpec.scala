@@ -114,4 +114,12 @@ class DedupSpec extends SparkSpec {
     val got = clustersOf(path)
     assert(got.size == 10 && got.values.forall(_ == 1L))
   }
+
+  test("dupClusters refuses to return truncated labels past maxIter") {
+    val path = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.dupClusters(path, maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }

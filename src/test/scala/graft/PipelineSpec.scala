@@ -27,12 +27,9 @@ class PipelineSpec extends SparkSpec {
       // rebuild the quality-survivor set the pipeline filters down to
       import org.apache.spark.sql.functions._
       import graft.operators.TextAnalysis
-      Tables.documents(spark, sf)
+      TextAnalysis.scrubFrame(Tables.documents(spark, sf))
         .select(col("doc_id"), col("text"),
-          TextAnalysis.wsTokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("text"),
-          size(filter(col("toks"),
-            w => !w.isInCollection(TextAnalysis.stopwords))).as("kept_tok"),
+          size(col("kept")).as("kept_tok"),
           TextAnalysis.qualityScore(col("text")).as("q"))
         .filter(col("q") >= Pipeline.minQuality &&
           col("kept_tok") >= Pipeline.minKeptTokens)
