@@ -112,11 +112,70 @@ object AsOf {
       |ORDER BY c.event_id
       |LIMIT 2000""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // v10 — FORWARD as-of: for every signup, the user's FIRST subsequent
+  // purchase (time-to-convert — the activation metric v05's backward
+  // direction can't answer). Inner-join matches aggregate to the
+  // earliest (ts, event_id) struct per signup — a lexicographic min,
+  // fully order-proof — then a left join restores never-converting
+  // signups with nulls. One shuffle per side on user_id; at 100 TB
+  // bound the forward horizon in the join predicate the way v07 does.
+  // ---------------------------------------------------------------------------
+  def v10TimeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        col("ts").as("signup_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"),
+        col("event_id").as("pid"))
+    val firstConv = signups
+      .join(purchases,
+        col("user_id") === col("p_user") && col("pts") >= col("signup_ts"))
+      .groupBy(col("signup_id"))
+      .agg(min(struct(col("pts"), col("pid"))).as("fp"))
+      .select(col("signup_id"), col("fp.pts").as("first_pts"),
+        col("fp.pid").as("first_purchase_id"))
+    signups.join(firstConv, Seq("signup_id"), "left")
+      .select(
+        col("signup_id"), col("user_id"),
+        col("first_purchase_id"),
+        ((unix_micros(col("first_pts")) - unix_micros(col("signup_ts")))
+          .cast(DoubleType) / 1e6).as("secs_to_convert"))
+      .orderBy(col("signup_id"))
+      .limit(2000)
+  }
+
+  val v10Sql: String =
+    """WITH signups AS (
+      |  SELECT event_id AS signup_id, user_id, ts AS signup_ts
+      |  FROM events WHERE event_type = 'signup'),
+      |purchases AS (
+      |  SELECT user_id AS p_user, ts AS pts, event_id AS pid
+      |  FROM events WHERE event_type = 'purchase'),
+      |conv AS (
+      |  SELECT signup_id, pts AS first_pts, pid AS first_purchase_id
+      |  FROM (
+      |    SELECT s.signup_id, p.pts, p.pid,
+      |      row_number() OVER (PARTITION BY s.signup_id
+      |                         ORDER BY p.pts, p.pid) AS rk
+      |    FROM signups s JOIN purchases p
+      |      ON s.user_id = p.p_user AND p.pts >= s.signup_ts)
+      |  WHERE rk = 1)
+      |SELECT s.signup_id, s.user_id, c.first_purchase_id,
+      |  CAST(epoch_us(c.first_pts) - epoch_us(s.signup_ts) AS DOUBLE) / 1e6
+      |    AS secs_to_convert
+      |FROM signups s LEFT JOIN conv c USING (signup_id)
+      |ORDER BY signup_id
+      |LIMIT 2000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v05_asof_purchase" -> v05AsofPurchase _,
+    "v10_time_to_convert" -> v10TimeToConvert _,
   )
 
   val oracles: Map[String, String] = Map(
     "v05_asof_purchase" -> v05Sql,
+    "v10_time_to_convert" -> v10Sql,
   )
 }

@@ -99,9 +99,12 @@ object Similarity {
     * query touches nprobe/nlist of the corpus — the recall/compute
     * dial. `nprobe = nlist` degenerates to exact brute force, which the
     * ScalaTest pin exploits. */
-  def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
-             nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    require(nprobe >= 1 && nprobe <= nlist)
+  /** Fit the coarse quantizer and assign every corpus vector to a cell
+    * — the index-build step shared by [[ivfKnn]] and the s05 balance
+    * diagnostics. Returns (cells: neighbor_id/cv/cn/cell, centroids:
+    * cell/centroid/cn2 — nlist rows, broadcast side). */
+  private[operators] def ivfIndex(corpus: DataFrame, nlist: Int,
+                                  seed: Long): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c0 = corpus.select(col("vec_id").as("neighbor_id"),
@@ -125,6 +128,13 @@ object Similarity {
     val centroids = model.clusterCenters.toSeq.zipWithIndex
       .map { case (v, i) => (i, v.toArray.toSeq) }.toDF("cell", "centroid")
       .withColumn("cn2", VectorOps.norm2(col("centroid")))
+    (cells, centroids)
+  }
+
+  def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+             nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist)
+    val (cells, centroids) = ivfIndex(corpus, nlist, seed)
     val q = queries.select(col("vec_id").as("query_id"),
       VectorOps.asDouble(col("embedding")).as("qv"))
       .withColumn("qn", VectorOps.norm(col("qv")))
@@ -211,11 +221,37 @@ object Similarity {
       .agg(count(lit(1)).as("vec_count"))
       .orderBy(col("bucket"))
 
+  /** s05 — IVF index health: per cell, population and mean
+    * centroid-distance (rows-only: the quantizer is engine-specific).
+    * The balance numbers are what an operator tunes nlist/nprobe by —
+    * one empty or monster cell means the probe budget is mis-spent.
+    * Mean distance goes through a decimal cast so the profile stays
+    * bit-identical across thread counts (double averaging is
+    * partition-order-dependent). */
+  def s05IvfCellProfile(spark: SparkSession, dir: String): DataFrame = {
+    val (cells, centroids) = ivfIndex(Tables.embeddings(spark, dir), 16, 42L)
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val D8 = DecimalType(18, 8)
+    cells.join(broadcast(centroids), Seq("cell"))
+      .withColumn("dist",
+        sqrt(greatest(
+          col("cn") * col("cn") -
+            VectorOps.dot(col("cv"), col("centroid")) * lit(2.0) + col("cn2"),
+          lit(0.0))))
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("vec_count"),
+        (sum(col("dist").cast(D8)).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("avg_centroid_dist"))
+      .orderBy(col("cell"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_bruteforce"    -> s01KnnBruteForce _,
     "s02_knn_ann"           -> s02KnnAnn _,
     "s03_ann_bucket_profile" -> s03AnnBucketProfile _,
     "s04_knn_ivf"           -> s04KnnIvf _,
+    "s05_ivf_cell_profile"  -> s05IvfCellProfile _,
   )
 
   val oracles: Map[String, String] = Map(
