@@ -248,4 +248,32 @@ object EventStreams {
       .schema(eventsSchemaDdl)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
+
+  /** Production sink: land a streaming result in the parquet warehouse
+    * with end-to-end exactly-once-per-batch semantics.
+    *
+    * foreachBatch gives at-least-once batch delivery (a batch replays
+    * after a crash between sink write and checkpoint commit), so the
+    * write must be IDEMPOTENT: each batch writes into its own
+    * `batch_id=` partition with dynamic partition overwrite — a
+    * replayed batch overwrites exactly its own output, never a
+    * neighbor's. Combined with `checkpointDir` (offsets + state), a
+    * restarted query resumes mid-stream with no loss and no dupes;
+    * pinned by the kill-and-restart spec. Readers drop the `batch_id`
+    * column (or compact it away — [[graft.sources.Warehouse.compact]]). */
+  def sinkToWarehouse(streamed: DataFrame, outDir: String,
+                      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+        ()
+      }
+      .start()
 }

@@ -164,6 +164,44 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == Set((1L, Some(2L)), (3L, None)))
   }
 
+  test("sinkToWarehouse: checkpoint restart resumes with no loss or dupes") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    try {
+      val ev = Tables.events(spark, sf)
+      // three source files SPLIT BY TIME — the checkpoint restores the
+      // watermark on restart, so data landing while the query is down
+      // must carry later event times (id-sliced full-range files would
+      // be legitimately dropped as late)
+      val (c1, c2) = ("2024-01-10", "2024-01-20")
+      ev.filter($"ts" < c1).coalesce(1).write.mode("append").parquet(src)
+      ev.filter($"ts" >= c1 && $"ts" < c2).coalesce(1).write.mode("append").parquet(src)
+      val q1 = EventStreams.sinkToWarehouse(
+        EventStreams.tumblingCounts(
+          EventStreams.readEvents(spark, src, maxFilesPerTrigger = 1)),
+        out, ckpt)
+      q1.processAllAvailable()
+      q1.stop() // "crash": the third file lands while the query is down
+      ev.filter($"ts" >= c2).coalesce(1).write.mode("append").parquet(src)
+      // sentinel closes all real windows so append-mode emits them
+      Seq((-1L, java.sql.Timestamp.valueOf("2025-01-30 00:00:00"), -1L, "sentinel", 0.0, ""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(src)
+      val q2 = EventStreams.sinkToWarehouse(
+        EventStreams.tumblingCounts(
+          EventStreams.readEvents(spark, src, maxFilesPerTrigger = 1)),
+        out, ckpt)
+      q2.processAllAvailable()
+      q2.stop()
+      val landed = spark.read.parquet(out)
+        .filter($"event_type" =!= "sentinel").drop("batch_id")
+      assertSameRows(landed, EventQueries.v01TumblingCounts(spark, sf))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(base)).deleteRecursively()
+    }
+  }
+
   test("userProfiles accumulates state across micro-batches") {
     val all = events.collect().toSeq.sortBy(_.ts.getTime)
     val (h1, h2) = all.splitAt(all.size / 2)
