@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{RollingHash, VectorExprs}
+import graft.functions.{ArrayExprs, RollingHash, VectorExprs}
 
 /** SQL surface for the library's native Catalyst expressions: installs
   * `vec_dot`, `vec_norm2`, `poly_hash`, and `window_mins` into the
@@ -66,5 +66,11 @@ object GraftExtensions {
       RollingHash.WindowMins(t, k, bands)
   }
 
-  val all: Seq[Description] = Seq(vecDot, vecNorm2, polyHash, windowMins)
+  /** Longest equal-adjacent run in a sorted string array. */
+  val arrayMaxRun: Description = desc("array_max_run", "1") {
+    case Seq(a) => ArrayExprs.MaxRun(a)
+  }
+
+  val all: Seq[Description] =
+    Seq(vecDot, vecNorm2, polyHash, windowMins, arrayMaxRun)
 }

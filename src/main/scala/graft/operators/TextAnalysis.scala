@@ -277,7 +277,10 @@ object TextAnalysis {
     * of any element, computed by a single `aggregate` fold instead of an
     * explode + groupBy: per-document repetition never leaves the row, so
     * the repetition scan has no shuffle and no skew surface (a
-    * pathological doc costs its own O(n log n) sort, nobody else's). */
+    * pathological doc costs its own O(n log n) sort, nobody else's).
+    * This HOF form is the reference implementation; the gate runs the
+    * codegen'd [[graft.functions.ArrayExprs.MaxRun]] (HOF lambdas are
+    * interpreted), and ScalaTest pins the two equal over the corpus. */
   def maxMultiplicity(sortedArr: Column): Column = {
     val step = (acc: Column, x: Column) => {
       val run = when(x === acc.getField("prev"), acc.getField("run") + lit(1))
@@ -317,12 +320,14 @@ object TextAnalysis {
         (lit(1.0) -
           size(array_distinct(col("toks"))).cast(DoubleType) /
             size(col("toks")).cast(DoubleType)).as("dup_token_frac"),
-        maxMultiplicity(col("bigrams")).as("top_bigram_count"),
+        graft.functions.ArrayExprs.maxRun(col("bigrams"))
+          .as("top_bigram_count"),
         // a doc below 2 tokens has no bigram slots: define its share as
         // 0.0 (0/0 would be NaN here and a dropped row in a naive
         // oracle join — both engines must take this branch)
         when(size(col("bigrams")) === 0, lit(0.0))
-          .otherwise(maxMultiplicity(col("bigrams")).cast(DoubleType) /
+          .otherwise(graft.functions.ArrayExprs.maxRun(col("bigrams"))
+            .cast(DoubleType) /
             size(col("bigrams")).cast(DoubleType)).as("top_bigram_frac"))
       .orderBy(col("doc_id"))
       .limit(1000)

@@ -65,6 +65,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("native MaxRun equals the HOF maxMultiplicity over the corpus") {
+    import graft.functions.ArrayExprs
+    val bg = Tables.documents(spark, sf)
+      .select(TextAnalysis.wsTokens(col("text")).as("toks"))
+      .select(sort_array(TextAnalysis.bigramsAll(col("toks"))).as("b"))
+    val diverged = bg.select(
+        ArrayExprs.maxRun(col("b")).as("native"),
+        TextAnalysis.maxMultiplicity(col("b")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diverged == 0)
+    // null element poisons both forms identically
+    val nullCase = spark.range(1)
+      .select(ArrayExprs.maxRun(
+        array(lit("a"), lit(null).cast("string"), lit("a"))).as("m"))
+      .as[Option[Int]].head()
+    assert(nullCase.isEmpty)
+  }
+
   test("maxMultiplicity equals the naive mode count, in-row") {
     val got = spark.range(1)
       .select(TextAnalysis.maxMultiplicity(
