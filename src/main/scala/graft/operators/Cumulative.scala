@@ -21,18 +21,19 @@ import org.apache.spark.sql.expressions.Window
   *     a P-row per-partition summary, prefix-combined with a triangle
   *     join (P² pairs, P = shuffle parallelism — trivial), broadcast
   *     back onto the rows.
-  * The range exchange feeds both the row-level window and the summary
-  * aggregate, so Catalyst's ReuseExchange computes the upstream once.
-  *
   * `sortCols` must be a total order (unique tiebreaker) — with ties the
   * range partitioner and the rank would not agree on a single global
   * order.
   *
-  * Cache lifetime: the two persisted intermediates are group-key-sized
-  * and are NOT eagerly unpersisted (the result is lazy); they age out
-  * through Spark's LRU block eviction. Callers running this in a
-  * long-lived session loop can unpersist via `spark.catalog.clearCache`
-  * between batches.
+  * Cache lifetime: the partitioned frame is materialized once via an
+  * EAGER `localCheckpoint` (group-key-sized blocks, freed by the
+  * ContextCleaner when the result frame is garbage-collected), and the
+  * transient persist on the input is dropped as soon as that checkpoint
+  * completes — repeated calls in a long-lived session do not accrete
+  * cache entries. The eager checkpoint means CONSTRUCTING the result
+  * runs the range-sampling + shuffle jobs immediately (the callers are
+  * gate queries that execute right away; a plan-only inspection pays
+  * one small materialization).
   */
 object Cumulative {
 
@@ -43,11 +44,13 @@ object Cumulative {
     * so it costs one tiny aggregate instead of a second pass over the
     * input's lineage.
     *
-    * The input is persisted (MEMORY_AND_DISK): range partitioning runs a
-    * boundary-sampling job over the child before the shuffle, which
-    * would otherwise recompute the input's whole lineage a second time.
-    * The persisted frame is the windowed frame itself — group-key
-    * cardinality, not fact data. */
+    * The input is persisted (MEMORY_AND_DISK) only for the duration of
+    * this call: range partitioning runs a boundary-sampling job over the
+    * child before the shuffle, which would otherwise recompute the
+    * input's whole lineage a second time. Once the partitioned frame is
+    * checkpointed the input persist is released. The materialized frame
+    * is the windowed frame itself — group-key cardinality, not fact
+    * data. */
   def withCumsumAndRank(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
                         cumName: String, rankName: String,
                         totName: String = null,
@@ -56,14 +59,17 @@ object Cumulative {
       if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // persist BOTH frames: the input so the range-boundary sampling job
-    // doesn't recompute its lineage, and the repartitioned+labeled frame
-    // so the row-level window, the partition summary, and the optional
-    // total all read ONE materialized exchange instead of three
-    val parted = df.persist(lvl)
+    // the input persist keeps the range-boundary sampling job from
+    // recomputing its lineage; the eager localCheckpoint materializes
+    // the repartitioned+labeled frame ONCE for its three consumers
+    // (row-level window, partition summary, optional total) and lets the
+    // input persist drop immediately — no cache entries survive the call
+    val in = df.persist(lvl)
+    val parted = in
       .repartitionByRange(p, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist(lvl)
+      .localCheckpoint(true)
+    in.unpersist(blocking = false)
     val wLoc = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
     val local = parted
       .withColumn("__cum_loc", sum(valueCol).over(

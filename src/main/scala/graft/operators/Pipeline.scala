@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -17,16 +17,23 @@ import graft.Tables
   * row of the funnel.
   *
   * Composition notes at scale:
-  *  - stages 0–3 are pure projections/filters over one scan plus ONE
-  *    window shuffle for the exact dedup — the corpus passes through
-  *    once;
+  *  - stages 0–3 are FLAGS on one frame, not materialized frames: the
+  *    exact-dedup keep decision is a window row_number (the funnel's
+  *    single corpus shuffle) and the quality stage is a predicate on
+  *    top, so the whole stage-0–3 funnel is one conditional aggregate
+  *    over one pass of the corpus;
   *  - the near-dup stage runs the posting-list pair join over quality
   *    SURVIVORS only (the cheapest place to do it — every earlier stage
   *    shrinks its input), then [[Dedup.dupClusters]] label propagation;
-  *  - stage frames that several funnel rows consume are
-  *    localCheckpoint'd: the funnel is one union-of-aggregates plan, so
-  *    an unmaterialized stage would re-execute once per referencing
-  *    branch (same race d09 hit — see dupClusters doc);
+  *  - the flagged frame is the one genuinely multi-consumer
+  *    intermediate (pair generation + the final aggregate), so it alone
+  *    is eagerly localCheckpoint'd — an unmaterialized frame would
+  *    re-execute once per consumer (same race d09 hit — see dupClusters
+  *    doc). Consequence: CONSTRUCTING this DataFrame executes the
+  *    scrub→dedup→cluster work (the checkpoint plus dupClusters'
+  *    iterative materialization), not just plans it — callers wanting
+  *    plan-only inspection should look at the stage operators
+  *    individually;
   *  - the exact pair generator keeps the gate deterministic; swapping
   *    in [[Dedup.minhashDedupPairs]] (identical output, sub-quadratic)
   *    is the documented 100 TB configuration.
@@ -39,6 +46,7 @@ object Pipeline {
 
   /** p02 — the pipeline funnel: (stage_id, stage, docs, tokens). */
   def p02PipelineFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val enriched = TextAnalysis.scrubFrame(Tables.documents(spark, dir))
       .select(
         col("doc_id"), col("text"),
@@ -46,30 +54,48 @@ object Pipeline {
         size(col("kept")).as("kept_tok"),
         col("cleaned"),
         TextAnalysis.qualityScore(col("text")).as("q"))
-      .localCheckpoint(true)
 
-    val deduped = Dedup.exact(enriched, Seq("cleaned"), "doc_id")
-      .localCheckpoint(true)
-    val quality = deduped
-      .filter(col("q") >= minQuality && col("kept_tok") >= minKeptTokens)
-      .localCheckpoint(true)
+    // stage flags: dedup keep = arg-min doc_id per cleaned text (one
+    // window shuffle), quality keep = predicate on top of it
+    val wDedup = Window.partitionBy(col("cleaned")).orderBy(col("doc_id"))
+    val flagged = enriched
+      .withColumn("dedup_keep", row_number().over(wDedup) === 1)
+      .withColumn("qual_keep",
+        col("dedup_keep") &&
+          col("q") >= minQuality && col("kept_tok") >= minKeptTokens)
+      .localCheckpoint(true) // two consumers: pair generation + final agg
+
     val pairs = Dedup.jaccardPairs(
-      quality.select(col("doc_id"), col("text")), nearDupThreshold)
+      flagged.filter(col("qual_keep")).select(col("doc_id"), col("text")),
+      nearDupThreshold)
+    // non-head cluster members grow with the duplicate volume — a plain
+    // shuffle join on doc_id (AQE turns it into a broadcast when small)
     val nonHeads = Dedup.dupClusters(pairs)
       .filter(col("node") =!= col("lbl"))
-    val finalKept = quality
-      .join(nonHeads, quality("doc_id") === nonHeads("node"), "left_anti")
+      .select(col("node"), lit(true).as("clustered_drop"))
 
-    def stage(id: Int, name: String, df: DataFrame, tok: String): DataFrame =
-      df.agg(count(lit(1)).as("docs"), sum(col(tok)).as("tokens"))
-        .select(lit(id).as("stage_id"), lit(name).as("stage"),
-          col("docs"), col("tokens"))
-
-    stage(0, "ingest", enriched, "raw_tok")
-      .unionAll(stage(1, "scrub", enriched, "kept_tok"))
-      .unionAll(stage(2, "exact_dedup", deduped, "kept_tok"))
-      .unionAll(stage(3, "quality_filter", quality, "kept_tok"))
-      .unionAll(stage(4, "near_dedup", finalKept, "kept_tok"))
+    def docsTok(cond: Column): (Column, Column) =
+      (sum(when(cond, 1L)).cast("long"),
+       sum(when(cond, col("kept_tok"))).cast("long"))
+    val (d2, t2) = docsTok(col("dedup_keep"))
+    val (d3, t3) = docsTok(col("qual_keep"))
+    val (d4, t4) = docsTok(col("qual_keep") && col("clustered_drop").isNull)
+    flagged
+      .join(nonHeads, flagged("doc_id") === nonHeads("node"), "left")
+      .agg(
+        count(lit(1)).as("d0"),
+        sum(col("raw_tok")).cast("long").as("t0"),
+        sum(col("kept_tok")).cast("long").as("t1"),
+        d2.as("d2"), t2.as("t2"), d3.as("d3"), t3.as("t3"),
+        d4.as("d4"), t4.as("t4"))
+      .select(expr(
+        """stack(5,
+          |  0, 'ingest',         d0, t0,
+          |  1, 'scrub',          d0, t1,
+          |  2, 'exact_dedup',    d2, t2,
+          |  3, 'quality_filter', d3, t3,
+          |  4, 'near_dedup',     d4, t4)
+          |AS (stage_id, stage, docs, tokens)""".stripMargin))
       .orderBy(col("stage_id"))
   }
 

@@ -138,16 +138,33 @@ object GamesSource {
   }
 
   /** Stable on-disk location of the checked-in quirk fixture, so the
-    * gate query (Spark) and its oracle (DuckDB) read the SAME file. */
-  val fixtureTmpPath: String = "/tmp/graft_games_fixture.csv"
+    * gate query (Spark) and its oracle (DuckDB) read the SAME file.
+    * Per-user directory under `java.io.tmpdir`: concurrent users on a
+    * shared host get distinct paths (no collisions, no pre-planted
+    * symlink under someone else's control), and the oracle SQL — built
+    * once at object init — only needs the path stable within one driver
+    * run. */
+  val fixtureTmpPath: String = {
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-$user", "games_fixture.csv").toString
+  }
 
   /** Materialize the bundled quirk fixture (a classpath resource — the
-    * library jar is self-contained) to [[fixtureTmpPath]]. Idempotent. */
+    * library jar is self-contained) to [[fixtureTmpPath]]. Idempotent;
+    * the verify harness calls this explicitly so the oracle never reads
+    * a path the Spark side hasn't written. A pre-existing symlink at the
+    * target is removed rather than written through. */
   def ensureFixture(): String = {
+    val target = java.nio.file.Paths.get(fixtureTmpPath)
+    java.nio.file.Files.createDirectories(target.getParent)
+    if (java.nio.file.Files.isSymbolicLink(target))
+      java.nio.file.Files.delete(target)
     val in = getClass.getResourceAsStream("/games_cleaned.csv")
     require(in != null, "games_cleaned.csv missing from classpath")
-    try java.nio.file.Files.copy(in,
-      java.nio.file.Paths.get(fixtureTmpPath),
+    try java.nio.file.Files.copy(in, target,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     finally in.close()
     fixtureTmpPath

@@ -38,12 +38,22 @@ object Warehouse {
     * resulting task-per-file scheduling + open/footer overhead dominates
     * scans. Rewrites `path` into ⌈bytes / targetFileBytes⌉ files via a
     * round-robin repartition (size-balanced without needing a shuffle
-    * key), writes to a temp sibling, then swaps atomically-enough for a
-    * single-writer maintenance window (a production lakehouse does the
-    * swap under a table-format transaction — Spark-level compaction is
-    * the same rewrite). For a `partitionBy` layout, run per partition
-    * directory (each is a flat parquet dir); compacting the root would
-    * flatten the partition columns out of the directory structure.
+    * key), writes to a temp sibling, then swaps (a production lakehouse
+    * does the swap under a table-format transaction — Spark-level
+    * compaction is the same rewrite). The swap moves the NEW files into
+    * the live path first and deletes the old generation after, so a
+    * crash at any point leaves at least one complete copy under the
+    * live path: before the move it is the old files; mid-swap it is the
+    * old files plus a prefix of the new ones (recover by deleting the
+    * `compacted-<stamp>-` generation); after the move the new copy is
+    * complete and the deletes only remove redundancy. Single-writer
+    * maintenance window assumed (a reader overlapping the swap can see
+    * both generations).
+    *
+    * For a `partitionBy` layout, run per partition directory (each is a
+    * flat parquet dir); compacting the root would flatten the partition
+    * columns out of the directory structure, so a root containing
+    * `name=value` partition directories is refused.
     *
     * Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, path: String,
@@ -59,6 +69,15 @@ object Warehouse {
     def parquetFiles(p: String) =
       walk(Paths.get(p))
         .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
+    val dir = Paths.get(path)
+    val partitionDirs = walk(dir)
+      .filter(p => p != dir && Files.isDirectory(p) &&
+        p.getFileName.toString.contains("="))
+    require(partitionDirs.isEmpty,
+      s"compact: $path contains partition directories " +
+        s"(${partitionDirs.take(3).map(_.getFileName).mkString(", ")}…); " +
+        "compacting the root would flatten the hive layout — " +
+        "run compact on each partition directory instead")
     val before = parquetFiles(path)
     val totalBytes = before.map(Files.size).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
@@ -66,11 +85,15 @@ object Warehouse {
     spark.read.parquet(path)
       .repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
-    val dir = Paths.get(path)
-    walk(dir).reverse.filter(_ != dir).foreach(Files.delete)
+    // swap order matters for crash safety: snapshot the old generation,
+    // move the new files IN (stamped names — cannot collide with the old
+    // part-* names), and only then delete the old generation
+    val old = walk(dir).filter(p => p != dir && Files.isRegularFile(p))
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
     walk(Paths.get(tmp))
-      .filter(Files.isRegularFile(_))
-      .foreach(f => Files.move(f, dir.resolve(f.getFileName)))
+      .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
+      .foreach(f => Files.move(f, dir.resolve(s"compacted-$stamp-${f.getFileName}")))
+    old.foreach(Files.delete)
     walk(Paths.get(tmp)).reverse.foreach(Files.delete)
     (before.size, parquetFiles(path).size)
   }
