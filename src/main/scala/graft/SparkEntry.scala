@@ -26,7 +26,8 @@ object SparkEntry {
       operators.Media.queries ++
       operators.GameAnalytics.queries ++
       operators.AsOf.queries ++
-      operators.Pipeline.queries
+      operators.Pipeline.queries ++
+      operators.Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
       operators.Media.oracles ++
       operators.GameAnalytics.oracles ++
       operators.AsOf.oracles ++
-      operators.Pipeline.oracles
+      operators.Pipeline.oracles ++
+      operators.Sketches.oracles
 }

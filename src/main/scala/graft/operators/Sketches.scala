@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.types.BinaryType
+
+import graft.Tables
+
+/** Sketch-backed operators — the two structures that change what is
+  * FEASIBLE at 100 TB rather than just faster:
+  *
+  *  - '''Bloom-filter join pruning''' (q29): when a fact⋈dim join keeps
+  *    only a selective slice of the dim side, the expensive part is
+  *    shuffling the entire fact table just to drop most of it at the
+  *    join. A bloom filter built over the build-side keys and applied
+  *    to the fact side BEFORE its exchange eliminates the non-matching
+  *    rows pre-shuffle — the same rewrite Spark's own
+  *    InjectRuntimeFilter performs when its heuristics fire, exposed
+  *    here as a deterministic operator (the optimizer's version
+  *    activates only under size/selectivity thresholds that a library
+  *    caller cannot rely on). Exactness is preserved by construction:
+  *    blooms have no false negatives, and the real join removes the
+  *    false positives, so the gate hash-compares against the plain-join
+  *    oracle.
+  *
+  *  - '''Mergeable HLL sketches''' (q30): COUNT(DISTINCT) does not
+  *    re-aggregate — month-level exact distincts cannot be combined into a
+  *    year-level distinct, so at 100 TB every rollup level costs a full
+  *    re-shuffle of raw keys. DataSketches HLL (Spark's `hll_sketch_agg`
+  *    family) is associative: per-group sketches are built in one pass,
+  *    stored bytes, and UNIONED upward (`hll_union_agg`) without
+  *    touching raw data again — the standing pattern for distinct-user
+  *    metrics over a partitioned warehouse. HLL register-max updates
+  *    are order-independent, so results are deterministic under any
+  *    partitioning (ScalaTest pins the estimate against exact
+  *    distincts; the gate is rows-only — DuckDB's approx engine is a
+  *    different implementation).
+  */
+object Sketches {
+
+  // ---------------------------------------------------------------------------
+  // bloom-filter runtime join pruning
+  // ---------------------------------------------------------------------------
+
+  /** Serialized bloom filter over `xxhash64(key)` of `small`, built
+    * DISTRIBUTED (partial blooms OR-merged by the aggregate) and
+    * collected to the driver — the same shape Spark's runtime filter
+    * produces via a scalar subquery; a few hundred KB for a
+    * million-key build side at the default 3% FPP. */
+  def buildBloom(small: DataFrame, key: Column, expectedItems: Long): Array[Byte] = {
+    val agg = new BloomFilterAggregate(
+      GraftSqlBridge.expression(xxhash64(key)), expectedItems)
+      .toAggregateExpression()
+    small.select(GraftSqlBridge.column(agg).as("bloom"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Membership predicate against a serialized bloom — Spark's own
+    * codegen'd `BloomFilterMightContain`, keyed by the same xxhash64 the
+    * build side used. */
+  def mightContain(bloom: Array[Byte], key: Column): Column =
+    GraftSqlBridge.column(BloomFilterMightContain(
+      Literal(bloom, BinaryType),
+      GraftSqlBridge.expression(xxhash64(key))))
+
+  /** `big` reduced to rows whose `bigKey` might match a `smallKey` of
+    * `small` — the prune-then-join building block. CONSTRUCTION runs
+    * two small jobs on the build side (count + bloom build); the big
+    * side stays lazy. */
+  def bloomPrune(big: DataFrame, bigKey: Column,
+                 small: DataFrame, smallKey: Column): DataFrame = {
+    // sizing from the actual build side: a pushed-filter count costs a
+    // metadata-cheap scan of the small side and keeps the FPP honest at
+    // any SF (a hardcoded estimate collapses to all-pass or over-sizes)
+    val n = math.max(small.select(smallKey).count(), 64L)
+    val bloom = buildBloom(small, smallKey, n)
+    big.filter(mightContain(bloom, bigKey))
+  }
+
+  // ---------------------------------------------------------------------------
+  // q29 — bloom-pruned selective fact⋈dim join: urgent-1997 order revenue
+  // by month. The bloom removes ~94% of lineitem rows before the join
+  // exchange (1 of 5 priorities × 1 of 7 years); the oracle is the plain
+  // join — pruning must be invisible in the result.
+  // ---------------------------------------------------------------------------
+  def q29BloomPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DecimalSums.dsum
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        year(col("o_orderdate")) === 1997)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val pruned = bloomPrune(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      col("l_orderkey"), urgent, col("o_orderkey"))
+    pruned
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(month(col("o_orderdate")).as("order_month"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("total_revenue"),
+        count(lit(1)).as("line_count"))
+      .orderBy(col("order_month"))
+  }
+
+  val q29Sql: String = {
+    import graft.functions.DecimalSums.sqlDsum
+    s"""SELECT CAST(MONTH(o_orderdate) AS INT) AS order_month,
+       |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue,
+       |  COUNT(*) AS line_count
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderpriority = '1-URGENT' AND YEAR(o_orderdate) = 1997
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
+  // q30 — HLL distinct-customer rollup: monthly sketches built in one
+  // pass over orders, merged upward to yearly estimates WITHOUT
+  // re-reading raw keys — the re-aggregation exact COUNT(DISTINCT)
+  // cannot do. Rows-only gate (estimates are implementation-specific);
+  // SketchesSpec pins the estimates against exact distincts.
+  // ---------------------------------------------------------------------------
+  def q30HllDistinctRollup(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .select(
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        col("o_custkey"))
+      .groupBy(col("order_year"), col("order_month"))
+      .agg(
+        hll_sketch_agg(col("o_custkey")).as("sk"),
+        count(lit(1)).as("orders"))
+    monthly
+      .groupBy(col("order_year"))
+      .agg(
+        count(lit(1)).as("months"),
+        sum(col("orders")).as("orders"),
+        hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("est_unique_customers"))
+      .orderBy(col("order_year"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_bloom_pruned_join"    -> q29BloomPrunedJoin _,
+    "q30_hll_distinct_rollup"  -> q30HllDistinctRollup _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q29_bloom_pruned_join" -> q29Sql,
+  )
+}

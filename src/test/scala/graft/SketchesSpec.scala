@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloomPrune keeps every true match (no false negatives)") {
+    val small = Tables.orders(spark, sf)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey")
+    val big = Tables.lineitem(spark, sf)
+    val pruned = Sketches.bloomPrune(big, $"l_orderkey", small, $"o_orderkey")
+    // exact semi-join rows must survive pruning bit-for-bit
+    val trueMatches = big.join(small, $"l_orderkey" === $"o_orderkey", "left_semi")
+    val lost = trueMatches.exceptAll(
+      pruned.join(small, $"l_orderkey" === $"o_orderkey", "left_semi")).count()
+    assert(lost == 0, s"bloom pruned away $lost true-matching rows")
+  }
+
+  test("bloomPrune actually prunes (selective build side)") {
+    val small = Tables.orders(spark, sf)
+      .filter($"o_orderpriority" === "1-URGENT" && year($"o_orderdate") === 1997)
+      .select($"o_orderkey")
+    val big = Tables.lineitem(spark, sf)
+    val kept = Sketches.bloomPrune(big, $"l_orderkey", small, $"o_orderkey").count()
+    val total = big.count()
+    // ~1/35 of rows truly match (1 of 5 priorities × 1 of 7 years); with
+    // 3% FPP the pruned side must stay well under a quarter of the fact
+    assert(kept < total / 4, s"bloom kept $kept of $total rows — not pruning")
+  }
+
+  test("q29 pruned join equals the plain join") {
+    val plain = {
+      val urgent = Tables.orders(spark, sf)
+        .filter($"o_orderpriority" === "1-URGENT" && year($"o_orderdate") === 1997)
+        .select($"o_orderkey", $"o_orderdate")
+      Tables.lineitem(spark, sf)
+        .join(urgent, $"l_orderkey" === $"o_orderkey")
+        .groupBy(month($"o_orderdate").as("order_month"))
+        .agg(
+          graft.functions.DecimalSums.dsum(
+            $"l_extendedprice" * (lit(1.0) - $"l_discount")).as("total_revenue"),
+          count(lit(1)).as("line_count"))
+    }
+    assert(digest(Sketches.q29BloomPrunedJoin(spark, sf)) == digest(plain))
+  }
+
+  test("q30 HLL estimates stay within 5% of exact distincts") {
+    val est = Sketches.q30HllDistinctRollup(spark, sf)
+      .select($"order_year", $"est_unique_customers").as[(Int, Long)]
+      .collect().toMap
+    val exact = Tables.orders(spark, sf)
+      .groupBy(year($"o_orderdate").as("order_year"))
+      .agg(countDistinct($"o_custkey").as("n"))
+      .as[(Int, Long)].collect().toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (y, n) =>
+      val e = est(y)
+      assert(math.abs(e - n).toDouble / n <= 0.05,
+        s"year $y: estimate $e vs exact $n exceeds 5%")
+    }
+  }
+
+  test("q30 merged yearly estimate is order-independent (repartition-proof)") {
+    val a = Sketches.q30HllDistinctRollup(spark, sf)
+    val b = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      try Sketches.q30HllDistinctRollup(spark, sf)
+        .collect().toSeq // materialize under the altered conf
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    assert(a.collect().toSeq == b)
+  }
+}
