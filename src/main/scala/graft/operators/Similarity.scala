@@ -150,6 +150,59 @@ object Similarity {
     rankCandidates(probed.join(cells, Seq("cell")), k)
   }
 
+  /** Int8 scalar quantization + exact re-rank — the memory/IO scale
+    * path orthogonal to bucketing: the corpus is stored and SHUFFLED as
+    * `array<tinyint>` (4× smaller than float32, 8× than the double
+    * compute form), the coarse ranking runs on the quantized vectors,
+    * and only the top `rerankFactor·k` candidates per query pay an
+    * exact re-score against the full-precision vectors (fetched by id —
+    * the wide doubles never enter the candidate-generation join).
+    * Cosine is scale-invariant, so the shared global scale factor
+    * cancels and the coarse scores differ from the true ones only by
+    * int8 rounding — the re-rank buffer absorbs that (recall vs exact
+    * pinned in SimilaritySpec).
+    *
+    * The global max|x| the scale derives from is a 1-row broadcast
+    * (no driver action — the plan stays lazy); at 100 TB you would
+    * compute it on a sample once and persist it with the index. */
+  def quantized(emb: DataFrame, idAs: String): DataFrame = {
+    val v = VectorOps.asDouble(col("embedding"))
+    val maxAbs = emb
+      .select(array_max(transform(v, x => abs(x))).as("m"))
+      .agg(max(col("m")).as("max_abs"))
+    emb.crossJoin(broadcast(maxAbs))
+      .select(
+        col("vec_id").as(idAs),
+        transform(v, x =>
+          round(x * (lit(127.0) / col("max_abs"))).cast("tinyint")).as("qvec"))
+  }
+
+  def quantizedKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+                   rerankFactor: Int = 4): DataFrame = {
+    val q8 = quantized(queries, "query_id")
+      .select(col("query_id"), VectorOps.asDouble(col("qvec")).as("qv8"))
+      .withColumn("qn8", VectorOps.norm(col("qv8")))
+    val c8 = quantized(corpus, "neighbor_id")
+      .select(col("neighbor_id"), VectorOps.asDouble(col("qvec")).as("cv8"))
+      .withColumn("cn8", VectorOps.norm(col("cv8")))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine8").desc, col("neighbor_id"))
+    val candidates = q8.join(c8, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine8",
+        VectorOps.dot(col("qv8"), col("cv8")) / (col("qn8") * col("cn8")))
+      .withColumn("crk", row_number().over(wCoarse))
+      .filter(col("crk") <= k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank: true vectors join back by id — candidate-set-sized
+    val q = queries.select(col("vec_id").as("query_id"),
+      VectorOps.asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", VectorOps.norm(col("qv")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      VectorOps.asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+    rankCandidates(candidates.join(q, Seq("query_id")).join(c, Seq("neighbor_id")), k)
+  }
+
   /** Shared exact-rerank tail of every ANN path: drop self-pairs, score
     * candidates by true cosine, keep the top-k per query under the
     * (cosine desc, neighbor_id) total order. Expects columns
@@ -246,12 +299,22 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
+  /** s06 — int8-quantized kNN for the same queries (quantization is a
+    * lossy engine choice → rows-only gate; recall vs s01 pinned in
+    * SimilaritySpec). */
+  def s06KnnQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    quantizedKnn(emb.filter(col("vec_id") < 20), emb, 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_bruteforce"    -> s01KnnBruteForce _,
     "s02_knn_ann"           -> s02KnnAnn _,
     "s03_ann_bucket_profile" -> s03AnnBucketProfile _,
     "s04_knn_ivf"           -> s04KnnIvf _,
     "s05_ivf_cell_profile"  -> s05IvfCellProfile _,
+    "s06_knn_quantized"     -> s06KnnQuantized _,
   )
 
   val oracles: Map[String, String] = Map(
