@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{ArrayExprs, RollingHash, VectorExprs}
+import graft.functions.{ArrayExprs, RollingHash, VectorExprs, ZOrderExprs}
 
 /** SQL surface for the library's native Catalyst expressions: installs
   * `vec_dot`, `vec_norm2`, `poly_hash`, and `window_mins` into the
@@ -71,6 +71,19 @@ object GraftExtensions {
     case Seq(a) => ArrayExprs.MaxRun(a)
   }
 
+  /** Z-order bit interleave; LAST arg is the per-column bit width as an
+    * INT literal (it shapes code generation at analysis time). */
+  val interleaveBits: Description = desc("interleave_bits",
+      "N cols + INT-literal bit width") {
+    case args if args.size >= 2 =>
+      args.last match {
+        case Literal(b: Int, IntegerType) =>
+          ZOrderExprs.InterleaveBits(args.init, b)
+        case _ => arity("interleave_bits", args.size,
+          "N cols + INT-literal bit width")
+      }
+  }
+
   val all: Seq[Description] =
-    Seq(vecDot, vecNorm2, polyHash, windowMins, arrayMaxRun)
+    Seq(vecDot, vecNorm2, polyHash, windowMins, arrayMaxRun, interleaveBits)
 }

@@ -27,7 +27,8 @@ object SparkEntry {
       operators.GameAnalytics.queries ++
       operators.AsOf.queries ++
       operators.Pipeline.queries ++
-      operators.Sketches.queries
+      operators.Sketches.queries ++
+      operators.Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
       operators.GameAnalytics.oracles ++
       operators.AsOf.oracles ++
       operators.Pipeline.oracles ++
-      operators.Sketches.oracles
+      operators.Sketches.oracles ++
+      operators.Layout.oracles
 }
