@@ -28,7 +28,8 @@ object SparkEntry {
       operators.AsOf.queries ++
       operators.Pipeline.queries ++
       operators.Sketches.queries ++
-      operators.Layout.queries
+      operators.Layout.queries ++
+      operators.RangeJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       operators.AsOf.oracles ++
       operators.Pipeline.oracles ++
       operators.Sketches.oracles ++
-      operators.Layout.oracles
+      operators.Layout.oracles ++
+      operators.RangeJoin.oracles
 }
