@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Hot-key mitigation for aggregations.
+/** Hot-key mitigation for aggregations and joins.
   *
   * AQE's skew-join splitting covers joins, but a groupBy whose key
   * distribution has a monster key (one user with 10⁹ events, one
@@ -60,5 +60,32 @@ object Skew {
       .agg(partialExprs.head, partialExprs.tail: _*)
       .groupBy(keys.map(col): _*)
       .agg(mergeExprs.head, mergeExprs.tail: _*)
+  }
+
+  /** Salted shuffle JOIN for a hot key — the manual fallback where
+    * AQE's skew split cannot reach: AQE only re-splits SORT-MERGE join
+    * partitions AFTER a stage materializes, so a skewed join feeding a
+    * streaming stage, a bucketed-table join (no exchange to split), or
+    * an engine pinned to a pre-AQE plan still funnels the hot key into
+    * one task.
+    *
+    * Shape: the BIG side salts each row into `buckets` sub-keys
+    * (deterministic hash of `distributeBy` — any column that varies
+    * within the hot key); the SMALL side is replicated once per bucket
+    * (explode over 0..buckets-1). The join key becomes
+    * (key, salt) — the hot key's rows spread over `buckets` tasks, and
+    * every big row still meets every matching small row exactly once
+    * (it lands in one salt bucket; the small side is present in all of
+    * them). Inner joins only: replicated small-side rows make outer
+    * semantics ambiguous. Cost: small side shuffles `buckets`× its
+    * size — use for a dim-scale right side that is too big (or too
+    * mid-stage) to broadcast but dwarfed by the skewed fact. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 distributeBy: Column, buckets: Int = 16): DataFrame = {
+    require(buckets > 0)
+    val b = big.withColumn("__salt", salt(distributeBy, buckets))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets - 1L))))
+    b.join(s, Seq(key, "__salt")).drop("__salt")
   }
 }

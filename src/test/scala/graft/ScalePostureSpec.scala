@@ -26,6 +26,27 @@ class ScalePostureSpec extends SparkSpec {
     assert(plain.exceptAll(salted.select("k", "total", "n", "lo", "hi")).count() == 0)
   }
 
+  test("saltedJoin equals the plain join and spreads the hot key") {
+    // 90% of the fact shares one hot key; dim has one row per key
+    val fact = spark.range(20000)
+      .select(
+        when($"id" % 10 =!= 0, lit(42L)).otherwise($"id" % 50).as("k"),
+        $"id".as("row_id"))
+    val dim = spark.range(50).select($"id".as("k"),
+      concat(lit("name_"), $"id").as("k_name"))
+    val plain = fact.join(dim, Seq("k"))
+    val salted = Skew.saltedJoin(fact, dim, "k",
+      distributeBy = $"row_id", buckets = 8)
+      .select(plain.columns.map(col): _*)
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+    // the hot key's rows really occupy several salt buckets
+    val spread = fact.filter($"k" === 42L)
+      .select(pmod(xxhash64($"row_id"), lit(8)).as("b"))
+      .distinct().count()
+    assert(spread > 4, s"hot key should spread over most buckets, got $spread")
+  }
+
   test("saltedAgg rejects non-decomposable aggregates") {
     intercept[IllegalArgumentException] {
       Skew.saltedAgg(spark.range(1).toDF("k"), Seq("k"),
