@@ -29,7 +29,8 @@ object SparkEntry {
       operators.Pipeline.queries ++
       operators.Sketches.queries ++
       operators.Layout.queries ++
-      operators.RangeJoin.queries
+      operators.RangeJoin.queries ++
+      operators.Profile.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
       operators.Pipeline.oracles ++
       operators.Sketches.oracles ++
       operators.Layout.oracles ++
-      operators.RangeJoin.oracles
+      operators.RangeJoin.oracles ++
+      operators.Profile.oracles
 }

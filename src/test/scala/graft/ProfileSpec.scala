@@ -1,0 +1,32 @@
+package graft
+
+import graft.operators.Profile
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile reports exact per-column stats on a known frame") {
+    val df = Seq(
+      (1, Some("a"), Some(10)),
+      (2, Some("b"), None),
+      (3, Some("a"), Some(30)),
+      (4, None, Some(30))
+    ).toDF("id", "s", "v")
+    val rows = Profile.profile(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(rows("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(rows("s") == ((4L, 1L, 2L, "a", "b")))
+    assert(rows("v") == ((4L, 1L, 2L, "10", "30")))
+  }
+
+  test("profile output is sorted and complete over the documents table") {
+    val out = Profile.p03DataProfile(spark, sf).collect()
+    assert(out.map(_.getString(0)).toSeq ==
+      Seq("doc_id", "lang", "n_chars", "source", "text"))
+    // doc_id is the key: distinct == rows, no nulls
+    val docId = out.find(_.getString(0) == "doc_id").get
+    assert(docId.getLong(1) == docId.getLong(3) && docId.getLong(2) == 0L)
+  }
+}
