@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 import graft.Tables
 
@@ -407,6 +407,46 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
       .limit(1000)
 
+  /** Per-document salient terms by smoothed TF-IDF — the standard
+    * corpus-statistics ranking a text pipeline uses for topic tagging /
+    * keyword extraction. One exploded-token pass builds (doc, term, tf);
+    * document frequency folds OVER THE SAME FRAME (it is already
+    * distinct per (doc, term)), so the corpus is read once; N arrives
+    * as a 1-row broadcast. idf = ln((N+1)/(df+1)) + 1 (sklearn's
+    * smooth_idf) — no zero-division, unseen-term-safe.
+    *
+    * Rank per doc under (score DESC, term) — the term tiebreaker makes
+    * the output deterministic across partitionings. Rows-only gate: two
+    * engines' `ln` can differ in the last ulp, which could flip ranks
+    * of mathematically-equal scores, so the semantics are pinned in
+    * ScalaTest (hand-computed fixture) instead of the DuckDB hash. */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    val tf = docs
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") *
+        (log((col("__n") + 1).cast(DoubleType) / (col("df") + 1).cast(DoubleType))
+          + lit(1.0)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast(IntegerType).as("rk"),
+        col("term"), col("tf"), col("df"))
+  }
+
+  /** t11 — top-3 TF-IDF terms for the first 50 docs (df/N stay
+    * corpus-global; only the ranked output is restricted). */
+  def t11TfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopTerms(Tables.documents(spark, dir), 3)
+      .filter(col("doc_id") < 50)
+      .orderBy(col("doc_id"), col("rk"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats"    -> t01TokenStats _,
     "t02_quality_scores" -> t02QualityScores _,
@@ -418,6 +458,7 @@ object TextAnalysis {
     "t08_repetition"     -> t08Repetition _,
     "t09_token_topk"     -> t09TokenTopK _,
     "t10_cms_estimates"  -> t10CmsTopkEstimates _,
+    "t11_tfidf_topterms" -> t11TfidfTopTerms _,
   )
 
   val oracles: Map[String, String] = Map(

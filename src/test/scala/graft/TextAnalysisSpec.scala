@@ -109,4 +109,34 @@ class TextAnalysisSpec extends SparkSpec {
         s"$tok: estimate $est too far above exact $exact (N=$n)")
     }
   }
+
+  test("tfidf top terms match a hand-computed fixture") {
+    // N=3; "rare" appears in 1 doc, "mid" in 2, "all" in 3.
+    // smooth idf: ln((N+1)/(df+1))+1 → rare 1.693, mid 1.288, all 1.0
+    val docs = Seq(
+      (0L, "all rare mid"),
+      (1L, "all mid all"),
+      (2L, "all")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(docs, 3)
+      .orderBy($"doc_id", $"rk")
+      .select($"doc_id", $"rk", $"term", $"tf", $"df")
+      .as[(Long, Int, String, Long, Long)].collect().toSeq
+    assert(top == Seq(
+      // doc 0: rare(1×1.693) > mid(1×1.288) > all(1×1.0)
+      (0L, 1, "rare", 1L, 1L), (0L, 2, "mid", 1L, 2L), (0L, 3, "all", 1L, 3L),
+      // doc 1: all(tf=2, 2.0) > mid(1.288)
+      (1L, 1, "all", 2L, 3L), (1L, 2, "mid", 1L, 2L),
+      (2L, 1, "all", 1L, 3L)))
+  }
+
+  test("tfidf ranking is partitioning-independent") {
+    val a = TextAnalysis.t11TfidfTopTerms(spark, sf).collect().toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      val b = TextAnalysis.t11TfidfTopTerms(spark, sf).collect().toSeq
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
