@@ -116,6 +116,23 @@ object EventStreams {
       .select(col("user_id"), col("event_type"), col("minute"))
 
   // ---------------------------------------------------------------------------
+  // Stream-static banded range join (streaming v11)
+  // ---------------------------------------------------------------------------
+
+  /** Tag each streaming event with the static interval(s) containing
+    * it — the streaming face of [[graft.operators.RangeJoin.banded]]
+    * (same band algebra, so each matching (event, interval) pair
+    * emits exactly once). Stream-static joins are STATELESS: the
+    * static side is re-planned per micro-batch and no watermark state
+    * accrues, so append mode works as-is. The banded rewrite matters
+    * here doubly — a per-batch nested loop over a large interval table
+    * would run once per micro-batch, forever. */
+  def inWindows(events: DataFrame, intervals: DataFrame,
+                bandMicros: Long = 3600L * 1000000L): DataFrame =
+    graft.operators.RangeJoin.banded(events, col("ts"),
+      intervals, col("w_start"), col("w_end"), bandMicros)
+
+  // ---------------------------------------------------------------------------
   // Stream-stream interval join (streaming v07)
   // ---------------------------------------------------------------------------
 

@@ -120,6 +120,19 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("stream-static banded range join matches the batch banded join") {
+    val t0 = events.agg(min($"ts")).head().getTimestamp(0).toInstant
+    val ivs = (0 until 6).map { i =>
+      (i, Timestamp.from(t0.plusSeconds(i * 7200L)),
+        Timestamp.from(t0.plusSeconds(i * 7200L + 5400L)))
+    }.toDF("iv_id", "w_start", "w_end")
+    val streamed = replay(df => EventStreams.inWindows(df, ivs))
+    val batch = graft.operators.RangeJoin.banded(
+      events.toDF(), $"ts", ivs, $"w_start", $"w_end", 3600L * 1000000L)
+    assert(batch.count() > 0, "fixture must produce matches")
+    assertSameRows(streamed, batch)
+  }
+
   test("attributedPurchases replay matches batch v07 exactly") {
     val streamed = replay(EventStreams.attributedPurchases(_))
     assertSameRows(streamed, EventQueries.v07AttributedPurchases(spark, sf))
