@@ -21,6 +21,15 @@ class ProfileSpec extends SparkSpec {
     assert(rows("v") == ((4L, 1L, 2L, "10", "30")))
   }
 
+  test("observed metrics are collected by the caller's own action") {
+    val df = Seq((1, Some("a")), (2, None), (3, Some("c")))
+      .toDF("id", "s")
+    val (tagged, obs) = Profile.observed(df, Seq("id", "s"))
+    tagged.write.format("noop").mode("overwrite").save() // the only pass
+    val m = obs.get
+    assert(m("n_rows") == 3L && m("n_nulls_id") == 0L && m("n_nulls_s") == 1L)
+  }
+
   test("profile output is sorted and complete over the documents table") {
     val out = Profile.p03DataProfile(spark, sf).collect()
     assert(out.map(_.getString(0)).toSeq ==
