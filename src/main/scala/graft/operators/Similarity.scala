@@ -167,9 +167,11 @@ object Similarity {
     * compute it on a sample once and persist it with the index. */
   def quantized(emb: DataFrame, idAs: String): DataFrame = {
     val v = VectorOps.asDouble(col("embedding"))
+    // greatest(…, ε): an all-zero corpus would otherwise scale by ∞ and
+    // quantize to NaN→null instead of harmless zeros
     val maxAbs = emb
       .select(array_max(transform(v, x => abs(x))).as("m"))
-      .agg(max(col("m")).as("max_abs"))
+      .agg(greatest(max(col("m")), lit(1e-30)).as("max_abs"))
     emb.crossJoin(broadcast(maxAbs))
       .select(
         col("vec_id").as(idAs),

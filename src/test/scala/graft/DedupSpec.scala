@@ -122,4 +122,21 @@ class DedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("incrementalPairs equals the full-batch pairs restricted to new docs") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val split = docs.agg(expr("2 * MAX(doc_id) DIV 3")).head().getLong(0)
+    val inc = Dedup.incrementalPairs(
+      docs.filter($"doc_id" >= split), docs.filter($"doc_id" < split), 0.8)
+      .select($"doc_id", $"dup_id").as[(Long, Long)].collect().toSet
+    // full-batch exact answer, re-oriented to (larger, smaller)
+    val full = Dedup.jaccardPairs(docs, 0.8)
+      .select($"id_b".as("doc_id"), $"id_a".as("dup_id"))
+      .filter($"doc_id" >= split)
+      .as[(Long, Long)].collect().toSet
+    assert(full.nonEmpty, "fixture must contain cross-batch duplicates")
+    assert(inc == full, s"incremental=${inc.size} vs full=${full.size}")
+    // every reported duplicate authority precedes its new doc
+    assert(inc.forall { case (d, a) => a < d })
+  }
 }
