@@ -150,4 +150,26 @@ class ScalePostureSpec extends SparkSpec {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("compact refuses a hive-partitioned root instead of flattening it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_part").toString
+    try {
+      Tables.events(spark, sf)
+        .withColumn("etype", $"event_type")
+        .write.mode("overwrite").partitionBy("etype").parquet(dir)
+      val e = intercept[IllegalArgumentException] {
+        Warehouse.compact(spark, dir)
+      }
+      assert(e.getMessage.contains("partition directories"))
+      // per-partition invocation (the documented path) still works
+      val sub = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.contains("=")).head
+      val before = digest(spark.read.parquet(sub.toString))
+      Warehouse.compact(spark, sub.toString)
+      assert(digest(spark.read.parquet(sub.toString)) == before)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }
