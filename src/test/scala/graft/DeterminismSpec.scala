@@ -1,0 +1,30 @@
+package graft
+
+/** Partitioning-independence pins for the round-3 gate additions: the
+  * driver's hash gate compares one run's bytes, so any
+  * partition-order-dependent result would pass locally and flake
+  * cross-run. Digesting under two shuffle widths catches the classic
+  * causes (double summation order, unstable ranks, hash-collision
+  * order) at toy scale. (The pre-existing catalog was verified 32-vs-8
+  * via full Verify runs in round 2; streaming is replay-pinned
+  * separately.) */
+class DeterminismSpec extends SparkSpec {
+
+  private val roundThree = Seq(
+    "q29_bloom_pruned_join", "q30_hll_distinct_rollup", "q31_zorder_curve",
+    "v11_busy_window_stats", "s06_knn_quantized", "p03_data_profile",
+    "t11_tfidf_topterms", "d10_incremental_dedup")
+
+  test("round-3 queries digest identically under different shuffle widths") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    roundThree.foreach { name =>
+      val q = SparkEntry.queries(name)
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val a = digest(q(spark, sf))
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = try digest(q(spark, sf))
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      assert(a == b, s"$name digest diverges across shuffle widths")
+    }
+  }
+}
