@@ -35,8 +35,12 @@ object Layout {
     * oracle mirrors it textually); operands stay ≤2^53 for any int32
     * dimension so the doubles are exact. */
   def bucket(x: Column, mn: Column, mx: Column, bits: Int): Column =
-    floor(((x - mn).cast(LongType) * lit(1L << bits)).cast(DoubleType) /
-      (mx - mn + lit(1L)).cast(DoubleType)).cast(IntegerType)
+    // cast BEFORE subtracting: int32 x - mn can overflow when the
+    // range spans most of the int domain
+    floor(((x.cast(LongType) - mn.cast(LongType)) * lit(1L << bits))
+        .cast(DoubleType) /
+      (mx.cast(LongType) - mn.cast(LongType) + lit(1L)).cast(DoubleType))
+      .cast(IntegerType)
 
   /** The Morton key over already-bucketized dimension ids. */
   def zvalue(buckets: Seq[Column], bits: Int): Column =
