@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
 
 /** Bit-interleaving kernel for Z-order (Morton) data layout — the
   * multi-dimensional clustering key behind file skipping on MORE THAN
@@ -35,6 +35,19 @@ object ZOrderExprs {
     override def dataType: DataType = LongType
     override def nullable: Boolean = children.exists(_.nullable)
     override def prettyName: String = "interleave_bits"
+
+    // validate (not coerce): without this, a BIGINT child would CCE on
+    // the interpreted path but silently shift on the codegen path —
+    // same query, different outcome depending on which path Catalyst
+    // picks (constant folding vs whole-stage codegen)
+    override def checkInputDataTypes():
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      val bad = children.map(_.dataType).filterNot(_ == IntegerType)
+      if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"interleave_bits expects INT bucket ids, got ${bad.mkString(", ")}")
+    }
 
     override def eval(input: InternalRow): Any = {
       val n = children.size

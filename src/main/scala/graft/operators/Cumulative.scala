@@ -63,13 +63,18 @@ object Cumulative {
     // recomputing its lineage; the eager localCheckpoint materializes
     // the repartitioned+labeled frame ONCE for its three consumers
     // (row-level window, partition summary, optional total) and lets the
-    // input persist drop immediately — no cache entries survive the call
-    val in = df.persist(lvl)
+    // input persist drop immediately — no cache entries survive the call.
+    // Persist/unpersist ONLY if the caller hasn't cached df already:
+    // persist() on an already-cached plan is a no-op, so an unconditional
+    // unpersist here would evict the CALLER's cache entry.
+    val ownCache =
+      df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val in = if (ownCache) df.persist(lvl) else df
     val parted = in
       .repartitionByRange(p, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
-    in.unpersist(blocking = false)
+    if (ownCache) in.unpersist(blocking = false)
     val wLoc = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
     val local = parted
       .withColumn("__cum_loc", sum(valueCol).over(

@@ -74,9 +74,11 @@ object Pipeline {
       .filter(col("node") =!= col("lbl"))
       .select(col("node"), lit(true).as("clustered_drop"))
 
+    // coalesce to 0: a stage that filters out EVERY document must count
+    // 0 like the oracle's COUNT over an empty CTE, not sum-of-nothing NULL
     def docsTok(cond: Column): (Column, Column) =
-      (sum(when(cond, 1L)).cast("long"),
-       sum(when(cond, col("kept_tok"))).cast("long"))
+      (coalesce(sum(when(cond, 1L)), lit(0L)).cast("long"),
+       coalesce(sum(when(cond, col("kept_tok"))), lit(0L)).cast("long"))
     val (d2, t2) = docsTok(col("dedup_keep"))
     val (d3, t3) = docsTok(col("qual_keep"))
     val (d4, t4) = docsTok(col("qual_keep") && col("clustered_drop").isNull)

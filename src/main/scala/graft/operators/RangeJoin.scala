@@ -38,11 +38,17 @@ object RangeJoin {
     require(bandMicros > 0, "bandMicros must be positive")
     val p = points.withColumn("__band",
       floor(unix_micros(ts).cast(LongType) / bandMicros))
-    // end is exclusive: the last overlapped band is floor((end-1µs)/w)
-    val iv = intervals.withColumn("__band",
-      explode(sequence(
-        floor(unix_micros(start).cast(LongType) / bandMicros),
-        floor((unix_micros(end).cast(LongType) - 1L) / bandMicros))))
+    // end is exclusive: the last overlapped band is floor((end-1µs)/w).
+    // Drop empty/reversed intervals first — sequence(a, b) counts DOWN
+    // when a > b, so a dirty end<=start row would explode one junk row
+    // per band of the reversed gap (invisible in results behind the
+    // exact predicate, but paid for in the join).
+    val iv = intervals
+      .filter(end > start)
+      .withColumn("__band",
+        explode(sequence(
+          floor(unix_micros(start).cast(LongType) / bandMicros),
+          floor((unix_micros(end).cast(LongType) - 1L) / bandMicros))))
     p.join(iv, Seq("__band"))
       .filter(ts >= start && ts < end)
       .drop("__band")

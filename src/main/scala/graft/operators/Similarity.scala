@@ -189,9 +189,15 @@ object Similarity {
       .withColumn("cn8", VectorOps.norm(col("cv8")))
     val wCoarse = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine8").desc, col("neighbor_id"))
+    // zero-norm guard: a vector whose components all quantize to 0 has
+    // cn8 = 0, and 0/0 = NaN sorts ABOVE every real cosine under desc —
+    // unguarded, enough such vectors fill the whole re-rank buffer with
+    // garbage for every query. Score them below any true cosine instead.
     val candidates = q8.join(c8, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine8",
-        VectorOps.dot(col("qv8"), col("cv8")) / (col("qn8") * col("cn8")))
+        when(col("qn8") === 0.0 || col("cn8") === 0.0, lit(-2.0))
+          .otherwise(
+            VectorOps.dot(col("qv8"), col("cv8")) / (col("qn8") * col("cn8"))))
       .withColumn("crk", row_number().over(wCoarse))
       .filter(col("crk") <= k * rerankFactor)
       .select(col("query_id"), col("neighbor_id"))

@@ -70,14 +70,22 @@ object Warehouse {
       walk(Paths.get(p))
         .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
     val dir = Paths.get(path)
-    val partitionDirs = walk(dir)
-      .filter(p => p != dir && Files.isDirectory(p) &&
-        p.getFileName.toString.contains("="))
-    require(partitionDirs.isEmpty,
-      s"compact: $path contains partition directories " +
-        s"(${partitionDirs.take(3).map(_.getFileName).mkString(", ")}…); " +
-        "compacting the root would flatten the hive layout — " +
-        "run compact on each partition directory instead")
+    // refuse ANY subdirectory, not only hive name=value ones: the sizing
+    // walk and the delete are recursive, but spark.read.parquet(path)
+    // does not read non-hive nested files — compacting such a root
+    // would delete nested rows without rewriting them
+    val subDirs = walk(dir).filter(p => p != dir && Files.isDirectory(p))
+    require(subDirs.isEmpty, {
+      val names = subDirs.take(3).map(_.getFileName).mkString(", ")
+      if (subDirs.exists(_.getFileName.toString.contains("=")))
+        s"compact: $path contains partition directories ($names…); " +
+          "compacting the root would flatten the hive layout — " +
+          "run compact on each partition directory instead"
+      else
+        s"compact: $path contains subdirectories ($names…); their files " +
+          "are invisible to a top-level parquet read and would be " +
+          "deleted without being rewritten — compact flat directories only"
+    })
     val before = parquetFiles(path)
     val totalBytes = before.map(Files.size).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)

@@ -17,14 +17,15 @@ class DeterminismSpec extends SparkSpec {
 
   test("round-3 queries digest identically under different shuffle widths") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    roundThree.foreach { name =>
-      val q = SparkEntry.queries(name)
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      val a = digest(q(spark, sf))
-      spark.conf.set("spark.sql.shuffle.partitions", "7")
-      val b = try digest(q(spark, sf))
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-      assert(a == b, s"$name digest diverges across shuffle widths")
-    }
+    try {
+      roundThree.foreach { name =>
+        val q = SparkEntry.queries(name)
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        val a = digest(q(spark, sf))
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        val b = digest(q(spark, sf))
+        assert(a == b, s"$name digest diverges across shuffle widths")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 }

@@ -161,6 +161,22 @@ class ScalePostureSpec extends SparkSpec {
         Warehouse.compact(spark, dir)
       }
       assert(e.getMessage.contains("partition directories"))
+      // a plain (non-hive) nested dir is refused too: its files are
+      // invisible to a top-level read and would be deleted unrewritten
+      val plain = java.nio.file.Files.createTempDirectory("graft_compact_sub")
+      try {
+        Tables.region(spark, sf).write.mode("overwrite")
+          .parquet(plain.resolve("nested").toString)
+        Tables.region(spark, sf).write.mode("append")
+          .parquet(plain.toString)
+        val e2 = intercept[IllegalArgumentException] {
+          Warehouse.compact(spark, plain.toString)
+        }
+        assert(e2.getMessage.contains("subdirectories"))
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(plain.toFile).deleteRecursively()
+      }
       // per-partition invocation (the documented path) still works
       val sub = new java.io.File(dir).listFiles()
         .filter(f => f.isDirectory && f.getName.contains("=")).head

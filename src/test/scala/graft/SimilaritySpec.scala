@@ -110,6 +110,22 @@ class SimilaritySpec extends SparkSpec {
     assert(mx == 127, s"max |q| should hit the full int8 scale, got $mx")
   }
 
+  test("quantizedKnn: zero-norm vectors never outrank real candidates") {
+    // a zero vector quantizes to all-zero int8 → cn8 = 0; unguarded,
+    // 0/0 = NaN sorts above every real cosine under desc
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 0.0f)) // zero vector
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.quantizedKnn(
+      corpus.filter($"vec_id" === 1L), corpus, k = 2, rerankFactor = 1)
+      .orderBy($"rk").select($"neighbor_id").as[Long].collect().toSeq
+    assert(top == Seq(2L, 3L),
+      s"zero vector must not displace true neighbors, got $top")
+  }
+
   test("quantizedKnn recall@5 vs exact brute force is near-perfect") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" < 20)
