@@ -110,14 +110,19 @@ object Similarity {
     val c0 = corpus.select(col("vec_id").as("neighbor_id"),
       VectorOps.asDouble(col("embedding")).as("cv"))
       .withColumn("fv", array_to_vector(col("cv")))
-    // fit on ONE partition: k-means partial-sum merge order is
-    // task-completion-dependent, so a distributed fit is not
-    // bit-deterministic across runs. Quantizers are trained on a
-    // driver-scale sample in practice anyway (sample-then-fit); only
-    // the FIT is single-partition — assignment and search stay
-    // distributed.
+    // fit on ONE partition of a DETERMINISTIC sample: k-means
+    // partial-sum merge order is task-completion-dependent, so a
+    // distributed fit is not bit-deterministic across runs, and fitting
+    // the full corpus single-threaded was the s04/s05 cost driver.
+    // Quantizers are trained on a sample in practice anyway
+    // (sample-then-fit); id-ordered head keeps the sample — and thus
+    // the centroids — identical across partitionings. Only the FIT is
+    // sampled and single-partition; assignment and search stay
+    // distributed over the full corpus.
+    val fitSample = c0.orderBy(col("neighbor_id"))
+      .limit(math.max(nlist * 64, 1024)).coalesce(1)
     val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(c0.coalesce(1))
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(fitSample)
     val cells = model.transform(c0)
       .select(col("neighbor_id"), col("cv"), col("cell"))
       .withColumn("cn", VectorOps.norm(col("cv")))
