@@ -2,12 +2,20 @@ package graft
 
 
 /** Benchmark main: one JSON line with per-query wall-clock at
-  * `SPARK_GRAFT_SF_DIR`. Two measurement choices that matter:
+  * `SPARK_GRAFT_SF_DIR`. Three measurement choices that matter:
   *  - an untimed warmup pass at sf0.001 first, so JIT/codegen-cache
   *    warmup isn't billed to whichever query happens to run first;
   *  - the timed action is a noop-sink write, which materializes every
   *    output column (a bare count() lets Catalyst skip computing
-  *    projected values — under-measures scan/compute-heavy queries).
+  *    projected values — under-measures scan/compute-heavy queries);
+  *  - each query's recorded number is the MINIMUM of three
+  *    back-to-back timed repeats. A single-shot pass is hostage to
+  *    transient host contention — one noisy-neighbor window once
+  *    recorded a phantom 10-20× "regression" across a contiguous
+  *    alphabetical block of queries. The minimum of three repeats is
+  *    the statistic least sensitive to one-sided noise (contention
+  *    only ever adds time), and matches how BASELINE.md rows are
+  *    adjudicated (isolated 3-run minimums).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,11 +49,17 @@ object Bench {
     if (warmFailures > 0)
       System.err.println(s"[bench] $warmFailures/${2 * names.size} warmup runs failed (dir=$warmDir)")
 
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok = runOnce(sfDir, name)
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+      val secs = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = runOnce(sfDir, name)
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (ok) sec else -1.0
+      }
+      // a query that fails any repeat is reported failed (-1), not
+      // flattered by a successful earlier repeat
+      name -> (if (secs.exists(_ < 0)) -1.0 else secs.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -183,7 +183,7 @@ object Dedup {
 
   /** (doc_id, band, bucket) — one row per signature band, the LSH
     * equality-join key. */
-  private def bandBuckets(sig: DataFrame, p: MinHashParams): DataFrame = {
+  private[operators] def bandBuckets(sig: DataFrame, p: MinHashParams): DataFrame = {
     val bandCols = (0 until p.numBands).map { bnd =>
       val rows = (0 until p.bandRows).map(r => col(s"m${bnd * p.bandRows + r}"))
       xxhash64(lit(bnd) +: rows: _*)
@@ -192,9 +192,39 @@ object Dedup {
       posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
   }
 
-  /** Candidate pairs: docs sharing ≥1 LSH band bucket. */
-  def lshCandidates(sig: DataFrame, p: MinHashParams = MinHashParams()): DataFrame = {
-    val buckets = bandBuckets(sig, p)
+  /** Drop (band, bucket) groups holding more than `limit` members
+    * before a candidate self-join — the bucket-level analog of
+    * `maxShingleFreq`. A degenerate bucket of k docs costs k²/2
+    * candidate rows, and at 100 TB a boilerplate-heavy corpus (license
+    * headers, templated pages) concentrates millions of docs into a few
+    * buckets; the cap bounds every bucket's pair contribution at
+    * limit²/2.
+    *
+    * Recall consequence (documented, deliberate): a true pair is lost
+    * only if EVERY band bucket it shares is over the cap. Near-dup
+    * pairs at j ≥ threshold share ~all bands, and a band bucket's
+    * population is essentially its duplicate-cluster size (an unrelated
+    * doc lands in the bucket only with probability jᵇᵃⁿᵈ_ʳᵒʷˢ), so the
+    * cap loses pairs only inside duplicate CLUSTERS larger than
+    * `limit` — exactly the boilerplate blobs a dedup pass wants to
+    * handle by cluster-level policy rather than pairwise enumeration.
+    * Set the cap above the expected organic cluster size. */
+  private def capBuckets(buckets: DataFrame, maxBucketSize: Option[Long]): DataFrame =
+    maxBucketSize match {
+      case None => buckets
+      case Some(limit) =>
+        val hot = buckets.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("pop"))
+          .filter(col("pop") > limit)
+          .select(col("band"), col("bucket"))
+        buckets.join(hot, Seq("band", "bucket"), "left_anti")
+    }
+
+  /** Candidate pairs: docs sharing ≥1 LSH band bucket. `maxBucketSize`
+    * engages the hot-bucket scale guard ([[capBuckets]]). */
+  def lshCandidates(sig: DataFrame, p: MinHashParams = MinHashParams(),
+                    maxBucketSize: Option[Long] = None): DataFrame = {
+    val buckets = capBuckets(bandBuckets(sig, p), maxBucketSize)
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -209,10 +239,12 @@ object Dedup {
     * miss probability at j=0.9 is (1-0.9⁴)³² ≈ 3e-15, so the result
     * matches the exact all-pairs oracle. */
   def minhashDedupPairs(docs: DataFrame, threshold: Double,
-                        p: MinHashParams = MinHashParams(), n: Int = 3): DataFrame = {
+                        p: MinHashParams = MinHashParams(), n: Int = 3,
+                        maxBucketSize: Option[Long] = None): DataFrame = {
     // 128 hashes / 32 bands of 4: P(miss | j=0.9) = (1-0.9^4)^32 ≈ 3e-15.
 
-    verifyCandidates(lshCandidates(signatures(docs, p, n), p), docs, threshold, n)
+    verifyCandidates(lshCandidates(signatures(docs, p, n), p, maxBucketSize),
+      docs, threshold, n)
   }
 
   /** Exact-Jaccard verification of (id_a, id_b) candidate pairs.
@@ -255,13 +287,13 @@ object Dedup {
     * disjoint. Recall argument is [[minhashDedupPairs]]'s. */
   def incrementalPairs(newDocs: DataFrame, existing: DataFrame,
                        threshold: Double, p: MinHashParams = MinHashParams(),
-                       n: Int = 3): DataFrame = {
+                       n: Int = 3, maxBucketSize: Option[Long] = None): DataFrame = {
     // ONE signature pass over the union (one scan + one shuffle — two
     // separate passes measured ~2× the runtime), then a batch-id flag
     // joined onto the bucket rows (ids-only frame, broadcast-sized
     // relative to the buckets it tags)
     val allDocs = newDocs.unionByName(existing)
-    val buckets = bandBuckets(signatures(allDocs, p, n), p)
+    val buckets = capBuckets(bandBuckets(signatures(allDocs, p, n), p), maxBucketSize)
       .join(newDocs.select(col("doc_id"), lit(true).as("is_new")),
         Seq("doc_id"), "left")
       .na.fill(false, Seq("is_new"))
@@ -370,7 +402,8 @@ object Dedup {
     * every emitted pair passed the true cosine test. */
   def embeddingNearDupPairsLSH(emb: DataFrame, threshold: Double,
                                bands: Int = 12, planesPerBand: Int = 3,
-                               seed: Long = 42L): DataFrame = {
+                               seed: Long = 42L,
+                               maxBucketSize: Option[Long] = None): DataFrame = {
     val e = emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
     val probed = e.select(size(col("v")).as("d"))
@@ -380,8 +413,10 @@ object Dedup {
       VectorOps.hyperplaneBucket(col("v"),
         VectorOps.randomPlanes(planesPerBand, dim, seed + b))
     }
-    val bucketed = e.select(col("vec_id"), col("v"), col("nrm"),
-      posexplode(array(bandBuckets: _*)).as(Seq("band", "bucket")))
+    val bucketed = capBuckets(
+      e.select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(array(bandBuckets: _*)).as(Seq("band", "bucket"))),
+      maxBucketSize)
     val cand = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -566,6 +601,21 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** d11 — MinHash-LSH near-dup pairs with the hot-bucket cap ENGAGED —
+    * the 100 TB guard against degenerate LSH buckets (boilerplate-heavy
+    * corpora concentrate thousands of docs into a few buckets, each
+    * costing pop²/2 candidates). Same oracle as d02/d03: on this corpus
+    * every band bucket is far below the cap (measured max population 4
+    * at sf0.01, 11 at sf0.1), so the capped path must still reproduce
+    * the exact all-pairs answer while the guard itself (population
+    * count + anti-join) is fully exercised in the plan. The
+    * candidate-bounding behavior on a corpus that DOES trip the cap is
+    * pinned in DedupSpec. */
+  def d11MinhashCapped(spark: SparkSession, dir: String): DataFrame =
+    minhashDedupPairs(Tables.documents(spark, dir), 0.8, maxBucketSize = Some(32))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r"))
+      .orderBy(col("id_a"), col("id_b"))
+
   /** d10 — incremental dedup: the last third of the corpus (by id)
     * arrives as "today's batch" and is checked against the first two
     * thirds as the standing corpus. Oracle = the exact all-pairs
@@ -714,6 +764,7 @@ object Dedup {
     "d08_jaccard_capped"  -> d08JaccardCapped _,
     "d09_dup_clusters"    -> d09DupClusters _,
     "d10_incremental_dedup" -> d10IncrementalDedup _,
+    "d11_minhash_capped"  -> d11MinhashCapped _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -724,5 +775,6 @@ object Dedup {
     "d08_jaccard_capped"  -> d08Sql,
     "d09_dup_clusters"    -> d09Sql,
     "d10_incremental_dedup" -> d10Sql,
+    "d11_minhash_capped"  -> d02Sql, // cap must not lose true pairs here
   )
 }

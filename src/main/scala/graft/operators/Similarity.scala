@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -169,7 +169,13 @@ object Similarity {
     *
     * The global max|x| the scale derives from is a 1-row broadcast
     * (no driver action — the plan stays lazy); at 100 TB you would
-    * compute it on a sample once and persist it with the index. */
+    * compute it on a sample once and persist it with the index.
+    *
+    * NOTE: the coarse stage here is still O(queries × corpus) —
+    * quantization cuts bytes per pair, not pair count. It is the
+    * oracle-friendly baseline for the quantization semantics; the
+    * 100 TB path is [[ivfSqKnn]], which runs the identical int8
+    * scoring inside probed IVF cells (sub-linear candidates). */
   def quantized(emb: DataFrame, idAs: String): DataFrame = {
     val v = VectorOps.asDouble(col("embedding"))
     // greatest(…, ε): an all-zero corpus would otherwise scale by ∞ and
@@ -214,6 +220,91 @@ object Similarity {
       VectorOps.asDouble(col("embedding")).as("cv"))
       .withColumn("cn", VectorOps.norm(col("cv")))
     rankCandidates(candidates.join(q, Seq("query_id")).join(c, Seq("neighbor_id")), k)
+  }
+
+  /** IVF-SQ: int8 scalar quantization INSIDE IVF cells — the
+    * composition that fixes [[quantizedKnn]]'s O(queries × corpus)
+    * coarse stage. The corpus is partitioned into `nlist` k-means cells
+    * once ([[ivfIndex]]); each query probes its `nprobe` nearest
+    * centroids; the coarse int8 scoring then runs as a plain equi-join
+    * on cell id — candidates are cell-bucketed, never all-pairs — and
+    * only the top `rerankFactor·k` survivors per query pay the exact
+    * full-precision re-score. This is the IVF-SQ layout of the public
+    * inverted-file ANN literature: cells bound the candidates
+    * (nprobe/nlist of the corpus per query), quantization bounds the
+    * bytes each candidate costs (4× vs float32, 8× vs the double
+    * compute form).
+    *
+    * Quantization scales are per-side 1-row broadcasts; cosine is
+    * scale-invariant per vector pair, so independent query/corpus
+    * scales cancel exactly and the coarse ranking differs from true
+    * cosine only by int8 rounding — absorbed by the re-rank buffer
+    * (recall vs exact pinned in SimilaritySpec). */
+  def ivfSqKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+               nlist: Int = 16, nprobe: Int = 4, rerankFactor: Int = 4,
+               seed: Long = 42L): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist)
+    val (cells, centroids) = ivfIndex(corpus, nlist, seed)
+
+    def int8(v: Column, maxAbs: Column): Column =
+      transform(v, x => round(x * (lit(127.0) / maxAbs)).cast("tinyint"))
+
+    // quantized cell vectors: this is the frame the candidate join
+    // shuffles — array<tinyint> payload, keyed by cell
+    val cMax = cells
+      .select(array_max(transform(col("cv"), x => abs(x))).as("m"))
+      .agg(greatest(max(col("m")), lit(1e-30)).as("max_abs"))
+    val c8 = cells.crossJoin(broadcast(cMax))
+      .select(col("cell"), col("neighbor_id"),
+        VectorOps.asDouble(int8(col("cv"), col("max_abs"))).as("cv8"))
+      .withColumn("cn8", VectorOps.norm(col("cv8")))
+
+    val q = queries.select(col("vec_id").as("query_id"),
+      VectorOps.asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", VectorOps.norm(col("qv")))
+    val qMax = q
+      .select(array_max(transform(col("qv"), x => abs(x))).as("m"))
+      .agg(greatest(max(col("m")), lit(1e-30)).as("max_abs"))
+    val q8 = q.crossJoin(broadcast(qMax))
+      .select(col("query_id"),
+        VectorOps.asDouble(int8(col("qv"), col("max_abs"))).as("qv8"))
+      .withColumn("qn8", VectorOps.norm(col("qv8")))
+
+    // probe: rank centroids per query (argmin |q−c|² = argmin −2q·c+|c|²,
+    // |q|² constant within the query) — nlist-row broadcast, as ivfKnn
+    val probed = q.select(col("query_id"), col("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2p",
+        VectorOps.dot(col("qv"), col("centroid")) * lit(-2.0) + col("cn2"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2p"), col("cell"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("query_id"), col("cell"))
+
+    // coarse stage: equi-join on cell — the int8 scoring only ever sees
+    // (query, probed-cell-member) pairs. Zero-norm guard as quantizedKnn.
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine8").desc, col("neighbor_id"))
+    val candidates = probed
+      .join(q8, Seq("query_id"))
+      .join(c8, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine8",
+        when(col("qn8") === 0.0 || col("cn8") === 0.0, lit(-2.0))
+          .otherwise(
+            VectorOps.dot(col("qv8"), col("cv8")) / (col("qn8") * col("cn8"))))
+      .withColumn("crk", row_number().over(wCoarse))
+      .filter(col("crk") <= k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+
+    // exact re-rank: full-precision vectors join back by id —
+    // candidate-set-sized, the wide doubles never entered the coarse join
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      VectorOps.asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+    rankCandidates(
+      candidates.join(q.select(col("query_id"), col("qv"), col("qn")), Seq("query_id"))
+        .join(c, Seq("neighbor_id")), k)
   }
 
   /** Shared exact-rerank tail of every ANN path: drop self-pairs, score
@@ -321,6 +412,16 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** s07 — IVF-SQ kNN for the same queries (k-means quantizer +
+    * int8 rounding are engine-specific → rows-only gate; exhaustive
+    * probe + deep re-rank == exact and recall-at-default pinned in
+    * SimilaritySpec, along with the cell-bucketed-join plan assert). */
+  def s07KnnIvfSq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    ivfSqKnn(emb.filter(col("vec_id") < 20), emb, 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_bruteforce"    -> s01KnnBruteForce _,
     "s02_knn_ann"           -> s02KnnAnn _,
@@ -328,6 +429,7 @@ object Similarity {
     "s04_knn_ivf"           -> s04KnnIvf _,
     "s05_ivf_cell_profile"  -> s05IvfCellProfile _,
     "s06_knn_quantized"     -> s06KnnQuantized _,
+    "s07_knn_ivfsq"         -> s07KnnIvfSq _,
   )
 
   val oracles: Map[String, String] = Map(

@@ -93,6 +93,37 @@ class DedupSpec extends SparkSpec {
     assert(n.filter($"shingle" === "completely different text").count() == 1)
   }
 
+  test("hot-bucket cap bounds LSH candidates on a boilerplate-heavy corpus") {
+    // 40 identical boilerplate docs = one degenerate duplicate cluster:
+    // all 40 share every band bucket, so uncapped candidate generation
+    // pays the full C(40,2) quadratic. Two genuine near-dups with
+    // unique text (J = 7/9 ≈ 0.78 → P(no shared band) ≈ 4e-7) sit in
+    // population-2 buckets and must survive the cap.
+    val boiler = (1L to 40L).map(i =>
+      (i, "all rights reserved this file is licensed under the apache license"))
+    val pair = Seq(
+      (100L, "graft computes minhash signatures over shingled token arrays quickly"),
+      (101L, "graft computes minhash signatures over shingled token arrays slowly"))
+    val corpus = (boiler ++ pair).toDF("doc_id", "text")
+    val sig = Dedup.signatures(corpus)
+    val uncapped = Dedup.lshCandidates(sig).count()
+    val capped = Dedup.lshCandidates(sig, maxBucketSize = Some(10L))
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped >= 40L * 39 / 2, s"blob must dominate uncapped ($uncapped)")
+    assert(capped.contains((100L, 101L)), "small-bucket true pair must survive")
+    assert(capped.size <= 5,
+      s"cap must drop the blob's quadratic candidates, got ${capped.size}")
+  }
+
+  test("capped minhashDedupPairs still equals exact when clusters fit the cap") {
+    val exact = Dedup.jaccardPairs(docs, 0.4, n = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val capped = Dedup.minhashDedupPairs(docs, 0.4, n = 3,
+      maxBucketSize = Some(32L))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped == exact)
+  }
+
   private def clustersOf(pairs: Seq[(Long, Long)]): Map[Long, Long] =
     Dedup.dupClusters(pairs.toDF("id_a", "id_b"))
       .as[(Long, Long)].collect().toMap

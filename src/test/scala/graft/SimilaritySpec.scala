@@ -126,6 +126,48 @@ class SimilaritySpec extends SparkSpec {
       s"zero vector must not displace true neighbors, got $top")
   }
 
+  test("ivfSqKnn with exhaustive probe and deep re-rank equals exact") {
+    // nprobe = nlist ranks every cell; rerankFactor ≥ corpus/k makes the
+    // re-rank buffer hold every candidate — int8 rounding can then only
+    // reorder WITHIN the buffer, which the exact re-score undoes.
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 20)
+    val n = emb.count().toInt
+    val exact = Similarity.bruteForceKnn(queries, emb, 5)
+    val ivfsq = Similarity.ivfSqKnn(queries, emb, 5,
+      nlist = 8, nprobe = 8, rerankFactor = n / 5 + 1)
+    assert(ivfsq.exceptAll(exact).count() == 0 &&
+      exact.exceptAll(ivfsq).count() == 0)
+  }
+
+  test("ivfSqKnn recall@5 at default settings is usable") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceKnn(queries, emb, 5)
+      .select("query_id", "neighbor_id")
+    val ivfsq = Similarity.ivfSqKnn(queries, emb, 5)
+      .select("query_id", "neighbor_id")
+    val recall = exact.intersect(ivfsq).count().toDouble / exact.count()
+    // bounded below by s04's cell recall (same cells, same probes); the
+    // int8 coarse stage inside a cell is recovered by the 4k re-rank
+    assert(recall >= 0.5, f"IVF-SQ recall@5 degraded to $recall%.2f")
+  }
+
+  test("ivfSqKnn coarse stage is cell-bucketed, not all-pairs") {
+    // the only join allowed to be nested-loop is the nlist-row centroid
+    // broadcast; the query×corpus candidate join must be a hash join on
+    // cell. An all-pairs coarse stage shows up as a BroadcastNestedLoop
+    // with a non-trivial stream side or a CartesianProduct.
+    val emb = Tables.embeddings(spark, sf)
+    val plan = Similarity.ivfSqKnn(emb.filter($"vec_id" < 5), emb, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "coarse candidate generation must not be a cartesian product")
+    // every candidate row reaches the int8 scoring through a cell
+    // equi-join (AQE may pick broadcast or sort-merge; both hash on cell)
+    assert(plan.contains("cell"), "candidate join must key on cell id")
+  }
+
   test("quantizedKnn recall@5 vs exact brute force is near-perfect") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" < 20)
