@@ -324,6 +324,9 @@ object EventQueries {
     "v07_attributed_purchases" -> v07AttributedPurchases _,
     "v08_trailing_spend"       -> v08TrailingSpend _,
     "v09_minute_gap_fill"      -> v09MinuteGapFill _,
+    // the actual Structured Streaming micro-batch runtime, replayed to
+    // completion — hash-gated against the batch v01 oracle
+    "v12_streamed_tumbling"    -> graft.streaming.EventStreams.v12StreamedTumbling _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -335,5 +338,6 @@ object EventQueries {
     "v03_minute_dedup_counts" -> v03Sql,
     "v04_sliding_counts"      -> v04Sql,
     "v06_props_profile"       -> v06Sql,
+    "v12_streamed_tumbling"   -> v01Sql, // stream must equal the batch answer
   )
 }

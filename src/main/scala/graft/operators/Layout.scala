@@ -53,6 +53,13 @@ object Layout {
     * ties beyond the Z-key keep the input order within a partition. */
   def zorderLayout(df: DataFrame, cols: Seq[String], bits: Int = 8,
                    numFiles: Int = 32): DataFrame = {
+    // the helper columns join onto the caller's frame BY NAME: a caller
+    // column with a reserved name would either throw an ambiguous
+    // reference or be silently swallowed by the final drop()
+    val reserved = "__zv" +: cols.flatMap(c => Seq(s"__mn_$c", s"__mx_$c"))
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"zorderLayout reserves column name(s) ${clash.mkString(", ")} — rename them first")
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast(LongType)).as(s"__mn_$c"),
       max(col(c).cast(LongType)).as(s"__mx_$c")))
@@ -92,9 +99,12 @@ object Layout {
   }
 
   val q31Sql: String = {
+    // both differences go through BIGINT before multiplying/adding,
+    // mirroring the Scala path's long arithmetic — in the column's
+    // native INT32 a wide key range × 2^bits would overflow in DuckDB
     def bkt(x: String, mn: String, mx: String) =
-      s"CAST(FLOOR(CAST(($x - $mn) * ${1L << zBits} AS DOUBLE) / " +
-        s"CAST($mx - $mn + 1 AS DOUBLE)) AS INT)"
+      s"CAST(FLOOR(CAST(CAST($x - $mn AS BIGINT) * ${1L << zBits} AS DOUBLE) / " +
+        s"CAST(CAST($mx AS BIGINT) - $mn + 1 AS DOUBLE)) AS INT)"
     // z = Σ_i bit_i(bp)<<(2i+1) | bit_i(bs)<<(2i) — first dim in the
     // higher slot, matching InterleaveBits
     val terms = (0 until zBits).flatMap(i => Seq(

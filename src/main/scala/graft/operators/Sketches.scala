@@ -72,12 +72,30 @@ object Sketches {
     * side stays lazy. */
   def bloomPrune(big: DataFrame, bigKey: Column,
                  small: DataFrame, smallKey: Column): DataFrame = {
+    // xxhash64 is type-sensitive (hash of INT 5 ≠ hash of BIGINT 5):
+    // mismatched key types would make build and probe hashes disagree —
+    // silent FALSE NEGATIVES, i.e. true matches pruned before the join.
+    // Integral keys are widened to bigint on BOTH sides; any other type
+    // pair must already match.
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    val bigType = big.select(bigKey).schema.head.dataType
+    val smallType = small.select(smallKey).schema.head.dataType
+    val (bk, sk) =
+      if (integral(bigType) && integral(smallType))
+        (bigKey.cast(LongType), smallKey.cast(LongType))
+      else {
+        require(bigType == smallType,
+          s"bloomPrune keys must share a data type (xxhash64 is " +
+            s"type-sensitive); got $bigType vs $smallType")
+        (bigKey, smallKey)
+      }
     // sizing from the actual build side: a pushed-filter count costs a
     // metadata-cheap scan of the small side and keeps the FPP honest at
     // any SF (a hardcoded estimate collapses to all-pass or over-sizes)
-    val n = math.max(small.select(smallKey).count(), 64L)
-    val bloom = buildBloom(small, smallKey, n)
-    big.filter(mightContain(bloom, bigKey))
+    val n = math.max(small.select(sk).count(), 64L)
+    val bloom = buildBloom(small, sk, n)
+    big.filter(mightContain(bloom, bk))
   }
 
   // ---------------------------------------------------------------------------

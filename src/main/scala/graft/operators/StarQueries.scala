@@ -648,6 +648,35 @@ object StarQueries {
        |ORDER BY gid, c_mktsegment, order_year""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // q32 — full cube with grouping_id: all four grouping sets of
+  // (segment, year) from the same ONE-pass Expand as q19's rollup —
+  // including the ((), year) slice a rollup can never produce. Expand
+  // multiplies rows by the grouping-set count BEFORE the aggregate's
+  // map-side combine, so a 100 TB cube still reads the fact table once.
+  // ---------------------------------------------------------------------------
+  def q32CubeRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .withColumn("order_year", year(col("o_orderdate")))
+      .cube(col("c_mktsegment"), col("order_year"))
+      .agg(
+        dsum(col("o_totalprice")).as("total_price"),
+        count(lit(1)).as("order_count"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("c_mktsegment"), col("order_year"))
+
+  val q32Sql: String =
+    s"""SELECT c_mktsegment, order_year,
+       |  ${sqlDsum("o_totalprice")} AS total_price,
+       |  COUNT(*) AS order_count,
+       |  GROUPING(c_mktsegment, order_year) AS gid
+       |FROM (SELECT c_mktsegment, CAST(YEAR(o_orderdate) AS INT) AS order_year,
+       |             o_totalprice
+       |      FROM orders JOIN customer ON o_custkey = c_custkey) t
+       |GROUP BY CUBE(c_mktsegment, order_year)
+       |ORDER BY gid, c_mktsegment, order_year""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // q20 — full star join: lineitem⋈orders (fact-fact shuffle join, AQE
   // re-plannable) then customer→nation→region broadcast chain.
   // ---------------------------------------------------------------------------
@@ -962,6 +991,7 @@ object StarQueries {
     "e3_nation_index"        -> e3NationIndex _,
     "q18_customer_set_ops"  -> q18CustomerSetOps _,
     "q19_rollup_revenue"    -> q19RollupRevenue _,
+    "q32_cube_revenue"      -> q32CubeRevenue _,
     "q20_region_year_revenue" -> q20RegionYearRevenue _,
     "q21_customers_with_orders" -> q21CustomersWithOrders _,
     "q22_customers_without_orders" -> q22CustomersWithoutOrders _,
@@ -1000,6 +1030,7 @@ object StarQueries {
     "e3_nation_index"        -> e3Sql,
     "q18_customer_set_ops"  -> q18Sql,
     "q19_rollup_revenue"    -> q19Sql,
+    "q32_cube_revenue"      -> q32Sql,
     "q20_region_year_revenue" -> q20Sql,
     "q21_customers_with_orders" -> q21Sql,
     "q22_customers_without_orders" -> q22Sql,

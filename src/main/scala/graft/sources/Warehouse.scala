@@ -86,6 +86,27 @@ object Warehouse {
           "are invisible to a top-level parquet read and would be " +
           "deleted without being rewritten — compact flat directories only"
     })
+    // crash detection: the swap below brackets its danger window with a
+    // marker file (underscore-prefixed — invisible to parquet readers).
+    // A surviving marker means a previous compact died mid-swap and the
+    // directory holds a MIXED state that a blind re-run would
+    // double-count (compact would faithfully rewrite the doubled rows).
+    // Name-based detection can't do this job: `compacted-*` plus
+    // `part-*` is also the legitimate compact-then-append state.
+    val marker = dir.resolve("_graft_compaction_inprogress")
+    require(!Files.exists(marker), {
+      val Array(phase, stamp) =
+        new String(Files.readAllBytes(marker), "UTF-8").split("\n", 2)
+      val recovery =
+        if (phase == "swap")
+          s"the OLD generation is complete — delete compacted-$stamp-* " +
+            "files, the __compacting directory, then the marker"
+        else
+          s"the NEW generation (compacted-$stamp-*) is complete — delete " +
+            "every other parquet file, the __compacting directory, then the marker"
+      s"compact: $path has an unfinished compaction swap ($marker, " +
+        s"phase=$phase): $recovery"
+    })
     val before = parquetFiles(path)
     val totalBytes = before.map(Files.size).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
@@ -95,15 +116,57 @@ object Warehouse {
       .write.mode(SaveMode.Overwrite).parquet(tmp)
     // swap order matters for crash safety: snapshot the old generation,
     // move the new files IN (stamped names — cannot collide with the old
-    // part-* names), and only then delete the old generation
+    // part-* names), and only then delete the old generation. The marker
+    // records which generation is complete at every instant: phase=swap
+    // (old complete, new possibly partial) until every move lands, then
+    // phase=clean (new complete, old possibly partially deleted).
     val old = walk(dir).filter(p => p != dir && Files.isRegularFile(p))
     val stamp = java.util.UUID.randomUUID().toString.take(8)
+    Files.write(marker, s"swap\n$stamp".getBytes("UTF-8"))
     walk(Paths.get(tmp))
       .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
       .foreach(f => Files.move(f, dir.resolve(s"compacted-$stamp-${f.getFileName}")))
+    Files.write(marker, s"clean\n$stamp".getBytes("UTF-8"))
     old.foreach(Files.delete)
     walk(Paths.get(tmp)).reverse.foreach(Files.delete)
+    Files.delete(marker)
     (before.size, parquetFiles(path).size)
+  }
+
+  /** Compact every LEAF partition directory of a `partitionBy` layout in
+    * one call — the per-partition invocation [[compact]]'s scaladoc
+    * prescribes, automated. Walks `name=value` directories to the
+    * leaves (each a flat parquet dir) and compacts each independently,
+    * so partition pruning metadata (the directory names) is untouched
+    * and a crash mid-run damages at most one leaf's swap (recoverable
+    * via that leaf's marker). Refuses non-partition subdirectories —
+    * same rationale as [[compact]]'s flat-dir refusal.
+    *
+    * Returns (filesBefore, filesAfter) summed over leaves. */
+  def compactPartitions(spark: SparkSession, root: String,
+                        targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    def children(p: Path): Seq[Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    def leafDirs(p: Path): Seq[Path] = {
+      val dirs = children(p).filter(Files.isDirectory(_))
+      val nonPart = dirs.filterNot(_.getFileName.toString.contains("="))
+      require(nonPart.isEmpty,
+        s"compactPartitions: non-partition subdirectories under $p " +
+          s"(${nonPart.take(3).map(_.getFileName).mkString(", ")}) — " +
+          "not a pure partitionBy layout")
+      if (dirs.isEmpty) Seq(p) else dirs.flatMap(leafDirs)
+    }
+    val rootPath = Paths.get(root)
+    require(children(rootPath).exists(p =>
+        Files.isDirectory(p) && p.getFileName.toString.contains("=")),
+      s"compactPartitions: $root has no name=value partition " +
+        "directories — use compact for flat directories")
+    val results = leafDirs(rootPath).map(l => compact(spark, l.toString, targetFileBytes))
+    (results.map(_._1).sum, results.map(_._2).sum)
   }
 
   /** Bucketed + sorted table write — the co-located-join layout.

@@ -246,6 +246,59 @@ object EventStreams {
   }
 
   // ---------------------------------------------------------------------------
+  // Gate query: the actual micro-batch runtime, replayed to completion
+  // ---------------------------------------------------------------------------
+
+  private val sinkId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Far-future sentinel event: pushes the event-time watermark past all
+    * real data so every append-mode window closes and emits. */
+  private val flushSentinel =
+    Ev(-1L, Timestamp.valueOf("2100-01-01 00:00:00"), -1L, "sentinel", 0.0)
+
+  /** v12 — tumbling counts computed BY THE STREAMING RUNTIME: the events
+    * table is replayed through a MemoryStream in four event-time-ordered
+    * micro-batches (so watermark advancement, state carry-over between
+    * batches, and append-mode emission are all genuinely exercised, not
+    * just the batch semantics of the same plan), flushed with a
+    * far-future sentinel, and the settled memory-sink table is returned.
+    * Hash-gated against the SAME DuckDB oracle as the batch v01 — the
+    * micro-batch path must reproduce the batch answer exactly.
+    *
+    * The driver-side collect here is the MemoryStream REPLAY HARNESS,
+    * not the operator: MemoryStream is driver-resident by construction
+    * (it exists to feed deterministic tests). The production ingest is
+    * [[readEvents]] (file source, executor-side) feeding the identical
+    * [[tumblingCounts]] transform. */
+  def v12StreamedTumbling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev].collect()
+      // event-time order across batch boundaries: the watermark from
+      // batch N (max ts − lateness) must never classify batch N+1 rows
+      // as late, or the stream would drop what the batch oracle counts
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val name = s"graft_v12_sink_${sinkId.incrementAndGet()}"
+    val ms = MemoryStream[Ev](spark)
+    val q = tumblingCounts(ms.toDF()).writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val batchSize = math.max(1, rows.length / 4 + 1)
+      rows.grouped(batchSize).foreach { b =>
+        ms.addData(b.toSeq); q.processAllAvailable()
+      }
+      ms.addData(Seq(flushSentinel)); q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+      .filter(col("event_type") =!= "sentinel")
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  // ---------------------------------------------------------------------------
   // Production entry points (file-source streams)
   // ---------------------------------------------------------------------------
 

@@ -54,6 +54,68 @@ class LayoutSpec extends SparkSpec {
     assert(lowLow < highHigh)
   }
 
+  test("z-order layout prunes files a linear sort cannot (stats-based skipping)") {
+    // The payoff assert: per-file (min,max) boxes are exactly what a
+    // stats-pruning reader consults (parquet row-group stats; Delta/
+    // Iceberg file-level stats) — a file whose box misses the predicate
+    // box is never opened. Count those files for the same two-dim
+    // predicate under both layouts.
+    val li = Tables.lineitem(spark, sf).select($"l_partkey", $"l_suppkey")
+    val g = li.agg(
+      min($"l_partkey").cast("long"), max($"l_partkey").cast("long"),
+      min($"l_suppkey").cast("long"), max($"l_suppkey").cast("long")).head()
+    val (pMin, pMax, sMin, sMax) =
+      (g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3))
+    // two-dim predicate: middle half of partkey × bottom tenth of suppkey
+    val (pLo, pHi) = (pMin + (pMax - pMin) / 4, pMin + 3 * (pMax - pMin) / 4)
+    val (sLo, sHi) = (sMin, sMin + (sMax - sMin) / 10)
+
+    /** (files whose stats box intersects the predicate box, total files). */
+    def scanSet(layout: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_skip").toString
+      layout.write.mode("overwrite").parquet(dir)
+      val boxes = spark.read.parquet(dir)
+        .withColumn("__f", input_file_name())
+        .groupBy($"__f")
+        .agg(
+          min($"l_partkey").cast("long").as("pmn"),
+          max($"l_partkey").cast("long").as("pmx"),
+          min($"l_suppkey").cast("long").as("smn"),
+          max($"l_suppkey").cast("long").as("smx"))
+        .cache()
+      val total = boxes.count()
+      val scanned = boxes.filter(
+        !($"pmx" < pLo || $"pmn" > pHi || $"smx" < sLo || $"smn" > sHi)).count()
+      boxes.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      (scanned, total)
+    }
+
+    val (zScan, zTotal) = scanSet(
+      Layout.zorderLayout(li, Seq("l_partkey", "l_suppkey"), bits = 8, numFiles = 16))
+    val (lScan, lTotal) = scanSet(
+      li.repartitionByRange(16, $"l_partkey").sortWithinPartitions($"l_partkey"))
+    assert(zTotal == 16 && lTotal == 16, s"expected 16 files, got $zTotal/$lTotal")
+    // linear sort prunes by partkey only → ~half the files survive the
+    // partkey slice and the suppkey band removes none of them
+    assert(lScan >= lTotal / 2,
+      s"linear layout should scan at least half its files, scanned $lScan/$lTotal")
+    // z-order prunes by BOTH dims: the suppkey band alone eliminates
+    // most z-cells the partkey slice left
+    assert(zScan < lScan,
+      s"z-order must scan fewer files: $zScan vs linear $lScan (of $zTotal)")
+    assert(zScan <= zTotal / 3,
+      s"z-order should scan at most a third of its files, scanned $zScan/$zTotal")
+  }
+
+  test("zorderLayout refuses caller columns that clash with its helpers") {
+    val df = Seq((1, 2, 3L)).toDF("a", "b", "__zv")
+    val e = intercept[IllegalArgumentException] {
+      Layout.zorderLayout(df, Seq("a", "b"))
+    }
+    assert(e.getMessage.contains("__zv"))
+  }
+
   test("z-ordered files are narrow in BOTH dimensions; linear sort is not") {
     val li = Tables.lineitem(spark, sf)
       .select($"l_partkey", $"l_suppkey")

@@ -151,6 +151,50 @@ class ScalePostureSpec extends SparkSpec {
     }
   }
 
+  test("compactPartitions compacts every leaf of a 2-level layout, data intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_leaves").toString
+    try {
+      // append-heavy producer over a 2-level hive layout: each leaf
+      // collects several small files across the two writes
+      val ev = Tables.events(spark, sf)
+        .withColumn("etype", $"event_type")
+        .withColumn("bucket", (pmod($"event_id", lit(2))).cast("int"))
+        .repartition(4)
+      ev.write.mode("overwrite").partitionBy("etype", "bucket").parquet(dir)
+      ev.write.mode("append").partitionBy("etype", "bucket").parquet(dir)
+      val fragmented = digest(Warehouse.read(spark, dir))
+      val (before, after) = Warehouse.compactPartitions(spark, dir)
+      assert(before > after && after > 0,
+        s"expected leaf-level compaction, got $before -> $after files")
+      assert(digest(Warehouse.read(spark, dir)) == fragmented,
+        "compactPartitions changed the data")
+      // partition pruning still works over the compacted layout
+      val oneLeaf = Warehouse.read(spark, dir)
+        .filter($"etype" === "click" && $"bucket" === 0)
+      assert(oneLeaf.count() > 0)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  test("compact refuses a directory with an unfinished swap marker") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_marker")
+    try {
+      Tables.region(spark, sf).write.mode("overwrite").parquet(dir.toString)
+      java.nio.file.Files.write(dir.resolve("_graft_compaction_inprogress"),
+        "swap\ndeadbeef".getBytes("UTF-8"))
+      val e = intercept[IllegalArgumentException] {
+        Warehouse.compact(spark, dir.toString)
+      }
+      assert(e.getMessage.contains("unfinished compaction swap") &&
+        e.getMessage.contains("OLD generation is complete"))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
   test("compact refuses a hive-partitioned root instead of flattening it") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_part").toString
     try {

@@ -32,6 +32,22 @@ class SketchesSpec extends SparkSpec {
     assert(kept < total / 4, s"bloom kept $kept of $total rows — not pruning")
   }
 
+  test("bloomPrune widens mismatched integral key types (no silent false negatives)") {
+    // xxhash64(INT 5) != xxhash64(BIGINT 5): without widening, an
+    // int-keyed probe against a long-keyed build would prune EVERY row
+    val small = Seq(1L, 2L, 3L).toDF("k")
+    val big = Seq(1, 2, 3, 4, 5).toDF("k")
+    val kept = Sketches.bloomPrune(big, $"k", small, $"k")
+      .as[Int].collect().toSet
+    assert(Set(1, 2, 3).subsetOf(kept), s"true matches pruned: kept $kept")
+    // non-integral type mismatch is refused loudly, not hashed wrong
+    val smallStr = Seq("1").toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.bloomPrune(big, $"k", smallStr, $"k")
+    }
+    assert(e.getMessage.contains("share a data type"))
+  }
+
   test("q29 pruned join equals the plain join") {
     val plain = {
       val urgent = Tables.orders(spark, sf)
