@@ -67,11 +67,23 @@ object Dedup {
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
 
   /** (doc_id, shingle) exploded, optionally dropping shingles hotter
-    * than maxShingleFreq (scale guard — see class doc). */
+    * than maxShingleFreq (scale guard — see class doc).
+    *
+    * `shingle` is the xxhash64 of the n-gram STRING, hashed in the
+    * projection right after the explode: every downstream shuffle
+    * (posting-list groupBy, hot-shingle count, anti-join) carries
+    * 16-byte (long, long) rows instead of full n-gram strings — at
+    * 3-gram × ~7-byte words that is ~2× fewer shuffle bytes, and the
+    * sort/hash comparisons inside the exchanges become single-word
+    * compares. A 64-bit collision merely merges two posting lists
+    * (birthday-bounded: P ≈ m²/2⁶⁵ over m distinct shingles — ~3e-8
+    * even at 10⁹ shingles), and the probabilistic paths re-verify
+    * candidates against exact text anyway. */
   def docShingles(docs: DataFrame, n: Int = 3,
                   maxShingleFreq: Option[Long] = None): DataFrame = {
-    val sh = tokenized(docs).select(col("doc_id"),
-      explode(shingleTokens(col("toks"), n)).as("shingle"))
+    val sh = tokenized(docs)
+      .select(col("doc_id"), explode(shingleTokens(col("toks"), n)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
     maxShingleFreq match {
       case None => sh
       case Some(limit) =>
@@ -85,7 +97,8 @@ object Dedup {
 
   // -- exact n-gram Jaccard ---------------------------------------------------
 
-  /** All pairs with shingle-Jaccard ≥ threshold, exact — the
+  /** All pairs with shingle-Jaccard ≥ threshold, exact up to 64-bit
+    * shingle-hash collisions (negligible — see [[docShingles]]) — the
     * oracle-checkable baseline the probabilistic variants are validated
     * against. Pair generation goes through posting lists
     * (shingle → sorted doc list → in-list combinations) rather than a
@@ -157,16 +170,17 @@ object Dedup {
   def signatures(docs: DataFrame, p: MinHashParams = MinHashParams(),
                  n: Int = 3): DataFrame = {
     val mask = lit(0xFFFFFFFFL)
-    // shuffle carries only (doc_id, h) — 16 B/row; the numBands band
-    // hashes are derived AFTER the exchange from h (64-bit collisions
-    // are birthday-bounded and merely merge two shingles' minhash
-    // contributions — harmless), so band independence costs no shuffle
-    // bytes. They are materialized in a post-shuffle projection because
-    // codegen does not share subexpressions ACROSS aggregate update
-    // expressions — referencing attributes keeps it at numBands hash
-    // evaluations per row instead of numHashes.
+    // shuffle carries only (doc_id, h) — 16 B/row; h IS docShingles'
+    // hashed shingle (64-bit collisions are birthday-bounded and merely
+    // merge two shingles' minhash contributions — harmless). The
+    // numBands band hashes are derived AFTER the exchange from h, so
+    // band independence costs no shuffle bytes. They are materialized
+    // in a post-shuffle projection because codegen does not share
+    // subexpressions ACROSS aggregate update expressions — referencing
+    // attributes keeps it at numBands hash evaluations per row instead
+    // of numHashes.
     val sh = docShingles(docs, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .withColumnRenamed("shingle", "h")
       .repartition(col("doc_id"))
       .select(col("doc_id") +: (0 until p.numBands).map { bnd =>
         xxhash64(col("h"), lit(bnd)).as(s"hb$bnd")

@@ -87,10 +87,13 @@ class DedupSpec extends SparkSpec {
 
   test("hot-shingle guard drops high-frequency shingles before the join") {
     val n = Dedup.docShingles(docs, n = 3, maxShingleFreq = Some(2L))
+    // shingles travel as xxhash64 of the n-gram string — probe by hash
+    def h(s: String): Long =
+      spark.range(1).select(xxhash64(lit(s))).as[Long].head()
     // "the quick brown" etc. appear in docs 1,2,3 (freq 3 > 2) → dropped
-    assert(n.filter($"shingle" === "the quick brown").count() == 0)
+    assert(n.filter($"shingle" === h("the quick brown")).count() == 0)
     // doc-4-only shingles (freq 1) survive
-    assert(n.filter($"shingle" === "completely different text").count() == 1)
+    assert(n.filter($"shingle" === h("completely different text")).count() == 1)
   }
 
   test("hot-bucket cap bounds LSH candidates on a boilerplate-heavy corpus") {
