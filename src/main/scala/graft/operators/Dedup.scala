@@ -369,10 +369,13 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-band pigeonhole guarantees recall only for maxDist <= 3")
     val sh = simhashes(docs)
+    // materialized once for the self-join's two sides (same rationale
+    // as lshCandidates — the 64-bit-sum aggregation above is the cost)
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map { k =>
         shiftright(col("simhash"), 16 * k).bitwiseAND(lit(0xFFFFL))
       }: _*)).as(Seq("band", "chunk")))
+      .localCheckpoint(true)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
@@ -401,6 +404,9 @@ object Dedup {
       // Long.MaxValue marks a band no window hashed into — joining on
       // it would pair every document that shares an empty band
       .filter(col("min_hash") =!= Long.MaxValue)
+      // materialized once for the self-join's two sides (the rolling
+      // hash over every document byte is the cost, not these rows)
+      .localCheckpoint(true)
     sig.as("a")
       .join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.min_hash") === col("b.min_hash") &&
