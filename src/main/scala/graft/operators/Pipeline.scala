@@ -158,11 +158,57 @@ object Pipeline {
        |UNION ALL SELECT 4, 'near_dedup', COUNT(*), CAST(SUM(kept_tok) AS BIGINT) FROM fin
        |ORDER BY stage_id""".stripMargin
 
+  /** p04 — deterministic train/val/test split (~80/10/10) keyed on
+    * md5(doc_id): the split a training pipeline needs to be STABLE
+    * across runs, machines, and engines — no seed state, no sampling
+    * order dependence, and a re-run over a grown corpus never reassigns
+    * an existing document. The bucket is the last two hex digits of the
+    * md5 (uniform over 0..255); train < 205 (≈80.1%), val < 230 (≈9.8%),
+    * test otherwise (≈10.2%).
+    *
+    * Scale: one narrow projection — no shuffle at all until the gate's
+    * ORDER BY (production writes would partitionBy("split") instead).
+    * Hash-gated: DuckDB computes the identical md5 hex, so the oracle
+    * pins every per-document assignment, not just the proportions. */
+  def p04HashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val m = md5(col("doc_id").cast("string"))
+    val bucket = conv(substring(m, 31, 2), 16, 10).cast("int")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        bucket.as("bucket"),
+        when(bucket < lit(205), lit("train"))
+          .when(bucket < lit(230), lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  // DuckDB has no base-16 conv(); the two hex digits are decoded by
+  // position in the hex alphabet instead — value-identical to the
+  // Spark side's conv(substr, 16, 10).
+  val p04Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CAST(16 * (strpos('0123456789abcdef',
+      |                      substring(md5(CAST(doc_id AS VARCHAR)), 31, 1)) - 1)
+      |         +    (strpos('0123456789abcdef',
+      |                      substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1)
+      |      AS INT) AS bucket
+      |  FROM documents)
+      |SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 205 THEN 'train'
+      |       WHEN bucket < 230 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM b
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p02_pipeline_funnel" -> p02PipelineFunnel _,
+    "p04_hash_split"      -> p04HashSplit _,
   )
 
   val oracles: Map[String, String] = Map(
     "p02_pipeline_funnel" -> p02Sql,
+    "p04_hash_split"      -> p04Sql,
   )
 }

@@ -967,6 +967,101 @@ object StarQueries {
       |ORDER BY l_returnflag""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // q33 — salted aggregation gate: the reduce side of a 3-key groupBy
+  // over the whole fact table is the textbook hot-key funnel (every
+  // lineitem row lands on one of three reduce tasks). Skew.saltedAgg
+  // spreads each key over 16 sub-aggregations and merges the partials;
+  // the oracle is the PLAIN group-by — salting must be invisible in the
+  // result. Decimal partials keep the double-sum order-proof across the
+  // extra merge level (same convention as dsum).
+  // ---------------------------------------------------------------------------
+  def q33SaltedFlagStats(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedAgg(
+        Tables.lineitem(spark, dir),
+        keys = Seq("l_returnflag"),
+        aggs = Map(
+          "sum_qty_dec" -> ("sum", col("l_quantity").cast(D)),
+          "line_count"  -> ("count", lit(1)),
+          "max_qty"     -> ("max", col("l_quantity"))),
+        distributeBy = col("l_orderkey"), buckets = 16)
+      .select(col("l_returnflag"),
+        col("sum_qty_dec").cast(DoubleType).as("sum_qty"),
+        col("line_count"), col("max_qty"))
+      .orderBy(col("l_returnflag"))
+
+  val q33Sql: String =
+    s"""SELECT l_returnflag,
+       |  ${sqlDsum("l_quantity")} AS sum_qty,
+       |  COUNT(*) AS line_count,
+       |  MAX(l_quantity) AS max_qty
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q34 — salted join gate: lineitem⋈part on partkey through
+  // Skew.saltedJoin (big side salted into 16 sub-keys, part replicated
+  // per bucket), then brand revenue on top. The oracle is the PLAIN
+  // join+aggregate — the salt must change the task layout, never the
+  // pair set. This is the manual fallback for skewed joins AQE cannot
+  // re-split (bucketed inputs, streaming stages); the equality proof on
+  // a hot-key corpus is in ScalePostureSpec.
+  // ---------------------------------------------------------------------------
+  def q34SaltedBrandRevenue(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedJoin(
+        Tables.lineitem(spark, dir).select(
+          col("l_partkey").as("partkey"), col("l_orderkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        Tables.part(spark, dir).select(
+          col("p_partkey").as("partkey"), col("p_brand")),
+        key = "partkey", distributeBy = col("l_orderkey"), buckets = 16)
+      .groupBy(col("p_brand"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("brand_revenue"),
+        count(lit(1)).as("line_count"))
+      .orderBy(col("p_brand"))
+
+  val q34Sql: String =
+    s"""SELECT p_brand,
+       |  ${sqlDsum(sqlRevenue)} AS brand_revenue,
+       |  COUNT(*) AS line_count
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand
+       |ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q35 — explicit GROUPING SETS beside q19's rollup and q32's cube: the
+  // ((segment, year), (year)) set list is one a rollup can never produce
+  // (it has the year-only slice but NOT the segment-only or grand-total
+  // slices a cube would force). Same one-pass Expand: the fact side is
+  // read once and multiplied per set before the partial aggregate.
+  // ---------------------------------------------------------------------------
+  def q35GroupingSetsRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .withColumn("order_year", year(col("o_orderdate")))
+      .groupingSets(
+        Seq(Seq(col("c_mktsegment"), col("order_year")), Seq(col("order_year"))),
+        col("c_mktsegment"), col("order_year"))
+      .agg(
+        dsum(col("o_totalprice")).as("total_price"),
+        count(lit(1)).as("order_count"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("c_mktsegment"), col("order_year"))
+
+  val q35Sql: String =
+    s"""SELECT c_mktsegment, order_year,
+       |  ${sqlDsum("o_totalprice")} AS total_price,
+       |  COUNT(*) AS order_count,
+       |  GROUPING(c_mktsegment, order_year) AS gid
+       |FROM (SELECT c_mktsegment, CAST(YEAR(o_orderdate) AS INT) AS order_year,
+       |             o_totalprice
+       |      FROM orders JOIN customer ON o_custkey = c_custkey) t
+       |GROUP BY GROUPING SETS ((c_mktsegment, order_year), (order_year))
+       |ORDER BY gid, c_mktsegment, order_year""".stripMargin
+
   /** name → query for [[graft.SparkEntry]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> q01PricingSummary _,
@@ -992,6 +1087,9 @@ object StarQueries {
     "q18_customer_set_ops"  -> q18CustomerSetOps _,
     "q19_rollup_revenue"    -> q19RollupRevenue _,
     "q32_cube_revenue"      -> q32CubeRevenue _,
+    "q33_salted_flag_stats" -> q33SaltedFlagStats _,
+    "q34_salted_brand_revenue" -> q34SaltedBrandRevenue _,
+    "q35_grouping_sets_revenue" -> q35GroupingSetsRevenue _,
     "q20_region_year_revenue" -> q20RegionYearRevenue _,
     "q21_customers_with_orders" -> q21CustomersWithOrders _,
     "q22_customers_without_orders" -> q22CustomersWithoutOrders _,
@@ -1031,6 +1129,9 @@ object StarQueries {
     "q18_customer_set_ops"  -> q18Sql,
     "q19_rollup_revenue"    -> q19Sql,
     "q32_cube_revenue"      -> q32Sql,
+    "q33_salted_flag_stats" -> q33Sql,
+    "q34_salted_brand_revenue" -> q34Sql,
+    "q35_grouping_sets_revenue" -> q35Sql,
     "q20_region_year_revenue" -> q20Sql,
     "q21_customers_with_orders" -> q21Sql,
     "q22_customers_without_orders" -> q22Sql,

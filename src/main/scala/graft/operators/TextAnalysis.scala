@@ -447,7 +447,59 @@ object TextAnalysis {
       .filter(col("doc_id") < 50)
       .orderBy(col("doc_id"), col("rk"))
 
+  /** Sequence packing: assign documents to fixed token-budget training
+    * bins by GLOBAL cumulative token count under a deterministic order
+    * (doc_id). A document's bin is the one containing its START offset
+    * (`(cum_before) div budget` — greedy concat-then-chunk; a document
+    * longer than the budget still belongs to the bin where it begins,
+    * the downstream tokenizer chunks its overflow).
+    *
+    * Scale: the global running sum is the two-phase
+    * [[Cumulative.withCumsumAndRank]] (range-partition → per-partition
+    * window → broadcast prefix offsets), NOT an unpartitioned window —
+    * the same shape q13 ships. One pass over the corpus, one range
+    * shuffle of (doc_id, tok) pairs. */
+  def sequencePack(docs: DataFrame, budget: Long): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      tokenCount(col("text")).cast("long").as("tok"))
+    Cumulative.withCumsumAndRank(toks, Seq(col("doc_id")), col("tok"),
+        cumName = "cum", rankName = "rn")
+      // integer div, not `/` (double division would lose exactness once
+      // the global token count passes 2^53)
+      .withColumn("bin_id", expr(s"(cum - tok) div ${budget}L"))
+      .groupBy(col("bin_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  /** t12 — 256-token sequence packing over the corpus. */
+  def t12SequencePack(spark: SparkSession, dir: String): DataFrame =
+    sequencePack(Tables.documents(spark, dir), 256L)
+      .orderBy(col("bin_id"))
+
+  val t12Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, tok,
+      |    SUM(tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t)
+      |SELECT CAST((cum - tok) // 256 AS BIGINT) AS bin_id,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(tok) AS BIGINT) AS bin_tokens,
+      |  MIN(doc_id) AS first_doc,
+      |  MAX(doc_id) AS last_doc
+      |FROM c
+      |GROUP BY 1
+      |ORDER BY bin_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_sequence_pack"  -> t12SequencePack _,
     "t01_token_stats"    -> t01TokenStats _,
     "t02_quality_scores" -> t02QualityScores _,
     "t03_lang_id"        -> t03LangId _,
@@ -462,6 +514,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t12_sequence_pack"  -> t12Sql,
     "t01_token_stats"    -> t01Sql,
     "t02_quality_scores" -> t02Sql,
     "t03_lang_id"        -> t03Sql,
