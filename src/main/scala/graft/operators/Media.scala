@@ -1,5 +1,11 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -12,33 +18,39 @@ import graft.Tables
   * operations (catalog stats, frame slicing, feature extraction,
   * resize bookkeeping) run distributed.
   *
-  * == What is real vs stubbed ==
-  * REAL (and tested): the schema contract, the binary column plumbing
-  * (slice/length/hash on BinaryType), the partitioning/batching shape
-  * (`decodeBatched` — typed mapPartitions in fixed-size batches, the
-  * JVM analog of a vectorized Python `mapInPandas` decode), and every
-  * aggregate/explode around it.
-  * STUBBED: actual codec work. This container has no image/audio
-  * libraries, so `FakeCodec.decode` is a DETERMINISTIC FAKE that
-  * derives pixel/sample facts from the bytes themselves. A production
-  * deployment swaps exactly that one function for javax.imageio /
-  * ffmpeg bindings; nothing else changes, because the plumbing only
-  * depends on its signature.
+  * == Real decode ==
+  * [[Codec]] is a REAL pure-JDK codec stack, no fakes:
+  *  - images: PNG, encoded/decoded with `javax.imageio.ImageIO`;
+  *  - audio: WAV (16-bit mono PCM), via `javax.sound.sampled.AudioSystem`;
+  *  - video: a length-prefixed container of PNG frames (`GFV1`), each
+  *    frame decoded with ImageIO.
+  * The media fixture ([[mediaFixture]]) generates genuine payloads whose
+  * parameters (dims, sample rate, frame count) and CONTENT (pixel and
+  * PCM values) follow closed-form formulas of `doc_id` — so the DuckDB
+  * oracle can predict every decoded fact without owning a codec, and the
+  * m03 gate hash-checks that the real decode round-trips bit-exact
+  * (dims, rates, frame counts, and the sum over all decoded pixels /
+  * samples).
   *
   * == Media fixture ==
-  * There is no binary table in the driver corpus, so the media table is
-  * DERIVED deterministically from `documents` (payload = UTF-8 bytes of
-  * `text`, kind cycled by doc_id). Both engines build it identically,
-  * which keeps the m01/m02 gates oracle-checkable end to end.
+  * There is no binary table in the driver corpus, so two derived media
+  * tables exist: [[mediaCatalog]] (payload = UTF-8 text bytes; drives
+  * the binary-plumbing gates m01/m02/m05 where the oracle must slice
+  * identical bytes) and [[mediaFixture]] (payload = real PNG/WAV/framed
+  * container; drives the decode gates m03/m04). Both are deterministic
+  * functions of `documents`.
   *
   * Scale notes (100 TB of media):
-  *  - Payloads never enter a shuffle here: catalog stats aggregate
-  *    scalar facts (length/hash), frame sampling slices within the row,
-  *    features reduce bytes → fixed-dim vectors. The only wide exchange
-  *    carries 64-double vectors.
+  *  - Payloads never enter a wide exchange carrying query state:
+  *    catalog stats aggregate scalar facts (length/hash), frame
+  *    sampling slices within the row, features reduce bytes →
+  *    fixed-dim vectors. The only wide exchange carries 64-double
+  *    vectors.
   *  - `decodeBatched` repartitions by media_id so decode parallelism is
   *    payload-balanced, then processes fixed-size batches to bound peak
-  *    memory per task (batch bytes ≈ batchSize × max payload).
+  *    memory per task (batch bytes ≈ batchSize × max payload). Decoder
+  *    setup (ImageIO plugin lookup, no disk cache) is amortized per
+  *    JVM, not per row.
   */
 object Media {
 
@@ -61,41 +73,208 @@ object Media {
         col("source").as("origin"),
         col("lang").as("lang_hint")).as("meta"))
 
-  // ---------------------------------------------------------------------------
-  // Deterministic fake codec (THE stub boundary)
-  // ---------------------------------------------------------------------------
-
-  /** Decoded-media facts a real codec would produce. */
+  /** Decoded-media facts: dims / rate / frame count plus `luma`, the
+    * sum of every decoded 8-bit pixel (images, all video frames) or
+    * signed 16-bit PCM sample (audio) — the content proof that the
+    * decode actually touched the payload, not just its header. */
   final case class Decoded(media_id: Long, kind: String, width: Int,
-                           height: Int, sample_rate: Int, n_frames: Int)
+                           height: Int, sample_rate: Int, n_frames: Int,
+                           luma: Long)
 
   /** Raw row shape for the typed decode path. */
   final case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
 
-  object FakeCodec {
-    /** DETERMINISTIC FAKE decode — stands in for javax.imageio/ffmpeg,
-      * which this environment does not have. Derives plausible, fully
-      * reproducible "decoded" facts from the payload bytes: a real
-      * implementation replaces this body (same signature) and the whole
-      * pipeline — batching, partitioning, schema — is unchanged. */
-    def decode(m: MediaRow): Decoded = {
-      val n = m.content.length
-      val h = java.util.Arrays.hashCode(m.content)
-      m.kind match {
-        case "image" => Decoded(m.media_id, m.kind,
-          width = 16 + math.floorMod(h, 1024), height = 16 + math.floorMod(h >> 10, 1024),
-          sample_rate = 0, n_frames = 1)
-        case "audio" => Decoded(m.media_id, m.kind, 0, 0,
-          sample_rate = 8000 + 100 * math.floorMod(h, 441), n_frames = n)
-        case _ => Decoded(m.media_id, m.kind,
-          width = 320, height = 240, sample_rate = 0,
-          n_frames = 1 + n / FrameSize)
+  // ---------------------------------------------------------------------------
+  // Real pure-JDK codec (ImageIO PNG, javax.sound WAV, framed-PNG video)
+  // ---------------------------------------------------------------------------
+
+  object Codec {
+    // no temp-file cache inside executor tasks
+    ImageIO.setUseCache(false)
+
+    /** Container magic for the framed-PNG video format. */
+    val VideoMagic = 0x47465631 // "GFV1"
+
+    // -- fixture parameter formulas -----------------------------------------
+    // Mirrored literally in m03Sql so DuckDB predicts every decoded fact.
+    def imageW(id: Long): Int = 8 + (id % 24).toInt
+    def imageH(id: Long): Int = 8 + ((id * 7) % 24).toInt
+    def audioRate(id: Long): Int = 8000 + 1000 * (id % 5).toInt
+    def audioSamples(id: Long): Int = 64 + (id % 192).toInt
+    def videoFrames(id: Long): Int = 1 + (id % 8).toInt
+    def videoW(id: Long): Int = 16 + (id % 8).toInt
+    def videoH(id: Long): Int = 16 + ((id * 3) % 8).toInt
+    /** Gray value of pixel (x,y) of frame f — 0..255. */
+    def pixel(id: Long, frame: Int, x: Int, y: Int): Int =
+      ((id * 31 + frame * 17 + x * 7 + y * 13) % 256).toInt
+    /** Signed 16-bit PCM sample i — in [-2048, 2047]. */
+    def pcmSample(id: Long, i: Int): Short =
+      (((id * 31 + i * 7) % 4096) - 2048).toShort
+
+    // -- encode -------------------------------------------------------------
+
+    /** One grayscale PNG frame with formula pixels. */
+    def encodePng(id: Long, frame: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, pixel(id, frame, x, y)); x += 1 }
+        y += 1
       }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** 16-bit mono PCM WAV with formula samples. */
+    def encodeWav(id: Long): Array[Byte] = {
+      val n = audioSamples(id)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = pcmSample(id, i)
+        pcm(2 * i) = (v & 0xff).toByte          // little-endian
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(audioRate(id).toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** `GFV1` container: magic, frame count, then length-prefixed PNGs. */
+    def encodeVideo(id: Long): Array[Byte] = {
+      val (w, h, nf) = (videoW(id), videoH(id), videoFrames(id))
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeInt(VideoMagic)
+      out.writeInt(nf)
+      var f = 0
+      while (f < nf) {
+        val png = encodePng(id, f, w, h)
+        out.writeInt(png.length)
+        out.write(png)
+        f += 1
+      }
+      out.flush()
+      bos.toByteArray
+    }
+
+    def encode(id: Long, kind: String): Array[Byte] = kind match {
+      case "image" => encodePng(id, 0, imageW(id), imageH(id))
+      case "audio" => encodeWav(id)
+      case "video" => encodeVideo(id)
+      case other   => throw new IllegalArgumentException(s"unknown kind $other")
+    }
+
+    // -- decode -------------------------------------------------------------
+
+    private def lumaSum(img: BufferedImage): Long = {
+      val raster = img.getRaster
+      var s = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { s += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      s
+    }
+
+    /** Real decode: ImageIO for PNG, AudioSystem for WAV, container
+      * parse + per-frame ImageIO for video. Every reported fact comes
+      * from the payload bytes. */
+    def decode(m: MediaRow): Decoded = m.kind match {
+      case "image" =>
+        val img = ImageIO.read(new ByteArrayInputStream(m.content))
+        require(img != null, s"media ${m.media_id}: not a decodable image")
+        Decoded(m.media_id, m.kind, img.getWidth, img.getHeight, 0, 1, lumaSum(img))
+
+      case "audio" =>
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(m.content))
+        try {
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"media ${m.media_id}: expected 16-bit mono PCM, got $fmt")
+          val n = ais.getFrameLength.toInt
+          val buf = ais.readAllBytes()
+          var s = 0L
+          var i = 0
+          while (i < n) { // reassemble little-endian signed shorts
+            s += ((buf(2 * i + 1) << 8) | (buf(2 * i) & 0xff)).toShort
+            i += 1
+          }
+          Decoded(m.media_id, m.kind, 0, 0, fmt.getSampleRate.toInt, n, s)
+        } finally ais.close()
+
+      case "video" =>
+        val in = new DataInputStream(new ByteArrayInputStream(m.content))
+        require(in.readInt() == VideoMagic, s"media ${m.media_id}: bad video magic")
+        val nf = in.readInt()
+        var (w, h) = (0, 0)
+        var luma = 0L
+        var f = 0
+        while (f < nf) {
+          val frame = new Array[Byte](in.readInt())
+          in.readFully(frame)
+          val img = ImageIO.read(new ByteArrayInputStream(frame))
+          require(img != null, s"media ${m.media_id}: frame $f not decodable")
+          if (f == 0) { w = img.getWidth; h = img.getHeight }
+          luma += lumaSum(img)
+          f += 1
+        }
+        Decoded(m.media_id, m.kind, w, h, 0, nf, luma)
+
+      case other => throw new IllegalArgumentException(s"unknown kind $other")
+    }
+
+    /** grid×grid block-mean grayscale features in [0,1] from a decoded
+      * image — a real pixel-space embedding (tiny stand-in for a learned
+      * extractor; the plumbing and geometry are what the pipeline needs). */
+    def blockMeans(img: BufferedImage, grid: Int = 8): Array[Double] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val out = new Array[Double](grid * grid)
+      var gy = 0
+      while (gy < grid) {
+        val y0 = gy * h / grid; val y1 = math.max(y0 + 1, (gy + 1) * h / grid)
+        var gx = 0
+        while (gx < grid) {
+          val x0 = gx * w / grid; val x1 = math.max(x0 + 1, (gx + 1) * w / grid)
+          var s = 0L
+          var y = y0
+          while (y < math.min(y1, h)) {
+            var x = x0
+            while (x < math.min(x1, w)) { s += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          val n = (math.min(x1, w) - x0).max(1) * (math.min(y1, h) - y0).max(1)
+          out(gy * grid + gx) = s.toDouble / n / 255.0
+          gx += 1
+        }
+        gy += 1
+      }
+      out
     }
   }
 
-  /** Fixed fake frame stride (bytes per "frame" of video payload). */
-  val FrameSize = 64
+  /** Real-payload media fixture: genuine PNG / WAV / framed-PNG-container
+    * payloads, generated distributed (one typed map over doc ids, no
+    * driver involvement) and deterministically — both the payload
+    * parameters and contents are closed-form in `doc_id`. */
+  def mediaFixture(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val kind = kinds((id % 3).toInt)
+        MediaRow(id, kind, Codec.encode(id, kind))
+      }
+    }
+  }
 
   // ---------------------------------------------------------------------------
   // Batched decode (the mapInPandas-shaped plumbing)
@@ -112,16 +291,19 @@ object Media {
       .repartition(numPartitions, col("media_id"))
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
-          // a real codec would amortize per-batch setup (decoder init,
-          // native buffers) here — that is why the batch boundary exists
-          batch.map(FakeCodec.decode)
+          // a real codec amortizes per-batch setup (decoder init, native
+          // buffers) here — that is why the batch boundary exists
+          batch.map(Codec.decode)
         }
       }
   }
 
   // ---------------------------------------------------------------------------
-  // Column-level media ops (pure Spark, no stub involved)
+  // Column-level media ops (pure Spark, no codec involved)
   // ---------------------------------------------------------------------------
+
+  /** Fixed fake frame stride (bytes per "frame" of opaque payload). */
+  val FrameSize = 64
 
   /** Frame offsets 0, FrameSize, 2·FrameSize … for a payload. */
   private def frameOffsets(content: Column): Column =
@@ -141,22 +323,36 @@ object Media {
         col("media_id"), col("frame_no"), col("byte_off"),
         substring(col("content"), col("byte_off") + 1, lit(FrameSize)).as("frame"))
 
-  /** Deterministic fake "resize": a real pipeline would decode, scale,
-    * re-encode; the metadata bookkeeping (new dims, new byte count) and
-    * payload truncation shape are what the plumbing needs to carry. */
+  /** Payload-cap "resize" on the opaque catalog: the metadata
+    * bookkeeping (new dims, new byte count) and payload truncation
+    * shape the plumbing needs to carry. (A pixel-space resize would
+    * decode via [[Codec]] and re-encode inside [[decodeBatched]].) */
   def resizeTo(media: DataFrame, maxBytes: Int): DataFrame =
     media.select(
       col("media_id"), col("kind"),
       substring(col("content"), 1, maxBytes).as("content"),
       least(length(col("content")), lit(maxBytes)).as("n_bytes"))
 
-  /** Fixed-dim feature vector from payload bytes: seeded xxhash64 per
-    * dimension, scaled to [-1, 1] — deterministic across executors, and
-    * downstream-compatible with VectorOps/Similarity (cosine, ANN). A
-    * real extractor (CLIP etc.) would slot in via decodeBatched. */
+  /** Fixed-dim feature vector from raw payload bytes: seeded xxhash64
+    * per dimension, scaled to [-1, 1] — the cheap opaque-payload
+    * fingerprint for media whose codec is unavailable. For decodable
+    * images use [[Codec.blockMeans]] (real pixel features, m04). */
   def featureVector(content: Column, dim: Int = 64): Column =
     transform(sequence(lit(1), lit(dim)), i =>
       (xxhash64(content, i) / lit(Long.MaxValue.toDouble)).cast(DoubleType))
+
+  /** Decode image payloads and emit real pixel-space embeddings
+    * (`vec_id`, `embedding`) compatible with the Similarity stack. */
+  def imageFeatures(media: Dataset[MediaRow], grid: Int = 8): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val img = ImageIO.read(new ByteArrayInputStream(m.content))
+        require(img != null, s"media ${m.media_id}: not a decodable image")
+        (m.media_id, Codec.blockMeans(img, grid))
+      }
+    }.toDF("vec_id", "embedding")
+  }
 
   // ---------------------------------------------------------------------------
   // Gate queries
@@ -220,21 +416,72 @@ object Media {
        |GROUP BY media_id
        |ORDER BY media_id""".stripMargin
 
-  /** m03 — batched fake decode profile (engine-specific stub → rows-only
-    * gate; determinism + batch-shape invariants pinned in ScalaTest). */
+  /** m03 — REAL batched decode profile, hash-gated: per kind, the count,
+    * decoded dims / sample rates / frame counts, and the sum over every
+    * decoded pixel (images, all video frames) / PCM sample (audio). The
+    * oracle computes the same facts from the fixture formulas — a
+    * mismatch anywhere means the codec did not round-trip the payload. */
   def m03DecodeProfile(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val media = mediaCatalog(Tables.documents(spark, dir))
-      .select(col("media_id"), col("kind"), col("content"))
-      .as[MediaRow]
+    val media = mediaFixture(Tables.documents(spark, dir))
     decodeBatched(media).toDF()
       .groupBy(col("kind"))
       .agg(
         count(lit(1)).as("media_count"),
+        sum(col("width")).as("total_width"),
+        sum(col("height")).as("total_height"),
+        sum(col("sample_rate")).as("total_rate"),
         sum(col("n_frames")).as("total_frames"),
-        avg(col("width").cast(DoubleType)).as("avg_width"))
+        sum(col("luma")).as("total_luma"))
       .orderBy(col("kind"))
   }
+
+  val m03Sql: String =
+    """WITH ids AS (SELECT doc_id AS id, doc_id % 3 AS r FROM documents),
+      |img AS (SELECT id, 8 + id % 24 AS w, 8 + (id * 7) % 24 AS h
+      |        FROM ids WHERE r = 0),
+      |aud AS (SELECT id, 8000 + 1000 * (id % 5) AS rate, 64 + id % 192 AS ns
+      |        FROM ids WHERE r = 1),
+      |vid AS (SELECT id, 16 + id % 8 AS w, 16 + (id * 3) % 8 AS h,
+      |               1 + id % 8 AS nf
+      |        FROM ids WHERE r = 2),
+      |img_luma AS (
+      |  SELECT i.id, SUM((i.id * 31 + x.x * 7 + y.y * 13) % 256) AS luma
+      |  FROM img i
+      |  CROSS JOIN LATERAL (SELECT unnest(range(0, i.w)) AS x) x
+      |  CROSS JOIN LATERAL (SELECT unnest(range(0, i.h)) AS y) y
+      |  GROUP BY i.id),
+      |aud_luma AS (
+      |  SELECT a.id, SUM((a.id * 31 + s.i * 7) % 4096 - 2048) AS luma
+      |  FROM aud a
+      |  CROSS JOIN LATERAL (SELECT unnest(range(0, a.ns)) AS i) s
+      |  GROUP BY a.id),
+      |vid_luma AS (
+      |  SELECT v.id,
+      |         SUM((v.id * 31 + f.f * 17 + x.x * 7 + y.y * 13) % 256) AS luma
+      |  FROM vid v
+      |  CROSS JOIN LATERAL (SELECT unnest(range(0, v.nf)) AS f) f
+      |  CROSS JOIN LATERAL (SELECT unnest(range(0, v.w)) AS x) x
+      |  CROSS JOIN LATERAL (SELECT unnest(range(0, v.h)) AS y) y
+      |  GROUP BY v.id),
+      |per_media AS (
+      |  SELECT 'image' AS kind, i.w AS width, i.h AS height,
+      |         0 AS rate, 1 AS nf, l.luma
+      |  FROM img i JOIN img_luma l ON i.id = l.id
+      |  UNION ALL
+      |  SELECT 'audio', 0, 0, a.rate, a.ns, l.luma
+      |  FROM aud a JOIN aud_luma l ON a.id = l.id
+      |  UNION ALL
+      |  SELECT 'video', v.w, v.h, 0, v.nf, l.luma
+      |  FROM vid v JOIN vid_luma l ON v.id = l.id)
+      |SELECT kind, COUNT(*) AS media_count,
+      |  CAST(SUM(width) AS BIGINT) AS total_width,
+      |  CAST(SUM(height) AS BIGINT) AS total_height,
+      |  CAST(SUM(rate) AS BIGINT) AS total_rate,
+      |  CAST(SUM(nf) AS BIGINT) AS total_frames,
+      |  CAST(SUM(luma) AS BIGINT) AS total_luma
+      |FROM per_media
+      |GROUP BY kind
+      |ORDER BY kind""".stripMargin
 
   /** m05 — resize bookkeeping profile: per kind, how many payloads the
     * resize touched, total bytes after, and a payload checksum proving
@@ -280,14 +527,16 @@ object Media {
       |GROUP BY kind
       |ORDER BY kind""".stripMargin
 
-  /** m04 — media feature vectors routed into the similarity stack:
-    * nearest neighbor per media among the first 50 (rows-only: feature
-    * hashing is engine-specific; geometry invariants in ScalaTest). */
+  /** m04 — REAL pixel features routed into the similarity stack: decode
+    * the first 50 PNG payloads, extract block-mean embeddings, nearest
+    * neighbor per image (rows-only: pixel-space knn ranking has no SQL
+    * oracle; decode correctness is m03's hash gate, geometry invariants
+    * are in ScalaTest). */
   def m04FeatureKnn(spark: SparkSession, dir: String): DataFrame = {
-    val feats = mediaCatalog(Tables.documents(spark, dir))
-      .filter(col("media_id") < 50)
-      .select(col("media_id").as("vec_id"),
-        featureVector(col("content")).as("embedding"))
+    val images = mediaFixture(
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % 3 === 0 && col("doc_id") < 150))
+    val feats = imageFeatures(images)
     Similarity.bruteForceKnn(feats, feats, 1)
       .orderBy(col("query_id"))
   }
@@ -303,6 +552,7 @@ object Media {
   val oracles: Map[String, String] = Map(
     "m01_media_stats"  -> m01Sql,
     "m02_frame_sample" -> m02Sql,
+    "m03_decode_profile" -> m03Sql,
     "m05_resize_profile" -> m05Sql,
   )
 }

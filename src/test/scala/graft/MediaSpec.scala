@@ -1,14 +1,20 @@
 package graft
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.functions._
 
 import graft.operators.Media
-import graft.operators.Media.{FakeCodec, MediaRow}
+import graft.operators.Media.{Codec, Decoded, MediaRow}
 
 class MediaSpec extends SparkSpec {
   import spark.implicits._
 
   private def catalog = Media.mediaCatalog(Tables.documents(spark, sf))
+  private def fixture = Media.mediaFixture(Tables.documents(spark, sf))
 
   test("mediaCatalog: binary schema contract, total kind partition") {
     val schema = catalog.schema
@@ -55,23 +61,65 @@ class MediaSpec extends SparkSpec {
     assert(joined.filter($"orig" <= 100 && $"orig" =!= $"n_bytes").count() == 0)
   }
 
-  test("decodeBatched: one decoded row per media, batch-size independent") {
-    val media = catalog.select($"media_id", $"kind", $"content").as[MediaRow]
-    val d1 = Media.decodeBatched(media, numPartitions = 7, batchSize = 3).toDF()
-    val d2 = Media.decodeBatched(media, numPartitions = 2, batchSize = 500).toDF()
-    assert(d1.count() == catalog.count())
-    // partitioning/batching must not change results (mapInPandas contract)
-    assert(d1.exceptAll(d2).count() == 0 && d2.exceptAll(d1).count() == 0)
+  // -------------------------------------------------------------------------
+  // Real codec
+  // -------------------------------------------------------------------------
+
+  test("Codec decodes a known hand-built PNG and pins its dims and pixels") {
+    // 3×2 grayscale image with pixels 10..60 — built directly with
+    // ImageIO (not through Codec.encode), so this pins the DECODER
+    // against an independent encoder.
+    val img = new BufferedImage(3, 2, BufferedImage.TYPE_BYTE_GRAY)
+    val px = Seq((0, 0, 10), (1, 0, 20), (2, 0, 30), (0, 1, 40), (1, 1, 50), (2, 1, 60))
+    px.foreach { case (x, y, v) => img.getRaster.setSample(x, y, 0, v) }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    val d = Codec.decode(MediaRow(1L, "image", bos.toByteArray))
+    assert(d == Decoded(1L, "image", 3, 2, 0, 1, 10 + 20 + 30 + 40 + 50 + 60))
   }
 
-  test("FakeCodec is deterministic and kind-consistent") {
-    val row = MediaRow(7L, "image", "some payload bytes".getBytes("UTF-8"))
-    assert(FakeCodec.decode(row) == FakeCodec.decode(row))
-    val img = FakeCodec.decode(row)
-    assert(img.width > 0 && img.height > 0 && img.n_frames == 1)
-    val vid = FakeCodec.decode(MediaRow(8L, "video",
-      Array.fill[Byte](Media.FrameSize * 3 + 1)(42)))
-    assert(vid.n_frames == 4, "video frames = 1 + bytes/FrameSize")
+  test("Codec PNG round-trip matches the fixture formulas exactly") {
+    for (id <- Seq(0L, 7L, 123L, 498L)) {
+      val d = Codec.decode(MediaRow(id, "image", Codec.encode(id, "image")))
+      val (w, h) = (Codec.imageW(id), Codec.imageH(id))
+      val luma = (for (x <- 0 until w; y <- 0 until h)
+        yield Codec.pixel(id, 0, x, y).toLong).sum
+      assert(d == Decoded(id, "image", w, h, 0, 1, luma))
+    }
+  }
+
+  test("Codec WAV round-trip: rate, frame count, and PCM sample sum") {
+    for (id <- Seq(1L, 10L, 247L)) {
+      val d = Codec.decode(MediaRow(id, "audio", Codec.encode(id, "audio")))
+      val n = Codec.audioSamples(id)
+      val sum = (0 until n).map(i => Codec.pcmSample(id, i).toLong).sum
+      assert(d == Decoded(id, "audio", 0, 0, Codec.audioRate(id), n, sum))
+      assert(sum != 0L || n == 0, "degenerate all-zero PCM would hide byte-order bugs")
+    }
+  }
+
+  test("Codec video container round-trip: per-frame decode, summed luma") {
+    for (id <- Seq(2L, 11L, 497L)) {
+      val d = Codec.decode(MediaRow(id, "video", Codec.encode(id, "video")))
+      val (w, h, nf) = (Codec.videoW(id), Codec.videoH(id), Codec.videoFrames(id))
+      val luma = (for (f <- 0 until nf; x <- 0 until w; y <- 0 until h)
+        yield Codec.pixel(id, f, x, y).toLong).sum
+      assert(d == Decoded(id, "video", w, h, 0, nf, luma))
+    }
+  }
+
+  test("Codec rejects a corrupt payload loudly instead of fabricating facts") {
+    val junk = Array.fill[Byte](64)(42)
+    intercept[Exception](Codec.decode(MediaRow(9L, "image", junk)))
+    intercept[Exception](Codec.decode(MediaRow(9L, "video", junk)))
+  }
+
+  test("decodeBatched: one decoded row per media, batch-size independent") {
+    val d1 = Media.decodeBatched(fixture, numPartitions = 7, batchSize = 3).toDF()
+    val d2 = Media.decodeBatched(fixture, numPartitions = 2, batchSize = 500).toDF()
+    assert(d1.count() == Tables.documents(spark, sf).count())
+    // partitioning/batching must not change results (mapInPandas contract)
+    assert(d1.exceptAll(d2).count() == 0 && d2.exceptAll(d1).count() == 0)
   }
 
   test("featureVector: fixed dim, bounded, deterministic, non-degenerate") {
@@ -88,10 +136,31 @@ class MediaSpec extends SparkSpec {
       catalog.limit(50).select($"content").distinct().count())
   }
 
-  test("m04: every media's nearest feature-space neighbor is itself-excluded and ranked 1") {
+  test("imageFeatures: real pixel embeddings — 64-dim, in [0,1], formula-checked") {
+    val images = fixture.filter($"kind" === "image")
+    val feats = Media.imageFeatures(images)
+    assert(feats.filter(size($"embedding") =!= 64).count() == 0)
+    val outOfRange = feats.select(explode($"embedding").as("x"))
+      .filter($"x" < 0.0 || $"x" > 1.0).count()
+    assert(outOfRange == 0)
+    // pin one vector against a direct in-test computation from the raster
+    val id = 3L
+    val got = feats.filter($"vec_id" === id).select($"embedding")
+      .as[Array[Double]].head()
+    val img = ImageIO.read(new ByteArrayInputStream(Codec.encode(id, "image")))
+    assert(got.sameElements(Codec.blockMeans(img)))
+    // mean of all block means equals mean pixel value (partition property)
+    val (w, h) = (Codec.imageW(id), Codec.imageH(id))
+    val meanPx = (for (x <- 0 until w; y <- 0 until h)
+      yield Codec.pixel(id, 0, x, y).toDouble).sum / (w * h) / 255.0
+    // blocks are equal-sized only when grid divides dims; allow small drift
+    assert(math.abs(got.sum / 64.0 - meanPx) < 0.02)
+  }
+
+  test("m04: every image's nearest pixel-space neighbor is itself-excluded and ranked 1") {
     val knn = Media.m04FeatureKnn(spark, sf)
     assert(knn.filter($"query_id" === $"neighbor_id").count() == 0)
     assert(knn.filter($"rk" =!= 1).count() == 0)
-    assert(knn.count() == 50)
+    assert(knn.count() == 50) // doc_ids 0,3,…,147
   }
 }
