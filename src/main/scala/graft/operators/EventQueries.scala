@@ -325,8 +325,13 @@ object EventQueries {
     "v08_trailing_spend"       -> v08TrailingSpend _,
     "v09_minute_gap_fill"      -> v09MinuteGapFill _,
     // the actual Structured Streaming micro-batch runtime, replayed to
-    // completion — hash-gated against the batch v01 oracle
+    // completion — hash-gated against the batch v01/v02/v03 oracles
     "v12_streamed_tumbling"    -> graft.streaming.EventStreams.v12StreamedTumbling _,
+    "v13_streamed_sessions"    -> graft.streaming.EventStreams.v13StreamedSessions _,
+    "v14_streamed_dedup"       -> graft.streaming.EventStreams.v14StreamedDedup _,
+    // the file-source production ingest with a checkpointed mid-stream
+    // restart — no MemoryStream involved
+    "v15_filesource_tumbling"  -> graft.streaming.EventStreams.v15FileSourceTumbling _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -339,5 +344,8 @@ object EventQueries {
     "v04_sliding_counts"      -> v04Sql,
     "v06_props_profile"       -> v06Sql,
     "v12_streamed_tumbling"   -> v01Sql, // stream must equal the batch answer
+    "v13_streamed_sessions"   -> v02Sql,
+    "v14_streamed_dedup"      -> v03Sql,
+    "v15_filesource_tumbling" -> v01Sql,
   )
 }

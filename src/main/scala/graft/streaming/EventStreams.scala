@@ -256,21 +256,22 @@ object EventStreams {
   private val flushSentinel =
     Ev(-1L, Timestamp.valueOf("2100-01-01 00:00:00"), -1L, "sentinel", 0.0)
 
-  /** v12 — tumbling counts computed BY THE STREAMING RUNTIME: the events
-    * table is replayed through a MemoryStream in four event-time-ordered
-    * micro-batches (so watermark advancement, state carry-over between
-    * batches, and append-mode emission are all genuinely exercised, not
-    * just the batch semantics of the same plan), flushed with a
-    * far-future sentinel, and the settled memory-sink table is returned.
-    * Hash-gated against the SAME DuckDB oracle as the batch v01 — the
-    * micro-batch path must reproduce the batch answer exactly.
+  /** Replay the events table through a MemoryStream in four
+    * event-time-ordered micro-batches — so watermark advancement, state
+    * carry-over between batches, and append-mode emission are all
+    * genuinely exercised by the REAL micro-batch runtime, not just the
+    * batch semantics of the same plan — flush with a far-future
+    * sentinel so every append-mode window closes, and return the
+    * settled memory-sink table (sentinel-derived rows still present;
+    * callers filter them by their own output shape).
     *
     * The driver-side collect here is the MemoryStream REPLAY HARNESS,
     * not the operator: MemoryStream is driver-resident by construction
     * (it exists to feed deterministic tests). The production ingest is
     * [[readEvents]] (file source, executor-side) feeding the identical
-    * [[tumblingCounts]] transform. */
-  def v12StreamedTumbling(spark: SparkSession, dir: String): DataFrame = {
+    * transforms. */
+  private def replayThroughRuntime(spark: SparkSession, dir: String,
+      transform: DataFrame => DataFrame): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val rows = graft.Tables.events(spark, dir)
@@ -281,9 +282,9 @@ object EventStreams {
       // batch N (max ts − lateness) must never classify batch N+1 rows
       // as late, or the stream would drop what the batch oracle counts
       .sortBy(e => (e.ts.getTime, e.event_id))
-    val name = s"graft_v12_sink_${sinkId.incrementAndGet()}"
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
     val ms = MemoryStream[Ev](spark)
-    val q = tumblingCounts(ms.toDF()).writeStream
+    val q = transform(ms.toDF()).writeStream
       .format("memory").queryName(name)
       .outputMode(OutputMode.Append()).start()
     try {
@@ -294,8 +295,85 @@ object EventStreams {
       ms.addData(Seq(flushSentinel)); q.processAllAvailable()
     } finally q.stop()
     spark.table(name)
+  }
+
+  /** v12 — tumbling counts computed by the streaming runtime, hash-gated
+    * against the SAME DuckDB oracle as the batch v01: the micro-batch
+    * path must reproduce the batch answer exactly. */
+  def v12StreamedTumbling(spark: SparkSession, dir: String): DataFrame =
+    replayThroughRuntime(spark, dir, tumblingCounts(_))
       .filter(col("event_type") =!= "sentinel")
       .orderBy(col("window_start"), col("event_type"))
+
+  /** v13 — session windows computed by the streaming runtime (the
+    * session-MERGE state store, which v12's simple window state never
+    * touches), hash-gated against batch v02's oracle. The settled sink
+    * has one row per (user, session); the batch shape's ordinal
+    * `session_id` is assigned post-settle by session start order —
+    * sound because two sessions of one user are >30 min apart, so
+    * second-precision `session_start` strings order them totally. */
+  def v13StreamedSessions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("session_start"))
+    replayThroughRuntime(spark, dir, sessions(_))
+      .filter(col("user_id") >= 0) // drop the sentinel user's session
+      .withColumn("session_id", row_number().over(w).cast("bigint"))
+      .select(col("user_id"), col("session_id"), col("event_count"),
+        col("session_start"), col("duration_sec"), col("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+      .limit(2000)
+  }
+
+  /** v14 — watermark dedup computed by the streaming runtime (the
+    * dropDuplicatesWithinWatermark state store), hash-gated against
+    * batch v03's oracle. The replay is event-time ordered, so every
+    * duplicate of a (user, type, minute) key lands within the watermark
+    * horizon of its first arrival and the stream's dedup is exact. */
+  def v14StreamedDedup(spark: SparkSession, dir: String): DataFrame =
+    replayThroughRuntime(spark, dir, minuteDedup(_))
+      .filter(col("event_type") =!= "sentinel")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("deduped_count"))
+      .orderBy(col("event_type"))
+
+  /** v15 — the PRODUCTION ingest path, gate-exercised end to end: the
+    * events table is staged as three time-sliced parquet files, streamed
+    * by [[readEvents]] (`maxFilesPerTrigger = 1` forces one file per
+    * micro-batch), landed through the exactly-once [[sinkToWarehouse]],
+    * STOPPED after the first two files (a crash stand-in), and restarted
+    * from the checkpoint to consume the rest — files that arrived while
+    * the query was down, carrying later event times than the restored
+    * watermark. The landed result must hash-match the batch v01 oracle:
+    * no loss, no dupes, no driver-fed MemoryStream anywhere. */
+  def v15FileSourceTumbling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_v15").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    val ev = graft.Tables.events(spark, dir)
+    val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+    val (t0, t1) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    val cut1 = new Timestamp(t0 + (t1 - t0) / 3)
+    val cut2 = new Timestamp(t0 + 2 * (t1 - t0) / 3)
+    def stage(part: DataFrame): Unit =
+      part.coalesce(1).write.mode("append").parquet(src)
+    stage(ev.filter(col("ts") < lit(cut1)))
+    stage(ev.filter(col("ts") >= lit(cut1) && col("ts") < lit(cut2)))
+    def start() = sinkToWarehouse(
+      tumblingCounts(readEvents(spark, src, maxFilesPerTrigger = 1)), out, ckpt)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // the rest of the stream (and the flush sentinel) lands while down
+    stage(ev.filter(col("ts") >= lit(cut2)))
+    stage(Seq((-1L, flushSentinel.ts, -1L, "sentinel", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val landed = spark.read.parquet(out)
+      .filter(col("event_type") =!= "sentinel").drop("batch_id")
+      .orderBy(col("window_start"), col("event_type"))
+      .localCheckpoint() // materialize so the temp staging can be deleted
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+    landed
   }
 
   // ---------------------------------------------------------------------------
