@@ -38,8 +38,8 @@ import org.apache.spark.sql.expressions.Window
 object Cumulative {
 
   /** Adds `cumName` (running sum of `valueCol`, nulls skipped exactly as
-    * an unpartitioned window would) and `rankName` (row_number, INT)
-    * under `sortCols`. When `totName` is set, also adds the GLOBAL sum of
+    * an unpartitioned window would) and — when `rankName` is non-null —
+    * a global row_number (INT) under `sortCols`. When `totName` is set, also adds the GLOBAL sum of
     * `valueCol` as a column — derived from the per-partition summaries,
     * so it costs one tiny aggregate instead of a second pass over the
     * input's lineage.
@@ -52,7 +52,7 @@ object Cumulative {
     * is the windowed frame itself — group-key cardinality, not fact
     * data. */
   def withCumsumAndRank(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
-                        cumName: String, rankName: String,
+                        cumName: String, rankName: String = null,
                         totName: String = null,
                         numPartitions: Int = 0): DataFrame = {
     val p =
@@ -76,10 +76,13 @@ object Cumulative {
       .localCheckpoint(true)
     if (ownCache) in.unpersist(blocking = false)
     val wLoc = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
-    val local = parted
+    val cummed = parted
       .withColumn("__cum_loc", sum(valueCol).over(
         wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__rn_loc", row_number().over(wLoc))
+    // rank is opt-in: a cumsum-only caller (t12 packing) should not pay
+    // a per-row row_number it never reads
+    val local = if (rankName == null) cummed
+      else cummed.withColumn("__rn_loc", row_number().over(wLoc))
     val parts = parted.groupBy(col("__pid"))
       .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
     val preds = parts.select(col("__pid").as("__bpid"),
@@ -92,15 +95,16 @@ object Cumulative {
     val out =
       if (totName == null) withOffs
       else withOffs.crossJoin(broadcast(parts.agg(sum(col("__psum")).as(totName))))
-    out
+    val withCum = out
       // null-skipping semantics of the one-phase window: cum is null only
       // while no non-null value has been seen yet in the global prefix
       .withColumn(cumName,
         when(col("__cum_loc").isNull && col("__osum").isNull, lit(null))
           .otherwise(coalesce(col("__cum_loc"), lit(0)) +
                      coalesce(col("__osum"), lit(0))))
-      .withColumn(rankName,
-        (col("__rn_loc") + coalesce(col("__ocnt"), lit(0L))).cast("int"))
+    (if (rankName == null) withCum
+     else withCum.withColumn(rankName,
+       (col("__rn_loc") + coalesce(col("__ocnt"), lit(0L))).cast("int")))
       .drop("__pid", "__cum_loc", "__rn_loc", "__osum", "__ocnt")
   }
 }

@@ -11,24 +11,38 @@ import graft.Tables
   * counts, null counts, exact distinct cardinalities, and min/max,
   * computed in ONE logical query over the corpus.
   *
-  * Scale notes: multiple exact `COUNT(DISTINCT)`s in one aggregate plan
-  * through Spark's Expand (one input row fans to one row per distinct
-  * aggregate) — a deliberate one-pass/expand trade; at
-  * 100 TB swap `approx_count_distinct` (HLL++, no Expand, mergeable)
-  * into the same shape — the gate keeps the exact form because it is
-  * oracle-checkable. Min/max on strings compare binary (both engines'
-  * default), so the profile is cross-engine stable.
+  * Scale notes: the exact form (p03) runs multiple `COUNT(DISTINCT)`s
+  * in one aggregate plan through Spark's Expand (one input row fans to
+  * one row per distinct aggregate) — a deliberate one-pass/expand
+  * trade, kept because it is oracle-checkable. The 100 TB form (p05,
+  * [[approxProfile]]) swaps `approx_count_distinct` (HLL++, no Expand,
+  * mergeable sketches) into the identical shape. Min/max on strings
+  * compare binary (both engines' default), so the profile is
+  * cross-engine stable.
   */
 object Profile {
 
   /** One profile row per listed column: (column_name, n_rows, n_nulls,
     * n_distinct, min_value, max_value) — min/max surfaced as strings so
     * heterogeneous column types fit one frame. */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => countDistinct(col(c)))
+
+  /** The 100 TB profile: identical shape, but distinct cardinalities via
+    * `approx_count_distinct` (HLL++). No Expand fan-out — each input row
+    * is consumed once — and the sketches are mergeable partial
+    * aggregates, so the whole profile is one streaming pass whatever the
+    * column count. Estimates are engine-specific (rows-only gate); the
+    * error envelope vs the exact profile is pinned in ProfileSpec. */
+  def approxProfile(df: DataFrame, cols: Seq[String], rsd: Double = 0.02): DataFrame =
+    profileWith(df, cols, c => approx_count_distinct(col(c), rsd).cast("bigint"))
+
+  private def profileWith(df: DataFrame, cols: Seq[String],
+                          distinctAgg: String => Column): DataFrame = {
     val aggs: Seq[Column] = count(lit(1)).as("__n") +: cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
+        distinctAgg(c).as(s"__nd_$c"),
         min(col(c)).cast(StringType).as(s"__mn_$c"),
         max(col(c)).cast(StringType).as(s"__mx_$c"))
     }
@@ -66,6 +80,11 @@ object Profile {
   def p03DataProfile(spark: SparkSession, dir: String): DataFrame =
     profile(Tables.documents(spark, dir), docCols)
 
+  /** p05 — the approx (HLL++) twin of p03, the form that actually runs
+    * at 100 TB. Rows-only gate; ≤5% distinct error pinned in ProfileSpec. */
+  def p05ApproxProfile(spark: SparkSession, dir: String): DataFrame =
+    approxProfile(Tables.documents(spark, dir), docCols)
+
   val p03Sql: String = {
     val agg = docCols.zipWithIndex.map { case (c, i) =>
       s"COUNT($c) AS nn$i, COUNT(DISTINCT $c) AS nd$i, " +
@@ -81,7 +100,8 @@ object Profile {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p03_data_profile" -> p03DataProfile _,
+    "p03_data_profile"   -> p03DataProfile _,
+    "p05_approx_profile" -> p05ApproxProfile _,
   )
 
   val oracles: Map[String, String] = Map(

@@ -634,7 +634,11 @@ object StarQueries {
         dsum(col("o_totalprice")).as("total_price"),
         count(lit(1)).as("order_count"),
         grouping_id().as("gid"))
-      .orderBy(col("gid"), col("c_mktsegment"), col("order_year"))
+      // null placement pinned: Spark defaults NULLS FIRST, DuckDB NULLS
+      // LAST — benign on today's non-null TPC-H columns, a latent hash
+      // mismatch if data ever carries NULL segment/year
+      .orderBy(col("gid"), col("c_mktsegment").asc_nulls_last,
+        col("order_year").asc_nulls_last)
 
   val q19Sql: String =
     s"""SELECT c_mktsegment, order_year,
@@ -645,7 +649,7 @@ object StarQueries {
        |             o_totalprice
        |      FROM orders JOIN customer ON o_custkey = c_custkey) t
        |GROUP BY ROLLUP(c_mktsegment, order_year)
-       |ORDER BY gid, c_mktsegment, order_year""".stripMargin
+       |ORDER BY gid, c_mktsegment NULLS LAST, order_year NULLS LAST""".stripMargin
 
   // ---------------------------------------------------------------------------
   // q32 — full cube with grouping_id: all four grouping sets of
@@ -663,7 +667,11 @@ object StarQueries {
         dsum(col("o_totalprice")).as("total_price"),
         count(lit(1)).as("order_count"),
         grouping_id().as("gid"))
-      .orderBy(col("gid"), col("c_mktsegment"), col("order_year"))
+      // null placement pinned: Spark defaults NULLS FIRST, DuckDB NULLS
+      // LAST — benign on today's non-null TPC-H columns, a latent hash
+      // mismatch if data ever carries NULL segment/year
+      .orderBy(col("gid"), col("c_mktsegment").asc_nulls_last,
+        col("order_year").asc_nulls_last)
 
   val q32Sql: String =
     s"""SELECT c_mktsegment, order_year,
@@ -674,7 +682,7 @@ object StarQueries {
        |             o_totalprice
        |      FROM orders JOIN customer ON o_custkey = c_custkey) t
        |GROUP BY CUBE(c_mktsegment, order_year)
-       |ORDER BY gid, c_mktsegment, order_year""".stripMargin
+       |ORDER BY gid, c_mktsegment NULLS LAST, order_year NULLS LAST""".stripMargin
 
   // ---------------------------------------------------------------------------
   // q20 — full star join: lineitem⋈orders (fact-fact shuffle join, AQE
@@ -981,7 +989,9 @@ object StarQueries {
         Tables.lineitem(spark, dir),
         keys = Seq("l_returnflag"),
         aggs = Map(
-          "sum_qty_dec" -> ("sum", col("l_quantity").cast(D)),
+          // dec() = double-first decimal widening, the single-owner
+          // convention guarding against float32→decimal digit fabrication
+          "sum_qty_dec" -> ("sum", graft.functions.DecimalSums.dec(col("l_quantity"))),
           "line_count"  -> ("count", lit(1)),
           "max_qty"     -> ("max", col("l_quantity"))),
         distributeBy = col("l_orderkey"), buckets = 16)
@@ -1049,7 +1059,11 @@ object StarQueries {
         dsum(col("o_totalprice")).as("total_price"),
         count(lit(1)).as("order_count"),
         grouping_id().as("gid"))
-      .orderBy(col("gid"), col("c_mktsegment"), col("order_year"))
+      // null placement pinned: Spark defaults NULLS FIRST, DuckDB NULLS
+      // LAST — benign on today's non-null TPC-H columns, a latent hash
+      // mismatch if data ever carries NULL segment/year
+      .orderBy(col("gid"), col("c_mktsegment").asc_nulls_last,
+        col("order_year").asc_nulls_last)
 
   val q35Sql: String =
     s"""SELECT c_mktsegment, order_year,
@@ -1060,7 +1074,7 @@ object StarQueries {
        |             o_totalprice
        |      FROM orders JOIN customer ON o_custkey = c_custkey) t
        |GROUP BY GROUPING SETS ((c_mktsegment, order_year), (order_year))
-       |ORDER BY gid, c_mktsegment, order_year""".stripMargin
+       |ORDER BY gid, c_mktsegment NULLS LAST, order_year NULLS LAST""".stripMargin
 
   /** name → query for [[graft.SparkEntry]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

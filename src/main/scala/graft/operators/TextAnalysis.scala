@@ -463,7 +463,7 @@ object TextAnalysis {
     val toks = docs.select(col("doc_id"),
       tokenCount(col("text")).cast("long").as("tok"))
     Cumulative.withCumsumAndRank(toks, Seq(col("doc_id")), col("tok"),
-        cumName = "cum", rankName = "rn")
+        cumName = "cum") // cumsum-only: the bin math never reads a rank
       // integer div, not `/` (double division would lose exactness once
       // the global token count passes 2^53)
       .withColumn("bin_id", expr(s"(cum - tok) div ${budget}L"))

@@ -55,6 +55,20 @@ class CumulativeSpec extends SparkSpec {
     assert(tot.toSeq == Seq(expected))
   }
 
+  test("cumsum-only form matches the ranked form and computes no row_number") {
+    val df = fixture
+    val sort = Seq($"v".desc_nulls_last, $"id")
+    val ranked = Cumulative
+      .withCumsumAndRank(df, sort, $"v", "cum", "rk", numPartitions = 7)
+      .select($"id", $"cum")
+    val cumOnly = Cumulative
+      .withCumsumAndRank(df, sort, $"v", "cum", numPartitions = 7)
+    assert(cumOnly.columns.toSeq == Seq("id", "v", "cum"))
+    assert(cumOnly.select($"id", $"cum").exceptAll(ranked).count() == 0)
+    // the saved work is real: no RowNumber window function in the plan
+    assert(!cumOnly.queryExecution.executedPlan.toString.contains("row_number"))
+  }
+
   test("plan contains no unpartitioned WindowExec (the single-task scale hazard)") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = Cumulative.withCumsumAndRank(

@@ -38,4 +38,22 @@ class ProfileSpec extends SparkSpec {
     val docId = out.find(_.getString(0) == "doc_id").get
     assert(docId.getLong(1) == docId.getLong(3) && docId.getLong(2) == 0L)
   }
+
+  test("p05 approx profile: ≤5% distinct error, everything else exact") {
+    def byCol(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+        .toMap
+    val exact = byCol(Profile.p03DataProfile(spark, sf).collect())
+    val approx = byCol(Profile.p05ApproxProfile(spark, sf).collect())
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (c, (n, nulls, nd, mn, mx)) =>
+      val (an, aNulls, and, amn, amx) = approx(c)
+      // only the distinct estimate may differ — counts/nulls/min/max are
+      // the same single-pass aggregates in both forms
+      assert((an, aNulls, amn, amx) == ((n, nulls, mn, mx)), s"column $c")
+      assert(math.abs(and - nd).toDouble <= 0.05 * nd,
+        s"column $c: approx distinct $and vs exact $nd exceeds 5%")
+    }
+  }
 }

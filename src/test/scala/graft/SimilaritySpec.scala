@@ -140,17 +140,25 @@ class SimilaritySpec extends SparkSpec {
       exact.exceptAll(ivfsq).count() == 0)
   }
 
-  test("ivfSqKnn recall@5 at default settings is usable") {
+  test("ivfSqKnn recall@5: SQ adds no loss over s04's cells, floor 0.6") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" < 20)
     val exact = Similarity.bruteForceKnn(queries, emb, 5)
       .select("query_id", "neighbor_id")
+    val n = exact.count().toDouble
     val ivfsq = Similarity.ivfSqKnn(queries, emb, 5)
       .select("query_id", "neighbor_id")
-    val recall = exact.intersect(ivfsq).count().toDouble / exact.count()
-    // bounded below by s04's cell recall (same cells, same probes); the
-    // int8 coarse stage inside a cell is recovered by the 4k re-rank
-    assert(recall >= 0.5, f"IVF-SQ recall@5 degraded to $recall%.2f")
+    val ivf = Similarity.ivfKnn(queries, emb, 5)
+      .select("query_id", "neighbor_id")
+    val recallSq = exact.intersect(ivfsq).count() / n
+    val recallIvf = exact.intersect(ivf).count() / n
+    // same cells, same probes: recall is bounded by cell assignment (the
+    // nprobe=4/nlist=16 dial measures 0.64 on this seeded corpus), and
+    // the int8 coarse stage + 4k exact re-rank must not lose anything
+    // the full-precision in-cell ranking finds
+    assert(recallSq >= recallIvf,
+      f"int8 coarse stage lost recall: SQ $recallSq%.2f < IVF $recallIvf%.2f")
+    assert(recallSq >= 0.6, f"IVF-SQ recall@5 degraded to $recallSq%.2f")
   }
 
   test("ivfSqKnn coarse stage is cell-bucketed, not all-pairs") {
