@@ -121,15 +121,20 @@ object Dedup {
     // element, explode the list's tail slice for its partners) — both
     // codegen'd Generates — rather than nested transform/flatten HOFs,
     // whose interpreted per-element lambda dispatch measured ~25% slower
-    // on the same 1.1M-pair expansion.
+    // on the same 1.1M-pair expansion. The list stays UNSORTED (each
+    // unordered pair still appears exactly once — postings are distinct
+    // doc ids); id_a < id_b comes from least/greatest at emit time,
+    // trading the per-list O(k log k) sort + array copy for O(1) per
+    // pair.
     val ds = col("ds")
     val inter = sh
       .groupBy(col("shingle"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(ds) > 1)
       .select(posexplode(ds).as(Seq("i", "a")), ds)
       .select(col("a"), explode(slice(ds, col("i") + lit(2), size(ds))).as("b"))
-      .groupBy(col("a").as("id_a"), col("b").as("id_b"))
+      .groupBy(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
@@ -528,12 +533,18 @@ object Dedup {
       val nbrMin = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(edges("src")).agg(min(col("lbl")).as("nlbl"))
         .select(col("src").as("node"), col("nlbl"))
-      val next = labels.as("l").join(nbrMin.as("n"), Seq("node"))
-        .select(col("node"), least(col("l.lbl"), col("n.nlbl")).as("lbl"))
+      // ONE job per round: the convergence count rides the checkpoint's
+      // own materialization as an observed metric, instead of a second
+      // action (the old shape paid a next×labels join + count job on
+      // top of the checkpoint job every round)
+      val obs = org.apache.spark.sql.Observation()
+      val step = labels.as("l").join(nbrMin.as("n"), Seq("node"))
+        .select(col("node"), col("l.lbl").as("__old"),
+          least(col("l.lbl"), col("n.nlbl")).as("lbl"))
+        .observe(obs, count(when(col("lbl") < col("__old"), 1)).as("changed"))
         .localCheckpoint(true)
-      val changed = next.as("a").join(labels.as("b"), Seq("node"))
-        .filter(col("a.lbl") < col("b.lbl")).count()
-      labels = next
+      val changed = obs.get("changed").asInstanceOf[Long]
+      labels = step.select(col("node"), col("lbl"))
       converged = changed == 0L
       iter += 1
     }
