@@ -341,6 +341,40 @@ object Media {
     transform(sequence(lit(1), lit(dim)), i =>
       (xxhash64(content, i) / lit(Long.MaxValue.toDouble)).cast(DoubleType))
 
+  /** REAL pixel-space resize: decode the PNG, nearest-neighbor resample
+    * to `targetW`×`targetH`, re-encode. The sample mapping is the
+    * closed-form floor((dst·src)/target) on each axis — deliberately
+    * hand-rolled instead of Graphics2D's affine scaler, whose rounding
+    * is implementation-defined: this way the resized pixel values are
+    * exactly predictable by the oracle (m06 hash-checks the full
+    * decode→resample→re-encode→decode round trip). Runs inside the same
+    * mapPartitions shape as [[decodeBatched]]; payloads shrink, never
+    * shuffle mid-operator. */
+  def resizePixels(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val img = ImageIO.read(new ByteArrayInputStream(m.content))
+        require(img != null, s"media ${m.media_id}: not a decodable image")
+        val out = new BufferedImage(targetW, targetH, BufferedImage.TYPE_BYTE_GRAY)
+        val (src, dst) = (img.getRaster, out.getRaster)
+        var y = 0
+        while (y < targetH) {
+          var x = 0
+          while (x < targetW) {
+            dst.setSample(x, y, 0,
+              src.getSample(x * img.getWidth / targetW, y * img.getHeight / targetH, 0))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(out, "png", bos)
+        MediaRow(m.media_id, m.kind, bos.toByteArray)
+      }
+    }
+  }
+
   /** Decode image payloads and emit real pixel-space embeddings
     * (`vec_id`, `embedding`) compatible with the Similarity stack. */
   def imageFeatures(media: Dataset[MediaRow], grid: Int = 8): DataFrame = {
@@ -541,12 +575,43 @@ object Media {
       .orderBy(col("query_id"))
   }
 
+  /** m06 — REAL pixel resize, hash-gated per media: every image payload
+    * goes through decode → nearest-neighbor 8×8 resample → PNG
+    * re-encode → second decode, and the reported dims + resized pixel
+    * sum must match the oracle's closed-form prediction
+    * pixel(id, 0, ⌊x·w/8⌋, ⌊y·h/8⌋). Any defect anywhere in the chain
+    * (encoder, decoder, sample mapping) breaks the hash. */
+  def m06PixelResize(spark: SparkSession, dir: String): DataFrame = {
+    val images = mediaFixture(
+      Tables.documents(spark, dir).filter(col("doc_id") % 3 === 0))
+    decodeBatched(resizePixels(images, 8, 8)).toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        col("luma").as("resized_luma"))
+      .orderBy(col("media_id"))
+  }
+
+  val m06Sql: String =
+    """WITH img AS (
+      |  SELECT doc_id AS id, 8 + doc_id % 24 AS w, 8 + (doc_id * 7) % 24 AS h
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT i.id AS media_id,
+      |  CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+      |  CAST(SUM((i.id * 31 + ((x.x * i.w) // 8) * 7
+      |                      + ((y.y * i.h) // 8) * 13) % 256) AS BIGINT)
+      |    AS resized_luma
+      |FROM img i
+      |CROSS JOIN LATERAL (SELECT unnest(range(0, 8)) AS x) x
+      |CROSS JOIN LATERAL (SELECT unnest(range(0, 8)) AS y) y
+      |GROUP BY i.id
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_stats"    -> m01MediaStats _,
     "m02_frame_sample"   -> m02FrameSample _,
     "m03_decode_profile" -> m03DecodeProfile _,
     "m04_feature_knn"    -> m04FeatureKnn _,
     "m05_resize_profile" -> m05ResizeProfile _,
+    "m06_pixel_resize"   -> m06PixelResize _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -554,5 +619,6 @@ object Media {
     "m02_frame_sample" -> m02Sql,
     "m03_decode_profile" -> m03Sql,
     "m05_resize_profile" -> m05Sql,
+    "m06_pixel_resize" -> m06Sql,
   )
 }

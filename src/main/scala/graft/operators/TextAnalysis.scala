@@ -498,7 +498,107 @@ object TextAnalysis {
       |GROUP BY 1
       |ORDER BY bin_id""".stripMargin
 
+  /** Train/test contamination scan — the decontamination pass every
+    * LLM training pipeline runs before evaluation is trustable: find
+    * test-split documents sharing word n-grams with any train-split
+    * document. The split is [[Pipeline.p04HashSplit]]'s deterministic
+    * md5 bucketing (so the scan is stable across engines and re-runs);
+    * shingling reuses [[Dedup.shingleTokens]] (distinct n-grams,
+    * whole-text fallback for short docs), hashed to int64 so the
+    * shingle-keyed equi-join shuffles 16-byte rows (same convention and
+    * collision argument as d02).
+    *
+    * Scale: one tokenize+shingle pass per side, one hash-keyed
+    * equi-join; no doc×doc quadrant anywhere. At 100 TB add the d08
+    * hot-shingle cap (`maxShingleFreq`) — a stopword-like n-gram
+    * shared by k train docs costs k rows per matching test gram, which
+    * the cap bounds; the gate runs uncapped because the oracle is
+    * exact. */
+  def decontaminate(docs: DataFrame, n: Int = 5,
+                    maxShingleFreq: Option[Long] = None): DataFrame = {
+    val m = md5(col("doc_id").cast("string"))
+    val bucket = conv(substring(m, 31, 2), 16, 10).cast("int")
+    val tagged = docs.select(col("doc_id"),
+      split(col("text"), " ").as("toks"),
+      when(bucket < lit(205), lit("train"))
+        .when(bucket < lit(230), lit("val"))
+        .otherwise(lit("test")).as("split"))
+    val sh0 = tagged
+      .select(col("doc_id"), col("split"),
+        explode(Dedup.shingleTokens(col("toks"), n)).as("s"))
+      .select(col("doc_id"), col("split"), xxhash64(col("s")).as("shingle"))
+    val sh = maxShingleFreq match {
+      case None => sh0
+      case Some(limit) =>
+        val hot = sh0.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > limit)
+          .select(col("shingle"))
+        sh0.join(hot, Seq("shingle"), "left_anti")
+    }
+    val train = sh.filter(col("split") === "train")
+      .select(col("doc_id").as("train_id"), col("shingle"))
+    val test = sh.filter(col("split") === "test")
+      .select(col("doc_id"), col("shingle"))
+    val sizes = test.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams")) // shingles are distinct per doc
+    test.join(train, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("shingle")).as("n_shared_grams"),
+        countDistinct(col("train_id")).as("n_train_docs"))
+      .join(sizes, Seq("doc_id"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared_grams"),
+        round(col("n_shared_grams").cast(DoubleType) / col("n_grams"), 6)
+          .as("contamination"),
+        col("n_train_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t13 — 5-gram test-vs-train contamination report. */
+  def t13Decontamination(spark: SparkSession, dir: String): DataFrame =
+    decontaminate(Tables.documents(spark, dir), 5)
+
+  val t13Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, text,
+      |    CAST(16 * (strpos('0123456789abcdef',
+      |                      substring(md5(CAST(doc_id AS VARCHAR)), 31, 1)) - 1)
+      |         +    (strpos('0123456789abcdef',
+      |                      substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1)
+      |      AS INT) AS bucket
+      |  FROM documents),
+      |tagged AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN bucket < 205 THEN 'train'
+      |         WHEN bucket < 230 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM b),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, split,
+      |         w[i.i] || ' ' || w[i.i+1] || ' ' || w[i.i+2] || ' '
+      |               || w[i.i+3] || ' ' || w[i.i+4] AS shingle
+      |  FROM (SELECT doc_id, split, string_split(text, ' ') AS w FROM tagged
+      |        WHERE len(string_split(text, ' ')) >= 5)
+      |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i) i
+      |  UNION ALL
+      |  SELECT doc_id, split, text FROM tagged
+      |  WHERE len(string_split(text, ' ')) < 5),
+      |test AS (SELECT doc_id, shingle FROM sh WHERE split = 'test'),
+      |train AS (SELECT doc_id AS train_id, shingle FROM sh WHERE split = 'train'),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM test GROUP BY doc_id),
+      |agg AS (
+      |  SELECT t.doc_id, COUNT(DISTINCT t.shingle) AS n_shared_grams,
+      |         COUNT(DISTINCT tr.train_id) AS n_train_docs
+      |  FROM test t JOIN train tr USING (shingle)
+      |  GROUP BY t.doc_id)
+      |SELECT a.doc_id, s.n_grams, a.n_shared_grams,
+      |  ROUND(CAST(a.n_shared_grams AS DOUBLE) / s.n_grams, 6) AS contamination,
+      |  a.n_train_docs
+      |FROM agg a JOIN sizes s USING (doc_id)
+      |ORDER BY a.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_decontamination" -> t13Decontamination _,
     "t12_sequence_pack"  -> t12SequencePack _,
     "t01_token_stats"    -> t01TokenStats _,
     "t02_quality_scores" -> t02QualityScores _,
@@ -514,6 +614,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t13_decontamination" -> t13Sql,
     "t12_sequence_pack"  -> t12Sql,
     "t01_token_stats"    -> t01Sql,
     "t02_quality_scores" -> t02Sql,

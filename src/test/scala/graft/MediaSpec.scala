@@ -157,6 +157,24 @@ class MediaSpec extends SparkSpec {
     assert(math.abs(got.sum / 64.0 - meanPx) < 0.02)
   }
 
+  test("resizePixels: nearest-neighbor mapping is the exact floor formula") {
+    val id = 6L // image kind (6 % 3 == 0)
+    val ds = Seq(MediaRow(id, "image", Codec.encode(id, "image"))).toDS()
+    val d = Codec.decode(Media.resizePixels(ds, 8, 8).collect().head)
+    val (w, h) = (Codec.imageW(id), Codec.imageH(id))
+    val expected = (for (x <- 0 until 8; y <- 0 until 8)
+      yield Codec.pixel(id, 0, x * w / 8, y * h / 8).toLong).sum
+    assert(d.width == 8 && d.height == 8 && d.luma == expected)
+  }
+
+  test("resizePixels to the source dims is the identity") {
+    val id = 9L
+    val (w, h) = (Codec.imageW(id), Codec.imageH(id))
+    val ds = Seq(MediaRow(id, "image", Codec.encode(id, "image"))).toDS()
+    val rt = Codec.decode(Media.resizePixels(ds, w, h).collect().head)
+    assert(rt == Codec.decode(MediaRow(id, "image", Codec.encode(id, "image"))))
+  }
+
   test("m04: every image's nearest pixel-space neighbor is itself-excluded and ranked 1") {
     val knn = Media.m04FeatureKnn(spark, sf)
     assert(knn.filter($"query_id" === $"neighbor_id").count() == 0)

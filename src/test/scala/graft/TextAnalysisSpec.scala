@@ -130,6 +130,36 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 1, "all", 1L, 3L)))
   }
 
+  test("decontaminate: a shared 5-gram across the split is reported exactly") {
+    import spark.implicits._
+    // independent implementation of the md5 bucketing — also pins that
+    // Spark's conv(substring(md5…)) agrees with MessageDigest
+    def bucket(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(30, 32), 16)
+    }
+    def split(id: Long): String =
+      if (bucket(id) < 205) "train" else if (bucket(id) < 230) "val" else "test"
+    val ids = 0L until 60L
+    val trainIds = ids.filter(split(_) == "train")
+    val testIds = ids.filter(split(_) == "test")
+    assert(trainIds.nonEmpty && testIds.nonEmpty, "fixture must span the split")
+    // every doc: one corpus-wide 5-gram + one unique trailing token
+    val docs = ids.map(i => (i, s"alpha beta gamma delta epsilon unique$i"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(docs, 5).collect()
+    assert(out.map(_.getLong(0)).toSeq == testIds, "every test doc is contaminated")
+    out.foreach { r =>
+      assert(r.getLong(1) == 2, "6 tokens yield two distinct 5-grams")
+      assert(r.getLong(2) == 1, "only the leading shared 5-gram matches")
+      assert(r.getDouble(3) == 0.5)
+      assert(r.getLong(4) == trainIds.size, "every train doc shares it")
+    }
+    // the hot-shingle cap drops the corpus-wide gram entirely
+    assert(TextAnalysis.decontaminate(docs, 5, Some(1L)).count() == 0)
+  }
+
   test("tfidf ranking is partitioning-independent") {
     val a = TextAnalysis.t11TfidfTopTerms(spark, sf).collect().toSeq
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
