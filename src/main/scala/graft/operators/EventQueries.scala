@@ -332,6 +332,7 @@ object EventQueries {
     // the file-source production ingest with a checkpointed mid-stream
     // restart — no MemoryStream involved
     "v15_filesource_tumbling"  -> graft.streaming.EventStreams.v15FileSourceTumbling _,
+    "v16_streamed_attribution" -> graft.streaming.EventStreams.v16StreamedAttribution _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -347,5 +348,6 @@ object EventQueries {
     "v13_streamed_sessions"   -> v02Sql,
     "v14_streamed_dedup"      -> v03Sql,
     "v15_filesource_tumbling" -> v01Sql,
+    "v16_streamed_attribution" -> v07Sql,
   )
 }

@@ -202,13 +202,74 @@ object Pipeline {
       |FROM b
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic weighted source mixing — the "data mixing" step that
+    * composes a training corpus from heterogeneous sources at chosen
+    * proportions (web × 0.5, books × 1.0, …). A document is kept iff
+    * its p04-style md5 bucket falls under the source's target rate
+    * (`bucket < rate·256`), so the sample is: per-document stable
+    * across runs/engines/corpus growth, exactly reproducible, and a
+    * pure narrow filter — NO shuffle, no sampling-order dependence, no
+    * seed state to coordinate across 1000 executors. `rateCol` is any
+    * column expression in [0, 1] (a broadcast-joined weights table or a
+    * formula). */
+  def hashMix(docs: DataFrame, rateCol: Column): DataFrame = {
+    val m = md5(col("doc_id").cast("string"))
+    val bucket = conv(substring(m, 31, 2), 16, 10).cast("int")
+    docs.withColumn("__rate", rateCol)
+      .filter(bucket < col("__rate") * lit(256))
+      .drop("__rate")
+  }
+
+  /** p06 — per-source mixing report under formula weights
+    * (src-number % 4 + 1)/4 ∈ {0.25, 0.5, 0.75, 1.0}: kept counts and
+    * realized rates, hash-gated (DuckDB reproduces every per-document
+    * keep decision through the same md5 arithmetic). */
+  def p06SourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val srcNum = regexp_extract(col("source"), "([0-9]+)", 1).cast("int")
+    val rate = (srcNum % 4 + 1).cast("double") / lit(4.0)
+    val kept = hashMix(docs, rate)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), max(rate).as("target_rate"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("target_rate"),
+        round(coalesce(col("n_kept"), lit(0L)).cast("double") / col("n_docs"), 6)
+          .as("realized_rate"))
+      .orderBy(col("source"))
+  }
+
+  val p06Sql: String =
+    """WITH b AS (
+      |  SELECT source,
+      |    CAST(16 * (strpos('0123456789abcdef',
+      |                      substring(md5(CAST(doc_id AS VARCHAR)), 31, 1)) - 1)
+      |         +    (strpos('0123456789abcdef',
+      |                      substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1)
+      |      AS INT) AS bucket,
+      |    (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4 + 1) / 4.0
+      |      AS rate
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN bucket < rate * 256 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  MAX(rate) AS target_rate,
+      |  ROUND(CAST(SUM(CASE WHEN bucket < rate * 256 THEN 1 ELSE 0 END)
+      |               AS DOUBLE) / COUNT(*), 6) AS realized_rate
+      |FROM b
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p02_pipeline_funnel" -> p02PipelineFunnel _,
     "p04_hash_split"      -> p04HashSplit _,
+    "p06_source_mix"      -> p06SourceMix _,
   )
 
   val oracles: Map[String, String] = Map(
     "p02_pipeline_funnel" -> p02Sql,
     "p04_hash_split"      -> p04Sql,
+    "p06_source_mix"      -> p06Sql,
   )
 }

@@ -271,10 +271,15 @@ object EventStreams {
     * [[readEvents]] (file source, executor-side) feeding the identical
     * transforms. */
   private def replayThroughRuntime(spark: SparkSession, dir: String,
-      transform: DataFrame => DataFrame): DataFrame = {
+      transform: DataFrame => DataFrame,
+      rowFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // rowFilter drops rows the transform's FIRST operator would discard
+    // anyway (e.g. v16 only consumes clicks+purchases) — replay volume
+    // shrinks, semantics cannot change
     val rows = graft.Tables.events(spark, dir)
+      .filter(rowFilter)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
       .as[Ev].collect()
@@ -284,16 +289,26 @@ object EventStreams {
       .sortBy(e => (e.ts.getTime, e.event_id))
     val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
     val ms = MemoryStream[Ev](spark)
-    val q = transform(ms.toDF()).writeStream
-      .format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
+    // 8 state partitions for the replay: every stateful operator pays
+    // one state-store commit (delta file + snapshot bookkeeping) per
+    // partition per micro-batch, so 32 partitions quadruple the fixed
+    // IO of this bounded harness for zero parallelism benefit. Results
+    // are partition-count-independent (pinned suite-wide); a production
+    // deployment sizes this to the cluster instead.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val batchSize = math.max(1, rows.length / 4 + 1)
-      rows.grouped(batchSize).foreach { b =>
-        ms.addData(b.toSeq); q.processAllAvailable()
-      }
-      ms.addData(Seq(flushSentinel)); q.processAllAvailable()
-    } finally q.stop()
+      val q = transform(ms.toDF()).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val batchSize = math.max(1, rows.length / 4 + 1)
+        rows.grouped(batchSize).foreach { b =>
+          ms.addData(b.toSeq); q.processAllAvailable()
+        }
+        ms.addData(Seq(flushSentinel)); q.processAllAvailable()
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(name)
   }
 
@@ -335,6 +350,19 @@ object EventStreams {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("deduped_count"))
       .orderBy(col("event_type"))
+
+  /** v16 — the stream-stream interval JOIN state store through the
+    * runtime, the one store v12–v14 never touch: clicks and purchases
+    * are buffered on both sides of the watermarked self-join across
+    * micro-batch boundaries (a purchase in batch N+1 must still find
+    * its batch-N click in the join state). Inner-join matches emit
+    * without waiting for the watermark, so the replay settles without
+    * type-specific sentinels; hash-gated against batch v07's oracle. */
+  def v16StreamedAttribution(spark: SparkSession, dir: String): DataFrame =
+    replayThroughRuntime(spark, dir, attributedPurchases(_),
+        rowFilter = col("event_type").isin("click", "purchase"))
+      .orderBy(col("click_id"), col("purchase_id"))
+      .limit(2000)
 
   /** v15 — the PRODUCTION ingest path, gate-exercised end to end: the
     * events table is staged as three time-sliced parquet files, streamed

@@ -42,4 +42,18 @@ class PipelineSpec extends SparkSpec {
       .as[(Int, String, Long, Long)].collect()
     assert(funnel(3)._3 - funnel(4)._3 == nonHeads)
   }
+
+  test("hashMix: rate 1 keeps all, 0 keeps none, 205/256 IS the train split") {
+    import org.apache.spark.sql.functions.lit
+    val docs = Tables.documents(spark, sf)
+    assert(Pipeline.hashMix(docs, lit(1.0)).count() == docs.count())
+    assert(Pipeline.hashMix(docs, lit(0.0)).count() == 0)
+    // same bucket arithmetic as p04: the 205/256 mix is exactly its
+    // train split, pinning mix and split to one shared keep-decision
+    val mixed = Pipeline.hashMix(docs, lit(205.0 / 256.0)).select("doc_id")
+    val train = Pipeline.p04HashSplit(spark, sf)
+      .filter($"split" === "train").select("doc_id")
+    assert(mixed.exceptAll(train).count() == 0 &&
+      train.exceptAll(mixed).count() == 0)
+  }
 }
