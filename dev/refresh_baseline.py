@@ -30,10 +30,21 @@ NOTES = {
 }
 
 def main(*paths):
+    # min-merge; a failed repeat (-1) in one file must not clobber a
+    # valid measurement from another — only all-failed stays -1
     qs = {}
     for path in paths:
         for k, v in json.load(open(path))["queries"].items():
-            qs[k] = min(qs.get(k, v), v) if v >= 0 else -1.0
+            prev = qs.get(k)
+            if v < 0:
+                qs.setdefault(k, -1.0)
+            elif prev is None or prev < 0:
+                qs[k] = v
+            else:
+                qs[k] = min(prev, v)
+    failed = sorted(k for k, v in qs.items() if v < 0)
+    if failed:
+        sys.exit(f"refusing to rewrite BASELINE.md: {failed} failed in every run")
     rows = sorted(qs.items())
     total = sum(v for v in qs.values() if v >= 0)
     lines = [f"| {name} | {secs:.2f} | {NOTES.get(name, '')} |"
@@ -44,10 +55,12 @@ def main(*paths):
     md = open("BASELINE.md").read()
     # replace everything between the table header separator and the line
     # after the total row
-    new = re.sub(
+    new, nsubs = re.subn(
         r"(\| query \| sf0\.1 wall-clock \(s\) \| notes \|\n\|---\|---\|---\|\n)(.*?\n)(?=\n|\*\*Measurement)",
         lambda m: m.group(1) + table + "\n",
         md, flags=re.S)
+    if nsubs != 1 or new == md and table not in md:
+        sys.exit("table anchor not found — BASELINE.md left unchanged")
     open("BASELINE.md", "w").write(new)
     print(f"wrote {len(rows)} rows, total {total:.1f}s")
 

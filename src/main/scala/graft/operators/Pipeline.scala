@@ -158,28 +158,38 @@ object Pipeline {
        |UNION ALL SELECT 4, 'near_dedup', COUNT(*), CAST(SUM(kept_tok) AS BIGINT) FROM fin
        |ORDER BY stage_id""".stripMargin
 
-  /** p04 — deterministic train/val/test split (~80/10/10) keyed on
-    * md5(doc_id): the split a training pipeline needs to be STABLE
-    * across runs, machines, and engines — no seed state, no sampling
-    * order dependence, and a re-run over a grown corpus never reassigns
-    * an existing document. The bucket is the last two hex digits of the
-    * md5 (uniform over 0..255); train < 205 (≈80.1%), val < 230 (≈9.8%),
-    * test otherwise (≈10.2%).
+  /** THE canonical md5 bucket (last two hex digits of md5(doc_id),
+    * uniform over 0..255) — single owner for every deterministic
+    * keep/split decision in the pipeline (p04 split, p06 mix, t13
+    * decontamination). Retuning the split means changing THIS and the
+    * oracle SQLs that mirror it, nowhere else. */
+  def md5Bucket(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 31, 2), 16, 10).cast("int")
+
+  /** The canonical ~80/10/10 split over [[md5Bucket]]:
+    * train < 205 (≈80.1%), val < 230 (≈9.8%), test otherwise (≈10.2%). */
+  def splitOf(bucket: Column): Column =
+    when(bucket < lit(205), lit("train"))
+      .when(bucket < lit(230), lit("val"))
+      .otherwise(lit("test"))
+
+  /** p04 — deterministic train/val/test split keyed on md5(doc_id):
+    * the split a training pipeline needs to be STABLE across runs,
+    * machines, and engines — no seed state, no sampling order
+    * dependence, and a re-run over a grown corpus never reassigns an
+    * existing document.
     *
     * Scale: one narrow projection — no shuffle at all until the gate's
     * ORDER BY (production writes would partitionBy("split") instead).
     * Hash-gated: DuckDB computes the identical md5 hex, so the oracle
     * pins every per-document assignment, not just the proportions. */
   def p04HashSplit(spark: SparkSession, dir: String): DataFrame = {
-    val m = md5(col("doc_id").cast("string"))
-    val bucket = conv(substring(m, 31, 2), 16, 10).cast("int")
+    val bucket = md5Bucket(col("doc_id"))
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         bucket.as("bucket"),
-        when(bucket < lit(205), lit("train"))
-          .when(bucket < lit(230), lit("val"))
-          .otherwise(lit("test")).as("split"))
+        splitOf(bucket).as("split"))
       .orderBy(col("doc_id"))
   }
 
@@ -212,30 +222,31 @@ object Pipeline {
     * seed state to coordinate across 1000 executors. `rateCol` is any
     * column expression in [0, 1] (a broadcast-joined weights table or a
     * formula). */
-  def hashMix(docs: DataFrame, rateCol: Column): DataFrame = {
-    val m = md5(col("doc_id").cast("string"))
-    val bucket = conv(substring(m, 31, 2), 16, 10).cast("int")
-    docs.withColumn("__rate", rateCol)
-      .filter(bucket < col("__rate") * lit(256))
-      .drop("__rate")
-  }
+  def hashMix(docs: DataFrame, rateCol: Column): DataFrame =
+    docs.filter(mixKeep(rateCol))
+
+  /** The keep decision behind [[hashMix]], exposed so aggregates can
+    * count kept rows in the same single pass that counts totals. */
+  def mixKeep(rateCol: Column): Column =
+    md5Bucket(col("doc_id")) < rateCol * lit(256)
 
   /** p06 — per-source mixing report under formula weights
     * (src-number % 4 + 1)/4 ∈ {0.25, 0.5, 0.75, 1.0}: kept counts and
     * realized rates, hash-gated (DuckDB reproduces every per-document
     * keep decision through the same md5 arithmetic). */
   def p06SourceMix(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
     val srcNum = regexp_extract(col("source"), "([0-9]+)", 1).cast("int")
     val rate = (srcNum % 4 + 1).cast("double") / lit(4.0)
-    val kept = hashMix(docs, rate)
-      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
-    docs.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), max(rate).as("target_rate"))
-      .join(kept, Seq("source"), "left")
-      .select(col("source"), col("n_docs"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("target_rate"),
-        round(coalesce(col("n_kept"), lit(0L)).cast("double") / col("n_docs"), 6)
+    // ONE scan: kept and total counted side by side via the shared keep
+    // expression (the oracle uses the identical one-pass shape)
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(mixKeep(rate), 1)).as("n_kept"),
+        max(rate).as("target_rate"))
+      .select(col("source"), col("n_docs"), col("n_kept"), col("target_rate"),
+        round(col("n_kept").cast("double") / col("n_docs"), 6)
           .as("realized_rate"))
       .orderBy(col("source"))
   }

@@ -516,17 +516,20 @@ object TextAnalysis {
     * exact. */
   def decontaminate(docs: DataFrame, n: Int = 5,
                     maxShingleFreq: Option[Long] = None): DataFrame = {
-    val m = md5(col("doc_id").cast("string"))
-    val bucket = conv(substring(m, 31, 2), 16, 10).cast("int")
+    // THE canonical split (single owner: Pipeline) — t13 must scan the
+    // same train/test frontier the rest of the pipeline uses
     val tagged = docs.select(col("doc_id"),
       split(col("text"), " ").as("toks"),
-      when(bucket < lit(205), lit("train"))
-        .when(bucket < lit(230), lit("val"))
-        .otherwise(lit("test")).as("split"))
+      Pipeline.splitOf(Pipeline.md5Bucket(col("doc_id"))).as("split"))
+    // materialized ONCE: the frame feeds the train side, the test side,
+    // and the per-doc sizes — without this the tokenize+shingle+hash
+    // pipeline re-executes per consumer (the d03/d04 lesson); what is
+    // pinned here is (doc_id, split, int64) rows, not text
     val sh0 = tagged
       .select(col("doc_id"), col("split"),
         explode(Dedup.shingleTokens(col("toks"), n)).as("s"))
       .select(col("doc_id"), col("split"), xxhash64(col("s")).as("shingle"))
+      .localCheckpoint(true)
     val sh = maxShingleFreq match {
       case None => sh0
       case Some(limit) =>

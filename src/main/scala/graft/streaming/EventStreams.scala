@@ -376,32 +376,37 @@ object EventStreams {
   def v15FileSourceTumbling(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_v15").toString
-    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
-    val ev = graft.Tables.events(spark, dir)
-    val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
-    val (t0, t1) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
-    val cut1 = new Timestamp(t0 + (t1 - t0) / 3)
-    val cut2 = new Timestamp(t0 + 2 * (t1 - t0) / 3)
-    def stage(part: DataFrame): Unit =
-      part.coalesce(1).write.mode("append").parquet(src)
-    stage(ev.filter(col("ts") < lit(cut1)))
-    stage(ev.filter(col("ts") >= lit(cut1) && col("ts") < lit(cut2)))
-    def start() = sinkToWarehouse(
-      tumblingCounts(readEvents(spark, src, maxFilesPerTrigger = 1)), out, ckpt)
-    val q1 = start()
-    try q1.processAllAvailable() finally q1.stop()
-    // the rest of the stream (and the flush sentinel) lands while down
-    stage(ev.filter(col("ts") >= lit(cut2)))
-    stage(Seq((-1L, flushSentinel.ts, -1L, "sentinel", 0.0, ""))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
-    val q2 = start()
-    try q2.processAllAvailable() finally q2.stop()
-    val landed = spark.read.parquet(out)
-      .filter(col("event_type") =!= "sentinel").drop("batch_id")
-      .orderBy(col("window_start"), col("event_type"))
-      .localCheckpoint() // materialize so the temp staging can be deleted
-    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
-    landed
+    try {
+      val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+      val ev = graft.Tables.events(spark, dir)
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val (t0, t1) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+      val cut1 = new Timestamp(t0 + (t1 - t0) / 3)
+      val cut2 = new Timestamp(t0 + 2 * (t1 - t0) / 3)
+      def stage(part: DataFrame): Unit =
+        part.coalesce(1).write.mode("append").parquet(src)
+      stage(ev.filter(col("ts") < lit(cut1)))
+      stage(ev.filter(col("ts") >= lit(cut1) && col("ts") < lit(cut2)))
+      def start() = sinkToWarehouse(
+        tumblingCounts(readEvents(spark, src, maxFilesPerTrigger = 1)), out, ckpt)
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      // the rest of the stream (and the flush sentinel) lands while down
+      stage(ev.filter(col("ts") >= lit(cut2)))
+      stage(Seq((-1L, flushSentinel.ts, -1L, "sentinel", 0.0, ""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      spark.read.parquet(out)
+        .filter(col("event_type") =!= "sentinel").drop("batch_id")
+        .orderBy(col("window_start"), col("event_type"))
+        .localCheckpoint() // materialize before the staging is deleted
+    } finally {
+      // a failed run must not leak a staged copy of the events table
+      val gone = new scala.reflect.io.Directory(new java.io.File(base))
+        .deleteRecursively()
+      if (!gone) System.err.println(s"[v15] temp staging not fully removed: $base")
+    }
   }
 
   // ---------------------------------------------------------------------------
