@@ -1,0 +1,185 @@
+package graft.sources
+
+import java.awt.{BasicStroke, Color, Font, Graphics2D, RenderingHints}
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+
+/** Presentation sinks — the Spark-native face of the reference's two
+  * report outputs: the matplotlib multi-panel bar-chart PNGs
+  * (`spark_eda.py:390,457,560,657,739` — 2×2 `plt.subplots` grids of
+  * titled bar charts saved via `plt.savefig`) and the styled HTML
+  * report document (`convert_md_to_html.py:1-97`). Rendering is pure
+  * JDK (Graphics2D + ImageIO), zero new dependencies, headless-safe.
+  *
+  * Scale posture: these are DRIVER-side sinks by design, exactly like
+  * the reference (matplotlib renders a `collect()`ed result). They
+  * accept only BOUNDED, already-aggregated frames — `chartPng` caps the
+  * bars it takes (`maxBars`) with a deterministic total order, so a
+  * misrouted fact table cannot pull 100 TB to the driver; the compute
+  * that produced the frame stays distributed. */
+object Report {
+
+  /** One titled bar panel: (label, value) pairs, pre-ordered. */
+  final case class Panel(title: String, bars: Seq[(String, Double)])
+
+  private val axisColor = new Color(0x33, 0x33, 0x33)
+  private val barColor = new Color(0x47, 0x6f, 0xb8) // matplotlib-ish steel blue
+  private val gridColor = new Color(0xdd, 0xdd, 0xdd)
+
+  /** Margins inside one panel: left, right, top, bottom. */
+  private val (mL, mR, mT, mB) = (56, 16, 34, 44)
+
+  private def drawPanel(g: Graphics2D, p: Panel,
+                        x0: Int, y0: Int, w: Int, h: Int): Unit = {
+    g.setRenderingHint(RenderingHints.KEY_TEXT_ANTIALIASING,
+      RenderingHints.VALUE_TEXT_ANTIALIAS_ON)
+    val (plotX, plotY) = (x0 + mL, y0 + mT)
+    val (plotW, plotH) = (w - mL - mR, h - mT - mB)
+    g.setColor(axisColor)
+    g.setFont(new Font(Font.SANS_SERIF, Font.BOLD, 13))
+    g.drawString(p.title, x0 + mL, y0 + 22)
+    g.setFont(new Font(Font.SANS_SERIF, Font.PLAIN, 10))
+    val maxV = math.max(p.bars.map(_._2).foldLeft(0.0)(math.max), Double.MinPositiveValue)
+    // horizontal gridlines + y tick labels at 0, ½, max
+    Seq(0.0, 0.5, 1.0).foreach { f =>
+      val y = plotY + plotH - (f * plotH).toInt
+      g.setColor(gridColor)
+      g.drawLine(plotX, y, plotX + plotW, y)
+      g.setColor(axisColor)
+      g.drawString(f"${maxV * f}%.4g", x0 + 4, y + 4)
+    }
+    // axes
+    g.setColor(axisColor)
+    g.setStroke(new BasicStroke(1.5f))
+    g.drawLine(plotX, plotY, plotX, plotY + plotH)
+    g.drawLine(plotX, plotY + plotH, plotX + plotW, plotY + plotH)
+    // bars: fixed 70% fill of each slot (matplotlib's default width)
+    val n = p.bars.size
+    if (n > 0) {
+      val slot = plotW.toDouble / n
+      val barW = math.max(1, (slot * 0.7).toInt)
+      p.bars.zipWithIndex.foreach { case ((label, v), i) =>
+        val bh = math.max(if (v > 0) 1 else 0, (v / maxV * plotH).toInt)
+        val bx = plotX + (i * slot + (slot - barW) / 2).toInt
+        g.setColor(barColor)
+        g.fillRect(bx, plotY + plotH - bh, barW, bh)
+        g.setColor(axisColor)
+        val lab = if (label.length > 12) label.take(11) + "…" else label
+        val lw = g.getFontMetrics.stringWidth(lab)
+        g.drawString(lab, plotX + (i * slot + slot / 2).toInt - lw / 2,
+          plotY + plotH + 14)
+      }
+    }
+  }
+
+  /** Render one bar chart to PNG bytes. */
+  def chartPng(panel: Panel, width: Int = 640, height: Int = 480): Array[Byte] =
+    panelsPng(Seq(panel), cols = 1, panelWidth = width, panelHeight = height)
+
+  /** Render a grid of bar charts to one PNG — the reference's 2×2
+    * `plt.subplots` figure shape (`spark_eda.py:395,560`). */
+  def panelsPng(panels: Seq[Panel], cols: Int = 2,
+                panelWidth: Int = 640, panelHeight: Int = 480): Array[Byte] = {
+    require(panels.nonEmpty && cols >= 1)
+    val rows = (panels.size + cols - 1) / cols
+    val img = new BufferedImage(panelWidth * math.min(cols, panels.size),
+      panelHeight * rows, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setColor(Color.WHITE)
+      g.fillRect(0, 0, img.getWidth, img.getHeight)
+      panels.zipWithIndex.foreach { case (p, i) =>
+        drawPanel(g, p, (i % cols) * panelWidth, (i / cols) * panelHeight,
+          panelWidth, panelHeight)
+      }
+    } finally g.dispose()
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Bounded chart SINK for an aggregated frame: takes the top
+    * `maxBars` rows of (labelCol, valueCol) under a deterministic total
+    * order (value desc, label asc — same convention as every gate
+    * LIMIT) and writes one bar-chart PNG. The cap is the driver-safety
+    * contract: this sink can never collect more than `maxBars` rows. */
+  def chartSink(df: DataFrame, labelCol: String, valueCol: String,
+                title: String, path: String, maxBars: Int = 20,
+                width: Int = 640, height: Int = 480): Unit = {
+    val bars = df
+      .select(col(labelCol).cast("string"), col(valueCol).cast("double"))
+      .orderBy(col(valueCol).desc, col(labelCol).asc)
+      .limit(maxBars)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .toSeq
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      chartPng(Panel(title, bars), width, height))
+  }
+
+  // ---------------------------------------------------------------------------
+  // HTML report (convert_md_to_html.py's document shape, sans markdown dep)
+  // ---------------------------------------------------------------------------
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
+
+  /** Render a bounded frame as an HTML table fragment (escaped). */
+  def htmlTable(df: DataFrame, maxRows: Int = 1000): String = {
+    val cols = df.columns
+    val rows = df.limit(maxRows).collect()
+    val header = cols.map(c => s"<th>${esc(c)}</th>").mkString
+    val body = rows.map { (r: Row) =>
+      cols.indices.map { i =>
+        val v = if (r.isNullAt(i)) "null" else r.get(i).toString
+        s"<td>${esc(v)}</td>"
+      }.mkString("<tr>", "", "</tr>")
+    }.mkString("\n")
+    s"<table>\n<thead><tr>$header</tr></thead>\n<tbody>\n$body\n</tbody>\n</table>"
+  }
+
+  /** Full styled HTML document around named report sections — the
+    * document wrapper `convert_md_to_html.py:12-75` builds (title,
+    * charset, body styling, h1/h2 rules), with DataFrame tables as the
+    * section bodies instead of converted markdown. */
+  def htmlReport(title: String, sections: Seq[(String, DataFrame)],
+                 maxRowsPerTable: Int = 1000): String = {
+    val body = sections.map { case (name, df) =>
+      s"<h2>${esc(name)}</h2>\n${htmlTable(df, maxRowsPerTable)}"
+    }.mkString("\n")
+    s"""<!DOCTYPE html>
+       |<html>
+       |<head>
+       |<meta charset="utf-8">
+       |<title>${esc(title)}</title>
+       |<style>
+       |body { font-family: Arial, sans-serif; max-width: 1200px;
+       |       margin: 0 auto; padding: 20px; line-height: 1.6; color: #333; }
+       |h1 { color: #2c3e50; border-bottom: 3px solid #3498db;
+       |     padding-bottom: 10px; }
+       |h2 { color: #34495e; margin-top: 30px;
+       |     border-bottom: 2px solid #ecf0f1; padding-bottom: 5px; }
+       |table { border-collapse: collapse; margin: 12px 0; }
+       |th, td { border: 1px solid #ccc; padding: 4px 10px; text-align: left; }
+       |th { background: #f4f6f8; }
+       |</style>
+       |</head>
+       |<body>
+       |<h1>${esc(title)}</h1>
+       |$body
+       |</body>
+       |</html>""".stripMargin
+  }
+
+  /** Write an HTML report document to a file. */
+  def htmlSink(title: String, sections: Seq[(String, DataFrame)],
+               path: String, maxRowsPerTable: Int = 1000): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      htmlReport(title, sections, maxRowsPerTable).getBytes("UTF-8"))
+}
