@@ -182,4 +182,67 @@ object Report {
                path: String, maxRowsPerTable: Int = 1000): Unit =
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       htmlReport(title, sections, maxRowsPerTable).getBytes("UTF-8"))
+
+  // ---------------------------------------------------------------------------
+  // The reference's five EDA figures (spark_eda.py:390,457,560,657,739)
+  // ---------------------------------------------------------------------------
+
+  /** Top-`k` (label, value) pairs of a bounded aggregated frame under a
+    * deterministic total order. */
+  private def topBars(df: DataFrame, label: String, value: String,
+                      k: Int): Seq[(String, Double)] =
+    df.select(col(label).cast("string"), col(value).cast("double"))
+      .orderBy(col(value).desc, col(label).asc)
+      .limit(k).collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+
+  /** As-ordered (label, value) pairs — for frames whose own ordering is
+    * the story (years, months, buckets). */
+  private def orderedBars(df: DataFrame, label: String, value: String,
+                          k: Int = 40): Seq[(String, Double)] =
+    df.select(col(label).cast("string"), col(value).cast("double"))
+      .limit(k).collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+
+  /** Render the reference's five 4-panel EDA figures (same filenames as
+    * `spark_eda.py`'s `figs/` output) from the engine's own query
+    * results. Marks are uniformly bars — the reference mixes barh /
+    * line / twin-axis / pie, which is styling, not analytics; every
+    * panel's DATA is the corresponding gate query's result. Returns the
+    * five written paths. */
+  def edaFigures(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 outDir: String): Seq[String] = {
+    val ga = graft.operators.GameAnalytics
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    def put(name: String, panels: Seq[Panel]): String = {
+      val path = s"$outDir/$name"
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        panelsPng(panels, cols = 2))
+      path
+    }
+    Seq(
+      put("task1_rdd_analysis.png", Seq(
+        Panel("Top genres by revenue", topBars(ga.g01GenreRevenue(spark, dir), "Genre", "total_revenue", 10)),
+        Panel("Top developers by revenue", topBars(ga.g02DevMetrics(spark, dir), "Developer", "total_revenue", 10)),
+        Panel("Yearly revenue trend", orderedBars(ga.g03YearlyTrend(spark, dir), "Year", "total_revenue")),
+        Panel("Avg owners by price bucket", orderedBars(ga.g04PriceOwnerBuckets(spark, dir), "price_category", "avg_owners")))),
+      put("task2_dataframe_sql_analysis.png", Seq(
+        Panel("Top developer's hit games", topBars(ga.g05TopDevHits(spark, dir), "Name", "revenue", 10)),
+        Panel("Genre avg price (top 15)", topBars(ga.g06GenrePriceStats(spark, dir), "Genre", "avg_price", 15)),
+        Panel("Most prolific developers", topBars(ga.g07DevGameDist(spark, dir), "Developer", "game_count", 15)),
+        Panel("Multi-genre performance", orderedBars(ga.g08MultiGenrePerf(spark, dir), "genre_count", "avg_revenue")))),
+      put("market_depth_analysis.png", Seq(
+        Panel("Releases by month", orderedBars(ga.g09MonthDistribution(spark, dir), "Month", "game_count")),
+        Panel("Owners distribution", orderedBars(ga.g10OwnersRanges(spark, dir), "owners_range", "game_count")),
+        Panel("Top genre combos", topBars(ga.g11GenreCombos(spark, dir), "genres_clean", "total_revenue", 10)),
+        Panel("Price range counts", orderedBars(ga.g19PriceRanges(spark, dir), "price_range", "game_count")))),
+      put("developer_genre_depth_analysis.png", Seq(
+        Panel("Dev avg revenue per game", topBars(ga.g12DevAvgRevenue(spark, dir), "Developer", "avg_revenue_per_game", 15)),
+        Panel("Developer Pareto (cum %)", orderedBars(ga.g13DevPareto(spark, dir), "Developer", "cum_percent", 20)),
+        Panel("Genre game counts", topBars(ga.g01GenreRevenue(spark, dir), "Genre", "game_count", 10)),
+        Panel("Dev total owners", topBars(ga.g02DevMetrics(spark, dir), "Developer", "total_owners", 10)))),
+      put("time_series_trend_analysis.png", Seq(
+        Panel("Yearly avg price", orderedBars(ga.g14YearlyAvgPrice(spark, dir), "Year", "avg_price")),
+        Panel("Yearly avg owners", orderedBars(ga.g15YearlyAvgOwners(spark, dir), "Year", "avg_owners")),
+        Panel("Yearly game count", orderedBars(ga.g03YearlyTrend(spark, dir), "Year", "game_count")),
+        Panel("Yearly total revenue", orderedBars(ga.g03YearlyTrend(spark, dir), "Year", "total_revenue")))))
+  }
 }

@@ -72,6 +72,25 @@ class ReportSpec extends SparkSpec {
     assert(capped.linesIterator.count(_.startsWith("<tr>")) == 1)
   }
 
+  test("edaFigures: the reference's five figures render and decode") {
+    val out = java.nio.file.Files.createTempDirectory("graft_figs").toString
+    try {
+      val paths = Report.edaFigures(spark, sf, out)
+      assert(paths.map(_.split('/').last) == Seq(
+        "task1_rdd_analysis.png", "task2_dataframe_sql_analysis.png",
+        "market_depth_analysis.png", "developer_genre_depth_analysis.png",
+        "time_series_trend_analysis.png"))
+      paths.foreach { p =>
+        val img = ImageIO.read(new java.io.File(p))
+        assert(img != null && img.getWidth == 1280 && img.getHeight == 960,
+          s"$p must be a decodable 2x2 grid")
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out)).deleteRecursively()
+    }
+  }
+
   test("the g01-shaped flow: aggregate distributed, chart the bounded result") {
     val top = graft.operators.GameAnalytics.g01GenreRevenue(spark, sf)
     val path = java.nio.file.Files.createTempFile("graft_g01", ".png")
