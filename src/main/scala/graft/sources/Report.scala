@@ -116,7 +116,8 @@ object Report {
       .orderBy(col(valueCol).desc, col(labelCol).asc)
       .limit(maxBars)
       .collect()
-      .map(r => (r.getString(0), r.getDouble(1)))
+      .map(r => (if (r.isNullAt(0)) "null" else r.getString(0),
+        if (r.isNullAt(1)) 0.0 else r.getDouble(1)))
       .toSeq
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       chartPng(Panel(title, bars), width, height))
@@ -193,14 +194,18 @@ object Report {
                       k: Int): Seq[(String, Double)] =
     df.select(col(label).cast("string"), col(value).cast("double"))
       .orderBy(col(value).desc, col(label).asc)
-      .limit(k).collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      .limit(k).collect()
+      .map(r => (if (r.isNullAt(0)) "null" else r.getString(0),
+        if (r.isNullAt(1)) 0.0 else r.getDouble(1))).toSeq
 
   /** As-ordered (label, value) pairs — for frames whose own ordering is
     * the story (years, months, buckets). */
   private def orderedBars(df: DataFrame, label: String, value: String,
                           k: Int = 40): Seq[(String, Double)] =
     df.select(col(label).cast("string"), col(value).cast("double"))
-      .limit(k).collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      .limit(k).collect()
+      .map(r => (if (r.isNullAt(0)) "null" else r.getString(0),
+        if (r.isNullAt(1)) 0.0 else r.getDouble(1))).toSeq
 
   /** Render the reference's five 4-panel EDA figures (same filenames as
     * `spark_eda.py`'s `figs/` output) from the engine's own query
