@@ -498,6 +498,71 @@ object TextAnalysis {
       |GROUP BY 1
       |ORDER BY bin_id""".stripMargin
 
+  // -- PII redaction ----------------------------------------------------------
+
+  /** RE2-safe patterns (no lookaround/backrefs) so Spark's Java regex
+    * and DuckDB's RE2 match the SAME spans — the cross-engine contract
+    * the t14 gate pins byte-for-byte via md5 of the redacted text. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^ ]+"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Mask emails, URLs and phone numbers — the PII scrub every training
+    * corpus goes through before the tokenizer. URL first (an URL may
+    * embed an email-shaped path segment), then email, then phone.
+    * Pure codegen'd regexp_replace chain: one narrow projection, no
+    * shuffle, linear scan at any scale. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** t14 — PII redaction, hash-gated end to end. The corpus carries no
+    * natural PII (it is synthetic prose), so both engines first inject
+    * the SAME deterministic PII — an email, a URL and a phone number
+    * derived from doc_id — and the gate then pins the per-doc match
+    * counts AND the md5 of the redacted text: any divergence in match
+    * spans, replacement order, or regex semantics between Java regex
+    * and DuckDB's RE2 breaks the hash. */
+  def t14PiiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    val id3 = lpad((col("doc_id") % 1000).cast("string"), 3, "0")
+    val id4 = lpad((col("doc_id") % 10000).cast("string"), 4, "0")
+    val augmented = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@mail.example.org via "),
+      lit("https://ex.org/d/"), col("doc_id"), lit("?ref=abc or 555-"),
+      id3, lit("-"), id4)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), augmented.as("aug"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("aug"), lit(EmailRe)).as("n_emails"),
+        regexp_count(col("aug"), lit(UrlRe)).as("n_urls"),
+        regexp_count(col("aug"), lit(PhoneRe)).as("n_phones"),
+        md5(piiRedact(col("aug"))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t14Sql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@mail.example.org via ' ||
+       |    'https://ex.org/d/' || doc_id || '?ref=abc or 555-' ||
+       |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(aug, '$EmailRe')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(aug, '$UrlRe')) AS INT) AS n_urls,
+       |  CAST(len(regexp_extract_all(aug, '$PhoneRe')) AS INT) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+       |        '$UrlRe', '<URL>', 'g'),
+       |        '$EmailRe', '<EMAIL>', 'g'),
+       |        '$PhoneRe', '<PHONE>', 'g')) AS clean_md5
+       |FROM aug
+       |ORDER BY doc_id""".stripMargin
+
   /** Train/test contamination scan — the decontamination pass every
     * LLM training pipeline runs before evaluation is trustable: find
     * test-split documents sharing word n-grams with any train-split
@@ -601,6 +666,7 @@ object TextAnalysis {
       |ORDER BY a.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_pii_redaction"   -> t14PiiRedaction _,
     "t13_decontamination" -> t13Decontamination _,
     "t12_sequence_pack"  -> t12SequencePack _,
     "t01_token_stats"    -> t01TokenStats _,
@@ -617,6 +683,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t14_pii_redaction"   -> t14Sql,
     "t13_decontamination" -> t13Sql,
     "t12_sequence_pack"  -> t12Sql,
     "t01_token_stats"    -> t01Sql,

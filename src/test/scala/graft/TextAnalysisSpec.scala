@@ -130,6 +130,28 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 1, "all", 1L, 3L)))
   }
 
+  test("piiRedact: masks emails/urls/phones, leaves prose alone, idempotent") {
+    import spark.implicits._
+    val rows = Seq(
+      ("mail me at bob.smith+x@corp.example.com today",
+       "mail me at <EMAIL> today"),
+      ("see https://a.example.org/p?q=1 and http://b.io/z now",
+       "see <URL> and <URL> now"),
+      ("call 555-867-5309 x2", "call <PHONE> x2"),
+      // an URL with an email-shaped path must redact as ONE url
+      ("go https://h.io/u@v.ee/x stop", "go <URL> stop"),
+      ("plain words 12-34 a@b nothing", "plain words 12-34 a@b nothing"))
+      .toDF("raw", "expected")
+    val got = rows.select($"expected",
+      TextAnalysis.piiRedact($"raw").as("got"),
+      TextAnalysis.piiRedact(TextAnalysis.piiRedact($"raw")).as("twice"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(1) == r.getString(0), s"redaction mismatch: ${r.getString(1)}")
+      assert(r.getString(2) == r.getString(1), "redaction must be idempotent")
+    }
+  }
+
   test("decontaminate: a shared 5-gram across the split is reported exactly") {
     import spark.implicits._
     // independent implementation of the md5 bucketing — also pins that
