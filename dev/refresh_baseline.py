@@ -26,6 +26,7 @@ NOTES = {
     "v15_filesource_tumbling": "file-source ingest + checkpointed restart, parquet staging included — runtime-overhead-dominated (batch twin: v01)",
     "t12_sequence_pack": "two-phase global cumsum (rank elided r5)",
     "d11_minhash_capped": "d03 + hot-bucket anti-join guard",
+    "d12_semantic_dedup": "SemDeDup shape: exact cosine pairs -> transitive clusters -> survivor checksum (r5)",
     "t14_pii_redaction": "three codegen'd regexp_replace passes + md5, no shuffle (r5)",
     "p06_source_mix": "deterministic md5 weighted source mixing — narrow filter, no shuffle (r5)",
     "t13_decontamination": "train/test 5-gram contamination scan on the md5 split; shingle frame materialized once for its three consumers (one scan + 24 B/row beats three corpus scans at 100 TB)",

@@ -755,6 +755,48 @@ object Dedup {
       |                             b.embedding::DOUBLE[]) >= 0.45
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** d12 — SEMANTIC dedup end to end (the SemDeDup shape): cluster the
+    * exact embedding near-dup pairs transitively, drop every non-head
+    * member, keep heads and singletons — the survivor checksum a
+    * pipeline consumes. Composition of [[embeddingNearDupPairs]] and
+    * [[dupClusters]]; at 100 TB swap the exact pair stage for the
+    * banded-LSH d07 path (same downstream shape). Oracle: DuckDB
+    * recursive-CTE closure over the same cosine pairs. */
+  def d12SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = embeddingNearDupPairs(emb, 0.45)
+      .select(col("id_a"), col("id_b"))
+    val dropped = dupClusters(pairs)
+      .filter(col("node") =!= col("lbl"))
+      .select(col("node").as("vec_id"))
+    emb.select(col("vec_id"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("kept_vecs"), sum(col("vec_id")).as("kept_id_sum"))
+      .crossJoin(dropped.agg(count(lit(1)).as("dropped_vecs")))
+  }
+
+  val d12Sql: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+      |                               b.embedding::DOUBLE[]) >= 0.45),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |labels AS (
+      |  SELECT src AS node, least(src, MIN(dst)) AS lbl
+      |  FROM reach GROUP BY src),
+      |dropped AS (SELECT node FROM labels WHERE node <> lbl)
+      |SELECT COUNT(*) AS kept_vecs,
+      |  CAST(SUM(vec_id) AS BIGINT) AS kept_id_sum,
+      |  (SELECT COUNT(*) FROM dropped) AS dropped_vecs
+      |FROM embeddings
+      |WHERE vec_id NOT IN (SELECT node FROM dropped)""".stripMargin
+
   /** d09 — duplicate clusters over the exact Jaccard pairs: per cluster
     * head, how many documents collapse into it. The exact pairs feed the
     * gate for oracle determinism; at scale the same [[dupClusters]] runs
@@ -824,6 +866,7 @@ object Dedup {
     "d09_dup_clusters"    -> d09DupClusters _,
     "d10_incremental_dedup" -> d10IncrementalDedup _,
     "d11_minhash_capped"  -> d11MinhashCapped _,
+    "d12_semantic_dedup"  -> d12SemanticDedup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -835,5 +878,6 @@ object Dedup {
     "d09_dup_clusters"    -> d09Sql,
     "d10_incremental_dedup" -> d10Sql,
     "d11_minhash_capped"  -> d02Sql, // cap must not lose true pairs here
+    "d12_semantic_dedup"  -> d12Sql,
   )
 }

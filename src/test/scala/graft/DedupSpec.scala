@@ -157,6 +157,20 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("d12 semantic dedup: drops exactly the non-head cluster members") {
+    // one near-dup cluster {1,2,3} plus an isolated vector 4
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.01f)),
+      (2L, Seq(1.0f, 0.01f, 0.0f)),
+      (3L, Seq(0.99f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(emb, 0.9).select($"id_a", $"id_b")
+    val dropped = Dedup.dupClusters(pairs)
+      .filter($"node" =!= $"lbl").select($"node").as[Long].collect().toSet
+    assert(dropped == Set(2L, 3L), "heads and singletons survive")
+  }
+
   test("incrementalPairs equals the full-batch pairs restricted to new docs") {
     val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
     val split = docs.agg(expr("2 * MAX(doc_id) DIV 3")).head().getLong(0)
