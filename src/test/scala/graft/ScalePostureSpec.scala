@@ -133,6 +133,24 @@ class ScalePostureSpec extends SparkSpec {
     }
   }
 
+  test("round-5 operators keep their promised plans (scan counts, no cartesians)") {
+    // p06: kept+total in ONE corpus scan, no join anywhere
+    val p06 = graft.operators.Pipeline.p06SourceMix(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p06.contains("Join"), "p06 must be a single-pass aggregate")
+    assert("Scan parquet".r.findAllIn(p06).size == 1, "p06 must scan documents once")
+    // t14: narrow regexp projection — only the final presentation sort exchanges
+    val t14 = graft.operators.TextAnalysis.t14PiiRedaction(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!t14.contains("Join"), "t14 must not join")
+    assert("Exchange".r.findAllIn(t14).size == 1,
+      "t14's only exchange is the output ORDER BY")
+    // t13: shingle-keyed equi-join only — a cartesian means the join key fell off
+    val t13 = graft.operators.TextAnalysis.t13Decontamination(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!t13.contains("CartesianProduct"), "t13 must join on the shingle key")
+  }
+
   test("compact collapses a fragmented directory without changing data") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
     try {
