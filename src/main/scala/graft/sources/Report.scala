@@ -44,7 +44,11 @@ object Report {
     g.setFont(new Font(Font.SANS_SERIF, Font.BOLD, 13))
     g.drawString(p.title, x0 + mL, y0 + 22)
     g.setFont(new Font(Font.SANS_SERIF, Font.PLAIN, 10))
-    val maxV = math.max(p.bars.map(_._2).foldLeft(0.0)(math.max), Double.MinPositiveValue)
+    // bars render non-negative magnitudes: negatives clamp to zero, and
+    // an all-nonpositive panel scales against 1.0 so the tick labels
+    // read 0 / 0.5 / 1 instead of denormal garbage
+    val vmax = p.bars.map(_._2).foldLeft(0.0)(math.max)
+    val maxV = if (vmax > 0) vmax else 1.0
     // horizontal gridlines + y tick labels at 0, ½, max
     Seq(0.0, 0.5, 1.0).foreach { f =>
       val y = plotY + plotH - (f * plotH).toInt
@@ -64,7 +68,8 @@ object Report {
       val slot = plotW.toDouble / n
       val barW = math.max(1, (slot * 0.7).toInt)
       p.bars.zipWithIndex.foreach { case ((label, v), i) =>
-        val bh = math.max(if (v > 0) 1 else 0, (v / maxV * plotH).toInt)
+        val v0 = math.max(0.0, v)
+        val bh = math.max(if (v0 > 0) 1 else 0, (v0 / maxV * plotH).toInt)
         val bx = plotX + (i * slot + (slot - barW) / 2).toInt
         g.setColor(barColor)
         g.fillRect(bx, plotY + plotH - bh, barW, bh)
@@ -110,18 +115,10 @@ object Report {
     * contract: this sink can never collect more than `maxBars` rows. */
   def chartSink(df: DataFrame, labelCol: String, valueCol: String,
                 title: String, path: String, maxBars: Int = 20,
-                width: Int = 640, height: Int = 480): Unit = {
-    val bars = df
-      .select(col(labelCol).cast("string"), col(valueCol).cast("double"))
-      .orderBy(col(valueCol).desc, col(labelCol).asc)
-      .limit(maxBars)
-      .collect()
-      .map(r => (if (r.isNullAt(0)) "null" else r.getString(0),
-        if (r.isNullAt(1)) 0.0 else r.getDouble(1)))
-      .toSeq
+                width: Int = 640, height: Int = 480): Unit =
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      chartPng(Panel(title, bars), width, height))
-  }
+      chartPng(Panel(title, topBars(df, labelCol, valueCol, maxBars)),
+        width, height))
 
   // ---------------------------------------------------------------------------
   // HTML report (convert_md_to_html.py's document shape, sans markdown dep)
@@ -131,7 +128,10 @@ object Report {
     s.replace("&", "&amp;").replace("<", "&lt;")
       .replace(">", "&gt;").replace("\"", "&quot;")
 
-  /** Render a bounded frame as an HTML table fragment (escaped). */
+  /** Render a bounded frame as an HTML table fragment (escaped).
+    * Rows beyond `maxRows` are cut in the FRAME'S OWN order — pass an
+    * ordered frame (every gate query already ends in a total order);
+    * an unordered over-limit frame cuts nondeterministically. */
   def htmlTable(df: DataFrame, maxRows: Int = 1000): String = {
     val cols = df.columns
     val rows = df.limit(maxRows).collect()
@@ -198,8 +198,9 @@ object Report {
       .map(r => (if (r.isNullAt(0)) "null" else r.getString(0),
         if (r.isNullAt(1)) 0.0 else r.getDouble(1))).toSeq
 
-  /** As-ordered (label, value) pairs — for frames whose own ordering is
-    * the story (years, months, buckets). */
+  /** As-ordered (label, value) pairs — for frames whose OWN total
+    * ordering is the story (years, months, buckets); the limit rides
+    * that upstream order. */
   private def orderedBars(df: DataFrame, label: String, value: String,
                           k: Int = 40): Seq[(String, Double)] =
     df.select(col(label).cast("string"), col(value).cast("double"))
@@ -223,11 +224,29 @@ object Report {
         panelsPng(panels, cols = 2))
       path
     }
+    // queries feeding more than one panel run ONCE and are sliced per
+    // panel from the same collected result
+    def collected(df: DataFrame): Seq[Map[String, Any]] = {
+      val cols = df.columns
+      df.collect().toSeq.map(r => cols.zipWithIndex.map { case (c, i) =>
+        c -> (if (r.isNullAt(i)) null else r.get(i)) }.toMap)
+    }
+    def slice(rows: Seq[Map[String, Any]], label: String, value: String,
+              k: Int, byValue: Boolean): Seq[(String, Double)] = {
+      val pairs = rows.map { m =>
+        (Option(m(label)).map(_.toString).getOrElse("null"),
+          Option(m(value)).map(_.toString.toDouble).getOrElse(0.0))
+      }
+      (if (byValue) pairs.sortBy { case (l, v) => (-v, l) } else pairs).take(k)
+    }
+    val g01 = collected(ga.g01GenreRevenue(spark, dir))
+    val g02 = collected(ga.g02DevMetrics(spark, dir))
+    val g03 = collected(ga.g03YearlyTrend(spark, dir))
     Seq(
       put("task1_rdd_analysis.png", Seq(
-        Panel("Top genres by revenue", topBars(ga.g01GenreRevenue(spark, dir), "Genre", "total_revenue", 10)),
-        Panel("Top developers by revenue", topBars(ga.g02DevMetrics(spark, dir), "Developer", "total_revenue", 10)),
-        Panel("Yearly revenue trend", orderedBars(ga.g03YearlyTrend(spark, dir), "Year", "total_revenue")),
+        Panel("Top genres by revenue", slice(g01, "Genre", "total_revenue", 10, byValue = true)),
+        Panel("Top developers by revenue", slice(g02, "Developer", "total_revenue", 10, byValue = true)),
+        Panel("Yearly revenue trend", slice(g03, "Year", "total_revenue", 40, byValue = false)),
         Panel("Avg owners by price bucket", orderedBars(ga.g04PriceOwnerBuckets(spark, dir), "price_category", "avg_owners")))),
       put("task2_dataframe_sql_analysis.png", Seq(
         Panel("Top developer's hit games", topBars(ga.g05TopDevHits(spark, dir), "Name", "revenue", 10)),
@@ -242,12 +261,12 @@ object Report {
       put("developer_genre_depth_analysis.png", Seq(
         Panel("Dev avg revenue per game", topBars(ga.g12DevAvgRevenue(spark, dir), "Developer", "avg_revenue_per_game", 15)),
         Panel("Developer Pareto (cum %)", orderedBars(ga.g13DevPareto(spark, dir), "Developer", "cum_percent", 20)),
-        Panel("Genre game counts", topBars(ga.g01GenreRevenue(spark, dir), "Genre", "game_count", 10)),
-        Panel("Dev total owners", topBars(ga.g02DevMetrics(spark, dir), "Developer", "total_owners", 10)))),
+        Panel("Genre game counts", slice(g01, "Genre", "game_count", 10, byValue = true)),
+        Panel("Dev total owners", slice(g02, "Developer", "total_owners", 10, byValue = true)))),
       put("time_series_trend_analysis.png", Seq(
         Panel("Yearly avg price", orderedBars(ga.g14YearlyAvgPrice(spark, dir), "Year", "avg_price")),
         Panel("Yearly avg owners", orderedBars(ga.g15YearlyAvgOwners(spark, dir), "Year", "avg_owners")),
-        Panel("Yearly game count", orderedBars(ga.g03YearlyTrend(spark, dir), "Year", "game_count")),
-        Panel("Yearly total revenue", orderedBars(ga.g03YearlyTrend(spark, dir), "Year", "total_revenue")))))
+        Panel("Yearly game count", slice(g03, "Year", "game_count", 40, byValue = false)),
+        Panel("Yearly total revenue", slice(g03, "Year", "total_revenue", 40, byValue = false)))))
   }
 }

@@ -39,6 +39,15 @@ class ReportSpec extends SparkSpec {
     assert(img.getRGB(slotCenterX(1), mT + plotH / 4) != barRGB)
   }
 
+  test("chartPng: negative values clamp to zero, all-zero panels render sanely") {
+    val neg = ImageIO.read(new ByteArrayInputStream(
+      Report.chartPng(Panel("neg", Seq(("a", -5.0), ("b", 2.0))))))
+    assert(neg != null && neg.getWidth == 640)
+    val zeros = ImageIO.read(new ByteArrayInputStream(
+      Report.chartPng(Panel("z", Seq(("a", 0.0), ("b", 0.0))))))
+    assert(zeros != null, "an all-zero panel must still render (ticks vs 1.0)")
+  }
+
   test("panelsPng: 2x2 grid composes four panels at full size") {
     val png = Report.panelsPng(
       (1 to 4).map(i => Panel(s"p$i", bars)), cols = 2,
