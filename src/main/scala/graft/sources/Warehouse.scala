@@ -169,6 +169,60 @@ object Warehouse {
     (results.map(_._1).sum, results.map(_._2).sum)
   }
 
+  /** Partition-scoped UPSERT (merge) into a `partitionBy` layout — the
+    * incremental-corpus maintenance op: land an update batch by
+    * rewriting ONLY the partitions the batch touches, resolving each
+    * key to its latest version inside those partitions.
+    *
+    * Mechanics:
+    *  1. the batch's distinct partition tuples are collected (bounded
+    *     by partition count, never row count) and compiled into a
+    *     STATIC pruning predicate, so the existing-side read scans only
+    *     touched directories — at 100 TB an update touching one day
+    *     reads one day;
+    *  2. existing ∪ batch resolve per key by (versionCol desc, batch
+    *     over existing on ties) — a single window inside the touched
+    *     slice;
+    *  3. the write uses dynamic partition overwrite: exactly the
+    *     partitions present in the merged frame are swapped, all
+    *     others are physically untouched (pinned by file-identity in
+    *     ScalePostureSpec).
+    *
+    * Contract: partition column values are immutable per key — a key
+    * that "moves" partitions would leave its old row behind (detecting
+    * that requires a full-table key scan, which is the opposite of the
+    * touched-partitions-only design; do a full rewrite for those).
+    * Single-writer maintenance window, like [[compact]]. */
+  def upsert(spark: SparkSession, root: String, updates: DataFrame,
+             keyCols: Seq[String], versionCol: String,
+             partitionCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{lit, row_number}
+    require(keyCols.nonEmpty && partitionCols.nonEmpty)
+    val touched = updates.select(partitionCols.map(col): _*).distinct().collect()
+    require(touched.nonEmpty, "upsert: empty update batch")
+    val touchedPred = touched.map { r =>
+      partitionCols.zipWithIndex
+        .map { case (c, i) => col(c) === lit(r.get(i)) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val existing = read(spark, root).filter(touchedPred)
+    val ordered = updates.columns.toSeq // one canonical column order
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col("__src").desc)
+    val merged = existing.select(ordered.map(col): _*).withColumn("__src", lit(0))
+      .unionByName(updates.select(ordered.map(col): _*).withColumn("__src", lit(1)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__src", "__rn")
+    merged
+      .repartition(partitionCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(root)
+  }
+
   /** Bucketed + sorted table write — the co-located-join layout.
     * Two tables bucketed on their join key with the SAME bucket count
     * sort-merge-join with NO exchange on either side (each bucket pair

@@ -151,6 +151,50 @@ class ScalePostureSpec extends SparkSpec {
     assert(!t13.contains("CartesianProduct"), "t13 must join on the shingle key")
   }
 
+  test("upsert rewrites only touched partitions, latest version per key wins") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_upsert").toString
+    try {
+      val base = Seq(
+        (1L, "a", 1L, 2023), (2L, "b", 1L, 2023),
+        (3L, "c", 1L, 2024), (4L, "d", 1L, 2024))
+        .toDF("id", "payload", "version", "year")
+      Warehouse.writePartitioned(base, root, Seq("year"))
+      def filesOf(part: String) = {
+        val s = Files.list(Paths.get(s"$root/$part"))
+        try s.iterator().asScala.map(p =>
+          (p.getFileName.toString, Files.getLastModifiedTime(p))).toSet
+        finally s.close()
+      }
+      val untouchedBefore = filesOf("year=2023")
+      // batch: update id=3 (newer version), insert id=5, stale id=4
+      val batch = Seq(
+        (3L, "c2", 2L, 2024), (5L, "e", 1L, 2024), (4L, "stale", 0L, 2024))
+        .toDF("id", "payload", "version", "year")
+      Warehouse.upsert(spark, root, batch, Seq("id"), "version", Seq("year"))
+      val got = Warehouse.read(spark, root)
+        .select($"id", $"payload", $"version").as[(Long, String, Long)]
+        .collect().toSet
+      assert(got == Set(
+        (1L, "a", 1L), (2L, "b", 1L),          // untouched partition intact
+        (3L, "c2", 2L),                         // newer version won
+        (4L, "d", 1L),                          // stale update lost
+        (5L, "e", 1L)))                         // insert landed
+      assert(filesOf("year=2023") == untouchedBefore,
+        "untouched partition files must be physically identical")
+      // equal versions: the batch side wins (the re-run/backfill rule)
+      val tie = Seq((1L, "a2", 1L, 2023)).toDF("id", "payload", "version", "year")
+      Warehouse.upsert(spark, root, tie, Seq("id"), "version", Seq("year"))
+      val a = Warehouse.read(spark, root).filter($"id" === 1L)
+        .select($"payload").as[String].head()
+      assert(a == "a2", "on version ties the update batch wins")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+    }
+  }
+
   test("compact collapses a fragmented directory without changing data") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
     try {
