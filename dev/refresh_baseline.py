@@ -26,12 +26,12 @@ NOTES = {
     "v15_filesource_tumbling": "file-source ingest + checkpointed restart, parquet staging included — runtime-overhead-dominated (batch twin: v01)",
     "t12_sequence_pack": "two-phase global cumsum (rank elided r5)",
     "d11_minhash_capped": "d03 + hot-bucket anti-join guard",
-    "d12_semantic_dedup": "SemDeDup shape: exact cosine pairs → transitive clusters → survivor checksum (r5, isolated 3-run min)",
-    "t14_pii_redaction": "three codegen'd regexp_replace passes + md5, no shuffle (r5, isolated 3-run min)",
-    "p06_source_mix": "deterministic md5 weighted source mixing — narrow filter, no shuffle (r5, isolated 3-run min)",
+    "d12_semantic_dedup": "SemDeDup shape: exact cosine pairs → transitive clusters → survivor checksum (r5)",
+    "t14_pii_redaction": "three codegen'd regexp_replace passes + md5, no shuffle (r5)",
+    "p06_source_mix": "deterministic md5 weighted source mixing — narrow filter, no shuffle (r5)",
     "t13_decontamination": "train/test 5-gram contamination scan on the md5 split; shingle frame materialized once for its three consumers (one scan + 24 B/row beats three corpus scans at 100 TB)",
-    "v16_streamed_attribution": "stream-stream join state store through the runtime, clicks+purchases replay — runtime-overhead-dominated (batch twin: v07, isolated 3-run min)",
-    "m06_pixel_resize": "full decode→NN-resample→re-encode→decode chain, oracle-predicted pixels (r5, isolated 3-run min)",
+    "v16_streamed_attribution": "stream-stream join state store through the runtime, clicks+purchases replay — runtime-overhead-dominated (batch twin: v07)",
+    "m06_pixel_resize": "full decode→NN-resample→re-encode→decode chain, oracle-predicted pixels (r5)",
     "p04_hash_split": "no shuffle at all pre-sink",
 }
 
