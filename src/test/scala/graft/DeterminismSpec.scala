@@ -15,10 +15,17 @@ class DeterminismSpec extends SparkSpec {
     "v11_busy_window_stats", "s06_knn_quantized", "p03_data_profile",
     "t11_tfidf_topterms", "d10_incremental_dedup")
 
-  test("round-3 queries digest identically under different shuffle widths") {
+  private val roundFive = Seq(
+    "m03_decode_profile", "m06_pixel_resize", "p04_hash_split",
+    "p05_approx_profile", "p06_source_mix", "t12_sequence_pack",
+    "t13_decontamination", "t14_pii_redaction", "d11_minhash_capped",
+    "d12_semantic_dedup", "q32_cube_revenue", "q33_salted_flag_stats",
+    "q34_salted_brand_revenue", "q35_grouping_sets_revenue", "s07_knn_ivfsq")
+
+  private def pinWidths(names: Seq[String]): Unit = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      roundThree.foreach { name =>
+      names.foreach { name =>
         val q = SparkEntry.queries(name)
         spark.conf.set("spark.sql.shuffle.partitions", "4")
         val a = digest(q(spark, sf))
@@ -27,5 +34,13 @@ class DeterminismSpec extends SparkSpec {
         assert(a == b, s"$name digest diverges across shuffle widths")
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("round-3 queries digest identically under different shuffle widths") {
+    pinWidths(roundThree)
+  }
+
+  test("round-4/5 queries digest identically under different shuffle widths") {
+    pinWidths(roundFive)
   }
 }
