@@ -197,30 +197,62 @@ object Warehouse {
              keyCols: Seq[String], versionCol: String,
              partitionCols: Seq[String]): Unit = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{lit, row_number}
+    import org.apache.spark.sql.functions.{lit, row_number, xxhash64}
+    import java.nio.file.{Files, Paths}
     require(keyCols.nonEmpty && partitionCols.nonEmpty)
-    val touched = updates.select(partitionCols.map(col): _*).distinct().collect()
+    require(!updates.columns.exists(Set("__src", "__rn")),
+      "upsert: __src/__rn are reserved merge helper names")
+    // materialize the batch ONCE: it feeds the touched-partition collect
+    // AND the merge write — a recomputed nondeterministic lineage could
+    // write a partition that was never read (silent data loss), and the
+    // double execution is the multi-consumer anti-pattern anyway
+    val u = updates.localCheckpoint(true)
+    val touched = u.select(partitionCols.map(col): _*).distinct().collect()
     require(touched.nonEmpty, "upsert: empty update batch")
+    // null-safe matching: === against a null partition value is null,
+    // which would skip reading the existing null-partition rows while
+    // the dynamic overwrite still replaced their directory
     val touchedPred = touched.map { r =>
       partitionCols.zipWithIndex
-        .map { case (c, i) => col(c) === lit(r.get(i)) }
+        .map { case (c, i) => col(c) <=> lit(r.get(i)) }
         .reduce(_ && _)
     }.reduce(_ || _)
     val existing = read(spark, root).filter(touchedPred)
-    val ordered = updates.columns.toSeq // one canonical column order
+    require(existing.columns.toSet == u.columns.toSet,
+      s"upsert: batch columns ${u.columns.sorted.mkString(",")} must equal " +
+        s"table columns ${existing.columns.sorted.mkString(",")} — a missing " +
+        "column would silently narrow every rewritten partition")
+    val ordered = u.columns.toSeq // one canonical column order
+    // total order: version, then batch-over-existing, then a full-row
+    // content hash — duplicate (key, version) rows resolve identically
+    // under any shuffle width (identical rows are interchangeable)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc, col("__src").desc)
+      .orderBy(col(versionCol).desc, col("__src").desc,
+        xxhash64(ordered.map(col): _*).asc)
     val merged = existing.select(ordered.map(col): _*).withColumn("__src", lit(0))
-      .unionByName(updates.select(ordered.map(col): _*).withColumn("__src", lit(1)))
+      .unionByName(u.select(ordered.map(col): _*).withColumn("__src", lit(1)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__src", "__rn")
+    // crash detection, same posture as compact: the dynamic-overwrite
+    // commit deletes each touched directory before renaming its staged
+    // replacement in, so a crash in that window loses the partition. A
+    // surviving marker makes the NEXT upsert refuse instead of silently
+    // rewriting the emptied partition from its batch alone.
+    val marker = Paths.get(root).resolve("_graft_upsert_inprogress")
+    require(!Files.exists(marker),
+      s"upsert: $root has an unfinished upsert ($marker). Touched " +
+        "partitions may be mid-swap: restore them from backup/upstream " +
+        "(or verify their contents), then delete the marker")
+    Files.write(marker,
+      touched.map(_.toString).mkString("\n").getBytes("UTF-8"))
     merged
       .repartition(partitionCols.map(col): _*)
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(root)
+    Files.delete(marker)
   }
 
   /** Bucketed + sorted table write — the co-located-join layout.

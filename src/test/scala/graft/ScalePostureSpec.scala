@@ -189,6 +189,33 @@ class ScalePostureSpec extends SparkSpec {
       val a = Warehouse.read(spark, root).filter($"id" === 1L)
         .select($"payload").as[String].head()
       assert(a == "a2", "on version ties the update batch wins")
+      // guards: reserved helper names, schema narrowing, unfinished swap
+      intercept[IllegalArgumentException](Warehouse.upsert(spark, root,
+        batch.withColumn("__src", lit(9)), Seq("id"), "version", Seq("year")))
+      intercept[IllegalArgumentException](Warehouse.upsert(spark, root,
+        batch.drop("payload"), Seq("id"), "version", Seq("year")))
+      val marker = java.nio.file.Paths.get(root, "_graft_upsert_inprogress")
+      java.nio.file.Files.write(marker, "x".getBytes)
+      intercept[IllegalArgumentException](
+        Warehouse.upsert(spark, root, batch, Seq("id"), "version", Seq("year")))
+      java.nio.file.Files.delete(marker)
+      // null partition value: the null-safe predicate must READ the
+      // existing __HIVE_DEFAULT_PARTITION__ rows before overwriting them
+      val baseN = Seq((10L, "n0", 1L, Some(2025)), (11L, "keep", 1L, None))
+        .toDF("id", "payload", "version", "year")
+      Warehouse.writePartitioned(baseN, root, Seq("year"), org.apache.spark.sql.SaveMode.Append)
+      val batchN = Seq((12L, "n1", 1L, Option.empty[Int]))
+        .toDF("id", "payload", "version", "year")
+      Warehouse.upsert(spark, root, batchN, Seq("id"), "version", Seq("year"))
+      val nulls = Warehouse.read(spark, root).filter($"year".isNull)
+        .select($"id").as[Long].collect().toSet
+      assert(nulls == Set(11L, 12L),
+        "existing null-partition rows must survive a null-partition upsert")
+      // duplicate (key, version) rows still yield exactly one survivor
+      val dup = Seq((9L, "p", 5L, 2024), (9L, "q", 5L, 2024))
+        .toDF("id", "payload", "version", "year")
+      Warehouse.upsert(spark, root, dup, Seq("id"), "version", Seq("year"))
+      assert(Warehouse.read(spark, root).filter($"id" === 9L).count() == 1)
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(root)).deleteRecursively()
