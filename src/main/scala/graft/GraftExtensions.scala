@@ -12,15 +12,18 @@ import graft.functions.{ArrayExprs, RollingHash, VectorExprs, ZOrderExprs}
   * session's function registry, so `spark.sql("SELECT vec_dot(a, b)
   * ...")` plans the same codegen'd expression the Column API builds —
   * SQL-only users (notebooks, JDBC) get the custom kernels without
-  * touching Scala.
+  * touching Scala. Also installs the library's optimizer rules
+  * ([[graft.plans.Rewrites]]) into the session's Catalyst batches.
   *
   * Wire-up, either way Spark supports:
   *  - config: `--conf spark.sql.extensions=graft.GraftExtensions`
   *  - builder: `GraftSession.builder(...)` applies it already.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.Rewrites.VecSelfDot)
+  }
 }
 
 object GraftExtensions {

@@ -272,15 +272,71 @@ object Pipeline {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** THE deterministic shuffle order key: md5 over a "shuffle:"-prefixed
+    * doc id. The prefix puts the shuffle order in a DIFFERENT key space
+    * than [[md5Bucket]]'s split/mix decisions — reordering the corpus
+    * and (re)splitting it stay independent decisions even though both
+    * ride the same hash function. Single owner, like [[md5Bucket]]:
+    * p07 and its oracle mirror this formula, change both or neither. */
+  def shuffleKey(idCol: Column): Column =
+    md5(concat(lit("shuffle:"), idCol.cast("string")))
+
+  /** Deterministic global shuffle → fixed-size training shards: order
+    * the corpus by [[shuffleKey]] (a full-strength hash order — the
+    * "shuffle the data before training" step, reproducible across
+    * runs/engines with no seed state), then cut the order into shards
+    * of `shardSize` documents (`pos_in_shard` = offset within the
+    * shard, so a shard writer can verify it received a contiguous,
+    * complete slice).
+    *
+    * Scale: the global position is the two-phase
+    * [[Cumulative.withCumsumAndRank]] prefix sum (range-partition by
+    * the hash key → per-partition window → broadcast prefix offsets) —
+    * NOT an unpartitioned row_number, whose single sort task is the
+    * classic 100 TB shuffle-writer bottleneck. One range shuffle of
+    * (doc_id, 32-byte key) pairs; the shard math is a pure projection
+    * on top. A production writer would `partitionBy("shard_id")` (or
+    * `repartitionByRange` on it) so each shard lands as one file. */
+  def shuffleShards(docs: DataFrame, shardSize: Long): DataFrame =
+    Cumulative.withCumsumAndRank(
+        docs.select(col("doc_id"), shuffleKey(col("doc_id")).as("__sk")),
+        Seq(col("__sk"), col("doc_id")),
+        lit(1L), cumName = "__rn") // running count of ones IS the rank
+      // integer div, not `/`: double division loses exactness past 2^53
+      .withColumn("shard_id", expr(s"(__rn - 1L) div ${shardSize}L").cast("int"))
+      .withColumn("pos_in_shard", ((col("__rn") - lit(1L)) % shardSize).cast("int"))
+      .select(col("doc_id"), col("shard_id"), col("pos_in_shard"))
+
+  /** p07 — 64-document shards over the hash-shuffled corpus. Hash-gated:
+    * DuckDB reproduces the identical md5 order, so every per-document
+    * (shard, position) assignment is pinned, not just the shard sizes. */
+  def p07ShuffleShards(spark: SparkSession, dir: String): DataFrame =
+    shuffleShards(Tables.documents(spark, dir), 64L)
+      .orderBy(col("doc_id"))
+
+  val p07Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    ROW_NUMBER() OVER (
+      |      ORDER BY md5('shuffle:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST((rn - 1) // 64 AS INT) AS shard_id,
+      |  CAST((rn - 1) % 64 AS INT) AS pos_in_shard
+      |FROM r
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p02_pipeline_funnel" -> p02PipelineFunnel _,
     "p04_hash_split"      -> p04HashSplit _,
     "p06_source_mix"      -> p06SourceMix _,
+    "p07_shuffle_shards"  -> p07ShuffleShards _,
   )
 
   val oracles: Map[String, String] = Map(
     "p02_pipeline_funnel" -> p02Sql,
     "p04_hash_split"      -> p04Sql,
     "p06_source_mix"      -> p06Sql,
+    "p07_shuffle_shards"  -> p07Sql,
   )
 }

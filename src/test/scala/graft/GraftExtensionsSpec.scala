@@ -54,4 +54,32 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("vec_dot"))
   }
+
+  test("optimizer rewrites vec_dot(x, x) to vec_norm2(x), values intact") {
+    def kernels(df: org.apache.spark.sql.DataFrame) = {
+      val es = df.queryExecution.optimizedPlan
+        .flatMap(_.expressions.flatMap(_.collect {
+          case e: VectorExprs.Norm2      => "norm2"
+          case e: VectorExprs.DotProduct => "dot"
+        }))
+      (es.count(_ == "norm2"), es.count(_ == "dot"))
+    }
+    val vecs = spark.range(1, 4)
+      .select(array($"id".cast("double"), lit(2.0), ($"id" * 3).cast("double"))
+        .as("v"))
+    // Column API and SQL surfaces both hit the injected rule
+    val viaCol = vecs.select(VectorExprs.dot($"v", $"v").as("d"),
+      VectorExprs.norm2($"v").as("n"))
+    assert(kernels(viaCol) == ((2, 0)))
+    vecs.createOrReplaceTempView("p_vecs")
+    val viaSql = spark.sql("SELECT vec_dot(v, v) AS d, vec_norm2(v) AS n FROM p_vecs")
+    assert(kernels(viaSql) == ((2, 0)))
+    viaSql.as[(Double, Double)].collect().foreach { case (d, n) =>
+      assert(d == n)
+    }
+    // genuinely distinct operands stay a dot product
+    val mixed = vecs.select(
+      VectorExprs.dot($"v", array(lit(1.0), lit(0.0), lit(1.0))).as("d"))
+    assert(kernels(mixed) == ((0, 1)))
+  }
 }

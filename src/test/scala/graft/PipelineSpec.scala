@@ -43,6 +43,36 @@ class PipelineSpec extends SparkSpec {
     assert(funnel(3)._3 - funnel(4)._3 == nonHeads)
   }
 
+  test("p07 shards: bijection, uniform sizes, matches one-partition reference") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val out = Pipeline.p07ShuffleShards(spark, sf)
+      .as[(Long, Int, Int)].collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    // every document assigned exactly once
+    assert(out.length == nDocs && out.map(_._1).distinct.length == nDocs)
+    // multi-shard shape at fixture scale: 8-doc shards are full except
+    // the last, positions are a clean 0..size-1, shard ids contiguous
+    val out8 = Pipeline.shuffleShards(Tables.documents(spark, sf), 8L)
+      .as[(Long, Int, Int)].collect()
+    val byShard = out8.groupBy(_._2)
+    val lastShard = byShard.keys.max
+    assert(byShard.keys.toSeq.sorted == (0 to lastShard) && lastShard >= 1)
+    byShard.foreach { case (sid, rows) =>
+      assert(rows.length == 8 || (sid == lastShard && rows.length <= 8))
+      assert(rows.map(_._3).sorted.toSeq == (0 until rows.length))
+    }
+    // the two-phase rank reproduces the plain single-partition
+    // row_number exactly (the shape CumulativeSpec pins plan-side)
+    val ref = Tables.documents(spark, sf)
+      .select($"doc_id", Pipeline.shuffleKey($"doc_id").as("k"))
+      .withColumn("rn", row_number().over(Window.orderBy($"k", $"doc_id")))
+      .select($"doc_id", expr("(rn - 1) div 64").cast("int").as("shard_id"),
+        expr("(rn - 1) % 64").cast("int").as("pos_in_shard"))
+      .as[(Long, Int, Int)].collect()
+    assert(out.toSet == ref.toSet)
+  }
+
   test("hashMix: rate 1 keeps all, 0 keeps none, 205/256 IS the train split") {
     import org.apache.spark.sql.functions.lit
     val docs = Tables.documents(spark, sf)
