@@ -19,8 +19,9 @@ class DeterminismSpec extends SparkSpec {
     "m03_decode_profile", "m06_pixel_resize", "p04_hash_split",
     "p05_approx_profile", "p06_source_mix", "t12_sequence_pack",
     "t13_decontamination", "t14_pii_redaction", "d11_minhash_capped",
-    "d12_semantic_dedup", "q32_cube_revenue", "q33_salted_flag_stats",
-    "q34_salted_brand_revenue", "q35_grouping_sets_revenue", "s07_knn_ivfsq")
+    "d12_semantic_dedup", "p07_shuffle_shards", "q32_cube_revenue",
+    "q33_salted_flag_stats", "q34_salted_brand_revenue",
+    "q35_grouping_sets_revenue", "s07_knn_ivfsq")
 
   private def pinWidths(names: Seq[String]): Unit = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
