@@ -33,6 +33,7 @@ NOTES = {
     "v16_streamed_attribution": "stream-stream join state store through the runtime, clicks+purchases replay — runtime-overhead-dominated (batch twin: v07)",
     "m06_pixel_resize": "full decode→NN-resample→re-encode→decode chain, oracle-predicted pixels (r5)",
     "p04_hash_split": "no shuffle at all pre-sink",
+    "p07_shuffle_shards": "hash-order global rank via the two-phase prefix sum — one range shuffle of (id, key) pairs (r5)",
 }
 
 def main(*paths):

@@ -1076,6 +1076,54 @@ object StarQueries {
        |GROUP BY GROUPING SETS ((c_mktsegment, order_year), (order_year))
        |ORDER BY gid, c_mktsegment NULLS LAST, order_year NULLS LAST""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q36 — GLOBAL NTILE without a global window. Spark's own
+  // `ntile(4).over(Window.orderBy(...))` moves the whole table through
+  // ONE task (the same single-partition WindowExec q13 was rewritten to
+  // avoid); here the global row_number comes from the two-phase
+  // [[Cumulative]] prefix sum and the tile id is the closed-form NTILE
+  // bucket function of (rank, total): with c rows in k tiles, the first
+  // c mod k tiles get ⌈c/k⌉ rows and the rest ⌊c/k⌋ — the exact
+  // remainder semantics SQL NTILE defines, so DuckDB's builtin NTILE is
+  // the oracle for every per-row assignment (pinned through the
+  // per-quartile aggregate). All arithmetic is integral `div` on longs:
+  // exact at any corpus size.
+  // ---------------------------------------------------------------------------
+  def q36OrderValueQuartiles(spark: SparkSession, dir: String): DataFrame =
+    Cumulative.withCumsumAndRank(
+        Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_totalprice"), col("o_orderkey")),
+        lit(1L), cumName = "__rn", totName = "__cnt")
+      .withColumn("quartile", expr(
+        """CAST(CASE
+          |  WHEN __rn <= (__cnt % 4) * (__cnt div 4 + 1)
+          |    THEN (__rn - 1) div (__cnt div 4 + 1) + 1
+          |  ELSE (__cnt % 4)
+          |    + (__rn - (__cnt % 4) * (__cnt div 4 + 1) - 1) div (__cnt div 4)
+          |    + 1
+          |END AS INT)""".stripMargin))
+      .groupBy(col("quartile"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("quartile"))
+
+  val q36Sql: String =
+    s"""WITH r AS (
+       |  SELECT o_totalprice,
+       |    CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT)
+       |      AS quartile
+       |  FROM orders)
+       |SELECT quartile, COUNT(*) AS n_orders,
+       |  MIN(o_totalprice) AS min_price,
+       |  MAX(o_totalprice) AS max_price,
+       |  ${sqlDsum("o_totalprice")} AS sum_price
+       |FROM r
+       |GROUP BY quartile
+       |ORDER BY quartile""".stripMargin
+
   /** name → query for [[graft.SparkEntry]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> q01PricingSummary _,
@@ -1104,6 +1152,7 @@ object StarQueries {
     "q33_salted_flag_stats" -> q33SaltedFlagStats _,
     "q34_salted_brand_revenue" -> q34SaltedBrandRevenue _,
     "q35_grouping_sets_revenue" -> q35GroupingSetsRevenue _,
+    "q36_order_value_quartiles" -> q36OrderValueQuartiles _,
     "q20_region_year_revenue" -> q20RegionYearRevenue _,
     "q21_customers_with_orders" -> q21CustomersWithOrders _,
     "q22_customers_without_orders" -> q22CustomersWithoutOrders _,
@@ -1146,6 +1195,7 @@ object StarQueries {
     "q33_salted_flag_stats" -> q33Sql,
     "q34_salted_brand_revenue" -> q34Sql,
     "q35_grouping_sets_revenue" -> q35Sql,
+    "q36_order_value_quartiles" -> q36Sql,
     "q20_region_year_revenue" -> q20Sql,
     "q21_customers_with_orders" -> q21Sql,
     "q22_customers_without_orders" -> q22Sql,

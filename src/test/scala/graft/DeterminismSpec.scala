@@ -21,7 +21,7 @@ class DeterminismSpec extends SparkSpec {
     "t13_decontamination", "t14_pii_redaction", "d11_minhash_capped",
     "d12_semantic_dedup", "p07_shuffle_shards", "q32_cube_revenue",
     "q33_salted_flag_stats", "q34_salted_brand_revenue",
-    "q35_grouping_sets_revenue", "s07_knn_ivfsq")
+    "q35_grouping_sets_revenue", "q36_order_value_quartiles", "s07_knn_ivfsq")
 
   private def pinWidths(names: Seq[String]): Unit = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

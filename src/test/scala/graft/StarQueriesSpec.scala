@@ -109,6 +109,27 @@ class StarQueriesSpec extends SparkSpec {
       s"sample cut must be top-K, not a global sort:\n$plan")
   }
 
+  test("q36: two-phase NTILE matches the builtin single-partition ntile") {
+    import org.apache.spark.sql.expressions.Window
+    val ref = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_totalprice")
+      .withColumn("quartile",
+        ntile(4).over(Window.orderBy($"o_totalprice", $"o_orderkey")))
+      .groupBy($"quartile")
+      .agg(count(lit(1)).as("n_orders"),
+        min($"o_totalprice").as("min_price"),
+        max($"o_totalprice").as("max_price"))
+      .orderBy($"quartile")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    val got = StarQueries.q36OrderValueQuartiles(spark, sf)
+      .select($"quartile", $"n_orders", $"min_price", $"max_price")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(got == ref)
+    // remainder semantics: tile sizes differ by at most one, larger first
+    val sizes = got.map(_._2)
+    assert(sizes.max - sizes.min <= 1 && sizes.sortBy(-_) == sizes)
+  }
+
   test("parquet scans prune columns: q01 reads only the 5 needed lineitem cols") {
     val scans = StarQueries.q01PricingSummary(spark, sf)
       .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
