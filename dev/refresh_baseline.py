@@ -34,6 +34,7 @@ NOTES = {
     "m06_pixel_resize": "full decode→NN-resample→re-encode→decode chain, oracle-predicted pixels (r5)",
     "p04_hash_split": "no shuffle at all pre-sink",
     "p07_shuffle_shards": "hash-order global rank via the two-phase prefix sum — one range shuffle of (id, key) pairs (r5)",
+    "q36_order_value_quartiles": "global NTILE as closed-form bucket of the two-phase rank — no single-partition window (r5)",
 }
 
 def main(*paths):
