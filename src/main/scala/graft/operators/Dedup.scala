@@ -764,15 +764,40 @@ object Dedup {
     * recursive-CTE closure over the same cosine pairs. */
   def d12SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val pairs = embeddingNearDupPairs(emb, 0.45)
-      .select(col("id_a"), col("id_b"))
-    val dropped = dupClusters(pairs)
+    semanticSurvivors(emb, embeddingNearDupPairs(emb, 0.45))
+  }
+
+  /** Shared downstream of d12/d13: cluster the pair list, drop every
+    * non-head member, summarize the survivor set. The pair generator is
+    * the ONLY thing that differs between the exact gate (d12) and the
+    * 100 TB LSH path (d13) — identical survivor logic by construction. */
+  private def semanticSurvivors(emb: DataFrame, pairDf: DataFrame): DataFrame = {
+    val dropped = dupClusters(pairDf.select(col("id_a"), col("id_b")))
       .filter(col("node") =!= col("lbl"))
       .select(col("node").as("vec_id"))
     emb.select(col("vec_id"))
       .join(dropped, Seq("vec_id"), "left_anti")
       .agg(count(lit(1)).as("kept_vecs"), sum(col("vec_id")).as("kept_id_sum"))
       .crossJoin(dropped.agg(count(lit(1)).as("dropped_vecs")))
+  }
+
+  /** d13 — the 100 TB semantic-dedup path made EXECUTABLE, not just
+    * documented: identical downstream to d12 (same [[dupClusters]] →
+    * drop-non-heads → survivor checksum via [[semanticSurvivors]]) but
+    * the pair stage is d07's sub-quadratic banded-LSH candidate
+    * generator instead of the exact all-pairs scan. Hash-gated against
+    * the SAME oracle as d12: every LSH candidate passes exact cosine
+    * verification (precision 1), and the band dial is turned up to 24
+    * so recall is 1 on this corpus — d07's default 12 bands miss one
+    * borderline pair at cosine 0.475 (12 bands ⇒ ~2% miss per pair at
+    * the threshold angle; 24 ⇒ ~5·10⁻⁴). Pair-set equality vs the
+    * exact scan is pinned in DedupSpec, so the scale path must
+    * reproduce the exact survivor set bit for bit. At 100 TB this is
+    * the knob a deployment tunes against its own threshold/corpus:
+    * bands trade linear candidate volume for exponentially less miss. */
+  def d13SemanticDedupLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    semanticSurvivors(emb, embeddingNearDupPairsLSH(emb, 0.45, bands = 24))
   }
 
   val d12Sql: String =
@@ -867,6 +892,7 @@ object Dedup {
     "d10_incremental_dedup" -> d10IncrementalDedup _,
     "d11_minhash_capped"  -> d11MinhashCapped _,
     "d12_semantic_dedup"  -> d12SemanticDedup _,
+    "d13_semantic_dedup_lsh" -> d13SemanticDedupLsh _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -879,5 +905,6 @@ object Dedup {
     "d10_incremental_dedup" -> d10Sql,
     "d11_minhash_capped"  -> d02Sql, // cap must not lose true pairs here
     "d12_semantic_dedup"  -> d12Sql,
+    "d13_semantic_dedup_lsh" -> d12Sql, // scale path must equal the exact answer
   )
 }

@@ -315,6 +315,22 @@ object EventQueries {
       |  LEFT JOIN counts c ON c.minute = s.minute AND c.event_type = t.event_type
       |ORDER BY 1, 2""".stripMargin
 
+  /** Batch oracle for the streamed per-user lifetime profile (v17).
+    * The span floors to MILLISECONDS on both sides: the fMGWS state
+    * stores `Timestamp.getTime` longs (ms, micros floored away) and
+    * DuckDB's `epoch_ms` floors the µs-precision timestamp the same
+    * way; the value sum is the standard exact-decimal convention —
+    * the scaled-long accumulator in `UserState` rounds each row to 4
+    * decimals HALF_UP exactly as the decimal(18,4) cast does. */
+  val v17Sql: String =
+    s"""SELECT user_id,
+       |  COUNT(*) AS event_count,
+       |  ${sqlDsum("value")} AS total_value,
+       |  (epoch_ms(MAX(ts)) - epoch_ms(MIN(ts))) / 1000.0 AS active_span_sec
+       |FROM events
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_tumbling_counts"     -> v01TumblingCounts _,
     "v02_sessions"            -> v02Sessions _,
@@ -333,6 +349,9 @@ object EventQueries {
     // restart — no MemoryStream involved
     "v15_filesource_tumbling"  -> graft.streaming.EventStreams.v15FileSourceTumbling _,
     "v16_streamed_attribution" -> graft.streaming.EventStreams.v16StreamedAttribution _,
+    // the fMGWS custom-state store: hand-rolled state restored across
+    // micro-batch boundaries, settled profile vs a plain batch GROUP BY
+    "v17_streamed_profiles"    -> graft.streaming.EventStreams.v17StreamedProfiles _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -349,5 +368,6 @@ object EventQueries {
     "v14_streamed_dedup"      -> v03Sql,
     "v15_filesource_tumbling" -> v01Sql,
     "v16_streamed_attribution" -> v07Sql,
+    "v17_streamed_profiles"   -> v17Sql,
   )
 }

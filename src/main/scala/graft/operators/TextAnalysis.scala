@@ -607,7 +607,11 @@ object TextAnalysis {
       .select(col("doc_id").as("train_id"), col("shingle"))
     val test = sh.filter(col("split") === "test")
       .select(col("doc_id"), col("shingle"))
-    val sizes = test.groupBy(col("doc_id"))
+    // the contamination DENOMINATOR is the doc's TRUE gram count, so it
+    // comes from the PRE-cap side: the cap is a join-expansion guard,
+    // not a redefinition of document size — a capped run reports the
+    // same n_grams and only its shared-gram numerator can shrink
+    val sizes = sh0.filter(col("split") === "test").groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams")) // shingles are distinct per doc
     test.join(train, Seq("shingle"))
       .groupBy(col("doc_id"))
@@ -625,6 +629,19 @@ object TextAnalysis {
   /** t13 — 5-gram test-vs-train contamination report. */
   def t13Decontamination(spark: SparkSession, dir: String): DataFrame =
     decontaminate(Tables.documents(spark, dir), 5)
+
+  /** t15 — the decontamination scan WITH the hot-shingle cap ENGAGED —
+    * the 100 TB join-expansion guard made executable, not just a
+    * parameter: cap 2 drops every document-frequency-3 shingle on the
+    * gate corpus (74 of them — the anti-join genuinely removes rows)
+    * yet loses no contaminated gram, because the most-shared
+    * train∩test shingle has df 2 (measured on the corpus; the
+    * cap-loses-nothing condition is pinned in TextAnalysisSpec). The
+    * capped scan must therefore reproduce t13's exact oracle hash for
+    * hash — same pattern as d11's capped MinHash vs the exact d02
+    * answer. */
+  def t15DecontaminationCapped(spark: SparkSession, dir: String): DataFrame =
+    decontaminate(Tables.documents(spark, dir), 5, maxShingleFreq = Some(2))
 
   val t13Sql: String =
     """WITH b AS (
@@ -668,6 +685,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t14_pii_redaction"   -> t14PiiRedaction _,
     "t13_decontamination" -> t13Decontamination _,
+    "t15_decontamination_capped" -> t15DecontaminationCapped _,
     "t12_sequence_pack"  -> t12SequencePack _,
     "t01_token_stats"    -> t01TokenStats _,
     "t02_quality_scores" -> t02QualityScores _,
@@ -685,6 +703,8 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "t14_pii_redaction"   -> t14Sql,
     "t13_decontamination" -> t13Sql,
+    "t15_decontamination_capped" -> t13Sql, // cap must lose no contaminated gram
+
     "t12_sequence_pack"  -> t12Sql,
     "t01_token_stats"    -> t01Sql,
     "t02_quality_scores" -> t02Sql,

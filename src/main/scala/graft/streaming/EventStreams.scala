@@ -364,6 +364,32 @@ object EventStreams {
       .orderBy(col("click_id"), col("purchase_id"))
       .limit(2000)
 
+  /** v17 — the flatMapGroupsWithState CUSTOM-STATE store through the
+    * runtime — the fifth and last stateful-operator family v12–v16
+    * never touch: [[userProfiles]]'s hand-rolled `UserState` must be
+    * restored, mutated, and re-persisted across micro-batch boundaries
+    * (a user active in batches 1 and 3 carries batch-1 state through
+    * batch 2's commit). Each micro-batch that touches a user emits an
+    * interim profile; the SETTLED profile per user is the emission with
+    * the highest event count (the count is strictly monotone per user),
+    * and that lifetime profile must hash-match a plain batch GROUP BY —
+    * count, exact scaled-decimal value sum, and first→last-seen span. */
+  def v17StreamedProfiles(spark: SparkSession, dir: String): DataFrame = {
+    implicit val evEnc: org.apache.spark.sql.Encoder[Ev] =
+      org.apache.spark.sql.Encoders.product[Ev]
+    replayThroughRuntime(spark, dir, df => userProfiles(df.as[Ev]).toDF())
+      .filter(col("user_id") >= 0) // drop the sentinel user's profile
+      .groupBy(col("user_id"))
+      // events is strictly increasing across a user's emissions, so the
+      // struct max IS the final emission — no ties possible
+      .agg(max(struct(col("events"), col("total_value"),
+        col("active_span_sec"))).as("m"))
+      .select(col("user_id"), col("m.events").as("event_count"),
+        col("m.total_value").as("total_value"),
+        col("m.active_span_sec").as("active_span_sec"))
+      .orderBy(col("user_id"))
+  }
+
   /** v15 — the PRODUCTION ingest path, gate-exercised end to end: the
     * events table is staged as three time-sliced parquet files, streamed
     * by [[readEvents]] (`maxFilesPerTrigger = 1` forces one file per

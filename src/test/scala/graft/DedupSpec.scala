@@ -83,6 +83,13 @@ class DedupSpec extends SparkSpec {
     val recall = lshPairs.size.toDouble / exactPairs.size
     // analytic expectation at cosine 0.45 with 12 bands x 3 planes ≈ 0.98
     assert(recall >= 0.7, f"LSH recall degraded to $recall%.2f")
+    // d13's dial: 24 bands must recover EVERY true pair on this corpus —
+    // the condition that lets the scale path hash-match d12's exact
+    // oracle (miss prob per threshold-angle pair ~5e-4 vs ~2% at 12)
+    val lsh24 = Dedup.embeddingNearDupPairsLSH(emb, 0.45, bands = 24)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh24 == exactPairs,
+      "24-band LSH pair set must equal the exact pair set at 0.45")
   }
 
   test("hot-shingle guard drops high-frequency shingles before the join") {

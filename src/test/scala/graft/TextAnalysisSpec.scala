@@ -182,6 +182,70 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.decontaminate(docs, 5, Some(1L)).count() == 0)
   }
 
+  test("decontaminate cap bounds join expansion on a stopword-heavy corpus") {
+    import spark.implicits._
+    def bucket(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(30, 32), 16)
+    }
+    val ids = 0L until 200L
+    val trainIds = ids.filter(bucket(_) < 205)
+    val testId = ids.find(bucket(_) >= 230).get
+    // every train doc opens with the same stopword boilerplate 5-gram;
+    // ONE train doc also carries a rare content 5-gram
+    val rareTrain = trainIds.head
+    val docs = (trainIds.map { i =>
+      // the rare-gram doc shares ONLY [r1..r5] with the test doc (its
+      // zz-prefixed grams collide with nothing); every other train doc
+      // carries the boilerplate gram + a unique tail
+      if (i == rareTrain) (i, "zz1 zz2 zz3 r1 r2 r3 r4 r5")
+      else (i, s"the of and to in u$i")
+    } :+ (testId, "the of and to in r1 r2 r3 r4 r5")).toDF("doc_id", "text")
+    val un = TextAnalysis.decontaminate(docs, 5)
+      .filter($"doc_id" === testId).head()
+    // uncapped: the boilerplate gram joins the test doc to EVERY train
+    // doc — the k-rows-per-test-gram expansion the cap exists to bound
+    assert(un.getLong(1) == 6, "10 tokens yield six distinct 5-grams")
+    assert(un.getLong(2) == 2, "boilerplate + rare gram both shared")
+    assert(un.getLong(4) == trainIds.size.toLong,
+      "uncapped scan fans out to the whole train corpus")
+    // capped at 2: the hot gram (df = |train|+1) is dropped before the
+    // join, the rare gram (df = 2) survives — expansion collapses from
+    // |train| rows to one while the DENOMINATOR stays the true gram
+    // count (sizes are computed pre-cap)
+    val cp = TextAnalysis.decontaminate(docs, 5, Some(2L))
+      .filter($"doc_id" === testId).head()
+    assert(cp.getLong(1) == 6, "n_grams must not shrink under the cap")
+    assert(cp.getLong(2) == 1, "only the rare gram survives the cap")
+    assert(cp.getLong(4) == 1L, "join expansion bounded to the rare match")
+    assert(cp.getDouble(3) == 0.166667, "contamination = round(1/6, 6)")
+  }
+
+  test("t15 cap is lossless on the gate corpus: no shared 5-gram exceeds it") {
+    // the condition that lets t15 (cap = 2) hash-match t13's exact
+    // oracle at sf0.01: the most-shared train∩test shingle has df 2,
+    // while df-3 shingles DO exist (so the cap genuinely drops rows)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val sh = docs.select($"doc_id",
+        split($"text", " ").as("toks"),
+        graft.operators.Pipeline.splitOf(
+          graft.operators.Pipeline.md5Bucket($"doc_id")).as("split"))
+      .select($"doc_id", $"split",
+        explode(graft.operators.Dedup.shingleTokens($"toks", 5)).as("s"))
+      .select($"split", xxhash64($"s").as("shingle"))
+    val byShingle = sh.groupBy($"shingle").agg(
+        count(lit(1)).as("df"),
+        sum(when($"split" === "train", 1).otherwise(0)).as("n_train"),
+        sum(when($"split" === "test", 1).otherwise(0)).as("n_test"))
+    val r = byShingle.agg(
+        max(when($"n_train" > 0 && $"n_test" > 0, $"df")).as("max_shared_df"),
+        sum(when($"df" > 2, 1).otherwise(0)).as("n_hot")).head()
+    assert(r.getLong(0) <= 2L,
+      s"a shared shingle has df ${r.getLong(0)} > 2 — t15's cap would lose it")
+    assert(r.getLong(1) > 0L, "the cap must actually drop something")
+  }
+
   test("tfidf ranking is partitioning-independent") {
     val a = TextAnalysis.t11TfidfTopTerms(spark, sf).collect().toSeq
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
