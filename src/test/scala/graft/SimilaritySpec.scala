@@ -66,13 +66,17 @@ class SimilaritySpec extends SparkSpec {
     val queries = emb.filter($"vec_id" < 20)
     val exact = Similarity.bruteForceKnn(queries, emb, 5)
       .select("query_id", "neighbor_id")
-    val ann = Similarity.annKnn(queries, emb, 5, numPlanes = 3, multiProbe = 3)
-      .select("query_id", "neighbor_id")
-    val hit = exact.intersect(ann).count().toDouble
-    val recall = hit / exact.count()
-    // analytic expectation on this corpus (71° mean top-5 angle):
-    // single-probe ≈ 0.22, hamming-1 multi-probe ≈ 0.6 — pin well below
-    assert(recall >= 0.4, f"recall@5 degraded to $recall%.2f")
+    val n = exact.count().toDouble
+    // measured on this corpus: 0.61 / 0.68 / 0.58 for seeds 42/7/1234 —
+    // the floor pins the measured band (a quality regression to the old
+    // smoke level 0.4 now fails), not a lucky single draw
+    for (seed <- Seq(42L, 7L, 1234L)) {
+      val ann = Similarity.annKnn(queries, emb, 5,
+          numPlanes = 3, seed = seed, multiProbe = 3)
+        .select("query_id", "neighbor_id")
+      val recall = exact.intersect(ann).count() / n
+      assert(recall >= 0.55, f"recall@5 (seed $seed) degraded to $recall%.2f")
+    }
   }
 
   test("ivfKnn with exhaustive probe equals exact brute force") {
@@ -91,12 +95,38 @@ class SimilaritySpec extends SparkSpec {
     val queries = emb.filter($"vec_id" < 20)
     val exact = Similarity.bruteForceKnn(queries, emb, 5)
       .select("query_id", "neighbor_id")
-    val ivf = Similarity.ivfKnn(queries, emb, 5)
+    val n = exact.count().toDouble
+    // 10 label clusters vs nlist=16 cells, nprobe=4: measured 0.64 /
+    // 0.63 / 0.63 for seeds 42/7/1234 — the floor pins the measured
+    // band, not the old 0.5 smoke level
+    for (seed <- Seq(42L, 7L, 1234L)) {
+      val ivf = Similarity.ivfKnn(queries, emb, 5, seed = seed)
+        .select("query_id", "neighbor_id")
+      val recall = exact.intersect(ivf).count() / n
+      assert(recall >= 0.6, f"IVF recall@5 (seed $seed) degraded to $recall%.2f")
+    }
+  }
+
+  test("ivfKnn recall is monotone in nprobe and exact at nprobe = nlist") {
+    // the dial a 100 TB deployment actually turns: more probed cells can
+    // only add candidates, so recall must be non-decreasing in nprobe
+    // and reach 1.0 when every cell is ranked — a sweep that dips means
+    // the probe selection or rerank plumbing is dropping candidates
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceKnn(queries, emb, 5)
       .select("query_id", "neighbor_id")
-    val recall = exact.intersect(ivf).count().toDouble / exact.count()
-    // 10 label clusters vs nlist=16 cells, nprobe=4: near neighbors
-    // overwhelmingly share the query's cell or an adjacent one
-    assert(recall >= 0.5, f"IVF recall@5 degraded to $recall%.2f")
+    val n = exact.count().toDouble
+    val sweep = Seq(1, 2, 4, 8, 16).map { p =>
+      val ivf = Similarity.ivfKnn(queries, emb, 5, nlist = 16, nprobe = p)
+        .select("query_id", "neighbor_id")
+      exact.intersect(ivf).count() / n
+    }
+    sweep.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(hi >= lo, f"recall dipped in the nprobe sweep: $sweep")
+    }
+    assert(sweep.last == 1.0,
+      f"exhaustive probe must recover the exact answer, got ${sweep.last}%.2f")
   }
 
   test("quantized corpus is int8-typed (the 4x storage/shuffle claim)") {
@@ -146,19 +176,23 @@ class SimilaritySpec extends SparkSpec {
     val exact = Similarity.bruteForceKnn(queries, emb, 5)
       .select("query_id", "neighbor_id")
     val n = exact.count().toDouble
-    val ivfsq = Similarity.ivfSqKnn(queries, emb, 5)
-      .select("query_id", "neighbor_id")
-    val ivf = Similarity.ivfKnn(queries, emb, 5)
-      .select("query_id", "neighbor_id")
-    val recallSq = exact.intersect(ivfsq).count() / n
-    val recallIvf = exact.intersect(ivf).count() / n
-    // same cells, same probes: recall is bounded by cell assignment (the
-    // nprobe=4/nlist=16 dial measures 0.64 on this seeded corpus), and
-    // the int8 coarse stage + 4k exact re-rank must not lose anything
-    // the full-precision in-cell ranking finds
-    assert(recallSq >= recallIvf,
-      f"int8 coarse stage lost recall: SQ $recallSq%.2f < IVF $recallIvf%.2f")
-    assert(recallSq >= 0.6, f"IVF-SQ recall@5 degraded to $recallSq%.2f")
+    // same cells, same probes: recall is bounded by cell assignment
+    // (measured 0.64 / 0.63 / 0.63 for seeds 42/7/1234), and the int8
+    // coarse stage + 4k exact re-rank must not lose anything the
+    // full-precision in-cell ranking finds — pinned per seed
+    for (seed <- Seq(42L, 7L, 1234L)) {
+      val ivfsq = Similarity.ivfSqKnn(queries, emb, 5, seed = seed)
+        .select("query_id", "neighbor_id")
+      val ivf = Similarity.ivfKnn(queries, emb, 5, seed = seed)
+        .select("query_id", "neighbor_id")
+      val recallSq = exact.intersect(ivfsq).count() / n
+      val recallIvf = exact.intersect(ivf).count() / n
+      assert(recallSq >= recallIvf,
+        f"int8 coarse stage lost recall (seed $seed): " +
+          f"SQ $recallSq%.2f < IVF $recallIvf%.2f")
+      assert(recallSq >= 0.6,
+        f"IVF-SQ recall@5 (seed $seed) degraded to $recallSq%.2f")
+    }
   }
 
   test("ivfSqKnn coarse stage is cell-bucketed, not all-pairs") {
