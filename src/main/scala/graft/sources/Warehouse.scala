@@ -93,6 +93,19 @@ object Warehouse {
     // double-count (compact would faithfully rewrite the doubled rows).
     // Name-based detection can't do this job: `compacted-*` plus
     // `part-*` is also the legitimate compact-then-append state.
+    // cross-refusal: if an UPSERT died mid-swap on the owning table,
+    // this directory (a leaf of that table, or the table itself) may be
+    // an emptied or partial partition — compacting it would faithfully
+    // rewrite the damage and erase the evidence. The table root is
+    // found by climbing out of the hive name=value levels.
+    val tableRoot = Iterator.iterate(dir)(_.getParent)
+      .dropWhile(p => p.getParent != null &&
+        p.getFileName.toString.contains("=")).next()
+    val upsertMarker = tableRoot.resolve("_graft_upsert_inprogress")
+    require(!Files.exists(upsertMarker),
+      s"compact: $tableRoot has an unfinished upsert ($upsertMarker) — " +
+        "this directory may be a mid-swap partition; recover the upsert " +
+        "first (see the upsert marker's refusal message)")
     val marker = dir.resolve("_graft_compaction_inprogress")
     require(!Files.exists(marker), {
       val Array(phase, stamp) =
@@ -192,7 +205,21 @@ object Warehouse {
     * that "moves" partitions would leave its old row behind (detecting
     * that requires a full-table key scan, which is the opposite of the
     * touched-partitions-only design; do a full rewrite for those).
-    * Single-writer maintenance window, like [[compact]]. */
+    * Single-writer maintenance window, like [[compact]].
+    *
+    * READ CONSISTENCY: dynamic partition overwrite deletes each touched
+    * directory before moving its staged replacement in, so a reader
+    * that LISTS a touched partition inside that window sees it empty or
+    * partial (readers of untouched partitions are unaffected — their
+    * directories are never opened). The contract is therefore
+    * single-writer AND no new reads of the touched partitions during
+    * the maintenance window; a reader that resolved its file list
+    * before the swap keeps reading the old generation's data only until
+    * the delete lands. Deployments that need concurrent readers put a
+    * snapshotting table format or catalog in front (the swap itself is
+    * then a metadata commit); the crash marker below bounds the damage
+    * of a writer dying inside the window to "refuse further
+    * maintenance until recovered". */
   def upsert(spark: SparkSession, root: String, updates: DataFrame,
              keyCols: Seq[String], versionCol: String,
              partitionCols: Seq[String]): Unit = {
@@ -222,6 +249,16 @@ object Warehouse {
       s"upsert: batch columns ${u.columns.sorted.mkString(",")} must equal " +
         s"table columns ${existing.columns.sorted.mkString(",")} — a missing " +
         "column would silently narrow every rewritten partition")
+    // ...and TYPES, not just names: unionByName would coerce a drifted
+    // batch type (version INT vs table BIGINT, a re-typed payload) and
+    // silently rewrite every touched partition with changed column types
+    val drift = existing.schema.flatMap { f =>
+      val bt = u.schema(f.name).dataType
+      if (bt == f.dataType) None else Some(s"${f.name}: table ${f.dataType.sql} vs batch ${bt.sql}")
+    }
+    require(drift.isEmpty,
+      s"upsert: batch column types drifted from the table (${drift.mkString("; ")}) — " +
+        "implicit coercion would re-type every rewritten partition")
     val ordered = u.columns.toSeq // one canonical column order
     // total order: version, then batch-over-existing, then a full-row
     // content hash — duplicate (key, version) rows resolve identically
@@ -244,6 +281,20 @@ object Warehouse {
       s"upsert: $root has an unfinished upsert ($marker). Touched " +
         "partitions may be mid-swap: restore them from backup/upstream " +
         "(or verify their contents), then delete the marker")
+    // cross-refusal: an unfinished COMPACTION in any partition means that
+    // leaf may hold a doubled or partial generation — merging against it
+    // would bake the damage into the rewritten partition and delete the
+    // recovery trail. One namespace walk (metadata only, short-circuits
+    // on the first hit), the same listing cost compactPartitions pays.
+    val compacting = {
+      val s = Files.walk(Paths.get(root))
+      try s.filter(p =>
+          p.getFileName.toString == "_graft_compaction_inprogress")
+        .findFirst() finally s.close()
+    }
+    require(!compacting.isPresent,
+      s"upsert: $root has an unfinished compaction (${compacting.orElse(null)}) — " +
+        "recover that leaf per its marker before upserting")
     Files.write(marker,
       touched.map(_.toString).mkString("\n").getBytes("UTF-8"))
     merged

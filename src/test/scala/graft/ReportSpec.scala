@@ -89,10 +89,22 @@ class ReportSpec extends SparkSpec {
         "task1_rdd_analysis.png", "task2_dataframe_sql_analysis.png",
         "market_depth_analysis.png", "developer_genre_depth_analysis.png",
         "time_series_trend_analysis.png"))
+      val barRGB = new java.awt.Color(0x47, 0x6f, 0xb8).getRGB
       paths.foreach { p =>
         val img = ImageIO.read(new java.io.File(p))
         assert(img != null && img.getWidth == 1280 && img.getHeight == 960,
           s"$p must be a decodable 2x2 grid")
+        // all four panels are genuinely DRAWN, not just allocated: each
+        // quadrant must contain at least one bar-colored pixel (every
+        // g-catalog query is non-empty at this SF)
+        for (qx <- 0 to 1; qy <- 0 to 1) {
+          val found = (0 until 640 by 4).exists { dx =>
+            (0 until 480 by 4).exists { dy =>
+              img.getRGB(qx * 640 + dx, qy * 480 + dy) == barRGB
+            }
+          }
+          assert(found, s"$p quadrant ($qx,$qy) has no bars — empty panel")
+        }
       }
     } finally {
       import scala.reflect.io.Directory

@@ -222,6 +222,50 @@ class ScalePostureSpec extends SparkSpec {
     }
   }
 
+  test("maintenance ops refuse type drift and each other's crash markers") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_upsert_guards").toString
+    try {
+      val base = Seq((1L, "a", 1L, 2023), (2L, "b", 1L, 2024))
+        .toDF("id", "payload", "version", "year")
+      Warehouse.writePartitioned(base, root, Seq("year"))
+      // type drift: same column NAMES, re-typed version column — the
+      // coercion that would silently rewrite partitions must refuse
+      val drifted = Seq((1L, "a2", 2, 2023)).toDF("id", "payload", "version", "year")
+      val e1 = intercept[IllegalArgumentException](Warehouse.upsert(
+        spark, root, drifted, Seq("id"), "version", Seq("year")))
+      assert(e1.getMessage.contains("types drifted"), e1.getMessage)
+      // an unfinished COMPACTION in a leaf refuses upsert on the table
+      val cMarker = Paths.get(root, "year=2023", "_graft_compaction_inprogress")
+      Files.write(cMarker, "swap\nabcd1234".getBytes)
+      val batch = Seq((1L, "a2", 2L, 2023)).toDF("id", "payload", "version", "year")
+      val e2 = intercept[IllegalArgumentException](Warehouse.upsert(
+        spark, root, batch, Seq("id"), "version", Seq("year")))
+      assert(e2.getMessage.contains("unfinished compaction"), e2.getMessage)
+      Files.delete(cMarker)
+      // an unfinished UPSERT at the root refuses compaction of a leaf
+      // (compact climbs the name=value levels to find the table root)
+      // and of the whole layout
+      val uMarker = Paths.get(root, "_graft_upsert_inprogress")
+      Files.write(uMarker, "x".getBytes)
+      val e3 = intercept[IllegalArgumentException](
+        Warehouse.compact(spark, s"$root/year=2023"))
+      assert(e3.getMessage.contains("unfinished upsert"), e3.getMessage)
+      val e4 = intercept[IllegalArgumentException](
+        Warehouse.compactPartitions(spark, root))
+      assert(e4.getMessage.contains("unfinished upsert"), e4.getMessage)
+      Files.delete(uMarker)
+      // recovered: both ops work again
+      Warehouse.upsert(spark, root, batch, Seq("id"), "version", Seq("year"))
+      Warehouse.compactPartitions(spark, root)
+      assert(Warehouse.read(spark, root).filter($"id" === 1L)
+        .select($"payload").as[String].head() == "a2")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+    }
+  }
+
   test("compact collapses a fragmented directory without changing data") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
     try {
