@@ -38,6 +38,10 @@ NOTES = {
 }
 
 def main(*paths):
+    # zero args (or bench files with an empty queries map) must refuse,
+    # not rewrite the table to an empty '0 queries' row
+    if not paths:
+        sys.exit(__doc__)
     # min-merge; a failed repeat (-1) in one file must not clobber a
     # valid measurement from another — only all-failed stays -1
     qs = {}
@@ -50,6 +54,8 @@ def main(*paths):
                 qs[k] = v
             else:
                 qs[k] = min(prev, v)
+    if not qs:
+        sys.exit("refusing to rewrite BASELINE.md: no queries in the given files")
     failed = sorted(k for k, v in qs.items() if v < 0)
     if failed:
         sys.exit(f"refusing to rewrite BASELINE.md: {failed} failed in every run")

@@ -235,7 +235,11 @@ object Pipeline {
     * realized rates, hash-gated (DuckDB reproduces every per-document
     * keep decision through the same md5 arithmetic). */
   def p06SourceMix(spark: SparkSession, dir: String): DataFrame = {
-    val srcNum = regexp_extract(col("source"), "([0-9]+)", 1).cast("int")
+    // try_cast, mirrored by the oracle's TRY_CAST: a digitless source
+    // yields a null rate → row never kept, identically on both engines
+    // (a plain ANSI cast would THROW here and raise a conversion error
+    // in DuckDB — a latent engine divergence on drifted fixtures)
+    val srcNum = expr("try_cast(regexp_extract(source, '([0-9]+)', 1) AS int)")
     val rate = (srcNum % 4 + 1).cast("double") / lit(4.0)
     // ONE scan: kept and total counted side by side via the shared keep
     // expression (the oracle uses the identical one-pass shape)
@@ -259,7 +263,7 @@ object Pipeline {
       |         +    (strpos('0123456789abcdef',
       |                      substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1)
       |      AS INT) AS bucket,
-      |    (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4 + 1) / 4.0
+      |    (TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4 + 1) / 4.0
       |      AS rate
       |  FROM documents)
       |SELECT source, COUNT(*) AS n_docs,

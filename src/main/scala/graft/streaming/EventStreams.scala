@@ -295,6 +295,14 @@ object EventStreams {
     // IO of this bounded harness for zero parallelism benefit. Results
     // are partition-count-independent (pinned suite-wide); a production
     // deployment sizes this to the cluster instead.
+    // SEQUENTIAL-EXECUTION ASSUMPTION: this set/restore mutates the
+    // SHARED session's conf for the duration of the replay. A query
+    // launched concurrently on the same SparkSession would plan inside
+    // the 8-partition window — benign for correctness (every gate
+    // result is pinned partition-count-independent, swept in
+    // DeterminismSpec) but a perf surprise. The driver gate and the
+    // test suites both run queries sequentially; a concurrent caller
+    // should clone the session (`spark.newSession()`) first.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
