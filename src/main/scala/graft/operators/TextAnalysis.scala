@@ -416,10 +416,14 @@ object TextAnalysis {
     * smooth_idf) — no zero-division, unseen-term-safe.
     *
     * Rank per doc under (score DESC, term) — the term tiebreaker makes
-    * the output deterministic across partitionings. Rows-only gate: two
-    * engines' `ln` can differ in the last ulp, which could flip ranks
-    * of mathematically-equal scores, so the semantics are pinned in
-    * ScalaTest (hand-computed fixture) instead of the DuckDB hash. */
+    * the output deterministic across partitionings. Hash gate via
+    * PINNED ROUNDING: the idf factor is rounded to 6 decimals before
+    * the tf multiply, so two engines whose `ln` differs in the last ulp
+    * still rank identically — the comparison operates on tf (exact
+    * integer) × a 6-decimal idf, both IEEE-identical across engines
+    * (idf ≥ 1 > 0, so Spark HALF_UP and DuckDB round-half-away agree).
+    * 1e-6 is far coarser than the ~1e-16 cross-engine `ln` disagreement
+    * and far finer than any real idf gap at these corpus sizes. */
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
@@ -432,8 +436,8 @@ object TextAnalysis {
     tf.join(df, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("score", col("tf") *
-        (log((col("__n") + 1).cast(DoubleType) / (col("df") + 1).cast(DoubleType))
-          + lit(1.0)))
+        round(log((col("__n") + 1).cast(DoubleType) / (col("df") + 1).cast(DoubleType))
+          + lit(1.0), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("doc_id"), col("rk").cast(IntegerType).as("rk"),
@@ -446,6 +450,29 @@ object TextAnalysis {
     tfidfTopTerms(Tables.documents(spark, dir), 3)
       .filter(col("doc_id") < 50)
       .orderBy(col("doc_id"), col("rk"))
+
+  /** The DuckDB twin of t11 — same smoothed TF-IDF with the identical
+    * round(ln(..)+1, 6) pin, ranked by the identical (score DESC, term)
+    * window. */
+  val t11Sql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, token AS term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents) t
+      |  GROUP BY doc_id, token),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |ranked AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY
+      |      tf.tf * ROUND(LN(CAST(n.n + 1 AS DOUBLE)
+      |                       / CAST(df.df + 1 AS DOUBLE)) + 1.0, 6) DESC,
+      |      tf.term) AS rk
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, df
+      |FROM ranked
+      |WHERE rk <= 3 AND doc_id < 50
+      |ORDER BY doc_id, rk""".stripMargin
 
   /** Sequence packing: assign documents to fixed token-budget training
     * bins by GLOBAL cumulative token count under a deterministic order
@@ -714,5 +741,6 @@ object TextAnalysis {
     "t07_scrub"          -> t07Sql,
     "t08_repetition"     -> t08Sql,
     "t09_token_topk"     -> t09Sql,
+    "t11_tfidf_topterms" -> t11Sql,
   )
 }
