@@ -196,10 +196,12 @@ object Warehouse {
     *  2. existing ∪ batch resolve per key by (versionCol desc, batch
     *     over existing on ties) — a single window inside the touched
     *     slice;
-    *  3. the write uses dynamic partition overwrite: exactly the
-    *     partitions present in the merged frame are swapped, all
-    *     others are physically untouched (pinned by file-identity in
-    *     ScalePostureSpec).
+    *  3. the merged slice is STAGED to a sibling directory
+    *     (`<root>__upserting`, outside the table tree), then each
+    *     touched leaf flips into the live tree with two atomic
+    *     directory renames (live → `<leaf>__old`, staged → live); all
+    *     other partitions are physically untouched (pinned by
+    *     file-identity in ScalePostureSpec).
     *
     * Contract: partition column values are immutable per key — a key
     * that "moves" partitions would leave its old row behind (detecting
@@ -207,19 +209,21 @@ object Warehouse {
     * touched-partitions-only design; do a full rewrite for those).
     * Single-writer maintenance window, like [[compact]].
     *
-    * READ CONSISTENCY: dynamic partition overwrite deletes each touched
-    * directory before moving its staged replacement in, so a reader
-    * that LISTS a touched partition inside that window sees it empty or
-    * partial (readers of untouched partitions are unaffected — their
-    * directories are never opened). The contract is therefore
-    * single-writer AND no new reads of the touched partitions during
-    * the maintenance window; a reader that resolved its file list
-    * before the swap keeps reading the old generation's data only until
-    * the delete lands. Deployments that need concurrent readers put a
-    * snapshotting table format or catalog in front (the swap itself is
-    * then a metadata commit); the crash marker below bounds the damage
-    * of a writer dying inside the window to "refuse further
-    * maintenance until recovered". */
+    * READ CONSISTENCY: the merge and stage write happen entirely
+    * OUTSIDE the table root, so the reader-visible inconsistency window
+    * per touched partition is two directory renames (metadata ops) —
+    * not the delete-then-rewrite of dynamic partition overwrite, where
+    * a listing reader could see a partition empty for the whole write.
+    * A reader that resolved its file list before the flip keeps
+    * reading the old generation until `<leaf>__old` is deleted (same
+    * exposure as [[compact]]'s stamped-move swap); readers of untouched
+    * partitions never notice. The contract remains single-writer AND no
+    * new listings of a touched partition inside its two-rename flip;
+    * deployments needing fully concurrent readers put a snapshotting
+    * table format or catalog in front (the flip becomes a metadata
+    * commit). The crash marker bounds a writer dying mid-run to
+    * "refuse further maintenance until recovered", with per-phase
+    * mechanical recovery steps in the refusal message. */
   def upsert(spark: SparkSession, root: String, updates: DataFrame,
              keyCols: Seq[String], versionCol: String,
              partitionCols: Seq[String]): Unit = {
@@ -271,16 +275,28 @@ object Warehouse {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__src", "__rn")
-    // crash detection, same posture as compact: the dynamic-overwrite
-    // commit deletes each touched directory before renaming its staged
-    // replacement in, so a crash in that window loses the partition. A
-    // surviving marker makes the NEXT upsert refuse instead of silently
-    // rewriting the emptied partition from its batch alone.
+    // crash detection, same posture as compact: the marker records the
+    // phase so recovery is mechanical. phase=stage never touched the
+    // live tree; phase=swap strands at most one leaf between its two
+    // renames. A surviving marker makes the NEXT upsert refuse instead
+    // of silently merging against a half-flipped partition.
     val marker = Paths.get(root).resolve("_graft_upsert_inprogress")
-    require(!Files.exists(marker),
-      s"upsert: $root has an unfinished upsert ($marker). Touched " +
-        "partitions may be mid-swap: restore them from backup/upstream " +
-        "(or verify their contents), then delete the marker")
+    val staging = root.stripSuffix("/") + "__upserting"
+    require(!Files.exists(marker), {
+      val phase = new String(Files.readAllBytes(marker), "UTF-8")
+        .linesIterator.toSeq.headOption.getOrElse("")
+      val recovery = phase match {
+        case "stage" =>
+          s"it died while staging: the live table is fully intact — delete $staging and this marker, then re-run"
+        case "swap" =>
+          "it died mid-flip. For each leaf listed in the marker: if the live leaf exists and no <leaf>__old — that flip finished (or never started; its staged twin under " +
+            s"$staging then still holds the new generation, rename it in); if <leaf>__old exists beside a live leaf — the old generation was superseded, delete <leaf>__old; " +
+            s"if <leaf>__old exists and the live leaf is MISSING — rename the staged leaf (or <leaf>__old) back in. Then delete $staging and this marker"
+        case other =>
+          s"unrecognized marker phase '$other': verify the touched partitions against $staging and upstream, then delete the marker"
+      }
+      s"upsert: $root has an unfinished upsert ($marker) — $recovery"
+    })
     // cross-refusal: an unfinished COMPACTION in any partition means that
     // leaf may hold a doubled or partial generation — merging against it
     // would bake the damage into the rewritten partition and delete the
@@ -295,14 +311,45 @@ object Warehouse {
     require(!compacting.isPresent,
       s"upsert: $root has an unfinished compaction (${compacting.orElse(null)}) — " +
         "recover that leaf per its marker before upserting")
+    require(!Files.exists(Paths.get(staging)),
+      s"upsert: leftover staging directory $staging (a previous run's " +
+        "remains) — remove it first")
+    import scala.jdk.CollectionConverters._
+    def walk(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
     Files.write(marker,
-      touched.map(_.toString).mkString("\n").getBytes("UTF-8"))
+      ("stage\n" + touched.map(_.toString).mkString("\n")).getBytes("UTF-8"))
     merged
       .repartition(partitionCols.map(col): _*)
       .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
-      .parquet(root)
+      .parquet(staging)
+    // the staged slice's leaf dirs ARE the touched partitions, carrying
+    // Spark's own hive escaping (null → __HIVE_DEFAULT_PARTITION__,
+    // %-encoded specials) — discovered from the write, never
+    // reconstructed by hand-escaping values
+    val stagingPath = Paths.get(staging)
+    val stagedLeaves = walk(stagingPath).filter { p =>
+      Files.isDirectory(p) && p.getFileName.toString.contains("=") && {
+        val s = Files.list(p)
+        try s.iterator().asScala.exists(Files.isRegularFile(_)) finally s.close()
+      }
+    }
+    Files.write(marker, ("swap\n" + stagedLeaves
+      .map(stagingPath.relativize(_).toString).sorted.mkString("\n"))
+      .getBytes("UTF-8"))
+    stagedLeaves.foreach { sl =>
+      val live = Paths.get(root).resolve(stagingPath.relativize(sl))
+      val old = live.resolveSibling(live.getFileName.toString + "__old")
+      Files.createDirectories(live.getParent)
+      if (Files.exists(live))
+        Files.move(live, old, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Files.move(sl, live, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      if (Files.exists(old)) walk(old).reverse.foreach(Files.delete)
+    }
+    walk(stagingPath).reverse.foreach(Files.delete)
     Files.delete(marker)
   }
 

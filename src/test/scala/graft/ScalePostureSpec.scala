@@ -266,6 +266,51 @@ class ScalePostureSpec extends SparkSpec {
     }
   }
 
+  test("upsert stages outside the root, flips clean, and refuses phase-aware") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_upsert_stage").toString
+    try {
+      val base = Seq((1L, "a", 1L, 2023), (2L, "b", 1L, 2024))
+        .toDF("id", "payload", "version", "year")
+      Warehouse.writePartitioned(base, root, Seq("year"))
+      val batch = Seq((2L, "b2", 2L, 2024)).toDF("id", "payload", "version", "year")
+      // a leftover staging dir (previous recovery's remains) refuses
+      val staging = Paths.get(root + "__upserting")
+      Files.createDirectories(staging)
+      val e1 = intercept[IllegalArgumentException](Warehouse.upsert(
+        spark, root, batch, Seq("id"), "version", Seq("year")))
+      assert(e1.getMessage.contains("leftover staging"), e1.getMessage)
+      Files.delete(staging)
+      // phase-aware refusals: stage = live intact; swap = mid-flip steps
+      val marker = Paths.get(root, "_graft_upsert_inprogress")
+      Files.write(marker, "stage\n[2024]".getBytes)
+      val e2 = intercept[IllegalArgumentException](Warehouse.upsert(
+        spark, root, batch, Seq("id"), "version", Seq("year")))
+      assert(e2.getMessage.contains("fully intact"), e2.getMessage)
+      Files.write(marker, "swap\nyear=2024".getBytes)
+      val e3 = intercept[IllegalArgumentException](Warehouse.upsert(
+        spark, root, batch, Seq("id"), "version", Seq("year")))
+      assert(e3.getMessage.contains("mid-flip"), e3.getMessage)
+      Files.delete(marker)
+      // a clean run leaves no staging dir, no marker, no __old leaves
+      Warehouse.upsert(spark, root, batch, Seq("id"), "version", Seq("year"))
+      assert(!Files.exists(staging) && !Files.exists(marker))
+      val leftovers = {
+        val s = Files.walk(Paths.get(root))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(_.getFileName.toString.contains("__old")).toSeq
+        } finally s.close()
+      }
+      assert(leftovers.isEmpty, s"stranded __old dirs: $leftovers")
+      assert(Warehouse.read(spark, root).filter($"id" === 2L)
+        .select($"payload").as[String].head() == "b2")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+    }
+  }
+
   test("compact collapses a fragmented directory without changing data") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
     try {
