@@ -228,7 +228,7 @@ object Dedup {
     * `limit` — exactly the boilerplate blobs a dedup pass wants to
     * handle by cluster-level policy rather than pairwise enumeration.
     * Set the cap above the expected organic cluster size. */
-  private def capBuckets(buckets: DataFrame, maxBucketSize: Option[Long]): DataFrame =
+  private[graft] def capBuckets(buckets: DataFrame, maxBucketSize: Option[Long]): DataFrame =
     maxBucketSize match {
       case None => buckets
       case Some(limit) =>
@@ -266,6 +266,25 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
   }
+
+  /** (doc_id, band, bucket) LSH index rows for `docs` — the PERSISTABLE
+    * per-document unit of the streaming ingest dedup
+    * ([[graft.streaming.IngestDedup]]): a new batch signs only its own
+    * documents and discovers candidates by equality-join against the
+    * stored rows, so per-batch cost is O(batch + candidates), never
+    * O(corpus). At 100 TB the store is bucketed by `bucket` so the
+    * candidate join is bucket-pruned. */
+  def bucketIndex(docs: DataFrame, p: MinHashParams = MinHashParams(),
+                  n: Int = 3): DataFrame =
+    bandBuckets(signatures(docs, p, n), p)
+
+  /** Exact-Jaccard verification of (id_a, id_b) candidate pairs against
+    * document text — public facade over [[verifyCandidates]] for the
+    * streaming ingest path (only docs appearing in a candidate are
+    * re-shingled). */
+  def verifyPairs(cand: DataFrame, docs: DataFrame, threshold: Double,
+                  n: Int = 3): DataFrame =
+    verifyCandidates(cand, docs, threshold, n)
 
   /** MinHash-LSH near-dup pairs with exact Jaccard verification of the
     * candidates (array_intersect on the collected shingle sets — cheap

@@ -352,6 +352,9 @@ object EventQueries {
     // the fMGWS custom-state store: hand-rolled state restored across
     // micro-batch boundaries, settled profile vs a plain batch GROUP BY
     "v17_streamed_profiles"    -> graft.streaming.EventStreams.v17StreamedProfiles _,
+    // warehouse-as-state streaming ingest dedup over documents: parquet
+    // LSH index carried across micro-batches AND a checkpointed restart
+    "v18_streamed_ingest_dedup" -> graft.streaming.IngestDedup.v18StreamedIngestDedup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -369,5 +372,6 @@ object EventQueries {
     "v15_filesource_tumbling" -> v01Sql,
     "v16_streamed_attribution" -> v07Sql,
     "v17_streamed_profiles"   -> v17Sql,
+    "v18_streamed_ingest_dedup" -> graft.streaming.IngestDedup.v18Sql,
   )
 }

@@ -1,0 +1,202 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.Dedup
+import graft.operators.Dedup.MinHashParams
+
+/** Streaming ingest deduplication — the continuous-corpus twin of the
+  * batch [[graft.operators.Dedup.incrementalPairs]]: documents arrive
+  * as micro-batches, and a document LANDS only if no smaller-id
+  * document seen so far is a near-duplicate (shingle-Jaccard ≥
+  * threshold). Min-id-wins is the policy of every "first occurrence
+  * wins" training-data pipeline; rejected documents still become dup
+  * AUTHORITIES (a doc similar only to an already-rejected doc is also
+  * rejected — boilerplate families stay suppressed without transitive
+  * closure bookkeeping).
+  *
+  * State is NOT a Spark state store — it is two append-only parquet
+  * tables the sink maintains itself (the warehouse-as-state pattern):
+  *  - `index/buckets`: (doc_id, band, bucket) LSH rows of every doc
+  *    ever seen ([[Dedup.bucketIndex]]) — the candidate-join side;
+  *  - `index/text`:    (doc_id, text) — fetched only for candidate
+  *    verification.
+  *
+  * Scale posture (100 TB): each micro-batch signs ONLY its own
+  * documents (one signature pass over the batch), discovers candidates
+  * by an equality join of its bucket rows against the stored index, and
+  * exact-verifies just the candidates — per-batch cost is
+  * O(batch + candidates), never O(corpus). The index grows with the
+  * corpus but is only ever equi-joined (production stores it bucketed
+  * by `bucket`, and the text store bucketed by `doc_id`, so both joins
+  * are bucket-pruned); degenerate boilerplate buckets are bounded by
+  * the same hot-bucket cap as the batch path (`maxBucketSize`,
+  * d11-gate-proven). Both landings partition by `batch_id` and use
+  * dynamic partition overwrite, so a retried micro-batch overwrites its
+  * own partition instead of duplicating it (exactly-once, the
+  * [[EventStreams.sinkToWarehouse]] pattern), and the index read
+  * excludes the current batch id so a retry never pairs a document with
+  * its own first attempt.
+  *
+  * Arrival contract: doc_id is the ingest sequence number — batches
+  * arrive in ascending doc_id ranges (the gate stages slices in order).
+  * The authority condition is `authority.doc_id < new.doc_id` on BOTH
+  * the seen side and the within-batch side, so the survivor set is
+  * exactly "docs with no smaller-id near-dup among all docs", which the
+  * batch oracle expresses as one anti-join over the exact all-pairs set
+  * (no recursion): LSH discoverability of a pair depends only on the
+  * two signatures, not on batching, so the streamed answer equals the
+  * exact oracle whenever the batch LSH does (d03/d10's recall
+  * argument). */
+object IngestDedup {
+
+  /** The documents wire schema (matches `documents.parquet`). */
+  val docsSchemaDdl: String =
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+  /** Unbounded file-source reader for a documents directory: new
+    * parquet files become micro-batches; `maxFilesPerTrigger` bounds
+    * batch size so one backlog file cannot blow executor memory. */
+  def readDocs(spark: SparkSession, dir: String,
+               maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(StructType.fromDDL(docsSchemaDdl))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  private def readStateOrEmpty(spark: SparkSession, dir: String,
+                               schemaDdl: String, beforeBatch: Long): DataFrame =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+      spark.read.parquet(dir).filter(col("batch_id") < beforeBatch)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType.fromDDL(schemaDdl + ", batch_id BIGINT"))
+
+  private[graft] def landPartitioned(df: DataFrame, id: Long, dir: String): Unit =
+    df.withColumn("batch_id", lit(id))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(dir)
+
+  /** Start the deduplicating ingest: survivors land under `outDir`,
+    * the seen-docs index under `indexDir` (both batch_id-partitioned,
+    * see class doc for the exactly-once argument). */
+  def dedupingSink(streamed: DataFrame, outDir: String, indexDir: String,
+                   checkpointDir: String, threshold: Double = 0.8,
+                   p: MinHashParams = MinHashParams(), n: Int = 3,
+                   maxBucketSize: Option[Long] = None): StreamingQuery =
+    streamed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        val spark = batch.sparkSession
+        val docs = batch.select(col("doc_id"), col("text"))
+        // one signature pass over the BATCH only; three consumers
+        // (candidate probe, within-batch authority side, index landing)
+        // — materialize once
+        val mine = Dedup.bucketIndex(docs, p, n).localCheckpoint(true)
+        val seenBuckets = readStateOrEmpty(spark, s"$indexDir/buckets",
+          "doc_id BIGINT, band INT, bucket BIGINT", id)
+          .select(col("doc_id"), col("band"), col("bucket"))
+        val seenText = readStateOrEmpty(spark, s"$indexDir/text",
+          "doc_id BIGINT, text STRING", id)
+          .select(col("doc_id"), col("text"))
+        // authorities: any smaller-id doc — seen in an earlier batch or
+        // earlier in this one. The hot-bucket cap (when engaged) counts
+        // populations over the COMBINED frame, exactly the batch path's
+        // accounting.
+        val authorities = Dedup.capBuckets(
+          seenBuckets.unionByName(mine), maxBucketSize)
+        val cand = mine.as("a")
+          .join(authorities.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("b.doc_id") < col("a.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        val rejected = Dedup.verifyPairs(cand,
+            docs.unionByName(seenText), threshold, n)
+          .select(col("id_a").as("doc_id")).distinct()
+        landPartitioned(batch.join(rejected, Seq("doc_id"), "left_anti"),
+          id, outDir)
+        // the index lands LAST and includes every batch doc (rejected
+        // docs are authorities too); written after the candidate read,
+        // and the read excludes batch_id = id, so a retry is safe
+        landPartitioned(mine, id, s"$indexDir/buckets")
+        landPartitioned(docs, id, s"$indexDir/text")
+        ()
+      }
+      .start()
+
+  /** v18 — the streaming ingest dedup end to end, hash-gated against
+    * the exact batch oracle: the documents table is staged as three
+    * ascending doc_id slices, streamed one file per micro-batch through
+    * [[dedupingSink]], STOPPED after two slices (crash stand-in) and
+    * restarted from the checkpoint — the parquet-persisted index must
+    * carry the seen-docs state across the restart (no state store
+    * involved). The landed survivor set must equal "documents with no
+    * smaller-id near-dup at Jaccard ≥ 0.8 among ALL documents". */
+  def v18StreamedIngestDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_v18").toString
+    try {
+      val (src, out, idx, ckpt) =
+        (s"$base/src", s"$base/out", s"$base/idx", s"$base/ckpt")
+      val docs = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      // slice bounds from the data (one tiny driver action), like d10
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val (c1, c2) = (maxId / 3, 2 * maxId / 3)
+      def stage(part: DataFrame): Unit =
+        part.coalesce(1).write.mode("append").parquet(src)
+      stage(docs.filter(col("doc_id") <= lit(c1)))
+      stage(docs.filter(col("doc_id") > lit(c1) && col("doc_id") <= lit(c2)))
+      def start() = dedupingSink(readDocs(spark, src), out, idx, ckpt)
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      // the last slice arrives while the query is down
+      stage(docs.filter(col("doc_id") > lit(c2)))
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      spark.read.parquet(out)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint() // materialize before the staging is deleted
+    } finally {
+      val gone = new scala.reflect.io.Directory(new java.io.File(base))
+        .deleteRecursively()
+      if (!gone) System.err.println(s"[v18] temp staging not fully removed: $base")
+    }
+  }
+
+  /** Oracle: survivors = docs that never appear as the LARGER id of an
+    * exact all-pairs shingle-Jaccard ≥ 0.8 pair (the pair CTE is
+    * d02's). */
+  val v18Sql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         w[i.i] || ' ' || w[i.i+1] || ' ' || w[i.i+2] AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |        WHERE len(string_split(text, ' ')) >= 3)
+      |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) i
+      |  UNION ALL
+      |  SELECT doc_id, text AS shingle FROM documents
+      |  WHERE len(string_split(text, ' ')) < 3),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |rejected AS (
+      |  SELECT DISTINCT id_b FROM inter
+      |    JOIN sizes sa ON id_a = sa.doc_id
+      |    JOIN sizes sb ON id_b = sb.doc_id
+      |  WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.8)
+      |SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id NOT IN (SELECT id_b FROM rejected)
+      |ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.streaming.IngestDedup
+
+/** The streaming ingest dedup: first-wins (min-id) semantics across
+  * micro-batch AND restart boundaries, rejected-doc authority,
+  * idempotent landings. The gate (v18) separately pins the full-corpus
+  * answer against the exact all-pairs DuckDB oracle. */
+class IngestDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Drive the real file-source runtime over staged arrival slices;
+    * returns kept doc_ids. */
+  private def runIngest(batches: Seq[Seq[(Long, String)]]): Set[Long] = {
+    val base = java.nio.file.Files.createTempDirectory("graft_v18_spec").toString
+    try {
+      val (src, out, idx, ckpt) =
+        (s"$base/src", s"$base/out", s"$base/idx", s"$base/ckpt")
+      def frame(b: Seq[(Long, String)]): DataFrame =
+        b.toDF("doc_id", "text")
+          .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+          .withColumn("n_chars", length($"text").cast("long"))
+      // first two slices in run 1, the rest after a restart — every
+      // spec exercise crosses both a batch and a checkpoint boundary
+      val (before, after) = batches.splitAt(2 min batches.size)
+      before.foreach(b => frame(b).coalesce(1).write.mode("append").parquet(src))
+      def start() = IngestDedup.dedupingSink(
+        IngestDedup.readDocs(spark, src), out, idx, ckpt)
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      after.foreach(b => frame(b).coalesce(1).write.mode("append").parquet(src))
+      if (after.nonEmpty) {
+        val q2 = start()
+        try q2.processAllAvailable() finally q2.stop()
+      }
+      spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      ()
+    }
+  }
+
+  test("first-wins across batches, rejected docs still suppress, uniques survive") {
+    // 20-token base; +4-token extensions step the 3-gram Jaccard:
+    // d2 vs d1 = 18/22 ≈ 0.82 (≥0.8), d5 vs d2 = 22/26 ≈ 0.85 (≥0.8),
+    // d5 vs d1 = 18/26 ≈ 0.69 (<0.8) — a pure chain through a REJECTED doc
+    val d1 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d2 = d1 + " " + (21 to 24).map(i => s"w$i").mkString(" ")
+    val d5 = d2 + " " + (25 to 28).map(i => s"w$i").mkString(" ")
+    val uniqB = (1 to 20).map(i => s"b$i").mkString(" ")
+    val uniqC = (1 to 20).map(i => s"c$i").mkString(" ")
+    val kept = runIngest(Seq(
+      Seq(1L -> d1, 2L -> uniqB),
+      Seq(3L -> d2, 4L -> uniqC),       // 3 rejected vs 1 (cross-batch)
+      Seq(5L -> d5, 6L -> uniqB)))      // 5 rejected vs REJECTED 3 only
+                                        // (0.69 vs kept 1); 6 exact-dups 2
+                                        // across batches AND the restart
+    assert(kept == Set(1L, 2L, 4L), s"kept $kept")
+  }
+
+  test("streamed survivors equal the exact batch all-pairs answer on real docs") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val rejected = Dedup.jaccardPairs(docs, 0.8)
+      .select($"id_b").as[Long].collect().toSet
+    val expected = docs.select($"doc_id").as[Long].collect().toSet -- rejected
+    val batches = docs.as[(Long, String)].collect().sortBy(_._1)
+      .grouped((docs.count() / 3 + 1).toInt).map(_.toSeq).toSeq
+    assert(runIngest(batches) == expected)
+  }
+
+  test("landing the same batch id twice leaves one copy (retry idempotency)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_land").toString
+    try {
+      val df = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+      IngestDedup.landPartitioned(df, 0L, dir)
+      IngestDedup.landPartitioned(df, 0L, dir) // the retry
+      IngestDedup.landPartitioned(df, 1L, dir) // a later batch is additive
+      assert(spark.read.parquet(dir).count() == 4)
+      assert(spark.read.parquet(dir).filter($"batch_id" === 0L).count() == 2)
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+      ()
+    }
+  }
+}

@@ -151,6 +151,31 @@ class ScalePostureSpec extends SparkSpec {
     assert(!t13.contains("CartesianProduct"), "t13 must join on the shingle key")
   }
 
+  test("round-6 operators keep their promised plans (no cartesians)") {
+    // d13: every pair comes from the banded-LSH equi-join, never all-pairs
+    val d13 = graft.operators.Dedup.d13SemanticDedupLsh(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!d13.contains("CartesianProduct"),
+      "d13's pair stage must be the LSH band equi-join")
+    // t15: the cap must not change the join's keyed shape
+    val t15 = graft.operators.TextAnalysis.t15DecontaminationCapped(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!t15.contains("CartesianProduct"), "t15 must join on the shingle key")
+    // v18's candidate stage: batch buckets ⋈ index buckets is an
+    // equi-join on (band, bucket) — the id inequality must ride ON the
+    // keyed join as a post-condition, not degrade it to a cartesian
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val mine = graft.operators.Dedup.bucketIndex(docs)
+    val cand = mine.as("a").join(mine.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("b.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+    val v18 = cand.queryExecution.executedPlan.toString
+    assert(!v18.contains("CartesianProduct") && !v18.contains("BroadcastNestedLoop"),
+      "v18 candidate join must stay keyed on (band, bucket)")
+  }
+
   test("upsert rewrites only touched partitions, latest version per key wins") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
