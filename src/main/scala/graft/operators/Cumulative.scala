@@ -107,4 +107,63 @@ object Cumulative {
        (col("__rn_loc") + coalesce(col("__ocnt"), lit(0L))).cast("int")))
       .drop("__pid", "__cum_loc", "__rn_loc", "__osum", "__ocnt")
   }
+
+  /** Adds `rankName` (1-based row_number within each `groupCols` group
+    * under `sortCols`) and `totName` (the group's row count) — the
+    * GROUPED generalization of [[withCumsumAndRank]], for when the
+    * groups themselves can be huge: `Window.partitionBy(group)` moves
+    * every row of a group to ONE task, so a billion-document stratum
+    * serializes; here the range partitioner splits on
+    * (group, sortCols), each partition ranks its contiguous slice
+    * locally, and a (partition × group)-sized summary supplies each
+    * slice's per-group offset and each group's total. Within-group
+    * `sortCols` must totally order rows of that group; `groupCols` must
+    * be simple named columns with NON-NULL values (the offset/total
+    * joins are name-keyed equality joins). */
+  def withGroupedRank(df: DataFrame, groupCols: Seq[Column],
+                      sortCols: Seq[Column], rankName: String,
+                      totName: String,
+                      numPartitions: Int = 0): DataFrame = {
+    val p =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ownCache =
+      df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val in = if (ownCache) df.persist(lvl) else df
+    // group-first range order: a partition holds contiguous runs of at
+    // most a few groups, and a huge group spans MANY partitions
+    val order = groupCols ++ sortCols
+    val parted = in
+      .repartitionByRange(p, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    if (ownCache) in.unpersist(blocking = false)
+    val wLoc = Window.partitionBy(col("__pid") +: groupCols: _*)
+      .orderBy(sortCols: _*)
+    val local = parted.withColumn("__rn_loc", row_number().over(wLoc))
+    // (pid, group) summary — partition-count × groups-per-partition
+    // rows, tiny next to the data
+    val parts = parted.groupBy(col("__pid") +: groupCols: _*)
+      .agg(count(lit(1)).as("__pcnt"))
+      .localCheckpoint(true) // three consumers below
+    val gkeys = groupCols.map(_.toString)
+    val preds = parts.select(
+      col("__pid").as("__bpid") +: col("__pcnt").as("__bpcnt") +:
+        gkeys.map(k => col(k).as(s"__g_$k")): _*)
+    // per-(pid, group) offset: same group's counts in earlier partitions
+    val offs = parts.join(preds,
+        gkeys.map(k => col(k) <=> col(s"__g_$k")).reduce(_ && _) &&
+          col("__bpid") < col("__pid"), "left")
+      .groupBy(col("__pid") +: gkeys.map(col): _*)
+      .agg(sum(col("__bpcnt")).as("__ocnt"))
+    val tots = parts.groupBy(gkeys.map(col): _*)
+      .agg(sum(col("__pcnt")).as(totName))
+    local
+      .join(broadcast(offs), Seq("__pid") ++ gkeys)
+      .join(broadcast(tots), gkeys)
+      .withColumn(rankName,
+        (col("__rn_loc") + coalesce(col("__ocnt"), lit(0L))).cast("long"))
+      .drop("__pid", "__rn_loc", "__ocnt")
+  }
 }

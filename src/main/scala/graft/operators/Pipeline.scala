@@ -330,11 +330,64 @@ object Pipeline {
       |FROM r
       |ORDER BY doc_id""".stripMargin
 
+  /** THE deterministic stratification key: md5 over a "strat:"-prefixed
+    * doc id — its own key space, independent of [[md5Bucket]] (split/
+    * mix) and [[shuffleKey]] (order), same single-owner rule: p08 and
+    * its oracle mirror this formula, change both or neither. */
+  def stratKey(idCol: Column): Column =
+    md5(concat(lit("strat:"), idCol.cast("string")))
+
+  /** Per-stratum holdout with EXACT quotas: within every stratum
+    * (source), rank documents by [[stratKey]] and take the first
+    * ⌊n/10⌋ as validation — each stratum contributes precisely its
+    * 10%, unlike a Bernoulli split whose per-stratum fraction wobbles
+    * (and whose small strata can land 0 or 2× held-out docs). The
+    * quota compare is integer (`rank*10 <= n`), so both engines decide
+    * every document identically — no float ceil at the boundary.
+    *
+    * Scale: strata are domains — a web crawl's biggest domain is
+    * billions of documents, so `Window.partitionBy(source)` (one task
+    * per stratum) is the classic skew trap. The rank rides
+    * [[Cumulative.withGroupedRank]]: range-partition on
+    * (source, key) → per-partition local ranks → broadcast per-group
+    * prefix offsets — a giant stratum spans many partitions and every
+    * task holds a bounded slice. */
+  def stratifiedSplit(docs: DataFrame): DataFrame =
+    Cumulative.withGroupedRank(
+        docs.select(col("doc_id"), col("source"),
+          stratKey(col("doc_id")).as("__sk")),
+        Seq(col("source")), Seq(col("__sk"), col("doc_id")),
+        rankName = "strat_rank", totName = "__n")
+      .withColumn("split",
+        when(col("strat_rank") * lit(10L) <= col("__n"), lit("val"))
+          .otherwise(lit("train")))
+      .select(col("doc_id"), col("source"), col("strat_rank"), col("split"))
+
+  /** p08 — the per-source 90/10 stratified split. Hash-gated: DuckDB
+    * reproduces the identical md5 order, so every per-document
+    * (rank, split) assignment is pinned, not just the quotas. */
+  def p08StratifiedSplit(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSplit(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
+
+  val p08Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM documents)
+      |SELECT doc_id, source, rnk AS strat_rank,
+      |  CASE WHEN rnk * 10 <= n THEN 'val' ELSE 'train' END AS split
+      |FROM r
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p02_pipeline_funnel" -> p02PipelineFunnel _,
     "p04_hash_split"      -> p04HashSplit _,
     "p06_source_mix"      -> p06SourceMix _,
     "p07_shuffle_shards"  -> p07ShuffleShards _,
+    "p08_stratified_split" -> p08StratifiedSplit _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -342,5 +395,6 @@ object Pipeline {
     "p04_hash_split"      -> p04Sql,
     "p06_source_mix"      -> p06Sql,
     "p07_shuffle_shards"  -> p07Sql,
+    "p08_stratified_split" -> p08Sql,
   )
 }

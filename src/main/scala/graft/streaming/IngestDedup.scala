@@ -156,12 +156,21 @@ object IngestDedup {
       stage(docs.filter(col("doc_id") <= lit(c1)))
       stage(docs.filter(col("doc_id") > lit(c1) && col("doc_id") <= lit(c2)))
       def start() = dedupingSink(readDocs(spark, src), out, idx, ckpt)
-      val q1 = start()
-      try q1.processAllAvailable() finally q1.stop()
-      // the last slice arrives while the query is down
-      stage(docs.filter(col("doc_id") > lit(c2)))
-      val q2 = start()
-      try q2.processAllAvailable() finally q2.stop()
+      // 8 shuffle partitions for the replay, the v12–v17 rationale: the
+      // per-batch joins move kilobytes, so 32-way exchanges are pure
+      // task overhead ×3 batches. Results are partition-count-
+      // independent (width-swept suite-wide); same sequential-execution
+      // contract as replayThroughRuntime.
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q1 = start()
+        try q1.processAllAvailable() finally q1.stop()
+        // the last slice arrives while the query is down
+        stage(docs.filter(col("doc_id") > lit(c2)))
+        val q2 = start()
+        try q2.processAllAvailable() finally q2.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.read.parquet(out)
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))

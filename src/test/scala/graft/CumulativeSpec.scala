@@ -78,4 +78,30 @@ class CumulativeSpec extends SparkSpec {
     assert(windows.forall(_.partitionSpec.nonEmpty),
       "every WindowExec must have a partition spec")
   }
+
+  test("grouped rank equals the one-phase partitioned window, groups straddling partitions") {
+    // 3 groups × ~170 rows over 7 range partitions — every group spans
+    // several partition boundaries, so the prefix offsets do real work
+    val df = spark.range(500)
+      .select($"id", concat(lit("g"), ($"id" % 3).cast("string")).as("g"),
+        md5($"id".cast("string")).as("k"))
+    val w = Window.partitionBy($"g").orderBy($"k", $"id")
+    val onePhase = df
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"g")))
+      .select($"id", $"rk", $"n")
+    val twoPhase = Cumulative
+      .withGroupedRank(df, Seq($"g"), Seq($"k", $"id"), "rk", "n",
+        numPartitions = 7)
+      .select($"id", $"rk", $"n")
+    assert(twoPhase.exceptAll(onePhase).count() == 0)
+    assert(onePhase.exceptAll(twoPhase).count() == 0)
+    // every local window is keyed by (partition id, group) — never one
+    // task per group
+    import org.apache.spark.sql.execution.window.WindowExec
+    val windows = twoPhase.queryExecution.sparkPlan
+      .collect { case win: WindowExec => win }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.size >= 2),
+      "grouped rank must window on (__pid, group), not the group alone")
+  }
 }

@@ -44,4 +44,12 @@ class DeterminismSpec extends SparkSpec {
   test("round-4/5 queries digest identically under different shuffle widths") {
     pinWidths(roundFive)
   }
+
+  private val roundSix = Seq(
+    "d13_semantic_dedup_lsh", "t15_decontamination_capped",
+    "p08_stratified_split")
+
+  test("round-6 queries digest identically under different shuffle widths") {
+    pinWidths(roundSix)
+  }
 }

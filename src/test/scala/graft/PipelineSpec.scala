@@ -73,6 +73,27 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSet == ref.toSet)
   }
 
+  test("p08 stratified split: exact floor(n/10) quota per source, total coverage") {
+    import org.apache.spark.sql.functions._
+    val out = Pipeline.p08StratifiedSplit(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    assert(out.count() == docs.count(), "every document assigned once")
+    val quotas = out.groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        count(when($"split" === "val", 1)).as("n_val"))
+      .as[(String, Long, Long)].collect()
+    assert(quotas.nonEmpty)
+    quotas.foreach { case (src, n, nVal) =>
+      assert(nVal == n / 10, s"$src: $nVal val of $n docs — quota must be exact")
+    }
+    // ranks are a clean 1..n permutation within each stratum
+    val badRank = out.groupBy($"source")
+      .agg(count(lit(1)).as("n"), max($"strat_rank").as("mx"),
+        countDistinct($"strat_rank").as("d"))
+      .filter($"mx" =!= $"n" || $"d" =!= $"n").count()
+    assert(badRank == 0, "strat_rank must be a 1..n permutation per source")
+  }
+
   test("hashMix: rate 1 keeps all, 0 keeps none, 205/256 IS the train split") {
     import org.apache.spark.sql.functions.lit
     val docs = Tables.documents(spark, sf)
