@@ -30,7 +30,8 @@ object SparkEntry {
       operators.Sketches.queries ++
       operators.Layout.queries ++
       operators.RangeJoin.queries ++
-      operators.Profile.queries
+      operators.Profile.queries ++
+      sources.Warehouse.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +48,6 @@ object SparkEntry {
       operators.Sketches.oracles ++
       operators.Layout.oracles ++
       operators.RangeJoin.oracles ++
-      operators.Profile.oracles
+      operators.Profile.oracles ++
+      sources.Warehouse.oracles
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Partitioned parquet serving layer — the engine's write path
@@ -352,6 +352,100 @@ object Warehouse {
     walk(stagingPath).reverse.foreach(Files.delete)
     Files.delete(marker)
   }
+
+  // ---------------------------------------------------------------------------
+  // Incremental aggregate refresh (materialized-view maintenance)
+  // ---------------------------------------------------------------------------
+
+  /** Recompute the pre-aggregate rows of `touched` partition values
+    * ONLY and swap them into the agg table — the incremental
+    * materialized-view maintenance every reporting warehouse hand-rolls:
+    * after an upsert touches a few partitions, the per-partition
+    * aggregate is stale exactly there, and a full recompute re-scans
+    * the other 99.99% of a 100 TB table for nothing. The slice read is
+    * statically partition-pruned (`partCol IN touched` against the
+    * partition directory column), so the refresh job's scan is
+    * proportional to the touched data; the agg write swaps only the
+    * touched rows' partitions (dynamic overwrite — the agg table is
+    * partition-keyed, one directory per partition value).
+    *
+    * Correctness contract: aggregates must be per-partition-local
+    * (grouping on `partCol`) — each partition's agg row depends only on
+    * that partition's rows, so refreshing touched partitions alone
+    * equals the full recompute (pinned in ScalePostureSpec, and the w01
+    * gate's oracle IS the full recompute). */
+  def refreshAgg(spark: SparkSession, tableRoot: String, aggRoot: String,
+                 partCol: String, touched: Seq[Any],
+                 aggs: Seq[Column]): Unit =
+    read(spark, tableRoot)
+      .filter(col(partCol).isin(touched: _*))
+      .groupBy(col(partCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(aggRoot)
+
+  /** w01 — the maintenance cycle end to end, hash-gated: land orders
+    * partitioned by year with a per-year pre-aggregate; a deterministic
+    * update batch (latest year, every 7th order key, re-priced 2×)
+    * upserts in; the aggregate refreshes ONLY the touched year. The
+    * final agg table must equal the full recompute over the updated
+    * data — which is exactly what the DuckDB oracle computes from the
+    * fixture. */
+  def w01IncrementalAggRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, year}
+    val base = java.nio.file.Files.createTempDirectory("graft_w01").toString
+    try {
+      val (root, aggRoot) = (s"$base/orders", s"$base/orders_by_year")
+      val orders = graft.Tables.orders(spark, dir)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .withColumn("version", lit(1L))
+      writePartitioned(orders, root, Seq("o_year"))
+      val aggSpec = Seq(
+        count(lit(1)).as("n_orders"),
+        graft.functions.DecimalSums.dsum(col("o_totalprice")).as("revenue"))
+      val years = orders.select(col("o_year")).distinct()
+        .collect().map(_.getInt(0)).toSeq // bounded: one value per year
+      refreshAgg(spark, root, aggRoot, "o_year", years, aggSpec)
+      val maxYear = years.max
+      val batch = orders
+        .filter(col("o_year") === lit(maxYear) && col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("version", lit(2L))
+      upsert(spark, root, batch, Seq("o_orderkey"), "version", Seq("o_year"))
+      refreshAgg(spark, root, aggRoot, "o_year", Seq(maxYear), aggSpec)
+      read(spark, aggRoot)
+        .select(col("o_year"), col("n_orders"), col("revenue"))
+        .orderBy(col("o_year"))
+        .localCheckpoint() // materialize before the staging is deleted
+    } finally {
+      val gone = new scala.reflect.io.Directory(new java.io.File(base))
+        .deleteRecursively()
+      if (!gone) System.err.println(s"[w01] temp dir not fully removed: $base")
+    }
+  }
+
+  /** Oracle: the FULL recompute over the updated fixture — the gate
+    * passes only if the incremental path loses nothing. */
+  val w01Sql: String = {
+    val dsum = graft.functions.DecimalSums.sqlDsum("price")
+    s"""WITH o AS (
+       |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       |    CASE WHEN year(o_orderdate) =
+       |             (SELECT MAX(year(o_orderdate)) FROM orders)
+       |           AND o_orderkey % 7 = 0
+       |         THEN o_totalprice * 2 ELSE o_totalprice END AS price
+       |  FROM orders)
+       |SELECT o_year, COUNT(*) AS n_orders, $dsum AS revenue
+       |FROM o GROUP BY o_year ORDER BY o_year""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w01_incremental_agg" -> w01IncrementalAggRefresh _)
+
+  val oracles: Map[String, String] = Map(
+    "w01_incremental_agg" -> w01Sql)
 
   /** Bucketed + sorted table write — the co-located-join layout.
     * Two tables bucketed on their join key with the SAME bucket count

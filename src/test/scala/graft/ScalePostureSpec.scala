@@ -336,6 +336,51 @@ class ScalePostureSpec extends SparkSpec {
     }
   }
 
+  test("refreshAgg touches only stale partitions and equals the full recompute") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val base = Files.createTempDirectory("graft_refresh").toString
+    try {
+      val (root, agg) = (s"$base/t", s"$base/t_agg")
+      val data = Seq(
+        (1L, 10.0, 1L, 2023), (2L, 20.0, 1L, 2023),
+        (3L, 30.0, 1L, 2024), (4L, 40.0, 1L, 2024))
+        .toDF("id", "v", "version", "year")
+      Warehouse.writePartitioned(data, root, Seq("year"))
+      val aggSpec = Seq(count(lit(1)).as("n"),
+        graft.functions.DecimalSums.dsum($"v").as("sv"))
+      Warehouse.refreshAgg(spark, root, agg, "year", Seq(2023, 2024), aggSpec)
+      def filesOf(part: String) = {
+        val s = Files.list(Paths.get(s"$agg/$part"))
+        try s.iterator().asScala.map(p =>
+          (p.getFileName.toString, Files.getLastModifiedTime(p)))
+          .toSet
+        finally s.close()
+      }
+      val before2023 = filesOf("year=2023")
+      // an update lands in 2024 only; refresh only that year
+      Warehouse.upsert(spark, root,
+        Seq((4L, 400.0, 2L, 2024)).toDF("id", "v", "version", "year"),
+        Seq("id"), "version", Seq("year"))
+      Warehouse.refreshAgg(spark, root, agg, "year", Seq(2024), aggSpec)
+      assert(filesOf("year=2023") == before2023,
+        "untouched partition's agg files must be physically untouched")
+      // the incremental result equals the full recompute
+      val full = Warehouse.read(spark, root)
+        .groupBy($"year").agg(aggSpec.head, aggSpec.tail: _*)
+        .select($"year", $"n", $"sv")
+      val inc = Warehouse.read(spark, agg).select($"year", $"n", $"sv")
+      assert(inc.exceptAll(full).count() == 0 && full.exceptAll(inc).count() == 0)
+      // and the refresh scan is statically pruned to the touched year
+      val scan = Warehouse.read(spark, root).filter($"year" === 2024)
+        .queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters"), scan)
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      ()
+    }
+  }
+
   test("compact collapses a fragmented directory without changing data") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
     try {
