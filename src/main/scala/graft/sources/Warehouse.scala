@@ -441,11 +441,109 @@ object Warehouse {
        |FROM o GROUP BY o_year ORDER BY o_year""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // Snapshot diff (CDC read between two generations)
+  // ---------------------------------------------------------------------------
+
+  /** Per-key diff of two snapshots of a keyed table: one full-outer
+    * join on the key, each row classified `added` (key only in `neu`),
+    * `removed` (only in `old`), `changed` (present in both, any
+    * `compareCols` value differs — null-safe), or `unchanged`. Returns
+    * the key columns, the status, and old_/new_-prefixed compare
+    * columns, so downstream can aggregate deltas without re-joining.
+    *
+    * Scale: ONE shuffle per side on the key (the join), no collect —
+    * this is the change-data-capture read every warehouse without a
+    * log-backed table format hand-rolls; at 100 TB both sides prune to
+    * the partitions being compared and the join is the same
+    * sort-merge shape as the upsert's merge. */
+  def snapshotDiff(old: DataFrame, neu: DataFrame, keyCols: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, lit, when}
+    val oldP = old.select(
+      keyCols.map(col) ++ compareCols.map(c => col(c).as(s"old_$c")): _*)
+      .withColumn("__in_old", lit(true))
+    val neuP = neu.select(
+      keyCols.map(col) ++ compareCols.map(c => col(c).as(s"new_$c")): _*)
+      .withColumn("__in_new", lit(true))
+    val differs = compareCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    oldP.join(neuP, keyCols, "full_outer")
+      .withColumn("status",
+        when(coalesce(col("__in_old"), lit(false)) === false, lit("added"))
+          .when(coalesce(col("__in_new"), lit(false)) === false, lit("removed"))
+          .when(differs, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .drop("__in_old", "__in_new")
+  }
+
+  /** w02 — the CDC read, hash-gated: a second orders generation is
+    * derived by rule (every 11th key removed, every 7th surviving key
+    * re-priced 2×, every 17th key cloned to a shifted id), the diff is
+    * computed by the REAL full-outer join, and the per-(year, status)
+    * counts and price deltas must match the oracle's closed-form
+    * prediction of exactly those rules. */
+  def w02SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, when, year}
+    val orders = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).as("o_year"))
+    // the next generation, by deterministic rule (1e8 clears every
+    // fixture key range through sf1, so cloned keys never collide)
+    val neu = orders
+      .filter(col("o_orderkey") % 11 =!= 3)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+      .unionByName(orders.filter(col("o_orderkey") % 17 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+    val delta =
+      when(col("status") === "added", col("new_o_totalprice"))
+        .when(col("status") === "removed", -col("old_o_totalprice"))
+        .otherwise(col("new_o_totalprice") - col("old_o_totalprice"))
+    snapshotDiff(orders, neu, Seq("o_orderkey"),
+        Seq("o_totalprice", "o_year"))
+      .filter(col("status") =!= "unchanged")
+      .withColumn("o_year", org.apache.spark.sql.functions.coalesce(
+        col("old_o_year"), col("new_o_year")))
+      .groupBy(col("o_year"), col("status"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.DecimalSums.dsum(delta).as("price_delta"))
+      .orderBy(col("o_year"), col("status"))
+  }
+
+  /** Oracle: closed-form prediction of the diff rules (removed wins
+    * over changed — a removed key is absent from the new generation;
+    * clones are added regardless of their source row's fate). */
+  val w02Sql: String = {
+    val d = graft.functions.DecimalSums.sqlDsum _
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS k, o_totalprice AS p,
+       |         CAST(year(o_orderdate) AS INT) AS y
+       |  FROM orders),
+       |diff AS (
+       |  SELECT y, 'removed' AS status, -p AS delta FROM base
+       |  WHERE k % 11 = 3
+       |  UNION ALL
+       |  SELECT y, 'changed', p FROM base
+       |  WHERE k % 11 <> 3 AND k % 7 = 0
+       |  UNION ALL
+       |  SELECT y, 'added', p FROM base
+       |  WHERE k % 17 = 0)
+       |SELECT y AS o_year, status, COUNT(*) AS n,
+       |       ${d("delta")} AS price_delta
+       |FROM diff GROUP BY y, status
+       |ORDER BY o_year, status""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "w01_incremental_agg" -> w01IncrementalAggRefresh _)
+    "w01_incremental_agg" -> w01IncrementalAggRefresh _,
+    "w02_snapshot_diff"   -> w02SnapshotDiff _)
 
   val oracles: Map[String, String] = Map(
-    "w01_incremental_agg" -> w01Sql)
+    "w01_incremental_agg" -> w01Sql,
+    "w02_snapshot_diff"   -> w02Sql)
 
   /** Bucketed + sorted table write — the co-located-join layout.
     * Two tables bucketed on their join key with the SAME bucket count

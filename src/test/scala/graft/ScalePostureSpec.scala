@@ -381,6 +381,23 @@ class ScalePostureSpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff classifies added/removed/changed with null-safe compares") {
+    val old = Seq((1L, Option(1.0)), (2L, Option.empty[Double]),
+      (3L, Option(3.0)), (4L, Option(4.0))).toDF("k", "v")
+    val neu = Seq((2L, Option.empty[Double]), (3L, Option(3.5)),
+      (4L, Option(4.0)), (5L, Option(5.0))).toDF("k", "v")
+    val d = Warehouse.snapshotDiff(old, neu, Seq("k"), Seq("v"))
+      .select($"k", $"status").as[(Long, String)].collect().toMap
+    assert(d == Map(1L -> "removed", 2L -> "unchanged", // null <=> null
+      3L -> "changed", 4L -> "unchanged", 5L -> "added"), d.toString)
+    // a null-to-value flip is a CHANGE, not an add/remove
+    val d2 = Warehouse.snapshotDiff(
+      Seq((1L, Option.empty[Double])).toDF("k", "v"),
+      Seq((1L, Option(9.0))).toDF("k", "v"), Seq("k"), Seq("v"))
+      .select($"status").as[String].head()
+    assert(d2 == "changed")
+  }
+
   test("compact collapses a fragmented directory without changing data") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
     try {
