@@ -31,6 +31,7 @@ object SparkEntry {
       operators.Layout.queries ++
       operators.RangeJoin.queries ++
       operators.Profile.queries ++
+      operators.Audit.queries ++
       sources.Warehouse.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -49,5 +50,6 @@ object SparkEntry {
       operators.Layout.oracles ++
       operators.RangeJoin.oracles ++
       operators.Profile.oracles ++
+      operators.Audit.oracles ++
       sources.Warehouse.oracles
 }

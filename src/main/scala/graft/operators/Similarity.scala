@@ -28,16 +28,18 @@ object Similarity {
   /** Exact top-k neighbors (cosine) for each query vector. Norms are
     * computed once per side (O(rows)) so the pair loop pays only the
     * dot product. */
-  def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+                    roundCosineTo: Int = -1): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
       VectorOps.asDouble(col("embedding")).as("qv"))
       .withColumn("qn", VectorOps.norm(col("qv")))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       VectorOps.asDouble(col("embedding")).as("cv"))
       .withColumn("cn", VectorOps.norm(col("cv")))
+    val raw = VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
-        VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        if (roundCosineTo >= 0) round(raw, roundCosineTo) else raw)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored
@@ -324,6 +326,70 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------------
+  // Hybrid retrieval (lexical + vector, reciprocal-rank fusion)
+  // ---------------------------------------------------------------------------
+
+  /** Exact token-set-Jaccard top-k per query document — the lexical
+    * side of hybrid retrieval. One distinct (doc, token) posting frame
+    * per side, one equi-join on the token (the d02 posting-list shape:
+    * sub-quadratic because only docs sharing a token ever meet), one
+    * count aggregate, then a per-query rank. Jaccard is an exact
+    * integer ratio, so ranks are engine-stable with the neighbor-id
+    * tiebreak. At 100 TB the corpus side gets the d08 hot-token cap
+    * (drop stopword-grade tokens from the posting join) — recall is
+    * unaffected for ranking purposes because a token shared by half
+    * the corpus carries no discriminative weight. */
+  def tokenJaccardKnn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    def postings(df: DataFrame, idAs: String) = df
+      .select(col("doc_id").as(idAs),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+    def sizes(df: DataFrame, idAs: String, nAs: String) = df
+      .select(col("doc_id").as(idAs),
+        size(array_distinct(split(col("text"), " "))).as(nAs))
+    val inter = postings(queries, "query_id")
+      .join(postings(corpus, "neighbor_id"), Seq("tok"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(count(lit(1)).as("inter"))
+    val scored = inter
+      .join(sizes(queries, "query_id", "qn"), Seq("query_id"))
+      .join(sizes(corpus, "neighbor_id", "cn"), Seq("neighbor_id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("qn") + col("cn") - col("inter")).cast("double"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("jaccard").desc, col("neighbor_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"))
+  }
+
+  /** Reciprocal-rank fusion of two (query_id, rk, neighbor_id)
+    * rankings: score = Σ 1/(c + rank) over the lists the candidate
+    * appears in (the standard RRF constant c = 60). A full-outer join
+    * on (query, candidate) keeps single-list candidates; the fused
+    * ranks are integer-derived doubles, so the result hash-gates.
+    * Scale: both inputs are already top-k-per-query (bounded), so the
+    * join and the final rank window touch k·|queries| rows, never the
+    * corpus. */
+  def rrfFuse(vector: DataFrame, lexical: DataFrame, k: Int,
+              c: Int = 60): DataFrame = {
+    val v = vector.withColumnRenamed("rk", "vrk")
+    val l = lexical.withColumnRenamed("rk", "lrk")
+    val fused = v.join(l, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("score",
+        coalesce(lit(1.0) / (lit(c) + col("vrk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("lrk")), lit(0.0)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    fused
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"))
+  }
+
+  // ---------------------------------------------------------------------------
   // Gate queries
   // ---------------------------------------------------------------------------
 
@@ -422,7 +488,72 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** s08 — hybrid retrieval, hash-gated: the s01 query set ranked by
+    * BOTH modalities (cosine over `embeddings`, token-set Jaccard over
+    * the same ids in `documents` — the fixtures share the 0..499 id
+    * domain) and fused by reciprocal rank. Candidate depth 20 per side,
+    * final top-5. The vector side ranks on round(cosine, 9) so the
+    * rank lists — and therefore the integer-only output — are
+    * bit-stable across engines; Jaccard and RRF scores are exact
+    * integer ratios already. */
+  def s08HybridKnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val vector = bruteForceKnn(emb.filter(col("vec_id") < 20), emb, 20,
+      roundCosineTo = 9)
+    val lexical = tokenJaccardKnn(docs.filter(col("doc_id") < 20), docs, 20)
+    rrfFuse(vector, lexical, 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val s08Sql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      |      FROM embeddings),
+      |v AS (
+      |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+      |           PARTITION BY query_id
+      |           ORDER BY ROUND(list_cosine_similarity(qv, cv), 9) DESC,
+      |                    neighbor_id) AS vrk
+      |  FROM q JOIN c ON query_id <> neighbor_id
+      |  QUALIFY vrk <= 20),
+      |qt AS (SELECT DISTINCT doc_id AS query_id,
+      |         unnest(string_split(text, ' ')) AS tok
+      |       FROM documents WHERE doc_id < 20),
+      |ct AS (SELECT DISTINCT doc_id AS neighbor_id,
+      |         unnest(string_split(text, ' ')) AS tok
+      |       FROM documents),
+      |qn AS (SELECT query_id, COUNT(*) AS qn FROM qt GROUP BY query_id),
+      |cn AS (SELECT neighbor_id, COUNT(*) AS cn FROM ct GROUP BY neighbor_id),
+      |inter AS (
+      |  SELECT query_id, neighbor_id, COUNT(*) AS i
+      |  FROM qt JOIN ct USING (tok)
+      |  WHERE query_id <> neighbor_id
+      |  GROUP BY query_id, neighbor_id),
+      |l AS (
+      |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+      |           PARTITION BY query_id
+      |           ORDER BY CAST(i AS DOUBLE) / (qn + cn - i) DESC,
+      |                    neighbor_id) AS lrk
+      |  FROM inter JOIN qn USING (query_id) JOIN cn USING (neighbor_id)
+      |  QUALIFY lrk <= 20),
+      |fused AS (
+      |  SELECT COALESCE(v.query_id, l.query_id) AS query_id,
+      |         COALESCE(v.neighbor_id, l.neighbor_id) AS neighbor_id,
+      |         COALESCE(CAST(1.0 AS DOUBLE) / (60 + vrk), 0.0)
+      |           + COALESCE(CAST(1.0 AS DOUBLE) / (60 + lrk), 0.0) AS score
+      |  FROM v FULL OUTER JOIN l
+      |    ON v.query_id = l.query_id AND v.neighbor_id = l.neighbor_id)
+      |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |             ORDER BY score DESC, neighbor_id) AS rk
+      |      FROM fused) t
+      |WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s08_hybrid_knn"        -> s08HybridKnn _,
     "s01_knn_bruteforce"    -> s01KnnBruteForce _,
     "s02_knn_ann"           -> s02KnnAnn _,
     "s03_ann_bucket_profile" -> s03AnnBucketProfile _,
@@ -434,5 +565,6 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "s01_knn_bruteforce" -> s01Sql,
+    "s08_hybrid_knn"     -> s08Sql,
   )
 }

@@ -222,4 +222,41 @@ class SimilaritySpec extends SparkSpec {
     // buffer recovers essentially every true neighbor
     assert(recall >= 0.95, f"quantized recall@5 degraded to $recall%.2f")
   }
+
+  test("tokenJaccardKnn ranks by token-set overlap, zero-overlap absent") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c d"), (3L, "a x y"), (4L, "z w")
+    ).toDF("doc_id", "text")
+    val nn = Similarity.tokenJaccardKnn(docs.filter($"doc_id" === 1L), docs, 3)
+      .orderBy("rk").select("neighbor_id").as[Long].collect().toSeq
+    // jaccard(1,2)=3/4 > jaccard(1,3)=1/5; doc 4 shares nothing so it
+    // never becomes a candidate (posting join, not a cross join)
+    assert(nn == Seq(2L, 3L), s"expected overlap order without doc 4, got $nn")
+  }
+
+  test("rrfFuse scores both-list candidates above single-list ones") {
+    val vector = Seq((1L, 1, 10L), (1L, 2, 11L)).toDF("query_id", "rk", "neighbor_id")
+    val lexical = Seq((1L, 1, 11L), (1L, 2, 12L)).toDF("query_id", "rk", "neighbor_id")
+    val fused = Similarity.rrfFuse(vector, lexical, 3)
+      .orderBy("rk").select("neighbor_id").as[Long].collect().toSeq
+    // 11 appears in both lists (1/62 + 1/61); 10 is vector-rank-1
+    // (1/61); 12 is lexical-rank-2 (1/62)
+    assert(fused == Seq(11L, 10L, 12L), s"RRF order wrong: $fused")
+  }
+
+  test("s08 hybrid gate emits dense top-5 per query and reranks vs pure vector") {
+    val hybrid = Similarity.s08HybridKnn(spark, sf).collect()
+    assert(hybrid.length == 100)
+    val perQuery = hybrid.groupBy(_.getLong(0))
+    assert(perQuery.size == 20 &&
+      perQuery.values.forall(_.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
+    // fusion must actually consult the lexical signal: on this corpus
+    // at least one query's top-5 differs from the pure-vector top-5
+    val emb = Tables.embeddings(spark, sf)
+    val hyb = hybrid.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val vecSet = Similarity.bruteForceKnn(emb.filter($"vec_id" < 20), emb, 5,
+      roundCosineTo = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(hyb != vecSet, "hybrid top-5 identical to vector-only — lexical side inert")
+  }
 }
