@@ -37,6 +37,7 @@ NOTES = {
     "w02_snapshot_diff": "CDC read: one full-outer key join between generations, null-safe change classification (r6)",
     "w03_quality_audit": "Deequ-shaped constraint suite: 8 checks fused into one scan + broadcast referential-integrity join (r6)",
     "s08_hybrid_knn": "hybrid retrieval: token-Jaccard posting join + rounded-cosine kNN fused by reciprocal rank (r6)",
+    "q37_above_nation_avg": "correlated scalar subquery decorrelated by Catalyst into a per-nation agg join (r6)",
     "p06_source_mix": "deterministic md5 weighted source mixing — narrow filter, no shuffle (r5)",
     "t13_decontamination": "train/test 5-gram contamination scan on the md5 split; shingle frame materialized once for its three consumers (one scan + 24 B/row beats three corpus scans at 100 TB)",
     "v16_streamed_attribution": "stream-stream join state store through the runtime, clicks+purchases replay — runtime-overhead-dominated (batch twin: v07)",

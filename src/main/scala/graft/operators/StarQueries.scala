@@ -1124,6 +1124,36 @@ object StarQueries {
        |GROUP BY quartile
        |ORDER BY quartile""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q37 — customers spending above 2× their nation's average (correlated
+  // scalar subquery). Written AS SQL so Catalyst's decorrelation does the
+  // planning: the per-row subquery rewrites to one per-nation aggregate
+  // joined back — never a re-executed subquery per outer row, never a
+  // cartesian (plan-pinned in StarQueriesSpec). TPC-H Q17/Q22's shape on
+  // this schema. Both the spend and the nation average ride the decimal
+  // path, so the strict threshold compare is engine-stable.
+  // ---------------------------------------------------------------------------
+  def q37AboveNationAvg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_q37_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_q37_customer")
+    spark.sql(q37Text("graft_q37_orders", "graft_q37_customer"))
+  }
+
+  private def q37Text(orders: String, customer: String): String =
+    s"""WITH spend AS (
+       |  SELECT c_custkey, c_nationkey, ${sqlDsum("o_totalprice")} AS spend
+       |  FROM $orders JOIN $customer ON o_custkey = c_custkey
+       |  GROUP BY c_custkey, c_nationkey)
+       |SELECT c_custkey, c_nationkey, spend
+       |FROM spend s
+       |WHERE spend > 2 * (
+       |  SELECT CAST(SUM(CAST(s2.spend AS DECIMAL(18, 4))) AS DOUBLE)
+       |           / COUNT(*)
+       |  FROM spend s2 WHERE s2.c_nationkey = s.c_nationkey)
+       |ORDER BY c_nationkey, spend DESC, c_custkey""".stripMargin
+
+  val q37Sql: String = q37Text("orders", "customer")
+
   /** name → query for [[graft.SparkEntry]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> q01PricingSummary _,
@@ -1153,6 +1183,7 @@ object StarQueries {
     "q34_salted_brand_revenue" -> q34SaltedBrandRevenue _,
     "q35_grouping_sets_revenue" -> q35GroupingSetsRevenue _,
     "q36_order_value_quartiles" -> q36OrderValueQuartiles _,
+    "q37_above_nation_avg"  -> q37AboveNationAvg _,
     "q20_region_year_revenue" -> q20RegionYearRevenue _,
     "q21_customers_with_orders" -> q21CustomersWithOrders _,
     "q22_customers_without_orders" -> q22CustomersWithoutOrders _,
@@ -1196,6 +1227,7 @@ object StarQueries {
     "q34_salted_brand_revenue" -> q34Sql,
     "q35_grouping_sets_revenue" -> q35Sql,
     "q36_order_value_quartiles" -> q36Sql,
+    "q37_above_nation_avg"  -> q37Sql,
     "q20_region_year_revenue" -> q20Sql,
     "q21_customers_with_orders" -> q21Sql,
     "q22_customers_without_orders" -> q22Sql,

@@ -47,7 +47,8 @@ class DeterminismSpec extends SparkSpec {
 
   private val roundSix = Seq(
     "d13_semantic_dedup_lsh", "t15_decontamination_capped",
-    "p08_stratified_split", "w03_quality_audit", "s08_hybrid_knn")
+    "p08_stratified_split", "w03_quality_audit", "s08_hybrid_knn",
+    "q37_above_nation_avg")
 
   test("round-6 queries digest identically under different shuffle widths") {
     pinWidths(roundSix)

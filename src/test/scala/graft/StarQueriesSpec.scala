@@ -130,6 +130,30 @@ class StarQueriesSpec extends SparkSpec {
     assert(sizes.max - sizes.min <= 1 && sizes.sortBy(-_) == sizes)
   }
 
+  test("q37 decorrelates the scalar subquery and matches the manual rewrite") {
+    val q = StarQueries.q37AboveNationAvg(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // Catalyst must turn the per-row correlated aggregate into a
+    // joined per-nation aggregate — never a nested-loop re-execution
+    assert(!plan.contains("CartesianProduct"), s"decorrelation failed:\n$plan")
+    val got = q.as[(Long, Long, Double)].collect().toSeq
+    // manual decorrelation: spend per customer, threshold per nation
+    import graft.functions.DecimalSums.{dsum, dec}
+    val spend = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_nationkey")
+      .agg(dsum($"o_totalprice").as("spend"))
+    val thresh = spend.groupBy($"c_nationkey".as("nk"))
+      .agg((sum(dec($"spend")).cast("double") /
+        count(lit(1)).cast("double")).as("nation_avg"))
+    val ref = spend.join(thresh, $"c_nationkey" === $"nk")
+      .filter($"spend" > lit(2) * $"nation_avg")
+      .orderBy($"c_nationkey", $"spend".desc, $"c_custkey")
+      .select($"c_custkey", $"c_nationkey", $"spend")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty && got == ref, s"subquery result diverged: $got vs $ref")
+  }
+
   test("parquet scans prune columns: q01 reads only the 5 needed lineitem cols") {
     val scans = StarQueries.q01PricingSummary(spark, sf)
       .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
