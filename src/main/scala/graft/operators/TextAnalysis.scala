@@ -742,5 +742,14 @@ object TextAnalysis {
     "t08_repetition"     -> t08Sql,
     "t09_token_topk"     -> t09Sql,
     "t11_tfidf_topterms" -> t11Sql,
+    // rows-only by design (no DuckDB twin exists):
+    //  - t06: fingerprints come from our codegen'd polynomial RollingHash
+    //    expression; DuckDB has no equivalent hash family, and mirroring
+    //    the constants in SQL would re-implement the operator, not check
+    //    it. Semantics pinned in RollingHashSpec (closed-form values).
+    //  - t10: the count-min sketch is engine-specific state; its
+    //    guarantee is est >= exact with bounded overshoot, which is an
+    //    inequality, not an equality a hash gate can express. The bound
+    //    is pinned against the exact counts in TextAnalysisSpec.
   )
 }
