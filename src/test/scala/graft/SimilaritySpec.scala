@@ -245,7 +245,12 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("s08 hybrid gate emits dense top-5 per query and reranks vs pure vector") {
-    val hybrid = Similarity.s08HybridKnn(spark, sf).collect()
+    val s08 = Similarity.s08HybridKnn(spark, sf)
+    // the lexical side must stay a token equi-join (posting-list shape)
+    // and the vector side a 20-row broadcast — never a cartesian
+    val plan = s08.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"hybrid plan degraded:\n$plan")
+    val hybrid = s08.collect()
     assert(hybrid.length == 100)
     val perQuery = hybrid.groupBy(_.getLong(0))
     assert(perQuery.size == 20 &&
