@@ -16,7 +16,26 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Driver fixture generators have shipped timestamps in three parquet
+    * encodings across rounds: TIMESTAMP(MICROS, adjustedToUTC) → Spark
+    * TimestampType; TIMESTAMP(MICROS, not adjusted) → TIMESTAMP_NTZ;
+    * TIMESTAMP(NANOS) → rejected unless read as long (see [[events]]).
+    * Every downstream consumer (`unix_micros`, typed `Timestamp`
+    * encoders, window/as-of arithmetic) expects TimestampType, so fold
+    * any NTZ column to it here. The session timezone is pinned to UTC
+    * ([[GraftSession]]), which makes the cast value-preserving: the
+    * wall-clock fields are reinterpreted as the same UTC instant DuckDB
+    * reads from the file. */
+  private def normalizeTimestamps(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
