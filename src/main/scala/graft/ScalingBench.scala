@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Dedup, ScaleCorpus, TextAnalysis}
+import graft.streaming.IngestDedup
+
+/** Scaling-curve harness behind `dev/scaling.md`: times each
+  * capped-vs-uncapped operator pair on deterministically up-scaled
+  * corpora ([[graft.operators.ScaleCorpus]]) and prints one JSON line
+  * per (scale, query) measurement. The claim under test: the capped /
+  * banded paths (the declared 100 TB route) grow ~linearly with corpus
+  * size while their uncapped exact twins bend quadratic on the
+  * boilerplate population the synthesis plants.
+  *
+  * Usage: `runMain graft.ScalingBench [baseSfDir] [replicas...]`
+  * (defaults: `/root/testdata/sf0.01`, scales 1 10 100). Set
+  * `SPARK_GRAFT_SCALING_SKIP_UNCAPPED` to a comma-separated scale list
+  * to skip the quadratic twins where they stop being affordable —
+  * skipped runs print `-1` (the Bench sentinel convention).
+  */
+object ScalingBench {
+
+  private def force(df: DataFrame): Long = {
+    // noop datasource: full distributed execution, zero driver pull
+    df.write.format("noop").mode("overwrite").save()
+    0L
+  }
+
+  private def time(fn: => DataFrame): Double = {
+    val t0 = System.nanoTime()
+    force(fn)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val scales =
+      if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 10, 100)
+    val skipUncapped = sys.env.get("SPARK_GRAFT_SCALING_SKIP_UNCAPPED")
+      .map(_.split(",").map(_.trim.toInt).toSet).getOrElse(Set.empty[Int])
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cpus)
+
+    // (name, capped?, runner). Caps/bands mirror the d08/d11/d13/t15
+    // gate parameters; v18 has no uncapped twin — its curve measures
+    // the O(batch + candidates) per-batch index join directly.
+    val runs: Seq[(String, Boolean, (SparkSession, String) => DataFrame)] = Seq(
+      ("d02_jaccard_uncapped", false,
+        (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), 0.8)),
+      ("d08_jaccard_capped", true,
+        (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), 0.8,
+          maxShingleFreq = Some(8))),
+      ("d03_minhash_uncapped", false,
+        (s, d) => Dedup.minhashDedupPairs(Tables.documents(s, d), 0.8)),
+      ("d11_minhash_capped", true,
+        (s, d) => Dedup.minhashDedupPairs(Tables.documents(s, d), 0.8,
+          maxBucketSize = Some(32))),
+      ("d12_semantic_exact", false, Dedup.d12SemanticDedup _),
+      ("d13_semantic_lsh", true, Dedup.d13SemanticDedupLsh _),
+      ("t13_decontam_uncapped", false,
+        (s, d) => TextAnalysis.decontaminate(Tables.documents(s, d), 5)),
+      ("t15_decontam_capped", true,
+        (s, d) => TextAnalysis.decontaminate(Tables.documents(s, d), 5,
+          maxShingleFreq = Some(8))),
+      ("v18_streamed_ingest_dedup", true, IngestDedup.v18StreamedIngestDedup _))
+
+    for (r <- scales) {
+      val dir = s"/tmp/graft_scaling/x$r"
+      ScaleCorpus.write(base, dir, r, spark)
+      val nDocs = Tables.documents(spark, dir).count()
+      val nVecs = Tables.embeddings(spark, dir).count()
+      for ((name, capped, fn) <- runs) {
+        val sec =
+          if (!capped && skipUncapped.contains(r)) -1.0
+          else try time(fn(spark, dir)) catch {
+            case e: Exception =>
+              System.err.println(s"[scaling] $name@x$r failed: ${e.getMessage}")
+              -1.0
+          }
+        println(s"""{"scale":$r,"docs":$nDocs,"vecs":$nVecs,""" +
+          s""""query":"$name","capped":$capped,"sec":${"%.3f".format(sec)}}""")
+        System.out.flush()
+      }
+    }
+    spark.stop()
+  }
+}

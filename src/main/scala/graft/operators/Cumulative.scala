@@ -119,11 +119,21 @@ object Cumulative {
     * slice's per-group offset and each group's total. Within-group
     * `sortCols` must totally order rows of that group; `groupCols` must
     * be simple named columns with NON-NULL values (the offset/total
-    * joins are name-keyed equality joins). */
+    * joins are name-keyed equality joins).
+    *
+    * The (pid × group) summary is BROADCAST only while it is actually
+    * small: past `maxBroadcastSummaryRows` (≈ tens of MB at ~50 B/row
+    * — e.g. 32 partitions × >30k strata) the offset/total joins fall
+    * back to ordinary shuffle hash/merge joins, keyed on (pid, group)
+    * and (group) respectively, so stratum cardinality can grow without
+    * bound without risking driver/executor OOM on the broadcast. The
+    * summary is already eagerly checkpointed, so the row count that
+    * picks the strategy is a metadata-cheap action, not a rescan. */
   def withGroupedRank(df: DataFrame, groupCols: Seq[Column],
                       sortCols: Seq[Column], rankName: String,
                       totName: String,
-                      numPartitions: Int = 0): DataFrame = {
+                      numPartitions: Int = 0,
+                      maxBroadcastSummaryRows: Long = 1000000L): DataFrame = {
     val p =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -159,9 +169,11 @@ object Cumulative {
       .agg(sum(col("__bpcnt")).as("__ocnt"))
     val tots = parts.groupBy(gkeys.map(col): _*)
       .agg(sum(col("__pcnt")).as(totName))
+    val hint: DataFrame => DataFrame =
+      if (parts.count() <= maxBroadcastSummaryRows) broadcast else identity
     local
-      .join(broadcast(offs), Seq("__pid") ++ gkeys)
-      .join(broadcast(tots), gkeys)
+      .join(hint(offs), Seq("__pid") ++ gkeys)
+      .join(hint(tots), gkeys)
       .withColumn(rankName,
         (col("__rn_loc") + coalesce(col("__ocnt"), lit(0L))).cast("long"))
       .drop("__pid", "__rn_loc", "__ocnt")

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus up-scaling for the capped-vs-uncapped scaling
+  * measurements (`graft.ScalingBench`, `dev/scaling.md`): replicate the
+  * fixture `documents`/`embeddings` tables R× while preserving the dup
+  * structure a real corpus grows with —
+  *
+  *  - WITHIN a replica, the original near-dup structure is intact
+  *    (replica 0 IS the original corpus; replica k is a token-renamed
+  *    copy with the same pairwise overlaps);
+  *  - ACROSS replicas, documents are NOT near-dups of each other (every
+  *    non-shared token carries the replica id, so Jaccard across
+  *    replicas collapses), keeping true-pair volume ~linear in R;
+  *  - a deterministic ~`sharedPct`% of the VOCABULARY (token-content
+  *    hashed, so two near-dup docs perturb identically and their
+  *    within-replica Jaccard is untouched) keeps the original token in
+  *    EVERY replica — corpus-global boilerplate whose shingle
+  *    document-frequency grows ∝ R. That is exactly the population
+  *    that makes UNCAPPED all-pairs candidate volume bend quadratic
+  *    while the hot-shingle / hot-bucket caps bound it — the effect
+  *    the scaling curves measure.
+  *
+  * Embedding replicas get per-(replica, dimension) deterministic sign
+  * flips: within-replica geometry (norms, pairwise cosines) is exactly
+  * preserved, while cross-replica cosines scatter around 0 and stay
+  * below any near-dup threshold — again ~linear true-pair growth.
+  */
+object ScaleCorpus {
+
+  /** `docs` replicated `replicas`×. Ids offset by replica stride; text
+    * token-perturbed as in the class doc; `n_chars` recomputed. */
+  def documents(docs: DataFrame, replicas: Int, sharedPct: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val reps = spark.range(replicas.toLong).select(col("id").cast("int").as("k"))
+    // materialize the token array BEFORE the lambda (HOF lambdas are
+    // interpreted and re-evaluate embedded expressions per element)
+    val toks = docs.select(col("doc_id"), col("lang"), col("source"),
+      split(col("text"), " ").as("toks"))
+    val perturbed = toks.crossJoin(reps)
+      .withColumn("toks2", transform(col("toks"), t =>
+        when(col("k") === 0 || pmod(xxhash64(t), lit(100)) < lit(sharedPct), t)
+          .otherwise(concat(t, lit("~"), col("k")))))
+      .select(
+        (col("doc_id") + col("k").cast("long") * stride).as("doc_id"),
+        array_join(col("toks2"), " ").as("text"),
+        col("lang"), col("source"))
+    perturbed.withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  /** `emb` replicated `replicas`× with per-(replica, dim) sign flips. */
+  def embeddings(emb: DataFrame, replicas: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val stride = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val reps = spark.range(replicas.toLong).select(col("id").cast("int").as("k"))
+    emb.crossJoin(reps)
+      .select(
+        (col("vec_id") + col("k").cast("long") * stride).as("vec_id"),
+        when(col("k") === 0, col("embedding"))
+          .otherwise(transform(col("embedding"), (x, i) =>
+            when(pmod(xxhash64(col("k"), i), lit(2)) === 0, x).otherwise(-x)))
+          .as("embedding"),
+        col("label"))
+  }
+
+  /** Writes a scaled corpus dir shaped like the driver fixtures
+    * (`documents.parquet`, `embeddings.parquet`) so every gate entry
+    * point runs against it unmodified. */
+  def write(baseDir: String, outDir: String, replicas: Int,
+            spark: org.apache.spark.sql.SparkSession): Unit = {
+    documents(graft.Tables.documents(spark, baseDir), replicas)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    embeddings(graft.Tables.embeddings(spark, baseDir), replicas)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+}

@@ -417,8 +417,8 @@ object EventStreams {
       val (t0, t1) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
       val cut1 = new Timestamp(t0 + (t1 - t0) / 3)
       val cut2 = new Timestamp(t0 + 2 * (t1 - t0) / 3)
-      def stage(part: DataFrame): Unit =
-        part.coalesce(1).write.mode("append").parquet(src)
+      // mtime-stamped staging: discovery order == staging order
+      val stage = Staging.stager(src)
       stage(ev.filter(col("ts") < lit(cut1)))
       stage(ev.filter(col("ts") >= lit(cut1) && col("ts") < lit(cut2)))
       def start() = sinkToWarehouse(

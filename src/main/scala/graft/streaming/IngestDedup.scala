@@ -151,8 +151,8 @@ object IngestDedup {
       // slice bounds from the data (one tiny driver action), like d10
       val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
       val (c1, c2) = (maxId / 3, 2 * maxId / 3)
-      def stage(part: DataFrame): Unit =
-        part.coalesce(1).write.mode("append").parquet(src)
+      // mtime-stamped staging: discovery order == staging order
+      val stage = Staging.stager(src)
       stage(docs.filter(col("doc_id") <= lit(c1)))
       stage(docs.filter(col("doc_id") > lit(c1) && col("doc_id") <= lit(c2)))
       def start() = dedupingSink(readDocs(spark, src), out, idx, ckpt)
