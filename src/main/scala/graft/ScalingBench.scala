@@ -57,7 +57,11 @@ object ScalingBench {
         (s, d) => Dedup.minhashDedupPairs(Tables.documents(s, d), 0.8,
           maxBucketSize = Some(32))),
       ("d12_semantic_exact", false, Dedup.d12SemanticDedup _),
-      ("d13_semantic_lsh", true, Dedup.d13SemanticDedupLsh _),
+      // d13's fixed-granularity buckets bend quadratic too (~N²/2ᵇ per
+      // band — see the embeddingNearDupPairsLSH scale-honesty note), so
+      // it sits on the uncapped side of the curve; d14 is the scale path
+      ("d13_semantic_lsh", false, Dedup.d13SemanticDedupLsh _),
+      ("d14_semantic_ivf", true, Dedup.d14SemanticDedupIvf _),
       ("t13_decontam_uncapped", false,
         (s, d) => TextAnalysis.decontaminate(Tables.documents(s, d), 5)),
       ("t15_decontam_capped", true,

@@ -459,14 +459,24 @@ object Dedup {
         round(col("cosine"), 6).as("cosine_r"))
   }
 
-  /** Sub-quadratic embedding near-dup: banded hyperplane LSH candidate
-    * generation + exact cosine verification — the same band/bucket
-    * equality-join shape as MinHash-LSH, applied to vectors. With G
-    * independent bands of b hyperplanes, a pair at angle θ shares some
-    * band's bucket with probability 1-(1-(1-θ/π)ᵇ)ᴳ — the defaults
-    * (12 bands × 3 planes) give ~0.98 recall at cosine 0.45 while
-    * keeping candidates ~linear in corpus size. Precision is exactly 1:
-    * every emitted pair passed the true cosine test. */
+  /** Banded hyperplane-LSH embedding near-dup candidates + exact cosine
+    * verification — the same band/bucket equality-join shape as
+    * MinHash-LSH, applied to vectors. With G independent bands of b
+    * hyperplanes, a pair at angle θ shares some band's bucket with
+    * probability 1-(1-(1-θ/π)ᵇ)ᴳ — the defaults (12 bands × 3 planes)
+    * give ~0.98 recall at cosine 0.45. Precision is exactly 1: every
+    * emitted pair passed the true cosine test.
+    *
+    * SCALE HONESTY: bucket granularity is FIXED (2ᵇ buckets per band),
+    * so on an unclustered corpus candidate volume is ~N²/2ᵇ per band —
+    * a constant-factor saving over exact all-pairs, not an asymptotic
+    * one, and widening b collapses recall at moderate thresholds
+    * ((1-θ/π)ᵇ shrinks geometrically). This shape wins when the
+    * threshold is HIGH (near-identical vectors, p per band ≈ 0.9) or
+    * the corpus is clustered; for moderate-threshold semantic dedup at
+    * 100 TB use [[embeddingNearDupPairsIVF]], whose cell count scales
+    * with the corpus. The d13 gate keeps this path hash-correct; the
+    * scaling curves (dev/scaling.md) record the bend. */
   def embeddingNearDupPairsLSH(emb: DataFrame, threshold: Double,
                                bands: Int = 12, planesPerBand: Int = 3,
                                seed: Long = 42L,
@@ -482,10 +492,15 @@ object Dedup {
     }
     // materialized for the same reason as lshCandidates: the self-join
     // consumes it twice and the hyperplane-projection pipeline above it
-    // is the expensive part (rows here carry the vectors, so this is
-    // heavier than the minhash checkpoint — still linear in the corpus)
+    // is the expensive part. NARROW rows only — (vec_id, band, bucket),
+    // never the vectors: the candidate self-join's output volume is
+    // Σ_bucket C(pop, 2), and with 2^planesPerBand buckets per band
+    // that is ~N²/2^b per band on an unclustered corpus — carrying the
+    // 64-double payload through it OOMs at 50k vectors (measured),
+    // while id-pair rows merely shuffle. Vectors re-join AFTER distinct,
+    // only for the candidates that survive.
     val bucketed = capBuckets(
-      e.select(col("vec_id"), col("v"), col("nrm"),
+      e.select(col("vec_id"),
         posexplode(array(bandBuckets: _*)).as(Seq("band", "bucket"))),
       maxBucketSize)
       .localCheckpoint(true)
@@ -493,6 +508,76 @@ object Dedup {
       .join(bucketed.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cosine", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
+  }
+
+  /** IVF-celled embedding near-dup — the TRUE 100 TB path for
+    * moderate-threshold semantic dedup: coarse-quantize the corpus
+    * (k-means, fit on a deterministic sample — the
+    * [[graft.operators.Similarity.ivfIndex]] pattern), SPILL-assign
+    * every vector to its `spill` nearest centroids, take candidate
+    * pairs only WITHIN a shared cell, and exact-verify cosine.
+    * Precision is exactly 1 (every pair passes the true cosine test);
+    * recall comes from spill — a pair at cosine ≥ threshold is missed
+    * only if the two vectors share none of their `spill` nearest
+    * centroids (pinned vs the exact pair set in DedupSpec).
+    *
+    * Why this scales where banded LSH does not: `nlist` grows with the
+    * corpus (`max(minNlist, N/targetCell)`), so cell population stays
+    * ~`targetCell·spill` regardless of N and candidate volume is
+    * Σ_cell C(pop, 2) ≈ N·targetCell·spill²/2 — LINEAR in N at fixed
+    * cell size, vs ~N²/2ᵇ for fixed-granularity hyperplane buckets.
+    * Costs that grow with nlist stay sane: assignment is one
+    * N×nlist broadcast dot-product scan (the standard IVF trade), and
+    * the k-means fit sees only a bounded sample. The candidate join
+    * carries narrow (vec_id, cell) rows; vectors re-join after
+    * `distinct` for verification only. */
+  def embeddingNearDupPairsIVF(emb: DataFrame, threshold: Double,
+                               spill: Int = 3, targetCell: Long = 256L,
+                               minNlist: Int = 16,
+                               seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+      .localCheckpoint(true) // three consumers: count, assign, verify
+    val n = e.count()
+    val nlist = math.max(minNlist.toLong, n / targetCell).toInt
+    // deterministic sample fit, single partition — same rationale as
+    // Similarity.ivfIndex (distributed k-means partial-sum order is not
+    // bit-stable; quantizers are sample-fit in practice anyway)
+    val fitSample = e.orderBy(col("vec_id"))
+      .limit(math.max(nlist * 64, 1024))
+      .select(col("vec_id"), array_to_vector(col("v")).as("fv")).coalesce(1)
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(fitSample)
+    val centroids = model.clusterCenters.toSeq.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.toSeq) }.toDF("cell", "centroid")
+      .withColumn("cn2", VectorOps.norm2(col("centroid")))
+    // spill assignment: rank cells by |v−c|² = |v|² − 2v·c + |c|² (the
+    // |v|² term is constant per vector) and keep the `spill` nearest
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdist"), col("cell")) // cell id breaks exact ties
+    val assigned = e
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist",
+        VectorOps.dot(col("v"), col("centroid")) * lit(-2.0) + col("cn2"))
+      .withColumn("crk", row_number().over(wCell))
+      .filter(col("crk") <= spill)
+      .select(col("vec_id"), col("cell"))
+      .localCheckpoint(true) // consumed twice by the self-join
+    val cand = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
     cand
@@ -819,6 +904,26 @@ object Dedup {
     semanticSurvivors(emb, embeddingNearDupPairsLSH(emb, 0.45, bands = 24))
   }
 
+  /** d14 — semantic dedup over the IVF-CELLED pair generator
+    * ([[embeddingNearDupPairsIVF]]) — the path whose candidate volume
+    * stays linear as the corpus grows (cell count scales with N; see
+    * dev/scaling.md for the measured curves). Same downstream as
+    * d12/d13 via [[semanticSurvivors]].
+    *
+    * Rows-only gate BY DESIGN: cell partitioning trades boundary-pair
+    * recall for linear scaling (a threshold-angle pair can straddle
+    * cells that share none of their spill assignments — the same trade
+    * SemDeDup makes with within-cluster-only pairing), so the survivor
+    * checksum is legitimately ≠ d12's on corpora with straddling pairs.
+    * What IS pinned (DedupSpec): precision exactly 1, recall ≥ 0.8 at
+    * defaults on the fixture corpus, and — the machinery-correctness
+    * pin — spill = nlist (probe every cell) degenerates to the EXACT
+    * pair set, the same dial s04's nprobe=nlist pin turns. */
+  def d14SemanticDedupIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    semanticSurvivors(emb, embeddingNearDupPairsIVF(emb, 0.45))
+  }
+
   val d12Sql: String =
     """WITH RECURSIVE pairs AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -912,6 +1017,7 @@ object Dedup {
     "d11_minhash_capped"  -> d11MinhashCapped _,
     "d12_semantic_dedup"  -> d12SemanticDedup _,
     "d13_semantic_dedup_lsh" -> d13SemanticDedupLsh _,
+    "d14_semantic_dedup_ivf" -> d14SemanticDedupIvf _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -925,5 +1031,8 @@ object Dedup {
     "d11_minhash_capped"  -> d02Sql, // cap must not lose true pairs here
     "d12_semantic_dedup"  -> d12Sql,
     "d13_semantic_dedup_lsh" -> d12Sql, // scale path must equal the exact answer
+    // d14 is rows-only BY DESIGN: IVF cell partitioning trades
+    // boundary-pair recall for linear candidate volume (pins in
+    // DedupSpec: precision 1, recall ≥ 0.8, spill=nlist == exact)
   )
 }

@@ -92,6 +92,26 @@ class DedupSpec extends SparkSpec {
       "24-band LSH pair set must equal the exact pair set at 0.45")
   }
 
+  test("IVF-celled embedding pairs: precision 1, bounded recall, exact at full probe") {
+    val emb = Tables.embeddings(spark, sf)
+    val exactPairs = Dedup.embeddingNearDupPairs(emb, 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val ivfPairs = Dedup.embeddingNearDupPairsIVF(emb, 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(ivfPairs.subsetOf(exactPairs),
+      "every IVF-found pair must pass the exact cosine test (precision 1)")
+    // boundary pairs may straddle cells (the linear-scaling trade);
+    // observed 6/7 at defaults on this corpus
+    val recall = ivfPairs.size.toDouble / exactPairs.size
+    assert(recall >= 0.8, f"IVF recall degraded to $recall%.2f")
+    // machinery-correctness dial: probing EVERY cell must degenerate to
+    // the exact all-pairs answer (the s04 nprobe=nlist pin's twin)
+    val full = Dedup.embeddingNearDupPairsIVF(emb, 0.45, spill = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(full == exactPairs,
+      "spill = nlist must reproduce the exact pair set")
+  }
+
   test("hot-shingle guard drops high-frequency shingles before the join") {
     val n = Dedup.docShingles(docs, n = 3, maxShingleFreq = Some(2L))
     // shingles travel as xxhash64 of the n-gram string — probe by hash
