@@ -309,6 +309,225 @@ object Similarity {
         .join(c, Seq("neighbor_id")), k)
   }
 
+  // ---------------------------------------------------------------------------
+  // Product quantization (PQ-ADC)
+  // ---------------------------------------------------------------------------
+
+  /** Unit-normalize with a zero-norm guard (zero vectors stay zero,
+    * instead of going NaN and poisoning every downstream argmin). */
+  private def unitize(v: Column, n: Column): Column =
+    when(n > 0.0, transform(v, x => x / n)).otherwise(v)
+
+  /** Per-subspace k-means codebooks for product quantization: `m`
+    * codebooks of `ksub` centroids, each over a dim/m slice of the
+    * UNIT-NORMALIZED vector (so squared-L2 ADC ranks like cosine:
+    * ‖a−b‖² = 2 − 2·cos on the unit sphere). The fit follows
+    * [[ivfIndex]]'s determinism recipe — id-ordered sample, single
+    * partition, fixed per-subspace seed — so the codebooks (and every
+    * code derived from them) are identical across runs and
+    * partitionings. Returns codebooks(s)(j) = centroid j of subspace
+    * s; subspace width is dim/m. */
+  private[operators] def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
+                                     seed: Long): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val probed = corpus.select(size(col("embedding")).as("d"))
+      .filter(col("d").isNotNull).head(1)
+    val dim = if (probed.isEmpty) m else probed(0).getInt(0)
+    require(dim % m == 0, s"dim $dim does not divide into $m subspaces")
+    val dsub = dim / m
+    val sample = corpus
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+      .withColumn("nv", unitize(col("cv"), col("cn")))
+      .orderBy(col("vec_id"))
+      .limit(math.max(ksub * 64, 1024))
+      .coalesce(1)
+      .cache()
+    try {
+      (0 until m).toArray.map { s =>
+        val sub = sample.select(
+          array_to_vector(slice(col("nv"), s * dsub + 1, dsub)).as("fv"))
+        new KMeans().setK(ksub).setSeed(seed + s)
+          .setFeaturesCol("fv").setPredictionCol("code").fit(sub)
+          .clusterCenters.map(_.toArray)
+      }
+    } finally { sample.unpersist(); () }
+  }
+
+  /** Distance-to-centroid ranking term for one literal centroid:
+    * −2·x·c + ‖c‖² (the ‖x‖² term is constant across a subspace's
+    * codes and dropped). Shared by the encode argmin and the query
+    * lookup tables, so both sides score against bit-identical
+    * expressions. */
+  private def pqScore(sub: Column, cj: Array[Double]): Column =
+    VectorOps.dot(sub, array(cj.map(lit).toIndexedSeq: _*)) * lit(-2.0) +
+      lit(cj.map(x => x * x).sum)
+
+  /** Replace every vector by its `m` codebook codes `__c0..__c{m-1}`
+    * (argmin squared distance per subspace, least-index tiebreak via
+    * array_position's first-match semantics). Each subvector is
+    * materialized through a projection once; the per-code scoring then
+    * reads a plain column (the HOF-recompute rule). The output frame
+    * is (id, m small ints) — the wide doubles never leave the encode
+    * projection, which is the point: this is the frame the pair scan
+    * streams. */
+  private def pqEncode(emb: DataFrame, idAs: String,
+                       cb: Array[Array[Array[Double]]]): DataFrame = {
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    val subs = emb
+      .select(col("vec_id").as(idAs),
+        VectorOps.asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+      .withColumn("nv", unitize(col("cv"), col("cn")))
+      .select((col(idAs) +: (0 until m).map(s =>
+        slice(col("nv"), s * dsub + 1, dsub).as(s"__sub$s"))): _*)
+    subs.select((col(idAs) +: (0 until m).map { s =>
+      val scores = array(cb(s).toIndexedSeq.map(cj =>
+        pqScore(col(s"__sub$s"), cj)): _*)
+      (array_position(scores, array_min(scores)) - 1)
+        .cast("int").as(s"__c$s")
+    }): _*)
+  }
+
+  /** Per-query ADC lookup tables against shared codebooks:
+    * __lut{s}[j] = −2·q_s·c_{s,j} + ‖c_{s,j}‖² (‖q_s‖² is constant
+    * within a query's ranking and dropped). Carries qv/qn alongside so
+    * the exact re-rank tail can join back without re-deriving them. */
+  private def pqLuts(queries: DataFrame,
+                     cb: Array[Array[Array[Double]]]): DataFrame = {
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    val q = queries.select(col("vec_id").as("query_id"),
+      VectorOps.asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", VectorOps.norm(col("qv")))
+      .withColumn("nv", unitize(col("qv"), col("qn")))
+      .select((Seq(col("query_id"), col("qv"), col("qn")) ++
+        (0 until m).map(s =>
+          slice(col("nv"), s * dsub + 1, dsub).as(s"__sub$s"))): _*)
+    q.select(
+      (Seq(col("query_id"), col("qv"), col("qn")) ++ (0 until m).map { s =>
+        array(cb(s).toIndexedSeq.map(cj =>
+          pqScore(col(s"__sub$s"), cj)): _*).as(s"__lut$s")
+      }): _*)
+  }
+
+  /** The ADC distance: m fixed-order lookups summed — expects the
+    * __lut{s} columns from [[pqLuts]] and the __c{s} codes from
+    * [[pqEncode]] on the same row. */
+  private def adcExpr(m: Int): Column =
+    (0 until m).map(s =>
+      element_at(col(s"__lut$s"), col(s"__c$s") + 1)).reduce(_ + _)
+
+  /** PQ-ADC kNN: the query stays full precision, every corpus vector
+    * is replaced by its m codebook codes, and each scored pair costs m
+    * table lookups into the query's per-subspace lookup tables (built
+    * once per query against the shared codebooks: lut_s[j] =
+    * −2·q_s·c_{s,j} + ‖c_{s,j}‖²). This is [[quantizedKnn]]'s
+    * compression story taken further — 64 doubles (512 B) per corpus
+    * vector become m=8 ints, a ~64× shrink of the frame the pair loop
+    * streams, and the per-pair FLOPs drop from a dim-wide dot to m adds
+    * — and like s06 it is an all-pairs scan BY DESIGN: PQ cuts bytes
+    * and FLOPs per pair, not pair count. Cell pruning is IVF's job
+    * ([[ivfSqKnn]]); composing the two (IVF-PQ) drops this ADC
+    * expression into the cell-bucketed candidate join unchanged.
+    *
+    * The top rerankFactor·k ADC survivors per query pay an exact
+    * full-precision cosine re-rank ([[rankCandidates]]), which absorbs
+    * quantization error. Recall vs exact at defaults is pinned in
+    * SimilaritySpec; rerank depth ≥ corpus degenerates to exact brute
+    * force (also pinned). */
+  def pqKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+            m: Int = 8, ksub: Int = 32, rerankFactor: Int = 8,
+            seed: Long = 42L): DataFrame = {
+    require(m >= 1 && ksub >= 1 && rerankFactor >= 1)
+    val cb = pqCodebooks(corpus, m, ksub, seed)
+    val codes = pqEncode(corpus, "neighbor_id", cb)
+    val luts = pqLuts(queries, cb)
+
+    // coarse ADC scan: narrow LUT side × narrow code side; the adc sum
+    // is a fixed-order chain of m lookups, deterministic per pair
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc"), col("neighbor_id"))
+    val candidates = luts
+      .select((col("query_id") +: (0 until m).map(s => col(s"__lut$s"))): _*)
+      .join(codes, col("query_id") =!= col("neighbor_id"))
+      .withColumn("__adc", adcExpr(m))
+      .withColumn("crk", row_number().over(wCoarse))
+      .filter(col("crk") <= k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+
+    // exact re-rank: full-precision vectors join back by id —
+    // candidate-set-sized, as the other ANN tails
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      VectorOps.asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+    rankCandidates(
+      candidates
+        .join(luts.select(col("query_id"), col("qv"), col("qn")), Seq("query_id"))
+        .join(c, Seq("neighbor_id")), k)
+  }
+
+  /** IVF-PQ: the inverted-file/product-quantization composition the
+    * large-scale ANN literature deploys — IVF's k-means cells bound the
+    * pair COUNT (each query meets only its nprobe probed cells' members,
+    * through a cell equi-join, never all-pairs), PQ's codes bound the
+    * pair COST (m lookups over an m-int frame instead of a dim-wide dot
+    * over 512 B of doubles). [[ivfSqKnn]] composed cells with int8
+    * rows; this swaps the int8 coarse scoring for the ADC expression —
+    * which drops into the cell-bucketed candidate join unchanged, as
+    * promised at [[pqKnn]]. The codebooks here are global (fit on the
+    * unit-normalized corpus, not per-cell residuals): residual PQ buys
+    * accuracy when cells are tight, but costs a per-cell codebook
+    * broadcast; at these cell counts the exact re-rank buffer absorbs
+    * the difference (recall floor pinned in SimilaritySpec).
+    *
+    * Exhaustive probe (nprobe = nlist) + a corpus-deep re-rank buffer
+    * degenerates to exact brute force — pinned, as s07. */
+  def ivfPqKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+               nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 32,
+               rerankFactor: Int = 8, seed: Long = 42L): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist)
+    val (cells, centroids) = ivfIndex(corpus, nlist, seed)
+    val cb = pqCodebooks(corpus, m, ksub, seed)
+    // the candidate-join payload: (cell, id, m codes) — cell keys the
+    // shuffle, the codes are all the coarse stage ever reads
+    val codes = pqEncode(corpus, "neighbor_id", cb)
+      .join(cells.select(col("neighbor_id"), col("cell")), Seq("neighbor_id"))
+    val luts = pqLuts(queries, cb)
+
+    // probe: rank centroids per query — nlist-row broadcast, as ivfKnn
+    val probed = luts.select(col("query_id"), col("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2p",
+        VectorOps.dot(col("qv"), col("centroid")) * lit(-2.0) + col("cn2"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2p"), col("cell"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("query_id"), col("cell"))
+
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc"), col("neighbor_id"))
+    val candidates = probed
+      .join(luts.select((col("query_id") +:
+        (0 until m).map(s => col(s"__lut$s"))): _*), Seq("query_id"))
+      .join(codes, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__adc", adcExpr(m))
+      .withColumn("crk", row_number().over(wCoarse))
+      .filter(col("crk") <= k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      VectorOps.asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+    rankCandidates(
+      candidates
+        .join(luts.select(col("query_id"), col("qv"), col("qn")), Seq("query_id"))
+        .join(c, Seq("neighbor_id")), k)
+  }
+
   /** Shared exact-rerank tail of every ANN path: drop self-pairs, score
     * candidates by true cosine, keep the top-k per query under the
     * (cosine desc, neighbor_id) total order. Expects columns
@@ -488,6 +707,26 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** s09 — PQ-ADC kNN for the same queries (the codebooks are an
+    * engine-specific lossy choice → rows-only gate; exactness under a
+    * corpus-deep re-rank and recall at defaults are pinned in
+    * SimilaritySpec). */
+  def s09KnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    pqKnn(emb.filter(col("vec_id") < 20), emb, 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** s10 — IVF-PQ kNN for the same queries (quantizer + codebooks are
+    * engine-specific → rows-only gate; exhaustive-probe + deep-re-rank
+    * == exact, recall floor, and the cell-bucketed plan are pinned in
+    * SimilaritySpec). */
+  def s10KnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    ivfPqKnn(emb.filter(col("vec_id") < 20), emb, 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** s08 — hybrid retrieval, hash-gated: the s01 query set ranked by
     * BOTH modalities (cosine over `embeddings`, token-set Jaccard over
     * the same ids in `documents` — the fixtures share the 0..499 id
@@ -561,6 +800,8 @@ object Similarity {
     "s05_ivf_cell_profile"  -> s05IvfCellProfile _,
     "s06_knn_quantized"     -> s06KnnQuantized _,
     "s07_knn_ivfsq"         -> s07KnnIvfSq _,
+    "s09_knn_pq"            -> s09KnnPq _,
+    "s10_knn_ivfpq"         -> s10KnnIvfPq _,
   )
 
   val oracles: Map[String, String] = Map(

@@ -709,6 +709,81 @@ object TextAnalysis {
       |FROM agg a JOIN sizes s USING (doc_id)
       |ORDER BY a.doc_id""".stripMargin
 
+  /** Corpus-unigram LM surprisal scoring — the language-model quality
+    * filter of the CCNet/Gopher lineage, with the LM trained on the
+    * corpus itself in the same job: one exploded-token pass builds the
+    * unigram table, p(w) is Laplace-smoothed ((cnt+1)/(N+V)), and each
+    * document is scored by its mean token log-probability (near zero =
+    * common fluent tokens; large negative = rare-token soup — the
+    * perplexity-filter signal, in log space). Reuses the t11 frame
+    * shape: per-(doc, term) tf feeds BOTH the unigram table (sum of
+    * tf) and the scoring join, so the corpus is exploded once and the
+    * scoring join carries doc×distinct-term rows, never one row per
+    * occurrence.
+    *
+    * Determinism (the t11 ln pin, extended to a weighted mean): the
+    * per-term logprob rounds to 9 decimals — coarser than cross-engine
+    * `ln` ulp drift, far finer than real probability gaps — the
+    * tf-weighted sum runs in exact decimal(18,9) (order-proof across
+    * partitionings), surfaces through the decimal→string→double hop
+    * ([[graft.functions.DecimalSums.asDouble]]), and the mean rounds
+    * to 6.
+    *
+    * Scale (100 TB): one exploded-token shuffle to (doc, term), one
+    * term-keyed shuffle for the unigram table, one term equi-join (the
+    * posting-list shape), and a 1-row (N, V) broadcast. No all-pairs
+    * anywhere; the vocabulary stays distributed — never collected,
+    * never broadcast. */
+  def lmLogprob(docs: DataFrame): DataFrame = {
+    import graft.functions.DecimalSums
+    val D9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val tf = docs
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val uni = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val stats = uni.agg(sum(col("cnt")).as("__n"), count(lit(1)).as("__v"))
+    tf.join(uni, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("lp", round(
+        log((col("cnt") + 1).cast(DoubleType) /
+          (col("__n") + col("__v")).cast(DoubleType)), 9))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("tok_count"),
+        round(
+          DecimalSums.asDouble(sum((col("tf") * col("lp")).cast(D9))) /
+            sum(col("tf")).cast(DoubleType), 6).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t16 — mean unigram log-probability per document, corpus-trained. */
+  def t16LmLogprob(spark: SparkSession, dir: String): DataFrame =
+    lmLogprob(Tables.documents(spark, dir))
+
+  /** DuckDB twin of t16: identical smoothing, identical round-9 ln
+    * pin, identical decimal(18,9) weighted sum and string-hop. */
+  val t16Sql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, token AS term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents) t
+      |  GROUP BY doc_id, token),
+      |uni AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY term),
+      |stats AS (SELECT SUM(cnt) AS n, COUNT(*) AS v FROM uni),
+      |lp AS (
+      |  SELECT tf.doc_id, tf.tf,
+      |         ROUND(LN(CAST(uni.cnt + 1 AS DOUBLE)
+      |                  / CAST(stats.n + stats.v AS DOUBLE)), 9) AS lp
+      |  FROM tf JOIN uni USING (term) CROSS JOIN stats)
+      |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tok_count,
+      |       ROUND(CAST(CAST(SUM(CAST(CAST(tf * lp AS DOUBLE)
+      |                                AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE)
+      |             / CAST(SUM(tf) AS DOUBLE), 6) AS avg_logprob
+      |FROM lp
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t14_pii_redaction"   -> t14PiiRedaction _,
     "t13_decontamination" -> t13Decontamination _,
@@ -725,6 +800,7 @@ object TextAnalysis {
     "t09_token_topk"     -> t09TokenTopK _,
     "t10_cms_estimates"  -> t10CmsTopkEstimates _,
     "t11_tfidf_topterms" -> t11TfidfTopTerms _,
+    "t16_lm_logprob"     -> t16LmLogprob _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -742,6 +818,7 @@ object TextAnalysis {
     "t08_repetition"     -> t08Sql,
     "t09_token_topk"     -> t09Sql,
     "t11_tfidf_topterms" -> t11Sql,
+    "t16_lm_logprob"     -> t16Sql,
     // rows-only by design (no DuckDB twin exists):
     //  - t06: fingerprints come from our codegen'd polynomial RollingHash
     //    expression; DuckDB has no equivalent hash family, and mirroring

@@ -264,4 +264,77 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(hyb != vecSet, "hybrid top-5 identical to vector-only — lexical side inert")
   }
+
+  test("pqKnn with a corpus-deep re-rank equals exact brute force") {
+    // with the re-rank buffer holding every candidate, the ADC coarse
+    // ranking can only reorder WITHIN the buffer — the exact cosine
+    // re-score undoes any quantization damage, for ANY codebook
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 20)
+    val n = emb.count().toInt
+    val exact = Similarity.bruteForceKnn(queries, emb, 5)
+    val pq = Similarity.pqKnn(queries, emb, 5, rerankFactor = n / 5 + 1)
+    assert(pq.exceptAll(exact).count() == 0 &&
+      exact.exceptAll(pq).count() == 0)
+  }
+
+  test("pqKnn recall@5 at defaults clears the floor across seeds") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceKnn(queries, emb, 5)
+      .select("query_id", "neighbor_id")
+    val n = exact.count().toDouble
+    for (seed <- Seq(42L, 7L, 1234L)) {
+      val pq = Similarity.pqKnn(queries, emb, 5, seed = seed)
+        .select("query_id", "neighbor_id")
+      val recall = exact.intersect(pq).count() / n
+      assert(recall >= 0.7, f"PQ recall@5 (seed $seed) degraded to $recall%.2f")
+    }
+  }
+
+  test("ivfPqKnn with exhaustive probe and deep re-rank equals exact") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 20)
+    val n = emb.count().toInt
+    val exact = Similarity.bruteForceKnn(queries, emb, 5)
+    val ivfpq = Similarity.ivfPqKnn(queries, emb, 5,
+      nlist = 8, nprobe = 8, rerankFactor = n / 5 + 1)
+    assert(ivfpq.exceptAll(exact).count() == 0 &&
+      exact.exceptAll(ivfpq).count() == 0)
+  }
+
+  test("ivfPqKnn recall@5 at defaults clears the cell-assignment floor") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceKnn(queries, emb, 5)
+      .select("query_id", "neighbor_id")
+    val n = exact.count().toDouble
+    for (seed <- Seq(42L, 7L, 1234L)) {
+      val ivfpq = Similarity.ivfPqKnn(queries, emb, 5, seed = seed)
+        .select("query_id", "neighbor_id")
+      val recall = exact.intersect(ivfpq).count() / n
+      assert(recall >= 0.5, f"IVF-PQ recall@5 (seed $seed) degraded to $recall%.2f")
+    }
+  }
+
+  test("ivfPqKnn coarse stage is cell-bucketed, not all-pairs") {
+    val emb = Tables.embeddings(spark, sf)
+    val plan = Similarity.ivfPqKnn(emb.filter($"vec_id" < 5), emb, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "coarse candidate generation must not be a cartesian product")
+    assert(plan.contains("cell"), "candidate join must key on cell id")
+  }
+
+  test("pqKnn is invariant to corpus partitioning (codebooks + codes)") {
+    // codebook fit samples an id-ordered head on one partition and the
+    // encode argmin ties break by least index, so nothing in the path
+    // may depend on how the corpus arrives partitioned
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 10)
+    val a = Similarity.pqKnn(queries, emb, 5)
+    val b = Similarity.pqKnn(queries, emb.repartition(7), 5)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "pqKnn output changed under repartitioning")
+  }
 }

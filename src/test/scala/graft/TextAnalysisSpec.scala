@@ -255,4 +255,34 @@ class TextAnalysisSpec extends SparkSpec {
       assert(a == b)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("lmLogprob matches hand-computed Laplace unigram surprisal") {
+    // unigrams: a:5, b:1, c:1 → N=7, V=3 → p(w) = (cnt+1)/10
+    val docs = Seq((0L, "a a a a"), (1L, "a b"), (2L, "c"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.lmLogprob(docs).collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(4L, 2L, 1L))
+    def lp(p: Double) = BigDecimal(math.log(p))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def avg6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = Seq(
+      avg6(lp(0.6).toDouble),                       // doc 0: common tokens
+      avg6((lp(0.6) + lp(0.2)).toDouble / 2.0),     // doc 1: mixed (exact
+                                                    //   decimal sum, then /2)
+      avg6(lp(0.2).toDouble))                       // doc 2: rare-token soup
+    assert(r.map(_.getDouble(2)).toSeq == expected,
+      s"got ${r.map(_.getDouble(2)).toSeq}, want $expected")
+    // the quality-filter signal: common-token docs score higher
+    assert(r(0).getDouble(2) > r(2).getDouble(2))
+  }
+
+  test("lmLogprob on the corpus: one row per doc, all scores negative") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextAnalysis.lmLogprob(docs).cache()
+    try {
+      assert(out.count() == docs.count())
+      assert(out.filter($"avg_logprob" >= 0.0 || $"tok_count" <= 0L).count() == 0)
+    } finally { out.unpersist(); () }
+  }
 }
