@@ -554,11 +554,22 @@ object Dedup {
     val nlist = math.max(minNlist.toLong, n / targetCell).toInt
     // deterministic sample fit, single partition — same rationale as
     // Similarity.ivfIndex (distributed k-means partial-sum order is not
-    // bit-stable; quantizers are sample-fit in practice anyway)
+    // bit-stable; quantizers are sample-fit in practice anyway). The
+    // sample and the iteration count are BOUNDED: nlist grows with N,
+    // so an nlist-proportional sample makes the single-threaded fit
+    // O(nlist · sample · iters) ≈ O(N²) — measured as 280 of d14's
+    // 295 s at the 50k-vector scaling point before the cap. 16k rows
+    // and 10 iterations hold centroid quality at these cell counts
+    // (recall pins unchanged) while the fit stays seconds. Past ~10⁵
+    // cells a flat single fit is the wrong tool no matter how sampled —
+    // the deployed form is a hierarchical quantizer (coarse k-means,
+    // then per-cell sub-fits, each a distributed sorted-sample task);
+    // the candidate join below is indifferent to which quantizer
+    // produced the cell ids.
     val fitSample = e.orderBy(col("vec_id"))
-      .limit(math.max(nlist * 64, 1024))
+      .limit(math.min(math.max(nlist * 64, 1024), 16384))
       .select(col("vec_id"), array_to_vector(col("v")).as("fv")).coalesce(1)
-    val model = new KMeans().setK(nlist).setSeed(seed)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(fitSample)
     val centroids = model.clusterCenters.toSeq.zipWithIndex
       .map { case (v, i) => (i, v.toArray.toSeq) }.toDF("cell", "centroid")

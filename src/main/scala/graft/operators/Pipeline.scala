@@ -330,6 +330,83 @@ object Pipeline {
       |FROM r
       |ORDER BY doc_id""".stripMargin
 
+  /** Temperature-reweighted source sampling rates, derived from the
+    * corpus' OWN source shares (p06's rates are handed in; these are
+    * computed): the multinomial temperature scheme of the multilingual
+    * LM literature, where target shares q_s ∝ p_s^α flatten the source
+    * distribution for α < 1. Realized by sampling WITHOUT upsampling —
+    * scale the per-source keep rates so the rate-1 source is the one
+    * that needs the most relative boost, i.e. the smallest:
+    *
+    *   rate_s = (q_s/p_s) / max_t(q_t/p_t) = (n_min/n_s)^(1−α)
+    *
+    * (the Σ p_t^α normalizer cancels — only the per-source counts and
+    * their minimum are needed). α = 1 keeps everything (natural
+    * distribution); α = 0 equalizes expected kept counts. The rate is
+    * rounded to 6 decimals before it meets the md5 bucket (`pow` is
+    * the only cross-engine-ulp-risky term — the t11 pin), so every
+    * per-document keep decision replays exactly in the oracle.
+    *
+    * Scale: one tiny source-keyed count aggregate, a 1-row min
+    * broadcast onto the per-source frame, and the rate table broadcast
+    * back onto the corpus for the same narrow [[mixKeep]] filter as
+    * p06 — no extra wide shuffle at any corpus size. */
+  def temperatureRates(docs: DataFrame, alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha $alpha outside [0, 1]")
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val mn = counts.agg(min(col("n_docs")).as("__min"))
+    counts.crossJoin(broadcast(mn))
+      .withColumn("temp_rate", round(
+        pow(col("__min").cast("double") / col("n_docs").cast("double"),
+          lit(1.0 - alpha)), 6))
+      .select(col("source"), col("n_docs"), col("temp_rate"))
+  }
+
+  /** p09 — per-source mixing report under α = 0.5 temperature rates:
+    * kept counts and realized vs target rates, hash-gated end to end
+    * (DuckDB re-derives the rates from the same counts and replays
+    * every md5 keep decision). */
+  def p09TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val rates = temperatureRates(docs, 0.5)
+    docs.join(broadcast(rates), Seq("source"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_docs")).as("n_docs"),   // per-source constant
+        max(col("temp_rate")).as("temp_rate"),
+        count(when(mixKeep(col("temp_rate")), 1)).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("temp_rate"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs"), 6)
+          .as("realized_rate"))
+      .orderBy(col("source"))
+  }
+
+  val p09Sql: String =
+    """WITH counts AS (
+      |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      |m AS (SELECT MIN(n_docs) AS mn FROM counts),
+      |rates AS (
+      |  SELECT source, n_docs,
+      |         ROUND(POW(CAST(mn AS DOUBLE) / CAST(n_docs AS DOUBLE), 0.5), 6)
+      |           AS temp_rate
+      |  FROM counts CROSS JOIN m),
+      |b AS (
+      |  SELECT d.source, r.n_docs, r.temp_rate,
+      |    CAST(16 * (strpos('0123456789abcdef',
+      |                      substring(md5(CAST(d.doc_id AS VARCHAR)), 31, 1)) - 1)
+      |         +    (strpos('0123456789abcdef',
+      |                      substring(md5(CAST(d.doc_id AS VARCHAR)), 32, 1)) - 1)
+      |      AS INT) AS bucket
+      |  FROM documents d JOIN rates r USING (source))
+      |SELECT source, n_docs, temp_rate,
+      |  CAST(SUM(CASE WHEN bucket < temp_rate * 256 THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_kept,
+      |  ROUND(CAST(SUM(CASE WHEN bucket < temp_rate * 256 THEN 1 ELSE 0 END)
+      |               AS DOUBLE) / n_docs, 6) AS realized_rate
+      |FROM b
+      |GROUP BY source, n_docs, temp_rate
+      |ORDER BY source""".stripMargin
+
   /** THE deterministic stratification key: md5 over a "strat:"-prefixed
     * doc id — its own key space, independent of [[md5Bucket]] (split/
     * mix) and [[shuffleKey]] (order), same single-owner rule: p08 and
@@ -388,6 +465,7 @@ object Pipeline {
     "p06_source_mix"      -> p06SourceMix _,
     "p07_shuffle_shards"  -> p07ShuffleShards _,
     "p08_stratified_split" -> p08StratifiedSplit _,
+    "p09_temperature_mix" -> p09TemperatureMix _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -396,5 +474,6 @@ object Pipeline {
     "p06_source_mix"      -> p06Sql,
     "p07_shuffle_shards"  -> p07Sql,
     "p08_stratified_split" -> p08Sql,
+    "p09_temperature_mix" -> p09Sql,
   )
 }

@@ -107,4 +107,41 @@ class PipelineSpec extends SparkSpec {
     assert(mixed.exceptAll(train).count() == 0 &&
       train.exceptAll(mixed).count() == 0)
   }
+
+  test("temperatureRates: (n_min/n_s)^(1-α), rarest keeps all, α=1 natural") {
+    import org.apache.spark.sql.functions.col
+    // sources: a × 9, b × 1 → p_a/p_b = 9:1, n_min = 1
+    val docs = ((0L until 9L).map(i => (i, "a")) :+ (9L, "b"))
+      .toDF("doc_id", "source")
+    val half = Pipeline.temperatureRates(docs, 0.5)
+      .orderBy("source").collect()
+    // α = 0.5: rate_a = (1/9)^0.5 = 0.333333 (round-6), rate_b = 1
+    assert(half.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(half.map(_.getLong(1)).toSeq == Seq(9L, 1L))
+    assert(half.map(_.getDouble(2)).toSeq == Seq(0.333333, 1.0))
+    // α = 1 is the natural distribution: every source keeps everything
+    val nat = Pipeline.temperatureRates(docs, 1.0).collect()
+    assert(nat.forall(_.getDouble(2) == 1.0))
+    // α = 0 equalizes expected kept counts: rate_a = 1/9
+    val eq = Pipeline.temperatureRates(docs, 0.0)
+      .orderBy("source").collect()
+    assert(eq.map(_.getDouble(2)).toSeq == Seq(0.111111, 1.0))
+  }
+
+  test("p09 per-source keep decisions reuse the one md5 bucket owner") {
+    // every kept count must equal a direct hashMix filter at that
+    // source's rate — the gate query and the operator share mixKeep
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val docs = Tables.documents(spark, sf)
+    val report = Pipeline.p09TemperatureMix(spark, sf).collect()
+    val rates = Pipeline.temperatureRates(docs, 0.5)
+    for (r <- report) {
+      val kept = Pipeline.hashMix(
+        docs.filter($"source" === r.getString(0))
+          .join(broadcast(rates), Seq("source")),
+        col("temp_rate")).count()
+      assert(kept == r.getLong(3),
+        s"source ${r.getString(0)}: report ${r.getLong(3)} vs direct $kept")
+    }
+  }
 }
