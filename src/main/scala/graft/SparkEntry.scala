@@ -32,6 +32,7 @@ object SparkEntry {
       operators.RangeJoin.queries ++
       operators.Profile.queries ++
       operators.Audit.queries ++
+      operators.Clustering.queries ++
       sources.Warehouse.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -51,5 +52,6 @@ object SparkEntry {
       operators.RangeJoin.oracles ++
       operators.Profile.oracles ++
       operators.Audit.oracles ++
+      operators.Clustering.oracles ++
       sources.Warehouse.oracles
 }

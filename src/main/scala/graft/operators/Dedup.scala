@@ -106,7 +106,20 @@ object Dedup {
     * the quadratic blow-up is confined to each posting list, which
     * `maxShingleFreq` caps at scale. */
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
-                   maxShingleFreq: Option[Long] = None): DataFrame = {
+                   maxShingleFreq: Option[Long] = None): DataFrame =
+    pairIntersections(docs, n, maxShingleFreq)
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** The shared pair frame under every exact shingle-overlap scorer:
+    * (id_a < id_b, inter, sz_a, sz_b) for every doc pair sharing at
+    * least one surviving shingle. Jaccard, containment, and the
+    * incremental variants differ only in how they normalize `inter`. */
+  private def pairIntersections(docs: DataFrame, n: Int,
+                                maxShingleFreq: Option[Long]): DataFrame = {
     val sh = docShingles(docs, n, maxShingleFreq)
     // per-doc set size: without a hot-shingle cap it is just the
     // shingle-array length — one narrow pass over docs, no second
@@ -139,12 +152,28 @@ object Dedup {
     inter
       .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
-      .withColumn("jaccard",
-        col("inter").cast(DoubleType) /
-          (col("sa.sz") + col("sb.sz") - col("inter")).cast(DoubleType))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        col("sa.sz").as("sz_a"), col("sb.sz").as("sz_b"))
   }
+
+  /** All pairs with one-sided shingle CONTAINMENT ≥ threshold:
+    * c(A,B) = |A∩B| / min(|A|,|B|) — the subset-duplicate detector
+    * Jaccard structurally misses. A short document embedded verbatim in
+    * a much longer one (a quote, a boilerplate block, a doc + appended
+    * noise) has jaccard ≈ |A|/|B| → 0 as the host grows, but
+    * containment stays ≈ 1: the smaller side's gram set is covered.
+    * Same inverted-index pair frame as [[jaccardPairs]] — identical
+    * shuffle shape, identical `maxShingleFreq` 100 TB guard — only the
+    * normalizer changes, so everything the d02/d08 scale analysis says
+    * carries over verbatim. */
+  def containmentPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+                       maxShingleFreq: Option[Long] = None): DataFrame =
+    pairIntersections(docs, n, maxShingleFreq)
+      .withColumn("containment",
+        col("inter").cast(DoubleType) /
+          least(col("sz_a"), col("sz_b")).cast(DoubleType))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
 
   // -- MinHash + LSH ----------------------------------------------------------
 
@@ -767,6 +796,43 @@ object Dedup {
       |WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** d15 — one-sided containment pairs ≥ 0.8. On this corpus every
+    * near-dup pair is a symmetric rewrite (sz_a ≈ sz_b), so the PAIR
+    * SET matches d02's — but the reported score is the containment
+    * normalizer, so the oracle hash checks the min-side math, not a
+    * re-run of d02. The asymmetric case containment exists for (short
+    * doc verbatim inside a long host: jaccard → 0, containment = 1) is
+    * pinned in DedupSpec where the synthetic corpus cannot express it. */
+  def d15ContainmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(spark, dir), 0.8)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment_r"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val d15Sql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         w[i.i] || ' ' || w[i.i+1] || ' ' || w[i.i+2] AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |        WHERE len(string_split(text, ' ')) >= 3)
+      |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) i
+      |  UNION ALL
+      |  SELECT doc_id, text AS shingle FROM documents
+      |  WHERE len(string_split(text, ' ')) < 3),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |       ROUND(CAST(c AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 6)
+      |         AS containment_r
+      |FROM inter
+      |  JOIN sizes sa ON id_a = sa.doc_id
+      |  JOIN sizes sb ON id_b = sb.doc_id
+      |WHERE CAST(c AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** MinHash-LSH near-dup pairs ≥ 0.8 — same oracle as d02: the LSH
     * candidate generation + exact verification must reproduce the
     * exact all-pairs answer (recall argument in minhashDedupPairs doc). */
@@ -1029,6 +1095,7 @@ object Dedup {
     "d12_semantic_dedup"  -> d12SemanticDedup _,
     "d13_semantic_dedup_lsh" -> d13SemanticDedupLsh _,
     "d14_semantic_dedup_ivf" -> d14SemanticDedupIvf _,
+    "d15_containment_pairs" -> d15ContainmentPairs _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1042,6 +1109,7 @@ object Dedup {
     "d11_minhash_capped"  -> d02Sql, // cap must not lose true pairs here
     "d12_semantic_dedup"  -> d12Sql,
     "d13_semantic_dedup_lsh" -> d12Sql, // scale path must equal the exact answer
+    "d15_containment_pairs" -> d15Sql,
     // d14 is rows-only BY DESIGN: IVF cell partitioning trades
     // boundary-pair recall for linear candidate volume (pins in
     // DedupSpec: precision 1, recall ≥ 0.8, spill=nlist == exact)

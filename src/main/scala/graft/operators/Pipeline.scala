@@ -459,6 +459,99 @@ object Pipeline {
       |FROM r
       |ORDER BY doc_id""".stripMargin
 
+  /** p10 — leakage-safe train/val/test split: the p04 hash split with
+    * one repair — near-duplicate documents NEVER straddle a split
+    * boundary. A plain per-document split leaks test answers into
+    * training whenever a test doc has a near-dup twin in train (the
+    * classic eval-contamination path t13 only *measures*); here the
+    * whole near-dup CLUSTER (connected components over the exact
+    * jaccard ≥ 0.8 pairs, transitively) is assigned as one unit, keyed
+    * by the md5 bucket of its head (min doc_id). Singletons keep their
+    * own-id bucket, so p10 degrades to p04 exactly on a dup-free
+    * corpus, and an existing document's assignment never changes when
+    * the corpus grows — unless a new duplicate genuinely links it into
+    * a cluster, which is precisely when it SHOULD move.
+    *
+    * `regrouped` flags the docs whose naive p04 split was overridden —
+    * the leakage events the repair closed.
+    *
+    * Scale (100 TB): [[Dedup.jaccardPairs]]' posting-list join (at
+    * deployment scale, d03's LSH pairs — identical schema, see d09) +
+    * per-round 16-byte label shuffles for the components + ONE
+    * hash-join of labels (pair-participants only — a tiny fraction of
+    * the corpus) back to docs; the split itself stays a narrow
+    * projection, same as p04. */
+  def p10LeakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val labels = Dedup.dupClusters(
+      Dedup.jaccardPairs(docs.select(col("doc_id"), col("text")), 0.8)
+        .select(col("id_a"), col("id_b")))
+    val head = coalesce(col("lbl"), col("doc_id"))
+    docs.join(labels, docs("doc_id") === labels("node"), "left")
+      .select(col("doc_id"), head.as("head_id"),
+        splitOf(md5Bucket(head)).as("split"),
+        (splitOf(md5Bucket(head)) =!=
+          splitOf(md5Bucket(col("doc_id")))).as("regrouped"))
+      .orderBy(col("doc_id"))
+  }
+
+  // d09's recursive-CTE transitive closure feeding p04's md5 decode,
+  // applied to the cluster head — per-document assignments pinned.
+  val p10Sql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         w[i.i] || ' ' || w[i.i+1] || ' ' || w[i.i+2] AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |        WHERE len(string_split(text, ' ')) >= 3)
+      |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) i
+      |  UNION ALL
+      |  SELECT doc_id, text AS shingle FROM documents
+      |  WHERE len(string_split(text, ' ')) < 3),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |    JOIN sizes sa ON id_a = sa.doc_id
+      |    JOIN sizes sb ON id_b = sb.doc_id
+      |  WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.8),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |labels AS (
+      |  SELECT src AS node, least(src, MIN(dst)) AS lbl
+      |  FROM reach GROUP BY src),
+      |heads AS (
+      |  SELECT d.doc_id, COALESCE(l.lbl, d.doc_id) AS head_id
+      |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node),
+      |bk AS (
+      |  SELECT doc_id, head_id,
+      |    CAST(16 * (strpos('0123456789abcdef',
+      |                      substring(md5(CAST(head_id AS VARCHAR)), 31, 1)) - 1)
+      |         +    (strpos('0123456789abcdef',
+      |                      substring(md5(CAST(head_id AS VARCHAR)), 32, 1)) - 1)
+      |      AS INT) AS hb,
+      |    CAST(16 * (strpos('0123456789abcdef',
+      |                      substring(md5(CAST(doc_id AS VARCHAR)), 31, 1)) - 1)
+      |         +    (strpos('0123456789abcdef',
+      |                      substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1)
+      |      AS INT) AS ob
+      |  FROM heads)
+      |SELECT doc_id, head_id,
+      |  CASE WHEN hb < 205 THEN 'train'
+      |       WHEN hb < 230 THEN 'val' ELSE 'test' END AS split,
+      |  (CASE WHEN hb < 205 THEN 'train'
+      |        WHEN hb < 230 THEN 'val' ELSE 'test' END) <>
+      |  (CASE WHEN ob < 205 THEN 'train'
+      |        WHEN ob < 230 THEN 'val' ELSE 'test' END) AS regrouped
+      |FROM bk
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p02_pipeline_funnel" -> p02PipelineFunnel _,
     "p04_hash_split"      -> p04HashSplit _,
@@ -466,6 +559,7 @@ object Pipeline {
     "p07_shuffle_shards"  -> p07ShuffleShards _,
     "p08_stratified_split" -> p08StratifiedSplit _,
     "p09_temperature_mix" -> p09TemperatureMix _,
+    "p10_leakage_safe_split" -> p10LeakageSafeSplit _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -475,5 +569,6 @@ object Pipeline {
     "p07_shuffle_shards"  -> p07Sql,
     "p08_stratified_split" -> p08Sql,
     "p09_temperature_mix" -> p09Sql,
+    "p10_leakage_safe_split" -> p10Sql,
   )
 }

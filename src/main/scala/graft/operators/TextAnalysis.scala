@@ -784,6 +784,127 @@ object TextAnalysis {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // -- BPE merge learning -----------------------------------------------------
+
+  /** Number of BPE merges the t17 gate learns (mirrored in [[t17Sql]]'s
+    * generated CTE chain — change both by changing THIS). */
+  val bpeMerges = 6
+
+  /** Replace passes per merge: `replace` is left-to-right
+    * NON-OVERLAPPING in both engines (Java and DuckDB), and the padded
+    * pattern `' l r '` shares its boundary space with a chaining next
+    * occurrence (`a b a b` → first match consumes the middle space), so
+    * one pass merges only alternate links of a chained run. Repeating
+    * the identical replace reaches the fixpoint — every adjacent
+    * occurrence merged; 4 passes cover chains far longer than any
+    * word in a natural-language vocabulary (pass p resolves chains of
+    * ~2^p links), and a FIXED count keeps the two engines' expressions
+    * structurally identical. The fixpoint convention (not strict
+    * leftmost-greedy: `a a a a a` → `aa a aa`, greedy gives
+    * `aa aa a`) is this operator's pinned merge-application semantics,
+    * identical on both sides. */
+  val bpeReplacePasses = 4
+
+  /** Distributed byte-pair-encoding merge learning — the tokenizer-
+    * training step of a training-data pipeline, over word TYPES: one
+    * corpus pass builds the (word, freq) vocabulary (the only
+    * corpus-sized shuffle), each word becomes its space-joined
+    * character sequence, and each of k rounds (a) counts adjacent
+    * symbol pairs weighted by word frequency — partial-aggregated
+    * map-side, so the shuffle carries (pair, partial-count) rows
+    * bounded by distinct pairs × tasks, (b) picks the argmax pair
+    * (count desc, pair asc — a total order), (c) applies the merge to
+    * every word via [[bpeReplacePasses]] literal `replace` passes.
+    *
+    * The driver sees exactly ONE row per round (the winning pair) —
+    * the classic bounded-collect iterative shape ([[Dedup.dupClusters]]
+    * precedent); the vocabulary itself stays distributed end to end,
+    * so at 100 TB (word-type tables in the 10⁸ range) nothing changes:
+    * per-round cost is two narrow passes + one pair-keyed shuffle of
+    * partial aggregates. Each round's frame is localCheckpoint'd: k
+    * nested replaces would otherwise stack into one deep codegen
+    * expression re-evaluated from raw text per consumer.
+    *
+    * Returns the learned merge table: (merge_rank, pair, merged,
+    * pair_count). */
+  def bpeMergeTable(docs: DataFrame, k: Int = bpeMerges,
+                    passes: Int = bpeReplacePasses): Seq[(Int, String, String, Long)] = {
+    var vocab = docs
+      .select(explode(wsTokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        concat(lit(" "),
+          concat_ws(" ", array_remove(split(col("word"), ""), lit(""))),
+          lit(" ")).as("syms"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (rank <- 1 to k) {
+      val best = vocab
+        .select(col("freq"), split(trim(col("syms")), " ").as("w"))
+        .select(col("freq"), col("w"), posexplode(col("w")).as(Seq("i", "s")))
+        .filter(col("i") < size(col("w")) - 1)
+        .select(col("freq"),
+          concat_ws(" ", col("s"), element_at(col("w"), col("i") + 2)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()(0)
+      val pair = best.getString(0)
+      val cnt = best.getLong(1)
+      val merged = pair.replace(" ", "")
+      merges += ((rank, pair, merged, cnt))
+      val applied = (1 to passes).foldLeft(col("syms")) { (c, _) =>
+        call_function("replace", c, lit(s" $pair "), lit(s" $merged "))
+      }
+      vocab = vocab.select(col("freq"), applied.as("syms")).localCheckpoint(true)
+    }
+    merges.result()
+  }
+
+  /** t17 — the first [[bpeMerges]] learned BPE merges over the corpus
+    * vocabulary, hash-gated: DuckDB replays the identical rounds as a
+    * generated CTE chain, so every pair count, every argmax tie-break,
+    * and every replace-fixpoint application is pinned cross-engine. */
+  def t17BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeMergeTable(Tables.documents(spark, dir))
+      .toDF("merge_rank", "pair", "merged", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** Generated DuckDB twin of t17: v{i} is the vocabulary after i
+    * merges, p{i}/b{i} the round-i pair counts and winner; the
+    * [[bpeReplacePasses]] nested replaces mirror the Spark side
+    * structurally. */
+  val t17Sql: String = {
+    val rounds = (0 until bpeMerges).map { i =>
+      val rep = (1 to bpeReplacePasses).foldLeft("syms") { (s, _) =>
+        s"replace($s, ' ' || (SELECT pair FROM b$i) || ' ', " +
+          s"' ' || (SELECT replace(pair, ' ', '') FROM b$i) || ' ')"
+      }
+      s"""p$i AS (
+         |  SELECT w[j.j] || ' ' || w[j.j+1] AS pair,
+         |         CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, string_split(trim(syms), ' ') AS w FROM v$i)
+         |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(w))) AS j) j
+         |  GROUP BY 1),
+         |b$i AS MATERIALIZED (
+         |  SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+         |v${i + 1} AS MATERIALIZED (SELECT freq, $rep AS syms FROM v$i)""".stripMargin
+    }
+    val out = (0 until bpeMerges).map { i =>
+      s"SELECT CAST(${i + 1} AS INT) AS merge_rank, pair, " +
+        s"replace(pair, ' ', '') AS merged, cnt AS pair_count FROM b$i"
+    }
+    s"""WITH v0 AS MATERIALIZED (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS freq,
+       |         ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS syms
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY word),
+       |${rounds.mkString(",\n")}
+       |${out.mkString("\nUNION ALL ")}
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t14_pii_redaction"   -> t14PiiRedaction _,
     "t13_decontamination" -> t13Decontamination _,
@@ -801,6 +922,7 @@ object TextAnalysis {
     "t10_cms_estimates"  -> t10CmsTopkEstimates _,
     "t11_tfidf_topterms" -> t11TfidfTopTerms _,
     "t16_lm_logprob"     -> t16LmLogprob _,
+    "t17_bpe_merges"     -> t17BpeMerges _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -819,6 +941,7 @@ object TextAnalysis {
     "t09_token_topk"     -> t09Sql,
     "t11_tfidf_topterms" -> t11Sql,
     "t16_lm_logprob"     -> t16Sql,
+    "t17_bpe_merges"     -> t17Sql,
     // rows-only by design (no DuckDB twin exists):
     //  - t06: fingerprints come from our codegen'd polynomial RollingHash
     //    expression; DuckDB has no equivalent hash family, and mirroring

@@ -50,6 +50,32 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "doc 4 is unrelated")
   }
 
+  test("containmentPairs catches the subset-dup that jaccard misses") {
+    // doc 2 = doc 1 verbatim + 3x unrelated tail: the smaller side's
+    // gram set is fully covered (containment 1.0) while jaccard dies
+    // with the host's growth — the case d15 exists for
+    val subset = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta " +
+        "one two three four five six seven eight nine ten " +
+        "eleven twelve thirteen fourteen fifteen sixteen"),
+      (3L, "totally unrelated filler text about nothing at all")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(subset, 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(cont == Seq((1L, 2L, 1.0)))
+    assert(Dedup.jaccardPairs(subset, 0.9).count() == 0L)
+  }
+
+  test("containmentPairs >= jaccardPairs score on every shared pair") {
+    val c = Dedup.containmentPairs(docs, 0.0)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val j = Dedup.jaccardPairs(docs, 0.0)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(c.keySet == j.keySet && c.nonEmpty)
+    j.foreach { case (k, jv) => assert(c(k) >= jv) }
+  }
+
   test("minhashDedupPairs matches exact jaccardPairs on the same corpus") {
     val exact = Dedup.jaccardPairs(docs, 0.4, n = 3)
       .as[(Long, Long, Double)].collect().toSet

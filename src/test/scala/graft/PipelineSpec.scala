@@ -94,6 +94,26 @@ class PipelineSpec extends SparkSpec {
     assert(badRank == 0, "strat_rank must be a 1..n permutation per source")
   }
 
+  test("p10: near-dup clusters never straddle splits; singletons match p04") {
+    val p10 = Pipeline.p10LeakageSafeSplit(spark, sf)
+      .as[(Long, Long, String, Boolean)].collect()
+    val p04 = Pipeline.p04HashSplit(spark, sf)
+      .as[(Long, Int, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(p10.length == p04.size)
+    // one split per cluster head — a straddling cluster is the leak
+    p10.groupBy(_._2).values.foreach { members =>
+      assert(members.map(_._3).distinct.length == 1)
+    }
+    p10.foreach { case (id, head, split, regrouped) =>
+      if (head == id) assert(split == p04(id) && !regrouped)
+      // regrouped IS the naive-vs-cluster disagreement, never a third value
+      assert(regrouped == (split != p04(id)))
+      assert(split == p04(head)) // the head's own split is the cluster's
+    }
+    // the fixture's dup clusters genuinely exercise the repair path
+    assert(p10.exists(r => r._2 != r._1))
+  }
+
   test("hashMix: rate 1 keeps all, 0 keeps none, 205/256 IS the train split") {
     import org.apache.spark.sql.functions.lit
     val docs = Tables.documents(spark, sf)

@@ -152,6 +152,36 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("bpeMergeTable learns hand-computable merges, count-then-pair order") {
+    // corpus: "low" x3, "lower" x2, "west" x1 — pair counts round 1:
+    // (l,o)=5, (o,w)=5, (w,e)=3, (e,r)=2, (e,s)=1, (s,t)=1; ties break
+    // lexicographically: 'l o' < 'o w', so merge 1 = (l,o)->lo.
+    // Round 2: (lo,w)=5 wins. Round 3: (w,e)=3 -> we... but 'low' has
+    // no trailing slot; "lower"= [low,e,r], "west"=[w,e,s,t]:
+    // (low,e)=2, (e,r)=2, (w,e)=1, (e,s)=1, (s,t)=1 -> 'e r' vs
+    // 'low e': 'e r' < 'low e'? counts tie at 2, 'e r' sorts first.
+    val docs = Seq((1L, "low low lower west"), (2L, "low lower"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMergeTable(docs, k = 3)
+    assert(merges == Seq(
+      (1, "l o", "lo", 5L),
+      (2, "lo w", "low", 5L),
+      (3, "e r", "er", 2L)))
+  }
+
+  test("bpe replace-fixpoint semantics: chained runs fully merge") {
+    // 'a b a b a b' single-pass replace merges only alternate links;
+    // the fixed multi-pass application must reach the fixpoint [ab ab ab]
+    val docs = Seq((1L, "ababab x")).toDF("doc_id", "text")
+    // word 'ababab' => chars a b a b a b; round 1 best pair is (a,b)=3
+    val merges = TextAnalysis.bpeMergeTable(docs, k = 2)
+    assert(merges.head == ((1, "a b", "ab", 3L)))
+    // after applying (a,b), the surviving symbols are [ab ab ab], so
+    // round 2's top pair must be (ab, ab) with count 2 — that only
+    // happens if ALL THREE links merged in round 1
+    assert(merges(1) == ((2, "ab ab", "abab", 2L)))
+  }
+
   test("decontaminate: a shared 5-gram across the split is reported exactly") {
     import spark.implicits._
     // independent implementation of the md5 bucketing — also pins that
