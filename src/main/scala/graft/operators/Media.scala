@@ -605,6 +605,105 @@ object Media {
       |GROUP BY i.id
       |ORDER BY media_id""".stripMargin
 
+  /** 64-bit block-mean perceptual hash of a decoded grayscale image —
+    * the image near-dup signature (pHash lineage): partition the image
+    * into an 8×8 grid with the inverse map b=(y·8÷h)·8+(x·8÷w), set
+    * bit b iff the block's mean ≥ the image's global mean. ALL
+    * arithmetic is integer — the mean comparison is the cross-product
+    * sum_b·N ≥ S·cnt_b — so the hash is exactly reproducible from the
+    * fixture's closed-form pixels with no float anywhere. Returned as
+    * two 32-bit halves (hi = bits 32–63): a single signed 64-bit pack
+    * would go negative on bit 63 and trip engine-specific overflow
+    * behavior in the oracle's shift arithmetic.
+    *
+    * Near-dup pairing over these is d04's Hamming band join verbatim
+    * (split the 64 bits into bands, equi-join on exact band matches) —
+    * the signature, not the join, is what is image-specific. */
+  def phash64(img: BufferedImage, grid: Int = 8): (Long, Long, Int) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val sums = new Array[Long](grid * grid)
+    val cnts = new Array[Long](grid * grid)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val b = (y * grid / h) * grid + (x * grid / w)
+        sums(b) += raster.getSample(x, y, 0)
+        cnts(b) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val total = sums.sum
+    val n = w.toLong * h
+    var hi = 0L; var lo = 0L; var set = 0
+    var b = 0
+    while (b < grid * grid) {
+      if (cnts(b) > 0 && sums(b) * n >= total * cnts(b)) {
+        if (b >= 32) hi |= 1L << (b - 32) else lo |= 1L << b
+        set += 1
+      }
+      b += 1
+    }
+    (hi, lo, set)
+  }
+
+  /** m07 — perceptual hashes of every image payload, REAL decode:
+    * ImageIO decodes the PNG, [[phash64]] signs the pixels, and DuckDB
+    * re-derives every bit from the closed-form pixel formulas — so the
+    * gate pins the whole decode→signature path bit-for-bit. Payloads
+    * die inside the task; only (id, 2×32-bit halves, popcount) ever
+    * moves. */
+  def m07ImagePhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaFixture(Tables.documents(spark, dir))
+      .filter(col("kind") === "image").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val img = ImageIO.read(new ByteArrayInputStream(m.content))
+          require(img != null, s"media ${m.media_id}: not a decodable image")
+          val (hi, lo, set) = phash64(img)
+          (m.media_id, hi, lo, set)
+        }
+      }.toDF("media_id", "phash_hi", "phash_lo", "n_set")
+      .orderBy(col("media_id"))
+  }
+
+  // the pixel/dim formulas and the %3 kind assignment are [[Codec]]'s
+  // (mirrored like m03Sql); block index and bit rule mirror [[phash64]]
+  val m07Sql: String =
+    """WITH img AS (
+      |  SELECT doc_id AS id,
+      |         8 + (doc_id % 24) AS w,
+      |         8 + ((doc_id * 7) % 24) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT id,
+      |         (yy.y * 8 // h) * 8 + (xx.x * 8 // w) AS b,
+      |         (id * 31 + xx.x * 7 + yy.y * 13) % 256 AS pix
+      |  FROM img
+      |  CROSS JOIN LATERAL (SELECT unnest(range(0, w)) AS x) xx
+      |  CROSS JOIN LATERAL (SELECT unnest(range(0, h)) AS y) yy),
+      |blocks AS (
+      |  SELECT id, b, SUM(pix) AS sb, COUNT(*) AS cb FROM px GROUP BY 1, 2),
+      |tot AS (SELECT id, SUM(sb) AS s, SUM(cb) AS n FROM blocks GROUP BY 1),
+      |bits AS (
+      |  SELECT bl.id, bl.b,
+      |         CASE WHEN bl.sb * t.n >= t.s * bl.cb THEN 1 ELSE 0 END AS bit
+      |  FROM blocks bl JOIN tot t ON bl.id = t.id)
+      |SELECT id AS media_id,
+      |  CAST(SUM(CASE WHEN bit = 1 AND b >= 32
+      |                THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INT))
+      |                ELSE 0 END) AS BIGINT) AS phash_hi,
+      |  CAST(SUM(CASE WHEN bit = 1 AND b < 32
+      |                THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+      |                ELSE 0 END) AS BIGINT) AS phash_lo,
+      |  CAST(SUM(bit) AS INT) AS n_set
+      |FROM bits
+      |GROUP BY id
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_stats"    -> m01MediaStats _,
     "m02_frame_sample"   -> m02FrameSample _,
@@ -612,6 +711,7 @@ object Media {
     "m04_feature_knn"    -> m04FeatureKnn _,
     "m05_resize_profile" -> m05ResizeProfile _,
     "m06_pixel_resize"   -> m06PixelResize _,
+    "m07_image_phash"    -> m07ImagePhash _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -620,5 +720,6 @@ object Media {
     "m03_decode_profile" -> m03Sql,
     "m05_resize_profile" -> m05Sql,
     "m06_pixel_resize" -> m06Sql,
+    "m07_image_phash"  -> m07Sql,
   )
 }

@@ -88,6 +88,41 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("phash64 matches an independent per-pixel recomputation") {
+    for (id <- Seq(0L, 33L, 123L, 498L)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Codec.encode(id, "image")))
+      val (hi, lo, set) = Media.phash64(img)
+      // independent integer oracle straight from the formulas
+      val (w, h) = (Codec.imageW(id), Codec.imageH(id))
+      val sums = new Array[Long](64); val cnts = new Array[Long](64)
+      for (y <- 0 until h; x <- 0 until w) {
+        val b = (y * 8 / h) * 8 + (x * 8 / w)
+        sums(b) += Codec.pixel(id, 0, x, y); cnts(b) += 1
+      }
+      val (s, n) = (sums.sum, w.toLong * h)
+      var ehi = 0L; var elo = 0L; var eset = 0
+      for (b <- 0 until 64 if cnts(b) > 0 && sums(b) * n >= s * cnts(b)) {
+        if (b >= 32) ehi |= 1L << (b - 32) else elo |= 1L << b
+        eset += 1
+      }
+      assert((hi, lo, set) == ((ehi, elo, eset)))
+      assert(java.lang.Long.bitCount(hi) + java.lang.Long.bitCount(lo) == set)
+      // both halves stay within 32 unsigned bits (the no-sign-bit pact
+      // the oracle's shift arithmetic depends on)
+      assert(hi >= 0 && hi < (1L << 32) && lo >= 0 && lo < (1L << 32))
+    }
+  }
+
+  test("phash64: identical payloads sign identically, distinct ids differ") {
+    def ph(id: Long) = Media.phash64(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Codec.encode(id, "image"))))
+    assert(ph(42L) == ph(42L))
+    // at least one of a handful of other images differs (the signature
+    // is not a constant function)
+    assert(Seq(3L, 6L, 9L, 12L).exists(ph(_) != ph(42L)))
+  }
+
   test("Codec WAV round-trip: rate, frame count, and PCM sample sum") {
     for (id <- Seq(1L, 10L, 247L)) {
       val d = Codec.decode(MediaRow(id, "audio", Codec.encode(id, "audio")))
