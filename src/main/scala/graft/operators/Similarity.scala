@@ -322,37 +322,82 @@ object Similarity {
     * codebooks of `ksub` centroids, each over a dim/m slice of the
     * UNIT-NORMALIZED vector (so squared-L2 ADC ranks like cosine:
     * ‖a−b‖² = 2 − 2·cos on the unit sphere). The fit follows
-    * [[ivfIndex]]'s determinism recipe — id-ordered sample, single
-    * partition, fixed per-subspace seed — so the codebooks (and every
-    * code derived from them) are identical across runs and
+    * [[ivfIndex]]'s determinism recipe — id-ordered bounded sample,
+    * fixed per-subspace seed, in-driver [[lloydFit]] — so the codebooks
+    * (and every code derived from them) are identical across runs and
     * partitionings. Returns codebooks(s)(j) = centroid j of subspace
     * s; subspace width is dim/m. */
   private[operators] def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
                                      seed: Long): Array[Array[Array[Double]]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val probed = corpus.select(size(col("embedding")).as("d"))
       .filter(col("d").isNotNull).head(1)
     val dim = if (probed.isEmpty) m else probed(0).getInt(0)
     require(dim % m == 0, s"dim $dim does not divide into $m subspaces")
     val dsub = dim / m
-    val sample = corpus
+    // ONE bounded collect of the id-ordered unit-normalized sample; the
+    // m per-subspace fits then run as in-driver Lloyd iterations over
+    // slices of it. Fitting each subspace as a separate ML KMeans job
+    // costed m × ~20 scheduler round-trips on a ≤1024-row frame —
+    // measured as ~10 of s09's 12.8 s at sf0.1 — for work that is
+    // ~20M flops. The sample stays deliberately bounded (the d14
+    // fit-sample lesson: never let the fit grow with the corpus); past
+    // ~10⁵ sample rows the deployed form is the distributed fit, as the
+    // ivfIndex doc already prescribes.
+    val sample: Array[Array[Double]] = corpus
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("cv"))
       .withColumn("cn", VectorOps.norm(col("cv")))
       .withColumn("nv", unitize(col("cv"), col("cn")))
       .orderBy(col("vec_id"))
       .limit(math.max(ksub * 64, 1024))
-      .coalesce(1)
-      .cache()
-    try {
-      (0 until m).toArray.map { s =>
-        val sub = sample.select(
-          array_to_vector(slice(col("nv"), s * dsub + 1, dsub)).as("fv"))
-        new KMeans().setK(ksub).setSeed(seed + s)
-          .setFeaturesCol("fv").setPredictionCol("code").fit(sub)
-          .clusterCenters.map(_.toArray)
+      .select(col("nv")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    (0 until m).toArray.map { s =>
+      lloydFit(sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)),
+        ksub, seed + s)
+    }
+  }
+
+  /** Deterministic in-driver Lloyd's over a bounded sample: seeded
+    * distinct-point init, fixed iterations, argmin ties to the lowest
+    * centroid index, an emptied centroid keeps its previous value.
+    * Iteration order over the (id-ordered) sample is fixed, so the
+    * result is identical across runs and partitionings. */
+  private def lloydFit(pts: Array[Array[Double]], k: Int,
+                       seed: Long, iters: Int = 10): Array[Array[Double]] = {
+    require(pts.nonEmpty, "empty codebook fit sample")
+    val dim = pts(0).length
+    val rnd = new scala.util.Random(seed)
+    val init = rnd.shuffle(pts.indices.toVector).take(k)
+    val cents = Array.tabulate(k)(i =>
+      pts(init(i % init.length)).clone)
+    val sums = Array.fill(k)(new Array[Double](dim))
+    val cnts = new Array[Long](k)
+    for (_ <- 0 until iters) {
+      java.util.Arrays.fill(cnts, 0L)
+      sums.foreach(java.util.Arrays.fill(_, 0.0))
+      pts.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = p(j) - cents(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+        cnts(best) += 1
       }
-    } finally { sample.unpersist(); () }
+      var c = 0
+      while (c < k) {
+        if (cnts(c) > 0) {
+          var j = 0
+          while (j < dim) { cents(c)(j) = sums(c)(j) / cnts(c); j += 1 }
+        }
+        c += 1
+      }
+    }
+    cents
   }
 
   /** Distance-to-centroid ranking term for one literal centroid:
