@@ -836,6 +836,172 @@ object Similarity {
       |WHERE rk <= 5
       |ORDER BY query_id, rk""".stripMargin
 
+  // -- MMR diversified retrieval ---------------------------------------------
+
+  /** Maximal-marginal-relevance diversified top-k: greedily select
+    * argmax λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s) from a bounded
+    * relevance pool — the retrieval step that returns k RESULTS, not k
+    * near-duplicates of the best result (the dedup-aware flavor of
+    * retrieval a curation pipeline wants for eval mining and few-shot
+    * selection).
+    *
+    * Distributed shape: the pool is the [[bruteForceKnn]] join +
+    * window (top poolFactor·k per query by relevance — at deployment
+    * scale, any of the s02–s10 ANN paths produces the same
+    * (query, candidate, rel, vector) frame); the greedy selection then
+    * runs per query over ≤ poolFactor·k rows inside one
+    * `flatMapGroups` — O(k·pool·dim) work on ~20 rows, no cross-query
+    * state, no driver involvement.
+    *
+    * Determinism pact (what makes s11 HASH-gateable, not rows-only):
+    * every arithmetic step is order-fixed — rel comes from the
+    * engine-side sequential dot, candidate×selected cosines run
+    * sequentially over dims in selection order, the MMR combination is
+    * the literal λ·rel − (1−λ)·msim, and every argmax breaks ties by
+    * lowest id. DuckDB replays the identical selection as an unrolled
+    * per-step CTE chain (anti-join exclusion + MAX-over-selected +
+    * struct-min argmax), so the gate pins every pick of every step. */
+  def mmrKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+             lambdaRel: Double = 0.7, poolFactor: Int = 4): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val q = queries.select(col("vec_id").as("query_id"),
+      VectorOps.asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", VectorOps.norm(col("qv")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      VectorOps.asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("neighbor_id"))
+    val pool = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("rel",
+        VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k * poolFactor)
+      .select(col("query_id"), col("neighbor_id"), col("rel"),
+        col("cv"), col("cn"))
+    pool.as[(Long, Long, Double, Seq[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        // rel-desc/id-asc order fixes the iteration (and thus float
+        // accumulation) order regardless of upstream partitioning
+        val cand = it.toArray.sortBy(r => (-r._3, r._2))
+        val vecs = cand.map(_._4.toArray)
+        val chosen = new Array[Boolean](cand.length)
+        // msim is the TRUE running max of cos(candidate, selected) —
+        // which can be negative; only an EMPTY selected set maps to a
+        // zero penalty (the oracle's COALESCE(MAX(...), 0.0)). Seeding
+        // at 0.0 would silently floor negative similarities and
+        // under-penalize nothing / over-score diverse picks.
+        val msim = Array.fill(cand.length)(Double.NegativeInfinity)
+        (1 to math.min(k, cand.length)).iterator.map { rank =>
+          var best = -1; var bestScore = 0.0; var bestId = Long.MaxValue
+          var i = 0
+          while (i < cand.length) {
+            if (!chosen(i)) {
+              val pen = if (msim(i) == Double.NegativeInfinity) 0.0 else msim(i)
+              val s = lambdaRel * cand(i)._3 - (1.0 - lambdaRel) * pen
+              if (best < 0 || s > bestScore ||
+                (s == bestScore && cand(i)._2 < bestId)) {
+                best = i; bestScore = s; bestId = cand(i)._2
+              }
+            }
+            i += 1
+          }
+          chosen(best) = true
+          var j = 0
+          while (j < cand.length) {
+            if (!chosen(j)) {
+              var d = 0.0; var t = 0
+              val bv = vecs(best)
+              while (t < bv.length) { d += vecs(j)(t) * bv(t); t += 1 }
+              val cos = d / (cand(j)._5 * cand(best)._5)
+              if (cos > msim(j)) msim(j) = cos
+            }
+            j += 1
+          }
+          (qid, rank, cand(best)._2, bestScore)
+        }
+      }
+      .toDF("query_id", "mmr_rank", "neighbor_id", "mmr_score")
+      .select(col("query_id"), col("mmr_rank"), col("neighbor_id"),
+        round(col("mmr_score"), 6).as("mmr_score_r"))
+      .orderBy(col("query_id"), col("mmr_rank"))
+  }
+
+  /** s11 — MMR top-5 from a 20-deep pool for the s01 query set. */
+  def s11KnnMmr(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    mmrKnn(emb.filter(col("vec_id") < 20), emb, 5)
+  }
+
+  /** Generated DuckDB twin of s11: sel{i} is the selected set after
+    * step i (with vectors riding along for the next step's
+    * max-similarity), m{i} scores the not-yet-selected pool rows, and
+    * the struct-min picks the (score desc, id asc) argmax.
+    * MATERIALIZED per step — the chain re-expands exponentially
+    * otherwise (the t17 lesson). */
+  val s11Sql: String = {
+    val k = 5; val pool = 20
+    // (1 - 0.7) in IEEE is 0.30000000000000004, NOT the double nearest
+    // 0.3 — the oracle must perform the same subtraction the Scala
+    // side's (1.0 - lambdaRel) does, not parse a 0.3 literal
+    val lam = "CAST(0.7 AS DOUBLE)"
+    val oneMinus = "(CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE))"
+    val steps = (1 to k).map { i =>
+      val prev = if (i == 1) "sel0" else s"sel${i - 1}"
+      s"""m$i AS (
+         |  SELECT p.query_id, p.neighbor_id, p.rel,
+         |         $lam * p.rel - $oneMinus * COALESCE(MAX(
+         |           list_inner_product(p.cv, s.cv) / (p.cn * s.cn)), 0.0)
+         |           AS score
+         |  FROM (SELECT p0.* FROM pool p0
+         |        ANTI JOIN $prev x
+         |          ON p0.query_id = x.query_id
+         |         AND p0.neighbor_id = x.neighbor_id) p
+         |  LEFT JOIN $prev s ON p.query_id = s.query_id
+         |  GROUP BY p.query_id, p.neighbor_id, p.rel),
+         |pick$i AS (
+         |  SELECT query_id,
+         |         (MIN({'s': -score, 'id': neighbor_id})).id AS neighbor_id,
+         |         -((MIN({'s': -score, 'id': neighbor_id})).s) AS score
+         |  FROM m$i GROUP BY query_id),
+         |sel$i AS MATERIALIZED (
+         |  SELECT * FROM $prev
+         |  UNION ALL
+         |  SELECT p.query_id, p.neighbor_id, $i AS step, k.score, p.cv, p.cn
+         |  FROM pick$i k JOIN pool p
+         |    ON k.query_id = p.query_id AND k.neighbor_id = p.neighbor_id)""".stripMargin
+    }
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id < 20),
+       |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+       |      FROM embeddings),
+       |pool AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT q.query_id, c.neighbor_id,
+       |           list_inner_product(q.qv, c.cv) /
+       |             (sqrt(list_inner_product(q.qv, q.qv)) *
+       |              sqrt(list_inner_product(c.cv, c.cv))) AS rel,
+       |           c.cv,
+       |           sqrt(list_inner_product(c.cv, c.cv)) AS cn,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY list_inner_product(q.qv, c.cv) /
+       |               (sqrt(list_inner_product(q.qv, q.qv)) *
+       |                sqrt(list_inner_product(c.cv, c.cv))) DESC,
+       |               c.neighbor_id) AS rk
+       |    FROM q JOIN c ON q.query_id <> c.neighbor_id)
+       |  WHERE rk <= $pool),
+       |sel0 AS (
+       |  SELECT query_id, neighbor_id, 0 AS step, rel AS score, cv, cn
+       |  FROM pool WHERE 1 = 0),
+       |${steps.mkString(",\n")}
+       |SELECT query_id, CAST(step AS INT) AS mmr_rank, neighbor_id,
+       |       ROUND(score, 6) AS mmr_score_r
+       |FROM sel$k
+       |ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s08_hybrid_knn"        -> s08HybridKnn _,
     "s01_knn_bruteforce"    -> s01KnnBruteForce _,
@@ -847,10 +1013,12 @@ object Similarity {
     "s07_knn_ivfsq"         -> s07KnnIvfSq _,
     "s09_knn_pq"            -> s09KnnPq _,
     "s10_knn_ivfpq"         -> s10KnnIvfPq _,
+    "s11_knn_mmr"           -> s11KnnMmr _,
   )
 
   val oracles: Map[String, String] = Map(
     "s01_knn_bruteforce" -> s01Sql,
     "s08_hybrid_knn"     -> s08Sql,
+    "s11_knn_mmr"        -> s11Sql,
   )
 }

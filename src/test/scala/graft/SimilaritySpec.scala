@@ -326,6 +326,50 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("cell"), "candidate join must key on cell id")
   }
 
+  test("mmrKnn: rank 1 is the brute-force top-1, k dense ranks, pool-bounded") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 20)
+    val mmr = Similarity.mmrKnn(queries, emb, 5).collect()
+    val exactTop1 = Similarity.bruteForceKnn(queries, emb, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val byQ = mmr.groupBy(_.getLong(0))
+    assert(byQ.size == queries.count())
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+      // step 1 has an empty selected set: MMR degenerates to relevance
+      assert(rows.find(_.getInt(1) == 1).get.getLong(2) == exactTop1(q))
+      assert(rows.map(_.getLong(2)).distinct.length == 5)
+    }
+  }
+
+  test("mmrKnn prefers the diverse runner-up over the top-1's clone") {
+    // a2 is a near-clone of the best candidate a1; b is slightly less
+    // relevant but decorrelated. Relevance-only retrieval returns the
+    // clone pair; MMR's redundancy penalty must flip rank 2 to b.
+    val pts = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),          // query
+      (1L, Seq(0.8f, 0.6f, 0.0f, 0.0f)),          // a1 (rel .800)
+      (2L, Seq(0.79f, 0.61f, 0.0f, 0.0f)),        // a2 ≈ a1 (rel .791)
+      (3L, Seq(0.79f, 0.0f, 0.61f, 0.0f))         // b, diverse (rel .791)
+    ).toDF("vec_id", "embedding")
+    val q = pts.filter($"vec_id" === 0L)
+    val top2 = Similarity.bruteForceKnn(q, pts, 2)
+      .collect().map(_.getLong(2)).toSeq
+    assert(top2 == Seq(1L, 2L), "fixture geometry drifted")
+    val mmr = Similarity.mmrKnn(q, pts, 2).collect()
+      .sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    assert(mmr == Seq(1L, 3L))
+  }
+
+  test("mmrKnn is invariant to corpus partitioning") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 10)
+    val a = Similarity.mmrKnn(queries, emb, 5)
+    val b = Similarity.mmrKnn(queries, emb.repartition(7), 5)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "mmrKnn output changed under repartitioning")
+  }
+
   test("pqKnn is invariant to corpus partitioning (codebooks + codes)") {
     // codebook fit samples an id-ordered head on one partition and the
     // encode argmin ties break by least index, so nothing in the path
