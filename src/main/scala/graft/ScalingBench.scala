@@ -39,6 +39,9 @@ object ScalingBench {
       if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 10, 100)
     val skipUncapped = sys.env.get("SPARK_GRAFT_SCALING_SKIP_UNCAPPED")
       .map(_.split(",").map(_.trim.toInt).toSet).getOrElse(Set.empty[Int])
+    // measure a subset without re-running the whole (expensive) grid
+    val only = sys.env.get("SPARK_GRAFT_SCALING_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus)
 
@@ -67,14 +70,22 @@ object ScalingBench {
       ("t15_decontam_capped", true,
         (s, d) => TextAnalysis.decontaminate(Tables.documents(s, d), 5,
           maxShingleFreq = Some(8))),
-      ("v18_streamed_ingest_dedup", true, IngestDedup.v18StreamedIngestDedup _))
+      ("v18_streamed_ingest_dedup", true, IngestDedup.v18StreamedIngestDedup _),
+      // singletons with no quadratic twin — their claim is a ~linear
+      // slope: c01's assignment is a projection + constant-size
+      // exchange, t17's rounds run over the word-TYPE table (which
+      // grows far slower than the corpus), m07's decode+sign is
+      // embarrassingly parallel with 16-byte outputs
+      ("c01_kmeans_assign", true, operators.Clustering.c01KmeansAssign _),
+      ("t17_bpe_merges", true, operators.TextAnalysis.t17BpeMerges _),
+      ("m07_image_phash", true, operators.Media.m07ImagePhash _))
 
     for (r <- scales) {
       val dir = s"/tmp/graft_scaling/x$r"
       ScaleCorpus.write(base, dir, r, spark)
       val nDocs = Tables.documents(spark, dir).count()
       val nVecs = Tables.embeddings(spark, dir).count()
-      for ((name, capped, fn) <- runs) {
+      for ((name, capped, fn) <- runs if only.forall(_.contains(name))) {
         val sec =
           if (!capped && skipUncapped.contains(r)) -1.0
           else try time(fn(spark, dir)) catch {

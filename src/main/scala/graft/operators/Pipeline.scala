@@ -552,6 +552,60 @@ object Pipeline {
       |FROM bk
       |ORDER BY doc_id""".stripMargin
 
+  /** p11 — curriculum ordering: the schedule a curriculum-learning run
+    * consumes. Documents are binned by the t02 quality heuristic
+    * (highest bin first — train on clean data early), deterministically
+    * shuffled WITHIN each bin by md5(doc_id) (a seedless, engine-stable
+    * shuffle — same discipline as the p04 split), and assigned a
+    * GLOBAL curriculum rank plus the running token total (the "how many
+    * tokens has the model seen by this position" schedule axis).
+    *
+    * Scale: the global rank/cumsum is [[Cumulative.withCumsumAndRank]]'s
+    * two-phase range-partitioned form — per-partition windows + a
+    * broadcast of per-partition offsets — NOT a single-partition
+    * window; the bin and shuffle keys are narrow projections. Quality
+    * thresholds compare the bit-identical cross-engine quality double
+    * (t02's hash gate is the proof), so every bin decision replays. */
+  def p11CurriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs.select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+      .withColumn("bin",
+        when(col("q") >= 0.8, 4).when(col("q") >= 0.6, 3)
+          .when(col("q") >= 0.4, 2).when(col("q") >= 0.2, 1).otherwise(0))
+      .withColumn("shuf", md5(col("doc_id").cast("string")))
+    Cumulative.withCumsumAndRank(scored,
+      Seq(col("bin").desc, col("shuf").asc, col("doc_id").asc),
+      col("n_tok"), cumName = "cum_tokens", rankName = "curriculum_rank")
+      .select(col("doc_id"), col("bin"), col("curriculum_rank"),
+        col("cum_tokens").cast("long").as("cum_tokens"))
+      .orderBy(col("curriculum_rank"))
+  }
+
+  val p11Sql: String = {
+    import TextAnalysis.sqlQuality
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    $sqlQuality AS q,
+       |    md5(CAST(doc_id AS VARCHAR)) AS shuf
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, n_tok, shuf,
+       |    CASE WHEN q >= 0.8 THEN 4 WHEN q >= 0.6 THEN 3
+       |         WHEN q >= 0.4 THEN 2 WHEN q >= 0.2 THEN 1 ELSE 0 END AS bin
+       |  FROM s)
+       |SELECT doc_id, bin,
+       |  CAST(ROW_NUMBER() OVER w AS INT) AS curriculum_rank,
+       |  CAST(SUM(n_tok) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+       |                          AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |FROM b
+       |WINDOW w AS (ORDER BY bin DESC, shuf, doc_id)
+       |ORDER BY curriculum_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p02_pipeline_funnel" -> p02PipelineFunnel _,
     "p04_hash_split"      -> p04HashSplit _,
@@ -560,6 +614,7 @@ object Pipeline {
     "p08_stratified_split" -> p08StratifiedSplit _,
     "p09_temperature_mix" -> p09TemperatureMix _,
     "p10_leakage_safe_split" -> p10LeakageSafeSplit _,
+    "p11_curriculum_order" -> p11CurriculumOrder _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -570,5 +625,6 @@ object Pipeline {
     "p08_stratified_split" -> p08Sql,
     "p09_temperature_mix" -> p09Sql,
     "p10_leakage_safe_split" -> p10Sql,
+    "p11_curriculum_order" -> p11Sql,
   )
 }

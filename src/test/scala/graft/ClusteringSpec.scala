@@ -45,6 +45,18 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("assignment plan is a pure projection: no join, no window, no agg") {
+    // the centroids ride as literals, so the final assignment frame
+    // must plan as checkpoint-scan -> project -> (orderBy exchange) —
+    // a join or window here would mean the operator regressed to a
+    // shuffle per iteration
+    val plan = Clustering.kmeansAssign(emb)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"unexpected aggregate:\n$plan")
+  }
+
   test("empty cell keeps its previous centroid instead of vanishing") {
     // vec 1 and vec 2 are IDENTICAL far points, so init centroids
     // c1 == c2: the (dist, cell) tie-break sends every far point to

@@ -114,6 +114,27 @@ class PipelineSpec extends SparkSpec {
     assert(p10.exists(r => r._2 != r._1))
   }
 
+  test("p11 curriculum: dense ranks, bins descend, cum_tokens is the exact prefix sum") {
+    val rows = Pipeline.p11CurriculumOrder(spark, sf)
+      .as[(Long, Int, Int, Long)].collect()
+    val n = rows.length
+    assert(n > 0 && rows.map(_._3).sorted.toSeq == (1 to n))
+    val ordered = rows.sortBy(_._3)
+    // bins never increase along the schedule (clean data first)
+    ordered.map(_._2).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a); case _ =>
+    }
+    // cum_tokens at rank r is the sum of the first r docs' token counts
+    val toks = Tables.documents(spark, sf)
+      .select($"doc_id",
+        graft.operators.TextAnalysis.tokenCount($"text").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    var run = 0L
+    ordered.foreach { case (id, _, _, cum) =>
+      run += toks(id); assert(cum == run)
+    }
+  }
+
   test("hashMix: rate 1 keeps all, 0 keeps none, 205/256 IS the train split") {
     import org.apache.spark.sql.functions.lit
     val docs = Tables.documents(spark, sf)
