@@ -108,10 +108,12 @@ object Clustering {
   def c01KmeansAssign(spark: SparkSession, dir: String): DataFrame =
     kmeansAssign(Tables.embeddings(spark, dir))
 
-  /** Generated DuckDB twin: same init, same round-9 argmin total order
-    * (MIN over a (d, c) struct), same decimal(18,12) mean update with
-    * the string-hop, same empty-cell carry-forward. */
-  val c01Sql: String = {
+  /** The shared WITH-chain of the c01/c02/c03 oracles: same init, same
+    * round-9 argmin total order (MIN over a (d, c) struct), same
+    * decimal(18,12) mean update with the string-hop, same empty-cell
+    * carry-forward. Ends with `fin` = the final per-vector assignment
+    * against `cent{numRounds}`. */
+  private val chainSql: String = {
     val dist =
       "ROUND(-2 * list_inner_product(e.v, ct.clist) + " +
         "list_inner_product(ct.clist, ct.clist), 9)"
@@ -139,20 +141,147 @@ object Clustering {
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
        |         v AS clist
        |  FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $numCells)),
-       |${roundsSql.mkString(",\n")}
-       |SELECT e.vec_id, a.cell
-       |FROM emb e JOIN (
+       |${roundsSql.mkString(",\n")},
+       |fin AS MATERIALIZED (
        |  SELECT vec_id, (MIN({'d': $dist, 'c': ct.cell})).c AS cell
-       |  FROM emb e CROSS JOIN cent$numRounds ct GROUP BY vec_id) a
-       |  USING (vec_id)
-       |ORDER BY e.vec_id""".stripMargin
+       |  FROM emb e CROSS JOIN cent$numRounds ct GROUP BY vec_id)""".stripMargin
   }
 
+  val c01Sql: String =
+    s"""$chainSql
+       |SELECT e.vec_id, a.cell
+       |FROM emb e JOIN fin a USING (vec_id)
+       |ORDER BY e.vec_id""".stripMargin
+
+  /** c02 — cluster quality report: per populated cell, the member
+    * count, the mean squared distance to the OWN centroid (compactness)
+    * and the squared distance to the NEAREST other centroid
+    * (separation) — the Davies-Bouldin-style diagnostic that tells a
+    * curation run whether its domains are real clusters or one smear.
+    * Per-vector d² rounds to 9 (the assignment discipline), the mean
+    * runs in exact decimal(18,9) through the string-hop, inter-centroid
+    * distances are engine-side on both ends. Starved cells have no
+    * members and therefore no row — identically in both engines. */
+  def c02ClusterQuality(spark: SparkSession, dir: String): DataFrame = {
+    val D9 = DecimalType(18, 9)
+    val emb = Tables.embeddings(spark, dir)
+    val (cents, assigned) = kmeansFit(emb)
+    val e = emb.select(col("vec_id"),
+      VectorOps.asDouble(col("embedding")).as("v"))
+    // own-centroid d² = |v|² − 2·v·c + |c|², picked by a when-chain on
+    // the assigned cell (centroids are literals — no join)
+    val d2own = cents.tail.foldLeft(
+      when(col("cell") === cents.head._1, d2Expr(col("v"), cents.head._2))) {
+      case (acc, (c, arr)) => acc.when(col("cell") === c, d2Expr(col("v"), arr))
+    }
+    val compact = e.join(assigned, "vec_id")
+      .withColumn("d2", d2own)
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(graft.functions.DecimalSums.asDouble(sum(col("d2").cast(D9))) /
+          count(lit(1)).cast(DoubleType), 6).as("mean_d2_r"))
+    // nearest-other-centroid d², computed over the k×k literal table
+    // term-order mirrors the oracle exactly: ((−2·Σab) + Σa²) + Σb²,
+    // each Σ a sequential dot — NOT Σ(−2ab), which rounds differently
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val sep = cents.flatMap { case (i, ci) =>
+      cents.collect { case (j, cj) if j != i =>
+        (i, -2.0 * dot(ci, cj) + dot(ci, ci) + dot(cj, cj))
+      }
+    }.groupBy(_._1).map { case (c, ds) =>
+      (c, ds.map(d => BigDecimal(d._2)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).min)
+    }.toSeq
+    val sepDf = {
+      import spark.implicits._
+      sep.toDF("cell", "min_other_d2_r")
+    }
+    compact.join(broadcast(sepDf), "cell")
+      .select(col("cell"), col("n_vecs"), col("mean_d2_r"),
+        col("min_other_d2_r"))
+      .orderBy(col("cell"))
+  }
+
+  /** (|v|² − 2·v·c) + |c|² with the literal centroid — term order
+    * mirrors the oracle's left-to-right `t1 - t2 + t3`. */
+  private def d2Expr(v: Column, c: Seq[Double]): Column = {
+    val ca = litArr(c)
+    round(VectorOps.norm2(v) - lit(2.0) * VectorOps.dot(v, ca) +
+      VectorOps.norm2(ca), 9)
+  }
+
+  val c02Sql: String =
+    s"""$chainSql,
+       |own AS (
+       |  SELECT a.cell,
+       |    ROUND(list_inner_product(e.v, e.v)
+       |          - 2 * list_inner_product(e.v, ct.clist)
+       |          + list_inner_product(ct.clist, ct.clist), 9) AS d2
+       |  FROM emb e JOIN fin a USING (vec_id)
+       |  JOIN cent$numRounds ct ON a.cell = ct.cell),
+       |q AS (
+       |  SELECT cell, COUNT(*) AS n_vecs,
+       |    ROUND(CAST(CAST(SUM(CAST(d2 AS DECIMAL(18,9))) AS VARCHAR)
+       |               AS DOUBLE) / COUNT(*), 6) AS mean_d2_r
+       |  FROM own GROUP BY cell),
+       |sep AS (
+       |  SELECT i.cell,
+       |    MIN(ROUND(-2 * list_inner_product(i.clist, j.clist)
+       |              + list_inner_product(i.clist, i.clist)
+       |              + list_inner_product(j.clist, j.clist), 9))
+       |      AS min_other_d2_r
+       |  FROM cent$numRounds i JOIN cent$numRounds j ON i.cell <> j.cell
+       |  GROUP BY i.cell)
+       |SELECT q.cell, q.n_vecs, q.mean_d2_r, s.min_other_d2_r
+       |FROM q JOIN sep s ON q.cell = s.cell
+       |ORDER BY q.cell""".stripMargin
+
+  /** c03 — domain-mix crosstab: which sources feed which embedding
+    * cluster, with each source's share of its cell — the input a
+    * mixing/balancing step (p06/p09) consumes when reweighting by
+    * DISCOVERED domain rather than by labeled source. One hash join
+    * (embedding ids against documents) + one grouped count + a
+    * cell-partitioned share window. */
+  def c03DomainMix(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = kmeansFit(Tables.embeddings(spark, dir))._2
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val counts = assigned
+      .join(docs, assigned("vec_id") === docs("doc_id"))
+      .groupBy(col("cell"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val wCell = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+    counts
+      .withColumn("cell_share", round(
+        col("n_docs").cast(DoubleType) /
+          sum(col("n_docs")).over(wCell).cast(DoubleType), 6))
+      .orderBy(col("cell"), col("source"))
+  }
+
+  val c03Sql: String =
+    s"""$chainSql,
+       |x AS (
+       |  SELECT a.cell, d.source, COUNT(*) AS n_docs
+       |  FROM fin a JOIN documents d ON a.vec_id = d.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT cell, source, n_docs,
+       |  ROUND(CAST(n_docs AS DOUBLE) /
+       |        CAST(SUM(n_docs) OVER (PARTITION BY cell) AS DOUBLE), 6)
+       |    AS cell_share
+       |FROM x
+       |ORDER BY cell, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c01_kmeans_assign" -> c01KmeansAssign _,
+    "c01_kmeans_assign"  -> c01KmeansAssign _,
+    "c02_cluster_quality" -> c02ClusterQuality _,
+    "c03_domain_mix"     -> c03DomainMix _,
   )
 
   val oracles: Map[String, String] = Map(
-    "c01_kmeans_assign" -> c01Sql,
+    "c01_kmeans_assign"  -> c01Sql,
+    "c02_cluster_quality" -> c02Sql,
+    "c03_domain_mix"     -> c03Sql,
   )
 }

@@ -57,6 +57,25 @@ class ClusteringSpec extends SparkSpec {
     assert(!plan.contains("HashAggregate"), s"unexpected aggregate:\n$plan")
   }
 
+  test("c02 quality report: totals cover the corpus, metrics well-formed") {
+    val rows = graft.operators.Clustering
+      .c02ClusterQuality(spark, sf).as[(Int, Long, Double, Double)].collect()
+    assert(rows.map(_._2).sum == Tables.embeddings(spark, sf).count())
+    rows.foreach { case (_, n, compact, sepa) =>
+      assert(n > 0 && compact >= 0.0 && sepa > 0.0)
+    }
+  }
+
+  test("c03 domain mix: counts cover the corpus, shares sum to 1 per cell") {
+    val rows = graft.operators.Clustering
+      .c03DomainMix(spark, sf).as[(Int, String, Long, Double)].collect()
+    assert(rows.map(_._3).sum == Tables.embeddings(spark, sf).count())
+    rows.groupBy(_._1).values.foreach { cell =>
+      val s = cell.map(_._4).sum
+      assert(math.abs(s - 1.0) < 1e-3, s"cell shares sum to $s")
+    }
+  }
+
   test("empty cell keeps its previous centroid instead of vanishing") {
     // vec 1 and vec 2 are IDENTICAL far points, so init centroids
     // c1 == c2: the (dist, cell) tie-break sends every far point to
