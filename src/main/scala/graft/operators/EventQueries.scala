@@ -331,7 +331,58 @@ object EventQueries {
        |GROUP BY user_id
        |ORDER BY user_id""".stripMargin
 
+  /** v19 — weekly retention cohorts: users grouped by their FIRST
+    * active epoch-week, then for every (cohort, weeks-since) cell the
+    * count of cohort members still active and their share of the
+    * cohort — the classic product-analytics retention matrix.
+    *
+    * Week indexing is pure integer arithmetic on epoch microseconds
+    * (`unix_micros DIV 7-days` / DuckDB `epoch_us // 7-days`) — no
+    * calendar/locale week semantics to diverge on. Distributed shape:
+    * one distinct over (user, week) — partial-aggregated, 16-byte
+    * rows — one per-user min (user-keyed shuffle), one user-keyed
+    * equi-join back, grouped counts; cohort sizes broadcast back onto
+    * the matrix. Everything integer until the final rounded share. */
+  def v19RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val wk = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $weekUs").as("wk"))
+      .distinct()
+    val cohort = wk.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val sizes = cohort.groupBy(col("cohort_wk"))
+      .agg(count(lit(1)).as("cohort_size"))
+    wk.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"),
+        (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users")) // (user, wk) is distinct already
+      .join(broadcast(sizes), "cohort_wk")
+      .select(col("cohort_wk"), col("week_offset"), col("n_users"),
+        col("cohort_size"),
+        round(col("n_users").cast("double") /
+          col("cohort_size").cast("double"), 6).as("retention_r"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
+
+  val v19Sql: String =
+    """WITH wk AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+      |  FROM events),
+      |coh AS (SELECT user_id, MIN(wk) AS cohort_wk FROM wk GROUP BY 1),
+      |sizes AS (SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      |          FROM coh GROUP BY 1),
+      |m AS (
+      |  SELECT c.cohort_wk, w.wk - c.cohort_wk AS week_offset,
+      |         CAST(COUNT(*) AS BIGINT) AS n_users
+      |  FROM wk w JOIN coh c USING (user_id)
+      |  GROUP BY 1, 2)
+      |SELECT m.cohort_wk, m.week_offset, m.n_users, s.cohort_size,
+      |       ROUND(CAST(m.n_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 6)
+      |         AS retention_r
+      |FROM m JOIN sizes s USING (cohort_wk)
+      |ORDER BY m.cohort_wk, m.week_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v19_retention_cohorts"   -> v19RetentionCohorts _,
     "v01_tumbling_counts"     -> v01TumblingCounts _,
     "v02_sessions"            -> v02Sessions _,
     "v03_minute_dedup_counts" -> v03MinuteDedupCounts _,
@@ -358,6 +409,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "v19_retention_cohorts"    -> v19Sql,
     "v07_attributed_purchases" -> v07Sql,
     "v08_trailing_spend"       -> v08Sql,
     "v09_minute_gap_fill"      -> v09Sql,

@@ -905,6 +905,73 @@ object TextAnalysis {
        |ORDER BY merge_rank""".stripMargin
   }
 
+  // -- sub-document block dedup ----------------------------------------------
+
+  /** Sub-document (block-level) duplication scan — the RefinedWeb/CCNet
+    * "line-level dedup" adapted to a newline-free corpus: each document
+    * splits into consecutive `blockTokens`-token blocks, a block is
+    * duplicated if the SAME token content appears in ≥2 documents
+    * (xxhash64 of the joined block — same 64-bit collision argument as
+    * [[Dedup.docShingles]]), and each document reports how much of it
+    * is such shared boilerplate. This catches templated spans inside
+    * otherwise-distinct documents — material whole-doc dedup (d01) and
+    * near-dup pairing (d02+) both structurally miss.
+    *
+    * Scale: one explode to (doc, block-hash) — ~n_tokens/blockTokens
+    * rows per doc, 16 B each after hashing — one block-keyed count
+    * (partial-aggregated), one equi-join back. No pair enumeration
+    * anywhere: cost is linear in corpus tokens regardless of how hot a
+    * block is, which is why this is the FIRST pass a 100 TB pipeline
+    * runs (cheap, linear) before the quadratic-prone near-dup stages. */
+  def blockDedup(docs: DataFrame, blockTokens: Int = 20): DataFrame = {
+    val blocks = docs
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(
+        transform(
+          sequence(lit(0),
+            floor((size(col("toks")) - 1) / lit(blockTokens)).cast("int")),
+          i => concat_ws(" ",
+            slice(col("toks"), i * blockTokens + 1, lit(blockTokens)))))
+        .as(Seq("block_no", "block")))
+      .select(col("doc_id"), col("block_no"), xxhash64(col("block")).as("bh"))
+    val df = blocks.groupBy(col("bh"))
+      .agg(countDistinct(col("doc_id")).as("bdf"))
+    blocks.join(df, Seq("bh"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        count(when(col("bdf") > 1, 1)).as("n_dup_blocks"))
+      .select(col("doc_id"), col("n_blocks"), col("n_dup_blocks"),
+        round(col("n_dup_blocks").cast(DoubleType) /
+          col("n_blocks").cast(DoubleType), 6).as("dup_block_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t18 — 20-token block duplication per document, hash-gated (DuckDB
+    * reproduces the block content; the 64-bit hash never surfaces). */
+  def t18BlockDedup(spark: SparkSession, dir: String): DataFrame =
+    blockDedup(Tables.documents(spark, dir))
+
+  // block slicing mirrored: block i = tokens [i*20+1, i*20+20], with a
+  // ragged final block (slice stops at the array end on both engines)
+  val t18Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, i.i AS block_no,
+      |         array_to_string(w[i.i * 20 + 1 : i.i * 20 + 20], ' ') AS block
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  CROSS JOIN LATERAL (
+      |    SELECT unnest(range(0, (len(w) - 1) // 20 + 1)) AS i) i),
+      |df AS (SELECT block, COUNT(DISTINCT doc_id) AS bdf FROM b GROUP BY block)
+      |SELECT doc_id,
+      |  COUNT(*) AS n_blocks,
+      |  CAST(COALESCE(SUM(CASE WHEN bdf > 1 THEN 1 END), 0) AS BIGINT)
+      |    AS n_dup_blocks,
+      |  ROUND(CAST(COALESCE(SUM(CASE WHEN bdf > 1 THEN 1 END), 0) AS DOUBLE)
+      |        / CAST(COUNT(*) AS DOUBLE), 6) AS dup_block_frac
+      |FROM b JOIN df USING (block)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t14_pii_redaction"   -> t14PiiRedaction _,
     "t13_decontamination" -> t13Decontamination _,
@@ -923,6 +990,7 @@ object TextAnalysis {
     "t11_tfidf_topterms" -> t11TfidfTopTerms _,
     "t16_lm_logprob"     -> t16LmLogprob _,
     "t17_bpe_merges"     -> t17BpeMerges _,
+    "t18_block_dedup"    -> t18BlockDedup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -942,6 +1010,7 @@ object TextAnalysis {
     "t11_tfidf_topterms" -> t11Sql,
     "t16_lm_logprob"     -> t16Sql,
     "t17_bpe_merges"     -> t17Sql,
+    "t18_block_dedup"    -> t18Sql,
     // rows-only by design (no DuckDB twin exists):
     //  - t06: fingerprints come from our codegen'd polynomial RollingHash
     //    expression; DuckDB has no equivalent hash family, and mirroring

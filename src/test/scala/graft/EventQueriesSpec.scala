@@ -30,6 +30,21 @@ class EventQueriesSpec extends SparkSpec {
     assert(nonPositive == 0)
   }
 
+  test("v19: offset-0 retention is exactly 1.0 and counts never grow") {
+    val rows = graft.operators.EventQueries.v19RetentionCohorts(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { cohort =>
+      val byOff = cohort.sortBy(_._2)
+      // week 0 = the cohort definition itself: everyone is active
+      assert(byOff.head._2 == 0L && byOff.head._3 == byOff.head._4)
+      assert(byOff.head._5 == 1.0)
+      cohort.foreach { case (_, off, n, size, r) =>
+        assert(off >= 0 && n <= size && r <= 1.0 && r > 0.0)
+      }
+    }
+  }
+
   test("v03: deduped counts never exceed raw per-type counts") {
     val raw = Tables.events(spark, sf)
       .groupBy($"event_type").agg(count(lit(1)).as("raw_count"))

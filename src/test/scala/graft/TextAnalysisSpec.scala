@@ -182,6 +182,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(merges(1) == ((2, "ab ab", "abab", 2L)))
   }
 
+  test("blockDedup flags the shared block, not the distinct remainder") {
+    // docs 1/2 share an exact 4-token block (block 0) and then diverge
+    // completely; doc 3 is all-original. With blockTokens=4: doc1 has
+    // blocks [shared, x], doc2 [shared, y], doc3 [z].
+    val docs = Seq(
+      (1L, "common tokens appear here alpha beta gamma delta"),
+      (2L, "common tokens appear here ones twos threes fours"),
+      (3L, "entirely original content nothing shared at all here2")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.blockDedup(docs, blockTokens = 4)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0)))
+  }
+
+  test("blockDedup: a block repeated only WITHIN one doc is not cross-doc dup") {
+    val docs = Seq(
+      (1L, "a b a b"), // with blockTokens=2: blocks [a b, a b] — same doc
+      (2L, "c d e f")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.blockDedup(docs, blockTokens = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0L, 0.0), (2L, 2L, 0L, 0.0)))
+  }
+
   test("decontaminate: a shared 5-gram across the split is reported exactly") {
     import spark.implicits._
     // independent implementation of the md5 bucketing — also pins that
