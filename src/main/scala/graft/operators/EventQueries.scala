@@ -381,7 +381,100 @@ object EventQueries {
       |FROM m JOIN sizes s USING (cohort_wk)
       |ORDER BY m.cohort_wk, m.week_offset""".stripMargin
 
+  /** Conversion window for v20: every later step must land within this
+    * span of the user's FIRST signup (mirrored in [[v20Sql]]). 3 days
+    * against this corpus' event density gives a genuinely shaped
+    * funnel (~70% → ~40% → ~15% at sf0.01), not a degenerate
+    * everyone-converts column. */
+  val funnelWindowUs: Long = 3L * 86400L * 1000000L
+
+  /** v20 — windowed ordered conversion funnel signup → view → click →
+    * purchase: how many users completed each prefix of the journey IN
+    * ORDER (each step strictly after the previous step's matched
+    * instant) within [[funnelWindowUs]] of their first signup.
+    *
+    * Execution is ONE user-keyed shuffle + a per-user in-memory walk
+    * over that user's (ts, event_id)-sorted events — a greedy state
+    * machine that matches each stage at its earliest eligible instant.
+    * Because the window anchors at the FIXED first signup, greedy-
+    * earliest is provably equivalent to the oracle's min-after CTE
+    * chain (t2 = MIN(view.ts > t1 within window), …): each stage's
+    * eligibility interval is (prev match, t1+W], and taking the
+    * earliest match only widens every later interval. The SQL chain
+    * would cost one events-sized join per step; the walk costs one
+    * shuffle total. Per-user memory is that user's event count — the
+    * same bounded-per-key assumption every sessionization op here
+    * makes (skewed power users would be capped upstream). */
+  def v20OrderedFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val steps = Seq("signup", "view", "click", "purchase")
+    val reached = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val evs = it.toArray.sortBy(e => (e._3, e._4))
+        var stage = 0
+        var lastUs = Long.MinValue
+        var deadline = Long.MaxValue
+        evs.foreach { e =>
+          if (stage < steps.length && e._2 == steps(stage) &&
+            (stage == 0 || (e._3 > lastUs && e._3 <= deadline))) {
+            if (stage == 0) deadline = e._3 + funnelWindowUs
+            lastUs = e._3; stage += 1
+          }
+        }
+        (uid, stage)
+      }
+      .toDF("user_id", "stage")
+    // coalesce: an empty step must count 0 like the oracle's COUNT
+    // over an empty CTE, not sum-of-nothing NULL
+    reached.agg(
+      coalesce(sum(when(col("stage") >= 1, 1L)), lit(0L)).as("n1"),
+      coalesce(sum(when(col("stage") >= 2, 1L)), lit(0L)).as("n2"),
+      coalesce(sum(when(col("stage") >= 3, 1L)), lit(0L)).as("n3"),
+      coalesce(sum(when(col("stage") >= 4, 1L)), lit(0L)).as("n4"))
+      .select(expr(
+        """stack(4,
+          |  1, 'signup',   n1,
+          |  2, 'view',     n2,
+          |  3, 'click',    n3,
+          |  4, 'purchase', n4)
+          |AS (step_id, step, n_users)""".stripMargin))
+      .orderBy(col("step_id"))
+  }
+
+  val v20Sql: String = {
+    val w = funnelWindowUs
+    s"""WITH t1 AS (
+       |  SELECT user_id, MIN(ts) AS t FROM events
+       |  WHERE event_type = 'signup' GROUP BY 1),
+       |t2 AS (
+       |  SELECT e.user_id, MIN(e.ts) AS t
+       |  FROM events e JOIN t1 USING (user_id)
+       |  WHERE e.event_type = 'view' AND e.ts > t1.t
+       |    AND epoch_us(e.ts) <= epoch_us(t1.t) + $w GROUP BY 1),
+       |t3 AS (
+       |  SELECT e.user_id, MIN(e.ts) AS t
+       |  FROM events e JOIN t2 USING (user_id) JOIN t1 USING (user_id)
+       |  WHERE e.event_type = 'click' AND e.ts > t2.t
+       |    AND epoch_us(e.ts) <= epoch_us(t1.t) + $w GROUP BY 1),
+       |t4 AS (
+       |  SELECT e.user_id, MIN(e.ts) AS t
+       |  FROM events e JOIN t3 USING (user_id) JOIN t1 USING (user_id)
+       |  WHERE e.event_type = 'purchase' AND e.ts > t3.t
+       |    AND epoch_us(e.ts) <= epoch_us(t1.t) + $w GROUP BY 1)
+       |SELECT CAST(1 AS INT) AS step_id, 'signup' AS step,
+       |       CAST(COUNT(*) AS BIGINT) AS n_users FROM t1
+       |UNION ALL SELECT 2, 'view', COUNT(*) FROM t2
+       |UNION ALL SELECT 3, 'click', COUNT(*) FROM t3
+       |UNION ALL SELECT 4, 'purchase', COUNT(*) FROM t4
+       |ORDER BY step_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v20_ordered_funnel"      -> v20OrderedFunnel _,
     "v19_retention_cohorts"   -> v19RetentionCohorts _,
     "v01_tumbling_counts"     -> v01TumblingCounts _,
     "v02_sessions"            -> v02Sessions _,
@@ -410,6 +503,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "v19_retention_cohorts"    -> v19Sql,
+    "v20_ordered_funnel"       -> v20Sql,
     "v07_attributed_purchases" -> v07Sql,
     "v08_trailing_spend"       -> v08Sql,
     "v09_minute_gap_fill"      -> v09Sql,

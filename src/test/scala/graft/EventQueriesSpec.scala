@@ -45,6 +45,18 @@ class EventQueriesSpec extends SparkSpec {
     }
   }
 
+  test("v20: funnel counts are monotone and genuinely shaped") {
+    val rows = graft.operators.EventQueries.v20OrderedFunnel(spark, sf)
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._2).toSeq ==
+      Seq("signup", "view", "click", "purchase"))
+    rows.map(_._3).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a); case _ =>
+    }
+    // the 3-day window must actually bite: not everyone converts
+    assert(rows.last._3 < rows.head._3)
+  }
+
   test("v03: deduped counts never exceed raw per-type counts") {
     val raw = Tables.events(spark, sf)
       .groupBy($"event_type").agg(count(lit(1)).as("raw_count"))
