@@ -972,6 +972,70 @@ object TextAnalysis {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // -- vocabulary growth ------------------------------------------------------
+
+  /** t19 — vocabulary-growth (Heaps-law) report over 3-GRAM types:
+    * ingest the corpus in doc-id order, split it into `buckets` equal
+    * id-ranges, and report per bucket how many NEVER-SEEN-BEFORE
+    * trigram types debut and the cumulative type inventory — the
+    * corpus-health curve that tells a crawl whether new data still
+    * brings new language or just recombinations of the old (a plateau
+    * = diminishing returns; the signal behind data-selection decisions
+    * at 100 TB). Trigram types, not unigrams: this corpus' word
+    * vocabulary saturates in the first bucket, while its n-gram
+    * inventory keeps growing the way real text's does (the measured
+    * curve decays ~1283 → 425 debuts across 20 buckets at sf0.01).
+    *
+    * "First seen" is an aggregate, not a scan-order dependence: a
+    * type's debut bucket is bucket(min doc_id containing it) — one
+    * exploded-shingle pass, one type-keyed min over the 8-byte hashed
+    * gram, one grouped count, and a `buckets`-row window for the
+    * running total. All integers; the hash never surfaces (the oracle
+    * uses the raw gram — the d02 collision argument). */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 20): DataFrame = {
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val span = maxId / buckets + 1 // ids 0..maxId → buckets 0..buckets-1
+    val debut = Dedup.docShingles(docs, 3)
+      .groupBy(col("shingle")).agg(min(col("doc_id")).as("first_id"))
+      .select(expr(s"first_id DIV $span").as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    debut.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("new_terms"))
+      .withColumn("cum_vocab", sum(col("new_terms")).over(w).cast("long"))
+      .orderBy(col("bucket"))
+  }
+
+  def t19VocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    vocabGrowth(Tables.documents(spark, dir))
+
+  // the sh CTE is d02Sql's shingle frame verbatim (incl. the <3-token
+  // whole-text fallback docShingles applies)
+  val t19Sql: String =
+    """WITH mx AS (SELECT MAX(doc_id) // 20 + 1 AS span FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         w[i.i] || ' ' || w[i.i+1] || ' ' || w[i.i+2] AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |        WHERE len(string_split(text, ' ')) >= 3)
+      |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) i
+      |  UNION ALL
+      |  SELECT doc_id, text AS shingle FROM documents
+      |  WHERE len(string_split(text, ' ')) < 3),
+      |debut AS (
+      |  SELECT shingle, MIN(doc_id) AS first_id FROM sh GROUP BY shingle),
+      |b AS (
+      |  SELECT CAST(first_id // (SELECT span FROM mx) AS BIGINT) AS bucket,
+      |         CAST(COUNT(*) AS BIGINT) AS new_terms
+      |  FROM debut GROUP BY 1)
+      |SELECT bucket, new_terms,
+      |  CAST(SUM(new_terms) OVER (ORDER BY bucket
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_vocab
+      |FROM b
+      |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t14_pii_redaction"   -> t14PiiRedaction _,
     "t13_decontamination" -> t13Decontamination _,
@@ -991,6 +1055,7 @@ object TextAnalysis {
     "t16_lm_logprob"     -> t16LmLogprob _,
     "t17_bpe_merges"     -> t17BpeMerges _,
     "t18_block_dedup"    -> t18BlockDedup _,
+    "t19_vocab_growth"   -> t19VocabGrowth _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1011,6 +1076,7 @@ object TextAnalysis {
     "t16_lm_logprob"     -> t16Sql,
     "t17_bpe_merges"     -> t17Sql,
     "t18_block_dedup"    -> t18Sql,
+    "t19_vocab_growth"   -> t19Sql,
     // rows-only by design (no DuckDB twin exists):
     //  - t06: fingerprints come from our codegen'd polynomial RollingHash
     //    expression; DuckDB has no equivalent hash family, and mirroring

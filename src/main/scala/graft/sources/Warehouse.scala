@@ -537,13 +537,121 @@ object Warehouse {
        |ORDER BY o_year, status""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // Versioned snapshots (time travel)
+  // ---------------------------------------------------------------------------
+
+  /** Append `df` as the next numbered generation of a versioned table:
+    * write to a dot-prefixed staging dir, then ONE atomic directory
+    * rename to `gen=N` — a reader never sees a partial generation, and
+    * existing generations are never touched (immutable history = the
+    * snapshot-isolation contract). Returns the new generation id. */
+  def writeSnapshot(df: DataFrame, root: String): Int = {
+    new java.io.File(root).mkdirs()
+    val gen = listGenerations(root).lastOption.map(_ + 1).getOrElse(0)
+    val staging = new java.io.File(root, s".gen-$gen.staging")
+    df.write.mode(SaveMode.Overwrite).parquet(staging.getPath)
+    val target = new java.io.File(root, s"gen=$gen")
+    if (!staging.renameTo(target))
+      throw new IllegalStateException(
+        s"snapshot commit failed: could not rename $staging to $target")
+    gen
+  }
+
+  /** Generation ids present under `root`, ascending. Dot-prefixed
+    * staging dirs are invisible by construction. */
+  def listGenerations(root: String): Seq[Int] = {
+    val fs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+    fs.collect {
+      case f if f.isDirectory && f.getName.startsWith("gen=") =>
+        f.getName.stripPrefix("gen=").toInt
+    }.toSeq.sorted
+  }
+
+  /** Read the table AS OF generation `gen` (negative = latest). */
+  def readSnapshot(spark: SparkSession, root: String, gen: Int = -1): DataFrame = {
+    val gens = listGenerations(root)
+    require(gens.nonEmpty, s"no generations under $root")
+    val g = if (gen < 0) gens.last else gen
+    require(gens.contains(g), s"generation $g absent (have ${gens.mkString(",")})")
+    spark.read.parquet(s"$root/gen=$g")
+  }
+
+  /** w04 — time-travel read over three written generations: gen0 is
+    * the keyed orders projection, gen1/gen2 each apply the w02
+    * mutation rule to their predecessor (remove k%11=3, re-price 2×
+    * k%7=0, clone k%17=0 to a shifted id — clones of clones compound).
+    * Every generation is REALLY written (staging + atomic rename) and
+    * REALLY read back as-of its id; the summary per generation must
+    * match the oracle's closed-form replay of the rule chain — so the
+    * gate pins both the snapshot bookkeeping (immutability, as-of
+    * addressing) and the content. */
+  def w04TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, sum, when}
+    def mutate(df: DataFrame): DataFrame =
+      df.filter(col("k") % 11 =!= 3)
+        .withColumn("p",
+          when(col("k") % 7 === 0, col("p") * 2).otherwise(col("p")))
+        .unionByName(df.filter(col("k") % 17 === 0)
+          .withColumn("k", col("k") + lit(100000000L)))
+    val base = java.nio.file.Files.createTempDirectory("graft_w04").toString
+    try {
+      val root = s"$base/orders_versioned"
+      val g0 = graft.Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      writeSnapshot(g0, root)
+      writeSnapshot(mutate(readSnapshot(spark, root, 0)), root)
+      writeSnapshot(mutate(readSnapshot(spark, root, 1)), root)
+      listGenerations(root).map { g =>
+        readSnapshot(spark, root, g).agg(
+          lit(g).as("gen"),
+          count(lit(1)).as("n_rows"),
+          sum(col("k")).cast("long").as("key_sum"),
+          graft.functions.DecimalSums.dsum(col("p")).as("price_sum"))
+      }.reduce(_ unionByName _)
+        .select(col("gen"), col("n_rows"), col("key_sum"), col("price_sum"))
+        .orderBy(col("gen"))
+        .localCheckpoint() // materialize before the temp root is deleted
+    } finally {
+      val gone = new scala.reflect.io.Directory(new java.io.File(base))
+        .deleteRecursively()
+      if (!gone) System.err.println(s"[w04] temp dir not fully removed: $base")
+    }
+  }
+
+  /** Oracle: the rule chain replayed as CTEs — no filesystem involved,
+    * which is the point: the engine's written-and-read-back snapshots
+    * must equal the pure computation. */
+  val w04Sql: String = {
+    val d = graft.functions.DecimalSums.sqlDsum _
+    def mutate(src: String): String =
+      s"""SELECT k, CASE WHEN k % 7 = 0 THEN p * 2 ELSE p END AS p
+         |  FROM $src WHERE k % 11 <> 3
+         |  UNION ALL
+         |  SELECT k + 100000000, p FROM $src WHERE k % 17 = 0""".stripMargin
+    s"""WITH g0 AS (
+       |  SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+       |g1 AS (
+       |  ${mutate("g0")}),
+       |g2 AS (
+       |  ${mutate("g1")})
+       |SELECT CAST(0 AS INT) AS gen, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |       CAST(SUM(k) AS BIGINT) AS key_sum, ${d("p")} AS price_sum
+       |FROM g0
+       |UNION ALL SELECT 1, COUNT(*), CAST(SUM(k) AS BIGINT), ${d("p")} FROM g1
+       |UNION ALL SELECT 2, COUNT(*), CAST(SUM(k) AS BIGINT), ${d("p")} FROM g2
+       |ORDER BY gen""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_incremental_agg" -> w01IncrementalAggRefresh _,
-    "w02_snapshot_diff"   -> w02SnapshotDiff _)
+    "w02_snapshot_diff"   -> w02SnapshotDiff _,
+    "w04_time_travel"     -> w04TimeTravel _)
 
   val oracles: Map[String, String] = Map(
     "w01_incremental_agg" -> w01Sql,
-    "w02_snapshot_diff"   -> w02Sql)
+    "w02_snapshot_diff"   -> w02Sql,
+    "w04_time_travel"     -> w04Sql)
 
   /** Bucketed + sorted table write — the co-located-join layout.
     * Two tables bucketed on their join key with the SAME bucket count

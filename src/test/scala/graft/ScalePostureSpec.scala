@@ -176,6 +176,36 @@ class ScalePostureSpec extends SparkSpec {
       "v18 candidate join must stay keyed on (band, bucket)")
   }
 
+  test("snapshots: immutable history, as-of addressing, invisible staging") {
+    import graft.sources.Warehouse
+    val root = java.nio.file.Files.createTempDirectory("graft_snap").toString + "/t"
+    try {
+      import spark.implicits._
+      val g0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      assert(Warehouse.writeSnapshot(g0, root) == 0)
+      val d0 = digest(Warehouse.readSnapshot(spark, root, 0))
+      assert(Warehouse.writeSnapshot(
+        Seq((1L, "a2"), (3L, "c")).toDF("k", "v"), root) == 1)
+      // writing gen1 must not disturb gen0 (snapshot isolation)
+      assert(digest(Warehouse.readSnapshot(spark, root, 0)) == d0)
+      // latest addressing
+      assert(Warehouse.readSnapshot(spark, root).as[(Long, String)]
+        .collect().sortBy(_._1).toSeq == Seq((1L, "a2"), (3L, "c")))
+      assert(Warehouse.listGenerations(root) == Seq(0, 1))
+      // no staging residue survives a successful commit
+      val residue = new java.io.File(root).listFiles()
+        .filter(_.getName.contains("staging"))
+      assert(residue.isEmpty)
+      intercept[IllegalArgumentException] {
+        Warehouse.readSnapshot(spark, root, 7)
+      }
+    } finally {
+      new scala.reflect.io.Directory(
+        new java.io.File(root).getParentFile).deleteRecursively()
+      ()
+    }
+  }
+
   test("upsert rewrites only touched partitions, latest version per key wins") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._

@@ -207,6 +207,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 0L, 0.0), (2L, 2L, 0L, 0.0)))
   }
 
+  test("t19 vocab growth: exact prefix sums, genuinely decaying debuts") {
+    val rows = TextAnalysis.vocabGrowth(Tables.documents(spark, sf))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty && rows.forall(_._2 > 0))
+    var run = 0L
+    rows.foreach { case (_, nw, cum) => run += nw; assert(cum == run) }
+    // Heaps decay: later corpus slices debut fewer new types
+    assert(rows.last._2 < rows.head._2)
+  }
+
   test("decontaminate: a shared 5-gram across the split is reported exactly") {
     import spark.implicits._
     // independent implementation of the md5 bucketing — also pins that
