@@ -173,6 +173,25 @@ object Media {
 
     // -- decode -------------------------------------------------------------
 
+    /** Real WAV decode to the raw signed 16-bit PCM samples. */
+    def decodePcm(content: Array[Byte]): Array[Short] = {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(content))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"expected 16-bit mono PCM, got $fmt")
+        val n = ais.getFrameLength.toInt
+        val buf = ais.readAllBytes()
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) { // little-endian signed shorts
+          out(i) = ((buf(2 * i + 1) << 8) | (buf(2 * i) & 0xff)).toShort
+          i += 1
+        }
+        out
+      } finally ais.close()
+    }
+
     private def lumaSum(img: BufferedImage): Long = {
       val raster = img.getRaster
       var s = 0L
@@ -704,6 +723,73 @@ object Media {
       |GROUP BY id
       |ORDER BY media_id""".stripMargin
 
+  /** 31-bit audio energy-contour fingerprint from decoded PCM — the
+    * audio near-dup signature (Shazam-lite): split the sample stream
+    * into 32 equal windows by the inverse map w=(i·32÷n), take each
+    * window's integer energy Σs², and set bit w−1 iff window w's
+    * energy RISES over window w−1's. Pure integer end to end, so the
+    * fixture's closed-form PCM predicts every bit. Pairing over the
+    * fingerprints is the d04 Hamming band join, as with [[phash64]]. */
+  def audioFingerprint(pcm: Array[Short]): (Long, Int) = {
+    val n = pcm.length
+    require(n >= 64, s"fingerprint needs >= 2 samples per window, got $n")
+    val e = new Array[Long](32)
+    var i = 0
+    while (i < n) {
+      val s = pcm(i).toLong
+      e(i * 32 / n) += s * s
+      i += 1
+    }
+    var fp = 0L; var rise = 0
+    var w = 1
+    while (w < 32) {
+      if (e(w) > e(w - 1)) { fp |= 1L << (w - 1); rise += 1 }
+      w += 1
+    }
+    (fp, rise)
+  }
+
+  /** m08 — audio fingerprints of every WAV payload, REAL decode:
+    * AudioSystem reassembles the PCM, [[audioFingerprint]] signs the
+    * energy contour, DuckDB re-derives every bit from the closed-form
+    * sample formulas — pinning the decode→signature path bit-for-bit.
+    * Payloads die inside the task; 12 bytes per asset move. */
+  def m08AudioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaFixture(Tables.documents(spark, dir))
+      .filter(col("kind") === "audio").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val (fp, rise) = audioFingerprint(Codec.decodePcm(m.content))
+          (m.media_id, fp, rise)
+        }
+      }.toDF("media_id", "afp", "n_rise")
+      .orderBy(col("media_id"))
+  }
+
+  // sample/count formulas are [[Codec]]'s; window index and bit rule
+  // mirror [[audioFingerprint]]
+  val m08Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS id, 64 + (doc_id % 192) AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |s AS (
+      |  SELECT id, (ii.i * 32) // n AS w,
+      |         ((id * 31 + ii.i * 7) % 4096) - 2048 AS v
+      |  FROM a CROSS JOIN LATERAL (SELECT unnest(range(0, n)) AS i) ii),
+      |e AS (SELECT id, w, SUM(v * v) AS e FROM s GROUP BY 1, 2),
+      |d AS (SELECT id, w, e,
+      |             lag(e) OVER (PARTITION BY id ORDER BY w) AS pe
+      |      FROM e)
+      |SELECT id AS media_id,
+      |  CAST(COALESCE(SUM(CASE WHEN e > pe
+      |                    THEN (CAST(1 AS BIGINT) << CAST(w - 1 AS INT))
+      |                    END), 0) AS BIGINT) AS afp,
+      |  CAST(COALESCE(SUM(CASE WHEN e > pe THEN 1 END), 0) AS INT) AS n_rise
+      |FROM d
+      |GROUP BY id
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_stats"    -> m01MediaStats _,
     "m02_frame_sample"   -> m02FrameSample _,
@@ -712,6 +798,7 @@ object Media {
     "m05_resize_profile" -> m05ResizeProfile _,
     "m06_pixel_resize"   -> m06PixelResize _,
     "m07_image_phash"    -> m07ImagePhash _,
+    "m08_audio_fingerprint" -> m08AudioFingerprint _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -721,5 +808,6 @@ object Media {
     "m05_resize_profile" -> m05Sql,
     "m06_pixel_resize" -> m06Sql,
     "m07_image_phash"  -> m07Sql,
+    "m08_audio_fingerprint" -> m08Sql,
   )
 }

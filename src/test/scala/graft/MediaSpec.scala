@@ -123,6 +123,27 @@ class MediaSpec extends SparkSpec {
     assert(Seq(3L, 6L, 9L, 12L).exists(ph(_) != ph(42L)))
   }
 
+  test("audioFingerprint matches an independent per-sample recomputation") {
+    for (id <- Seq(1L, 34L, 247L, 499L)) {
+      val pcm = Codec.decodePcm(Codec.encode(id, "audio"))
+      val (fp, rise) = Media.audioFingerprint(pcm)
+      val n = Codec.audioSamples(id)
+      assert(pcm.length == n)
+      val e = new Array[Long](32)
+      for (i <- 0 until n) {
+        val s = Codec.pcmSample(id, i).toLong
+        e(i * 32 / n) += s * s
+      }
+      var efp = 0L; var erise = 0
+      for (w <- 1 until 32 if e(w) > e(w - 1)) {
+        efp |= 1L << (w - 1); erise += 1
+      }
+      assert((fp, rise) == ((efp, erise)))
+      assert(java.lang.Long.bitCount(fp) == rise)
+      assert(fp >= 0 && fp < (1L << 31))
+    }
+  }
+
   test("Codec WAV round-trip: rate, frame count, and PCM sample sum") {
     for (id <- Seq(1L, 10L, 247L)) {
       val d = Codec.decode(MediaRow(id, "audio", Codec.encode(id, "audio")))
