@@ -273,15 +273,65 @@ object Clustering {
        |FROM x
        |ORDER BY cell, source""".stripMargin
 
+  /** c04 — cluster purity against the corpus' ground-truth labels: per
+    * populated cell, the dominant label (argmax count, ties to the
+    * lowest label id), its count, and the cell's purity share — the
+    * external-validation metric that says whether the unsupervised
+    * domains recover the labeled structure. Integer counts + one
+    * rounded ratio; the dominant-label argmax is the same struct-min
+    * total order the assignment itself uses. */
+  def c04ClusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val assigned = kmeansFit(emb)._2
+    val counts = assigned
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+      .orderBy(col("n").desc, col("label").asc)
+    counts
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("n_vecs", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))))
+      .filter(col("__rk") === 1)
+      .select(col("cell"), col("n_vecs"), col("label").as("top_label"),
+        col("n").as("top_label_n"),
+        round(col("n").cast(DoubleType) / col("n_vecs").cast(DoubleType), 6)
+          .as("purity_r"))
+      .orderBy(col("cell"))
+  }
+
+  val c04Sql: String =
+    s"""$chainSql,
+       |cnt AS (
+       |  SELECT a.cell, e.label, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM fin a JOIN embeddings e ON a.vec_id = e.vec_id
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS n_vecs
+       |        FROM cnt GROUP BY 1),
+       |top AS (
+       |  SELECT cell,
+       |         (MIN({'k': -n, 'l': label})).l AS top_label,
+       |         -((MIN({'k': -n, 'l': label})).k) AS top_label_n
+       |  FROM cnt GROUP BY cell)
+       |SELECT t.cell, tt.n_vecs, t.top_label,
+       |       CAST(t.top_label_n AS BIGINT) AS top_label_n,
+       |       ROUND(CAST(t.top_label_n AS DOUBLE) / CAST(tt.n_vecs AS DOUBLE), 6)
+       |         AS purity_r
+       |FROM top t JOIN tot tt ON t.cell = tt.cell
+       |ORDER BY t.cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_kmeans_assign"  -> c01KmeansAssign _,
     "c02_cluster_quality" -> c02ClusterQuality _,
     "c03_domain_mix"     -> c03DomainMix _,
+    "c04_cluster_purity" -> c04ClusterPurity _,
   )
 
   val oracles: Map[String, String] = Map(
     "c01_kmeans_assign"  -> c01Sql,
     "c02_cluster_quality" -> c02Sql,
     "c03_domain_mix"     -> c03Sql,
+    "c04_cluster_purity" -> c04Sql,
   )
 }

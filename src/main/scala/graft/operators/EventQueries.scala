@@ -473,7 +473,50 @@ object EventQueries {
        |ORDER BY step_id""".stripMargin
   }
 
+  /** v21 — behavioral transition matrix: for every ordered pair of
+    * consecutive events WITHIN a user's timeline, the count and the
+    * row-normalized probability P(next | prev) — the first-order
+    * Markov model of user behavior (feeds both product analytics and
+    * anomaly detection: an improbable transition burst is a bot
+    * signature).
+    *
+    * One user-partitioned lag window (the v02 sessionization shape —
+    * per-user ordered state, never a global sort), one grouped count,
+    * and a per-prev-row share window over the 5×5 matrix. (ts,
+    * event_id) ordering makes the lag a total order. */
+  def v21TransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wPrev = Window.partitionBy(col("prev_type"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_r", round(
+        col("n").cast("double") / sum(col("n")).over(wPrev).cast("double"), 6))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  val v21Sql: String =
+    """WITH t AS (
+      |  SELECT event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |m AS (
+      |  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM t WHERE prev_type IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT prev_type, event_type, n,
+      |  ROUND(CAST(n AS DOUBLE) /
+      |        CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p_r
+      |FROM m
+      |ORDER BY prev_type, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v21_transition_matrix"   -> v21TransitionMatrix _,
     "v20_ordered_funnel"      -> v20OrderedFunnel _,
     "v19_retention_cohorts"   -> v19RetentionCohorts _,
     "v01_tumbling_counts"     -> v01TumblingCounts _,
@@ -504,6 +547,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "v19_retention_cohorts"    -> v19Sql,
     "v20_ordered_funnel"       -> v20Sql,
+    "v21_transition_matrix"    -> v21Sql,
     "v07_attributed_purchases" -> v07Sql,
     "v08_trailing_spend"       -> v08Sql,
     "v09_minute_gap_fill"      -> v09Sql,

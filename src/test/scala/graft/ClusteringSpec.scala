@@ -76,6 +76,18 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("c04 purity: totals cover the corpus, dominant label dominates") {
+    val rows = graft.operators.Clustering
+      .c04ClusterPurity(spark, sf).as[(Int, Long, Int, Long, Double)].collect()
+    assert(rows.map(_._2).sum == emb.count())
+    rows.foreach { case (_, n, _, topN, p) =>
+      assert(topN >= 1 && topN <= n)
+      assert(p > 0.0 && p <= 1.0)
+      // the dominant label must hold at least an even share
+      assert(topN * 10L >= n, "top label below the 10-label uniform floor")
+    }
+  }
+
   test("empty cell keeps its previous centroid instead of vanishing") {
     // vec 1 and vec 2 are IDENTICAL far points, so init centroids
     // c1 == c2: the (dist, cell) tie-break sends every far point to

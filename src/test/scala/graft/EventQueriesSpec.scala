@@ -57,6 +57,18 @@ class EventQueriesSpec extends SparkSpec {
     assert(rows.last._3 < rows.head._3)
   }
 
+  test("v21: rows sum to events-minus-users, probabilities sum to 1 per prev") {
+    val rows = graft.operators.EventQueries.v21TransitionMatrix(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    val ev = Tables.events(spark, sf)
+    // each user's first event has no predecessor
+    assert(rows.map(_._3).sum ==
+      ev.count() - ev.select("user_id").distinct().count())
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(math.abs(g.map(_._4).sum - 1.0) < 1e-3)
+    }
+  }
+
   test("v03: deduped counts never exceed raw per-type counts") {
     val raw = Tables.events(spark, sf)
       .groupBy($"event_type").agg(count(lit(1)).as("raw_count"))
