@@ -33,6 +33,7 @@ object SparkEntry {
       operators.Profile.queries ++
       operators.Audit.queries ++
       operators.Clustering.queries ++
+      operators.Graph.queries ++
       sources.Warehouse.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -53,5 +54,6 @@ object SparkEntry {
       operators.Profile.oracles ++
       operators.Audit.oracles ++
       operators.Clustering.oracles ++
+      operators.Graph.oracles ++
       sources.Warehouse.oracles
 }

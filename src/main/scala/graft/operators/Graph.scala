@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Tables
+
+/** Graph analytics over the part co-purchase graph — the capability
+  * class the rest of the catalog lacks: ITERATIVE edge-propagation
+  * (PageRank) and local-structure mining (triangle counting), both
+  * derived from the star schema's own lineitem fact (two parts are
+  * linked when some order contains both), both hash-gated.
+  *
+  * The reference computes nothing graph-shaped (SURVEY §2.2: no joins
+  * at all) — this is north-star surface in the spirit of `spark_eda
+  * .py`'s co-occurrence narratives, built the way a 1000-executor
+  * cluster needs it:
+  *
+  *  - edge derivation: per-order pair enumeration via a self-join of
+  *    the DISTINCT (order, part) projection on the order key. Fan-out
+  *    is C(k,2) per order where k is the order's line count — bounded
+  *    by the order-size distribution (TPC-H ≤7), NOT by corpus size,
+  *    so the edge table grows linearly with orders. No all-pairs
+  *    quadrant anywhere.
+  *  - PageRank ([[pagerank]]): the pr vector STAYS DISTRIBUTED (node
+  *    count scales with the catalog — never a driver collect, unlike
+  *    the k-means centroids in [[Clustering]] whose k is fixed). Each
+  *    round is one equi-join of the static edge table with the pr
+  *    frame plus one partial-aggregated shuffle on the destination
+  *    key — the Pregel profile without Pregel. The edge table is
+  *    localCheckpoint'd once; each round's pr frame is checkpointed to
+  *    keep the 5-round lineage flat ([[Dedup.dupClusters]] precedent).
+  *  - determinism: the score vector lives in FIXED-POINT — BIGINT
+  *    micro-units at scale 10^12 — and every update is integer
+  *    arithmetic (`DIV`, `*`, `SUM`), so each round is bit-identical
+  *    across engines AND partitionings with no rounding convention at
+  *    all (the first x01 cut rounded doubles and hit a half-boundary
+  *    ulp flip between the JVM's exact-decimal ROUND and DuckDB's
+  *    scaled-multiply ROUND — integers cannot). A fixed round count
+  *    (no convergence test) keeps the two engines' expression chains
+  *    structurally identical, so DuckDB replays the whole fit as a
+  *    generated CTE chain pr0→pr5 and the gate pins EVERY node's
+  *    score after EVERY round, exactly.
+  *  - triangles ([[triangles]]): edges oriented from the lower
+  *    (degree, id) endpoint to the higher — the classic orientation
+  *    that bounds out-degree by O(√m), making the wedge join's fan-out
+  *    Σ od(b)·id(b) instead of Σ deg². Three equi-joins, no nested
+  *    loop (plan-asserted in GraphSpec), integer outputs.
+  */
+object Graph {
+
+  /** Rounds / damping / fixed-point scale of the x01 gate — mirrored
+    * in [[x01Sql]]'s generated chain; change both by changing THESE.
+    * Damping is the rational 85/100 applied in integer arithmetic. */
+  val prRounds = 5
+  val scale = 1000000000000L // 10^12 micro-units per unit of mass
+
+  /** Undirected co-purchase edges (src < dst, w = #co-occurring
+    * orders) from the distinct (order, part) projection. */
+  def copurchaseEdges(lineitem: DataFrame): DataFrame = {
+    val op = lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Both directions of [[copurchaseEdges]]. */
+  private def directed(und: DataFrame): DataFrame =
+    und.select(col("src"), col("dst"), col("w"))
+      .unionAll(und.select(col("dst").as("src"), col("src").as("dst"),
+        col("w")))
+
+  /** Fixed-point PageRank over the co-purchase graph:
+    * (part_key, n_nbrs, pr_fp) after [[prRounds]] damped rounds from a
+    * uniform start; pr_fp is the score in [[scale]] micro-units. */
+  def pagerank(lineitem: DataFrame, rounds: Int = prRounds): DataFrame = {
+    val e = directed(copurchaseEdges(lineitem))
+    // static per-source strength + neighbor count, attached to the
+    // edge table once so rounds touch exactly two frames
+    val out = e.groupBy(col("src"))
+      .agg(sum(col("w")).as("outw"), count(lit(1)).as("n_nbrs"))
+      .localCheckpoint(true)
+    val edges = e.join(out.select(col("src"), col("outw")), "src")
+      .localCheckpoint(true)
+    val n = out.count()
+    var pr = out.select(col("src").as("node"),
+      lit(scale / n).as("pr")).localCheckpoint(true)
+    val base = (15L * scale) / (100L * n) // teleport mass, integer-exact
+    for (_ <- 1 to rounds) {
+      pr = edges.join(pr, edges("src") === pr("node"))
+        .select(col("dst"), expr("pr * w DIV outw").as("c"))
+        .groupBy(col("dst"))
+        .agg((lit(base) + expr("85 * sum(c) DIV 100")).as("pr"))
+        .select(col("dst").as("node"), col("pr"))
+        .localCheckpoint(true)
+    }
+    out.join(pr, out("src") === pr("node"))
+      .select(col("src").as("part_key"), col("n_nbrs"),
+        col("pr").as("pr_fp"))
+      .orderBy(col("part_key"))
+  }
+
+  /** Per-node triangle count + local clustering coefficient over the
+    * co-purchase graph: (part_key, deg, n_tri, cc_r). */
+  def triangles(lineitem: DataFrame): DataFrame = {
+    val und = copurchaseEdges(lineitem)
+      .select(col("src").as("u"), col("dst").as("v"))
+      .localCheckpoint(true)
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    // orient each edge from the lower (deg, id) endpoint to the higher:
+    // out-degree bounded by O(sqrt m), so the wedge join can't blow up
+    val du = deg.select(col("node").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    val low = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oe = und.join(du, "u").join(dv, "v")
+      .select(when(low, col("u")).otherwise(col("v")).as("a"),
+        when(low, col("v")).otherwise(col("u")).as("b"))
+      .localCheckpoint(true)
+    val tri = oe.as("e1")
+      .join(oe.as("e2"), col("e1.b") === col("e2.a"))
+      .join(oe.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node").as("part_key"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") > 1,
+          round(lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast(DoubleType) /
+            (col("deg") * (col("deg") - 1)).cast(DoubleType), 6)).as("cc_r"))
+      .orderBy(col("part_key"))
+  }
+
+  def x01Pagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerank(Tables.lineitem(spark, dir))
+
+  def x02Triangles(spark: SparkSession, dir: String): DataFrame =
+    triangles(Tables.lineitem(spark, dir))
+
+  /** Shared DuckDB edge CTEs of both oracles. */
+  private val edgeSql: String =
+    """op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |und AS (
+      |  SELECT a.p AS src, b.p AS dst, CAST(COUNT(*) AS BIGINT) AS w
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      |e AS (SELECT src, dst, w FROM und
+      |      UNION ALL SELECT dst, src, w FROM und)""".stripMargin
+
+  /** Generated DuckDB twin of x01: pr{i} is the integer score vector
+    * after i rounds — same integer `//` truncations (all operands
+    * positive, so floor == trunc == Spark's DIV), so every node's
+    * score after every round is pinned bit-exactly. */
+  val x01Sql: String = {
+    val rounds = (0 until prRounds).map { i =>
+      s"""pr${i + 1} AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |         (SELECT b FROM base) + 85 * SUM(p.pr * e.w // o.outw) // 100
+         |           AS pr
+         |  FROM e JOIN pr$i p ON e.src = p.node JOIN o ON e.src = o.src
+         |  GROUP BY e.dst)""".stripMargin
+    }
+    s"""WITH $edgeSql,
+       |o AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw,
+       |             CAST(COUNT(*) AS BIGINT) AS n_nbrs
+       |      FROM e GROUP BY 1),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM o),
+       |base AS (SELECT 15 * ${scale}::BIGINT // (100 * n) AS b FROM nn),
+       |pr0 AS (SELECT src AS node,
+       |               (SELECT ${scale}::BIGINT // n FROM nn) AS pr FROM o),
+       |${rounds.mkString(",\n")}
+       |SELECT o.src AS part_key, o.n_nbrs, CAST(p.pr AS BIGINT) AS pr_fp
+       |FROM o JOIN pr$prRounds p ON o.src = p.node
+       |ORDER BY part_key""".stripMargin
+  }
+
+  /** DuckDB twin of x02: identical (deg, id) orientation spelled as an
+    * explicit boolean, same wedge + closing-edge equi-joins. */
+  val x02Sql: String =
+    s"""WITH $edgeSql,
+       |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+       |        FROM e GROUP BY 1),
+       |oe AS (
+       |  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u.u < u.v)
+       |              THEN u.u ELSE u.v END AS a,
+       |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u.u < u.v)
+       |              THEN u.v ELSE u.u END AS b
+       |  FROM (SELECT src AS u, dst AS v FROM und) u
+       |  JOIN deg du ON du.node = u.u JOIN deg dv ON dv.node = u.v),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM oe e1 JOIN oe e2 ON e1.b = e2.a
+       |  JOIN oe e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |pn AS (
+       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+       |  FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+       |        UNION ALL SELECT z FROM tri)
+       |  GROUP BY 1)
+       |SELECT deg.node AS part_key, deg.deg,
+       |       COALESCE(pn.n_tri, 0) AS n_tri,
+       |       CASE WHEN deg.deg > 1 THEN
+       |         ROUND(2.0 * CAST(COALESCE(pn.n_tri, 0) AS DOUBLE) /
+       |               CAST(deg.deg * (deg.deg - 1) AS DOUBLE), 6)
+       |       END AS cc_r
+       |FROM deg LEFT JOIN pn ON pn.node = deg.node
+       |ORDER BY part_key""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x01_part_pagerank" -> x01Pagerank _,
+    "x02_part_triangles" -> x02Triangles _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x01_part_pagerank" -> x01Sql,
+    "x02_part_triangles" -> x02Sql,
+  )
+}

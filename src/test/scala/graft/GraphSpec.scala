@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Lineitem-shaped frame: each (order, Seq(parts)) becomes one line
+    * per part. */
+  private def li(orders: (Long, Seq[Long])*): DataFrame =
+    orders.flatMap { case (o, ps) => ps.map(p => (o, p)) }
+      .toDF("l_orderkey", "l_partkey")
+
+  test("pagerank: hand-computed fixed-point values on a path graph") {
+    // orders {1,2} and {2,3} -> path 1-2-3; n=3, scale=1e12
+    // pr0 = 333333333333 each; base = 15e12 // 300 = 50000000000
+    // round 1: ends get 85*(333333333333//2)//100 + base = 191666666666
+    //          middle gets 85*(2*333333333333)//100 + base = 616666666666
+    val out = Graph.pagerank(li(1L -> Seq(1L, 2L), 2L -> Seq(2L, 3L)),
+        rounds = 1)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out === Array(
+      (1L, 1L, 191666666666L),
+      (2L, 2L, 616666666666L),
+      (3L, 1L, 191666666666L)))
+  }
+
+  test("pagerank: mass is conserved up to integer truncation") {
+    val r = Graph.pagerank(Tables.lineitem(spark, sf))
+    val total = r.agg(sum($"pr_fp")).as[Long].head()
+    // truncation loses <1 unit per directed edge (contribution DIV)
+    // plus <1 per node (damping DIV, teleport DIV) per round, and <1
+    // per node at init — mass drifts down, never up
+    val n = r.count()
+    val m = 2 * Graph.copurchaseEdges(Tables.lineitem(spark, sf)).count()
+    assert(total <= Graph.scale)
+    assert(Graph.scale - total <= Graph.prRounds * (m + 2 * n) + n)
+  }
+
+  test("pagerank is invariant under input partitioning") {
+    val base = Graph.pagerank(Tables.lineitem(spark, sf))
+    val repart =
+      Graph.pagerank(Tables.lineitem(spark, sf).repartition(7, $"l_partkey"))
+    assert(digest(base) == digest(repart))
+  }
+
+  test("triangles: one-order triangle gives cc=1 everywhere") {
+    val out = Graph.triangles(li(1L -> Seq(1L, 2L, 3L)))
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(out === Array(
+      (1L, 2L, 1L, Some(1.0)),
+      (2L, 2L, 1L, Some(1.0)),
+      (3L, 2L, 1L, Some(1.0))))
+  }
+
+  test("triangles: path graph has none; degree-1 node gets null cc") {
+    val out = Graph.triangles(li(1L -> Seq(1L, 2L), 2L -> Seq(2L, 3L)))
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(out === Array(
+      (1L, 1L, 0L, None),
+      (2L, 2L, 0L, Some(0.0)),
+      (3L, 1L, 0L, None)))
+  }
+
+  test("triangles: every enumeration join is an equi-join (no BNLJ)") {
+    val plan = Graph.triangles(Tables.lineitem(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("triangle counts match the naive undirected closure") {
+    // independent oracle: count unordered triples with all three edges
+    val und = Graph.copurchaseEdges(Tables.lineitem(spark, sf))
+      .select($"src", $"dst").as[(Long, Long)].collect()
+      .map { case (a, b) => (a, b) }.toSet
+    def has(a: Long, b: Long) =
+      und.contains((math.min(a, b), math.max(a, b)))
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val naive = (for {
+      Seq(a, b, c) <- nodes.combinations(3)
+      if has(a, b) && has(b, c) && has(a, c)
+    } yield Seq(a, b, c)).toSeq.flatten
+      .groupBy(x => x).map { case (k, v) => (k, v.size.toLong) }
+    val got = Graph.triangles(Tables.lineitem(spark, sf))
+      .select($"part_key", $"n_tri").as[(Long, Long)].collect()
+      .filter(_._2 > 0).toMap
+    assert(got === naive)
+  }
+}
