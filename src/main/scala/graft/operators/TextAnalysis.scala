@@ -828,11 +828,21 @@ object TextAnalysis {
     * Returns the learned merge table: (merge_rank, pair, merged,
     * pair_count). */
   def bpeMergeTable(docs: DataFrame, k: Int = bpeMerges,
-                    passes: Int = bpeReplacePasses): Seq[(Int, String, String, Long)] = {
+                    passes: Int = bpeReplacePasses): Seq[(Int, String, String, Long)] =
+    bpeFit(docs, k, passes)._1
+
+  /** The fit with its post-merge vocabulary exposed: word → final
+    * space-separated symbol sequence (what [[t20BpeEncode]] joins the
+    * corpus against). Carrying `word` through the rounds changes
+    * nothing about the learned sequence — pair counts read only
+    * (freq, syms). */
+  def bpeFit(docs: DataFrame, k: Int = bpeMerges,
+             passes: Int = bpeReplacePasses)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     var vocab = docs
       .select(explode(wsTokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"),
+      .select(col("word"), col("freq"),
         concat(lit(" "),
           concat_ws(" ", array_remove(split(col("word"), ""), lit(""))),
           lit(" ")).as("syms"))
@@ -855,9 +865,10 @@ object TextAnalysis {
       val applied = (1 to passes).foldLeft(col("syms")) { (c, _) =>
         call_function("replace", c, lit(s" $pair "), lit(s" $merged "))
       }
-      vocab = vocab.select(col("freq"), applied.as("syms")).localCheckpoint(true)
+      vocab = vocab.select(col("word"), col("freq"), applied.as("syms"))
+        .localCheckpoint(true)
     }
-    merges.result()
+    (merges.result(), vocab)
   }
 
   /** t17 — the first [[bpeMerges]] learned BPE merges over the corpus
@@ -903,6 +914,82 @@ object TextAnalysis {
        |${rounds.mkString(",\n")}
        |${out.mkString("\nUNION ALL ")}
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** t20 — BPE ENCODING: apply the [[bpeMerges]] learned merges to the
+    * whole corpus and report each document's post-BPE token count —
+    * the tokenizer-application step that turns t17's learned merge
+    * table into the number every training-data budget actually uses
+    * (sequence packing, cost estimates, token-per-word compression).
+    *
+    * Shape: the merge application happens on the word-TYPE table (the
+    * t17 frame — vocabulary-sized, not corpus-sized), each type's
+    * encoded length is one `size(split())`, and the corpus pass is a
+    * single explode + equi-join of token instances against that
+    * vocabulary (broadcast-sized in practice; a shuffle join at worst)
+    * + one doc-keyed partial-aggregated count/sum. Linear in corpus
+    * tokens, independent of how many merges were learned.
+    *
+    * Hash-gated: DuckDB re-learns the merges through the identical
+    * t17 chain (same argmax total order, same replace-fixpoint
+    * passes), re-encodes every word type, and recounts every document
+    * — so every learned merge AND every document's token arithmetic
+    * is pinned cross-engine. */
+  def t20BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val enc = bpeFit(docs)._2
+      .select(col("word"), size(split(trim(col("syms")), " ")).as("n_sym"))
+    docs
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("word"))
+      .join(enc, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym").cast("long")).as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          col("n_words").cast("double"), 6).as("tok_per_word_r"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Generated DuckDB twin of t20: the t17 learning chain with `word`
+    * carried through, then per-type encoded lengths joined back to the
+    * exploded corpus. */
+  val t20Sql: String = {
+    val rounds = (0 until bpeMerges).map { i =>
+      val rep = (1 to bpeReplacePasses).foldLeft("syms") { (s, _) =>
+        s"replace($s, ' ' || (SELECT pair FROM b$i) || ' ', " +
+          s"' ' || (SELECT replace(pair, ' ', '') FROM b$i) || ' ')"
+      }
+      s"""p$i AS (
+         |  SELECT w[j.j] || ' ' || w[j.j+1] AS pair,
+         |         CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, string_split(trim(syms), ' ') AS w FROM v$i)
+         |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(w))) AS j) j
+         |  GROUP BY 1),
+         |b$i AS MATERIALIZED (
+         |  SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+         |v${i + 1} AS MATERIALIZED (
+         |  SELECT word, freq, $rep AS syms FROM v$i)""".stripMargin
+    }
+    s"""WITH v0 AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+       |         ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS syms
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY word),
+       |${rounds.mkString(",\n")},
+       |enc AS (
+       |  SELECT word, len(string_split(trim(syms), ' ')) AS n_sym
+       |  FROM v$bpeMerges),
+       |inst AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents)
+       |SELECT i.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(e.n_sym) AS BIGINT) AS n_tokens,
+       |       ROUND(CAST(SUM(e.n_sym) AS DOUBLE) /
+       |             CAST(COUNT(*) AS DOUBLE), 6) AS tok_per_word_r
+       |FROM inst i JOIN enc e USING (word)
+       |GROUP BY i.doc_id
+       |ORDER BY i.doc_id""".stripMargin
   }
 
   // -- sub-document block dedup ----------------------------------------------
@@ -1054,6 +1141,7 @@ object TextAnalysis {
     "t11_tfidf_topterms" -> t11TfidfTopTerms _,
     "t16_lm_logprob"     -> t16LmLogprob _,
     "t17_bpe_merges"     -> t17BpeMerges _,
+    "t20_bpe_encode"     -> t20BpeEncode _,
     "t18_block_dedup"    -> t18BlockDedup _,
     "t19_vocab_growth"   -> t19VocabGrowth _,
   )
@@ -1075,6 +1163,7 @@ object TextAnalysis {
     "t11_tfidf_topterms" -> t11Sql,
     "t16_lm_logprob"     -> t16Sql,
     "t17_bpe_merges"     -> t17Sql,
+    "t20_bpe_encode"     -> t20Sql,
     "t18_block_dedup"    -> t18Sql,
     "t19_vocab_growth"   -> t19Sql,
     // rows-only by design (no DuckDB twin exists):

@@ -182,6 +182,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(merges(1) == ((2, "ab ab", "abab", 2L)))
   }
 
+  test("bpeFit vocabulary encodes hand-checkable symbol sequences") {
+    // after (l,o)->lo, (lo,w)->low, (e,r)->er:
+    // low=[low](1), lower=[low,er](2), west=[w,e,s,t](4)
+    val docs = Seq((1L, "low low lower west"), (2L, "low lower"))
+      .toDF("doc_id", "text")
+    val vocab = TextAnalysis.bpeFit(docs, k = 3)._2
+      .select($"word", trim($"syms").as("s")).as[(String, String)]
+      .collect().toMap
+    assert(vocab == Map(
+      "low" -> "low", "lower" -> "low er", "west" -> "w e s t"))
+  }
+
   test("blockDedup flags the shared block, not the distinct remainder") {
     // docs 1/2 share an exact 4-token block (block 0) and then diverge
     // completely; doc 3 is all-original. With blockTokens=4: doc1 has
