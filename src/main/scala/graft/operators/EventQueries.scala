@@ -515,7 +515,100 @@ object EventQueries {
       |FROM m
       |ORDER BY prev_type, event_type""".stripMargin
 
+  /** v22 — A/B experiment analysis: users split 50/50 by the canonical
+    * md5 bucket ([[Pipeline.md5Bucket]] — deterministic, engine-stable,
+    * no RNG state), per-variant exposure/conversion/revenue, and the
+    * two-proportion pooled z statistic for the conversion lift. The
+    * whole readout is ONE pass over events (variant is a projection on
+    * user_id; countDistinct + decimal revenue sums per variant) plus a
+    * two-row pivot into the single summary row — at 100 TB this is a
+    * partial-aggregated shuffle on a 2-value key (countDistinct
+    * internally expands to (variant, user) partials — still bounded by
+    * distinct users, the analysis' inherent cardinality).
+    *
+    * Every float step of the z arithmetic is written structurally
+    * identically in both engines (same division tree, same sqrt), so
+    * the statistic is hash-gated, not toleranced. */
+  def v22ExperimentLift(spark: SparkSession, dir: String): DataFrame = {
+    // conversion = at least one HIGH-VALUE purchase (value >= 90) —
+    // plain any-purchase saturates this corpus (every user buys), which
+    // would put the pooled p-hat at 1 and the z denominator at 0.
+    // Revenue (ARPU) stays over ALL purchases.
+    val isP = col("event_type") === "purchase"
+    val isConv = isP && col("value") >= 90.0
+    val per = Tables.events(spark, dir)
+      .select(
+        when(Pipeline.md5Bucket(col("user_id")) < 128, "A").otherwise("B")
+          .as("v"),
+        col("user_id"), col("event_type"), col("value"))
+      .groupBy(col("v"))
+      .agg(
+        countDistinct(col("user_id")).as("n"),
+        countDistinct(when(isConv, col("user_id"))).as("conv"),
+        sum(graft.functions.DecimalSums.dec(when(isP, col("value"))))
+          .as("rev"))
+    def pick(v: String, c: String) = max(when(col("v") === v, col(c)))
+    val wide = per.agg(
+      pick("A", "n").as("n_a"), pick("B", "n").as("n_b"),
+      pick("A", "conv").as("conv_a"), pick("B", "conv").as("conv_b"),
+      pick("A", "rev").as("rev_a"), pick("B", "rev").as("rev_b"))
+    val d = DoubleType
+    val pa = col("conv_a").cast(d) / col("n_a").cast(d)
+    val pb = col("conv_b").cast(d) / col("n_b").cast(d)
+    val ph = (col("conv_a") + col("conv_b")).cast(d) /
+      (col("n_a") + col("n_b")).cast(d)
+    val se = sqrt(ph * (lit(1.0) - ph) *
+      (lit(1.0) / col("n_a").cast(d) + lit(1.0) / col("n_b").cast(d)))
+    wide.select(
+      col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      round(pa, 6).as("cvr_a_r"), round(pb, 6).as("cvr_b_r"),
+      round(col("rev_a").cast(d) / col("n_a").cast(d), 6).as("arpu_a_r"),
+      round(col("rev_b").cast(d) / col("n_b").cast(d), 6).as("arpu_b_r"),
+      round(pb - pa, 6).as("lift_r"),
+      // total even on degenerate corpora (all or none converted)
+      when(se > 0.0, round((pb - pa) / se, 6)).as("z_r"))
+  }
+
+  val v22Sql: String = {
+    val bucket = Pipeline.sqlMd5Bucket("user_id")
+    """WITH per AS (
+      |  SELECT CASE WHEN BUCKET < 128 THEN 'A' ELSE 'B' END AS v,
+      |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n,
+      |         CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+      |                                   AND value >= 90.0
+      |                                  THEN user_id END) AS BIGINT) AS conv,
+      |         SUM(CAST(CAST(CASE WHEN event_type = 'purchase' THEN value END
+      |                       AS DOUBLE) AS DECIMAL(18,4))) AS rev
+      |  FROM events GROUP BY 1),
+      |wide AS (
+      |  SELECT MAX(CASE WHEN v = 'A' THEN n END) AS n_a,
+      |         MAX(CASE WHEN v = 'B' THEN n END) AS n_b,
+      |         MAX(CASE WHEN v = 'A' THEN conv END) AS conv_a,
+      |         MAX(CASE WHEN v = 'B' THEN conv END) AS conv_b,
+      |         MAX(CASE WHEN v = 'A' THEN rev END) AS rev_a,
+      |         MAX(CASE WHEN v = 'B' THEN rev END) AS rev_b
+      |  FROM per)
+      |SELECT n_a, n_b, conv_a, conv_b,
+      |  ROUND(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS cvr_a_r,
+      |  ROUND(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS cvr_b_r,
+      |  ROUND(CAST(rev_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS arpu_a_r,
+      |  ROUND(CAST(rev_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS arpu_b_r,
+      |  ROUND(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      |      - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS lift_r,
+      |  CASE WHEN sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |           * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |           * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) > 0.0
+      |  THEN ROUND((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      |       - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+      |      / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |           * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |           * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+      |  END AS z_r
+      |FROM wide""".stripMargin.replace("BUCKET", bucket)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v22_experiment_lift"     -> v22ExperimentLift _,
     "v21_transition_matrix"   -> v21TransitionMatrix _,
     "v20_ordered_funnel"      -> v20OrderedFunnel _,
     "v19_retention_cohorts"   -> v19RetentionCohorts _,
@@ -546,6 +639,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "v19_retention_cohorts"    -> v19Sql,
+    "v22_experiment_lift"      -> v22Sql,
     "v20_ordered_funnel"       -> v20Sql,
     "v21_transition_matrix"    -> v21Sql,
     "v07_attributed_purchases" -> v07Sql,

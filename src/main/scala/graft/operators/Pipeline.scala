@@ -193,6 +193,18 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** DuckDB text of [[md5Bucket]] — DuckDB has no base-16 conv(); the
+    * two hex digits are decoded by position in the hex alphabet
+    * instead, value-identical to the Spark side's conv(substr,16,10).
+    * (The older oracle strings below inline this same text verbatim;
+    * new consumers should call THIS.) */
+  def sqlMd5Bucket(id: String): String =
+    s"""CAST(16 * (strpos('0123456789abcdef',
+       |                  substring(md5(CAST($id AS VARCHAR)), 31, 1)) - 1)
+       |     +    (strpos('0123456789abcdef',
+       |                  substring(md5(CAST($id AS VARCHAR)), 32, 1)) - 1)
+       |  AS INT)""".stripMargin
+
   // DuckDB has no base-16 conv(); the two hex digits are decoded by
   // position in the hex alphabet instead — value-identical to the
   // Spark side's conv(substr, 16, 10).

@@ -69,6 +69,24 @@ class EventQueriesSpec extends SparkSpec {
     }
   }
 
+  test("v22: variants partition the user base; stats are internally consistent") {
+    val r = graft.operators.EventQueries.v22ExperimentLift(spark, sf)
+    val row = r.collect()(0)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    val nA = row.getAs[Long]("n_a"); val nB = row.getAs[Long]("n_b")
+    val cA = row.getAs[Long]("conv_a"); val cB = row.getAs[Long]("conv_b")
+    assert(nA + nB == users)
+    assert(cA <= nA && cB <= nB)
+    // rounded rates agree with the raw integer ratios
+    assert(math.abs(row.getAs[Double]("cvr_a_r") - cA.toDouble / nA) < 1e-6)
+    assert(math.abs(row.getAs[Double]("cvr_b_r") - cB.toDouble / nB) < 1e-6)
+    // z carries the lift's sign whenever it is defined
+    Option(row.getAs[Double]("z_r")).foreach { z =>
+      assert(z.sign == row.getAs[Double]("lift_r").sign ||
+        row.getAs[Double]("lift_r") == 0.0)
+    }
+  }
+
   test("v03: deduped counts never exceed raw per-type counts") {
     val raw = Tables.events(spark, sf)
       .groupBy($"event_type").agg(count(lit(1)).as("raw_count"))
