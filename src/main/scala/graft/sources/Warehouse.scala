@@ -643,15 +643,121 @@ object Warehouse {
        |ORDER BY gen""".stripMargin
   }
 
+  /** Read EVERY generation under `root`, reconciled to the LATEST
+    * generation's schema — the schema-evolution read a long-lived
+    * ingest table needs once append batches start carrying new columns
+    * or widened types: a column absent in an old generation comes back
+    * null; a column whose type drifted is cast to the latest type
+    * (the read-side half of "add column" / "widen column" DDL, without
+    * a metastore). Returns the union with a `gen` column.
+    *
+    * This is deliberately NOT `mergeSchema=true`: Spark's parquet
+    * schema merge REFUSES drifted primitive types (float→double,
+    * int→long), which is exactly the evolution a real table suffers;
+    * per-generation cast-then-unionByName handles both forms and reads
+    * each footer once. Scale: one parquet scan per generation, no
+    * shuffle — normalization is a projection. */
+  def readEvolvedSnapshots(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val gens = listGenerations(root)
+    require(gens.nonEmpty, s"no generations under $root")
+    val target = readSnapshot(spark, root, gens.last).schema
+    gens.map { g =>
+      val df = readSnapshot(spark, root, g)
+      val have = df.schema.map(f => f.name -> f.dataType).toMap
+      val cols = target.map { f =>
+        have.get(f.name) match {
+          case Some(t) if t == f.dataType => col(f.name)
+          case Some(_)                    => col(f.name).cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }
+      df.select(lit(g).as("gen") +: cols: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** w05 — schema-evolution read over three REALLY-written append
+    * generations of an orders slice: gen0 is (k, float price) — the
+    * narrow v1 schema; gen1 re-types price to double and adds `seg`;
+    * gen2 adds `disc`. [[readEvolvedSnapshots]] must null-fill the
+    * missing columns and widen the float — the per-generation
+    * aggregate is hash-gated against the pure CTE replay (no
+    * filesystem on the oracle side, same w04 discipline). */
+  def w05SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{concat, count, floor, lit, when}
+    val orders = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+    val base = java.nio.file.Files.createTempDirectory("graft_w05").toString
+    try {
+      val root = s"$base/orders_evolving"
+      // v1 stored whole-dollar float32 prices: floor keeps the values
+      // float-exact (< 2^24), so the float→double widening is
+      // value-preserving and the decimal gate sees no float noise
+      // (double→decimal(18,4) quantizes shortest-repr in the JVM but
+      // the exact binary expansion in DuckDB — they only agree when
+      // the value IS its shortest repr)
+      writeSnapshot(orders.filter(col("k") % 3 === 0)
+        .select(col("k"), floor(col("p")).cast("float").as("p")), root)
+      val seg = concat(lit("S"), (col("k") % 4).cast("string"))
+      writeSnapshot(orders.filter(col("k") % 3 === 1)
+        .select(col("k"), col("p"), seg.as("seg")), root)
+      writeSnapshot(orders.filter(col("k") % 3 === 2)
+        .select(col("k"), col("p"), seg.as("seg"),
+          when(col("k") % 5 === 0, col("p") * 0.1).as("disc")), root)
+      readEvolvedSnapshots(spark, root)
+        .groupBy(col("gen"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("seg")).as("n_seg"),
+          graft.functions.DecimalSums.dsum(col("p")).as("price_sum"),
+          graft.functions.DecimalSums.dsum(col("disc")).as("disc_sum"))
+        .orderBy(col("gen"))
+        .localCheckpoint() // materialize before the temp root is deleted
+    } finally {
+      val gone = new scala.reflect.io.Directory(new java.io.File(base))
+        .deleteRecursively()
+      if (!gone) System.err.println(s"[w05] temp dir not fully removed: $base")
+    }
+  }
+
+  /** Oracle: the three generations as CTEs, normalized exactly the way
+    * the evolved read must normalize them (float widened THROUGH the
+    * float — CAST(CAST(p AS REAL) AS DOUBLE) replays the precision
+    * loss of the v1 write). */
+  val w05Sql: String = {
+    val d = graft.functions.DecimalSums.sqlDsum _
+    """WITH u AS (
+      |  SELECT 0 AS gen, o_orderkey AS k,
+      |         CAST(CAST(FLOOR(o_totalprice) AS REAL) AS DOUBLE) AS p,
+      |         CAST(NULL AS VARCHAR) AS seg, CAST(NULL AS DOUBLE) AS disc
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT 1, o_orderkey, o_totalprice,
+      |         'S' || CAST(o_orderkey % 4 AS VARCHAR), CAST(NULL AS DOUBLE)
+      |  FROM orders WHERE o_orderkey % 3 = 1
+      |  UNION ALL
+      |  SELECT 2, o_orderkey, o_totalprice,
+      |         'S' || CAST(o_orderkey % 4 AS VARCHAR),
+      |         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 0.1 END
+      |  FROM orders WHERE o_orderkey % 3 = 2)
+      |SELECT CAST(gen AS INT) AS gen, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(COUNT(seg) AS BIGINT) AS n_seg,
+      |       PRICE_SUM AS price_sum, DISC_SUM AS disc_sum
+      |FROM u GROUP BY gen ORDER BY gen""".stripMargin
+      .replace("PRICE_SUM", d("p")).replace("DISC_SUM", d("disc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_incremental_agg" -> w01IncrementalAggRefresh _,
     "w02_snapshot_diff"   -> w02SnapshotDiff _,
-    "w04_time_travel"     -> w04TimeTravel _)
+    "w04_time_travel"     -> w04TimeTravel _,
+    "w05_schema_evolution" -> w05SchemaEvolution _)
 
   val oracles: Map[String, String] = Map(
     "w01_incremental_agg" -> w01Sql,
     "w02_snapshot_diff"   -> w02Sql,
-    "w04_time_travel"     -> w04Sql)
+    "w04_time_travel"     -> w04Sql,
+    "w05_schema_evolution" -> w05Sql)
 
   /** Bucketed + sorted table write — the co-located-join layout.
     * Two tables bucketed on their join key with the SAME bucket count

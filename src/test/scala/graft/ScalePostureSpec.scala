@@ -176,6 +176,31 @@ class ScalePostureSpec extends SparkSpec {
       "v18 candidate join must stay keyed on (band, bucket)")
   }
 
+  test("evolved read: null-fills missing columns, widens drifted types") {
+    import graft.sources.Warehouse
+    val root = java.nio.file.Files.createTempDirectory("graft_evo").toString + "/t"
+    try {
+      import spark.implicits._
+      // gen0: (k int, x float); gen1: (k long, x double, s string)
+      Warehouse.writeSnapshot(
+        Seq((1, 1.5f), (2, 2.5f)).toDF("k", "x"), root)
+      Warehouse.writeSnapshot(
+        Seq((3L, 3.5, "c")).toDF("k", "x", "s"), root)
+      val r = Warehouse.readEvolvedSnapshots(spark, root)
+      // reconciled to the LATEST schema, gen column first
+      assert(r.schema.map(f => (f.name, f.dataType.simpleString)) ==
+        Seq(("gen", "int"), ("k", "bigint"), ("x", "double"), ("s", "string")))
+      val rows = r.as[(Int, Long, Double, Option[String])]
+        .collect().sortBy(t => (t._1, t._2)).toSeq
+      assert(rows == Seq((0, 1L, 1.5, None), (0, 2L, 2.5, None),
+        (1, 3L, 3.5, Some("c"))))
+    } finally {
+      new scala.reflect.io.Directory(
+        new java.io.File(root).getParentFile).deleteRecursively()
+      ()
+    }
+  }
+
   test("snapshots: immutable history, as-of addressing, invisible staging") {
     import graft.sources.Warehouse
     val root = java.nio.file.Files.createTempDirectory("graft_snap").toString + "/t"
