@@ -836,6 +836,61 @@ object Similarity {
       |WHERE rk <= 5
       |ORDER BY query_id, rk""".stripMargin
 
+  /** Filtered exact kNN under a categorical predicate: each query
+    * searches only corpus vectors sharing its `label` — "vector search
+    * within a domain/tenant", the filter shape every production vector
+    * store supports. The filter is applied AS THE JOIN KEY, which is
+    * the whole scale point: the all-pairs cross of [[bruteForceKnn]]
+    * (N·Q pairs) becomes a label-blocked equi-join (Σ_l n_l·q_l pairs)
+    * that shuffles both sides on label — with 10 balanced labels
+    * that's 10× fewer candidate pairs, and at 100 TB the blocks are
+    * the unit of parallelism. No post-filtering of an unfiltered ANN
+    * result (which under-fills k when the filter is selective). */
+  def sameLabelKnn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("label"),
+      VectorOps.asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", VectorOps.norm(col("qv")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("label"),
+      VectorOps.asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+    val scored = q.join(c, Seq("label"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"))
+  }
+
+  /** s12 — filtered search gate: the s01 query set restricted to
+    * same-label neighbors; rank-only integer output on round-9 cosine
+    * (the s08 bit-stability discipline) → hash-gated. */
+  def s12KnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    sameLabelKnn(emb.filter(col("vec_id") < 20), emb, 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val s12Sql: String =
+    """WITH q AS (SELECT vec_id AS query_id, label, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS cv
+      |      FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |         ROUND(list_cosine_similarity(qv, cv), 9) AS cosine
+      |  FROM q JOIN c USING (label)
+      |  WHERE query_id <> neighbor_id)
+      |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |             ORDER BY cosine DESC, neighbor_id) AS rk
+      |      FROM scored) t
+      |WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+
   // -- MMR diversified retrieval ---------------------------------------------
 
   /** Maximal-marginal-relevance diversified top-k: greedily select
@@ -1004,6 +1059,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s08_hybrid_knn"        -> s08HybridKnn _,
+    "s12_knn_filtered"      -> s12KnnFiltered _,
     "s01_knn_bruteforce"    -> s01KnnBruteForce _,
     "s02_knn_ann"           -> s02KnnAnn _,
     "s03_ann_bucket_profile" -> s03AnnBucketProfile _,
@@ -1019,6 +1075,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "s01_knn_bruteforce" -> s01Sql,
     "s08_hybrid_knn"     -> s08Sql,
+    "s12_knn_filtered"   -> s12Sql,
     "s11_knn_mmr"        -> s11Sql,
   )
 }

@@ -22,6 +22,32 @@ class SimilaritySpec extends SparkSpec {
     assert(nn == Seq(2L, 3L, 4L), s"expected geometric order, got $nn")
   }
 
+  test("sameLabelKnn: neighbors share the query's label, equal per-block exact") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.sameLabelKnn(emb.filter($"vec_id" < 20), emb, 5)
+    // every returned neighbor carries the query's own label
+    val lab = emb.select($"vec_id", $"label")
+    val crossed = got
+      .join(lab.select($"vec_id".as("query_id"), $"label".as("ql")), "query_id")
+      .join(lab.select($"vec_id".as("neighbor_id"), $"label".as("nl")),
+        "neighbor_id")
+      .filter($"ql" =!= $"nl").count()
+    assert(crossed == 0L)
+    // filtered search == exact search run inside each label block
+    val labels = emb.filter($"vec_id" < 20).select($"label")
+      .distinct().as[Int].collect()
+    val naive = labels.map { l =>
+      Similarity.bruteForceKnn(
+        emb.filter($"vec_id" < 20 && $"label" === l),
+        emb.filter($"label" === l), 5, roundCosineTo = 9)
+    }.reduce(_ unionByName _)
+    assert(digest(got) == digest(naive))
+    // the filter is the JOIN KEY — no cartesian/BNLJ anywhere
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("annKnn returns only same-bucket neighbors with dense ranks") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" < 5)
