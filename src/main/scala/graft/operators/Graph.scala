@@ -141,11 +141,51 @@ object Graph {
       .orderBy(col("part_key"))
   }
 
+  /** Max frontier expansions for the x03 gate — mirrored in
+    * [[x03Sql]]. */
+  val bfsHops = 4
+
+  /** BFS hop distances from a deterministic seed (the minimum part id
+    * in the graph) — the reachability/distance primitive (impact
+    * radius, related-product depth). Classic distributed frontier
+    * expansion: each round joins the CURRENT FRONTIER (only — nodes
+    * found this round, not the whole visited set) against the edge
+    * table and anti-joins out already-visited nodes, so total work is
+    * O(Σ frontier·deg) — each edge relaxed at most once per endpoint
+    * discovery, never |V|·|E|. Integer distances, no rounding
+    * convention needed. The visited set is localCheckpoint'd per
+    * round ([[Dedup.dupClusters]] precedent).
+    *
+    * DuckDB replays it as a recursive CTE with UNION-dedup on
+    * (node, d) and takes MIN(d) per node — level-synchronous BFS and
+    * min-over-all-walks agree by definition of shortest path. */
+  def bfsHopsFrom(lineitem: DataFrame, maxHops: Int = bfsHops): DataFrame = {
+    val e = directed(copurchaseEdges(lineitem))
+      .select(col("src"), col("dst")).localCheckpoint(true)
+    val seed = e.agg(min(col("src"))).collect()(0).getLong(0)
+    var visited = e.sparkSession.range(1).select(
+      lit(seed).as("node"), lit(0).as("dist")).localCheckpoint(true)
+    var frontier = visited
+    for (d <- 1 to maxHops) {
+      frontier = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(d).as("dist"))
+        .localCheckpoint(true)
+      visited = visited.unionAll(frontier).localCheckpoint(true)
+    }
+    visited.select(col("node").as("part_key"), col("dist"))
+      .orderBy(col("part_key"))
+  }
+
   def x01Pagerank(spark: SparkSession, dir: String): DataFrame =
     pagerank(Tables.lineitem(spark, dir))
 
   def x02Triangles(spark: SparkSession, dir: String): DataFrame =
     triangles(Tables.lineitem(spark, dir))
+
+  def x03BfsHops(spark: SparkSession, dir: String): DataFrame =
+    bfsHopsFrom(Tables.lineitem(spark, dir))
 
   /** Shared DuckDB edge CTEs of both oracles. */
   private val edgeSql: String =
@@ -214,13 +254,29 @@ object Graph {
        |FROM deg LEFT JOIN pn ON pn.node = deg.node
        |ORDER BY part_key""".stripMargin
 
+  /** DuckDB twin of x03: recursive BFS with UNION dedup on (node, d);
+    * MIN(d) per node == the level-synchronous frontier distance. */
+  val x03Sql: String =
+    s"""WITH RECURSIVE $edgeSql,
+       |walk(node, d) AS (
+       |  SELECT (SELECT MIN(src) FROM e), 0
+       |  UNION
+       |  SELECT e.dst, w.d + 1
+       |  FROM walk w JOIN e ON e.src = w.node
+       |  WHERE w.d < $bfsHops)
+       |SELECT node AS part_key, CAST(MIN(d) AS INT) AS dist
+       |FROM walk GROUP BY node
+       |ORDER BY part_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_part_pagerank" -> x01Pagerank _,
     "x02_part_triangles" -> x02Triangles _,
+    "x03_bfs_hops" -> x03BfsHops _,
   )
 
   val oracles: Map[String, String] = Map(
     "x01_part_pagerank" -> x01Sql,
     "x02_part_triangles" -> x02Sql,
+    "x03_bfs_hops" -> x03Sql,
   )
 }

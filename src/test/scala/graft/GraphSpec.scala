@@ -47,6 +47,22 @@ class GraphSpec extends SparkSpec {
     assert(digest(base) == digest(repart))
   }
 
+  test("bfs: path distances from the min node; disconnected stays absent") {
+    val out = Graph.bfsHopsFrom(
+        li(1L -> Seq(1L, 2L), 2L -> Seq(2L, 3L), 3L -> Seq(5L, 6L)))
+      .as[(Long, Int)].collect().sortBy(_._1)
+    // seed = min node (1); {5,6} is another component — unreachable
+    assert(out === Array((1L, 0), (2L, 1), (3L, 2)))
+  }
+
+  test("bfs: hop cap bounds the expansion") {
+    // chain 1-2-3-4-5-6-7: with maxHops=4 node 7 (dist 6) is absent
+    val chain = (1L to 6L).map(i => (i, Seq(i, i + 1)))
+    val out = Graph.bfsHopsFrom(li(chain: _*), maxHops = 4)
+      .as[(Long, Int)].collect().sortBy(_._1)
+    assert(out === Array((1L, 0), (2L, 1), (3L, 2), (4L, 3), (5L, 4)))
+  }
+
   test("triangles: one-order triangle gives cc=1 everywhere") {
     val out = Graph.triangles(li(1L -> Seq(1L, 2L, 3L)))
       .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
