@@ -632,6 +632,9 @@ object EventQueries {
     // the fMGWS custom-state store: hand-rolled state restored across
     // micro-batch boundaries, settled profile vs a plain batch GROUP BY
     "v17_streamed_profiles"    -> graft.streaming.EventStreams.v17StreamedProfiles _,
+    // fMGWS in the incremental-emission regime: per-event pair output
+    // with batch-boundary-spanning chains, vs v17's settled summaries
+    "v23_streamed_transitions" -> graft.streaming.EventStreams.v23StreamedTransitions _,
     // warehouse-as-state streaming ingest dedup over documents: parquet
     // LSH index carried across micro-batches AND a checkpointed restart
     "v18_streamed_ingest_dedup" -> graft.streaming.IngestDedup.v18StreamedIngestDedup _,
@@ -652,6 +655,7 @@ object EventQueries {
     "v06_props_profile"       -> v06Sql,
     "v12_streamed_tumbling"   -> v01Sql, // stream must equal the batch answer
     "v13_streamed_sessions"   -> v02Sql,
+    "v23_streamed_transitions" -> v21Sql, // stream must equal the batch answer
     "v14_streamed_dedup"      -> v03Sql,
     "v15_filesource_tumbling" -> v01Sql,
     "v16_streamed_attribution" -> v07Sql,

@@ -251,6 +251,43 @@ object Media {
       case other => throw new IllegalArgumentException(s"unknown kind $other")
     }
 
+    /** Per-consecutive-frame-pair (Σ|Δpixel|, w·h) from the REAL
+      * container decode — the scene-cut signal. Emits one entry per
+      * adjacent frame pair; single-frame videos emit none. */
+    def frameDeltaSums(content: Array[Byte]): Seq[(Long, Long)] = {
+      val in = new DataInputStream(new ByteArrayInputStream(content))
+      require(in.readInt() == VideoMagic, "bad video magic")
+      val nf = in.readInt()
+      var prev: BufferedImage = null
+      val out = Seq.newBuilder[(Long, Long)]
+      var f = 0
+      while (f < nf) {
+        val frame = new Array[Byte](in.readInt())
+        in.readFully(frame)
+        val img = ImageIO.read(new ByteArrayInputStream(frame))
+        require(img != null, s"frame $f not decodable")
+        if (prev != null) {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val ra = prev.getRaster
+          val rb = img.getRaster
+          var s = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              s += math.abs(rb.getSample(x, y, 0) - ra.getSample(x, y, 0))
+              x += 1
+            }
+            y += 1
+          }
+          out += ((s, w.toLong * h))
+        }
+        prev = img
+        f += 1
+      }
+      out.result()
+    }
+
     /** grid×grid block-mean grayscale features in [0,1] from a decoded
       * image — a real pixel-space embedding (tiny stand-in for a learned
       * extractor; the plumbing and geometry are what the pipeline needs). */
@@ -790,7 +827,55 @@ object Media {
       |GROUP BY id
       |ORDER BY media_id""".stripMargin
 
+  /** m09 — video scene-cut detection, REAL decode: every adjacent
+    * frame pair's absolute-pixel-delta sum from the container parse,
+    * flagged as a cut when the mean delta clears 32 gray levels (above
+    * the formula corpus' ~31.7 expected inter-frame delta, so the flag
+    * genuinely splits). DuckDB re-derives every delta from the
+    * closed-form pixel formulas — the decode→diff path is pinned
+    * bit-for-bit. Payloads die inside the task; ~25 B per frame pair
+    * move. Single-frame videos emit no pairs (absent on both sides). */
+  def m09SceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaFixture(Tables.documents(spark, dir))
+      .filter(col("kind") === "video").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { m =>
+          Codec.frameDeltaSums(m.content).zipWithIndex.map {
+            case ((delta, wh), i) => (m.media_id, i + 1, delta, wh)
+          }
+        }
+      }.toDF("media_id", "pair_no", "delta_sum", "wh")
+      .select(col("media_id"), col("pair_no").cast("int").as("pair_no"),
+        col("delta_sum"),
+        (col("delta_sum") > lit(32L) * col("wh")).as("is_cut"))
+      .orderBy(col("media_id"), col("pair_no"))
+  }
+
+  // frame/dim formulas are [[Codec]]'s; the delta re-derivation runs
+  // over a (pair, x, y) lateral grid
+  val m09Sql: String =
+    """WITH v AS (
+      |  SELECT doc_id AS id, 1 + (doc_id % 8) AS nf,
+      |         16 + (doc_id % 8) AS w, 16 + ((doc_id * 3) % 8) AS h
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |p AS (
+      |  SELECT id, f.f AS f, v.w * v.h AS wh,
+      |         ((id * 31 + f.f * 17 + x.x * 7 + y.y * 13) % 256) AS a,
+      |         ((id * 31 + (f.f + 1) * 17 + x.x * 7 + y.y * 13) % 256) AS b
+      |  FROM v
+      |  CROSS JOIN LATERAL (SELECT unnest(range(0, nf - 1)) AS f) f
+      |  CROSS JOIN LATERAL (SELECT unnest(range(0, w)) AS x) x
+      |  CROSS JOIN LATERAL (SELECT unnest(range(0, h)) AS y) y)
+      |SELECT id AS media_id, CAST(f + 1 AS INT) AS pair_no,
+      |       CAST(SUM(ABS(b - a)) AS BIGINT) AS delta_sum,
+      |       SUM(ABS(b - a)) > 32 * MAX(wh) AS is_cut
+      |FROM p
+      |GROUP BY id, f
+      |ORDER BY media_id, pair_no""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m09_scene_cuts"     -> m09SceneCuts _,
     "m01_media_stats"    -> m01MediaStats _,
     "m02_frame_sample"   -> m02FrameSample _,
     "m03_decode_profile" -> m03DecodeProfile _,
@@ -809,5 +894,6 @@ object Media {
     "m06_pixel_resize" -> m06Sql,
     "m07_image_phash"  -> m07Sql,
     "m08_audio_fingerprint" -> m08Sql,
+    "m09_scene_cuts"        -> m09Sql,
   )
 }

@@ -784,6 +784,99 @@ object TextAnalysis {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Interpolation weight on the bigram MLE term of t21 — mirrored
+    * literally in [[t21Sql]]. */
+  val bigramLambda = 0.75
+
+  /** t21 — interpolated BIGRAM LM surprisal (the second-order
+    * extension of t16's unigram filter): each in-document bigram (a,b)
+    * scores ln(λ·P_MLE(b|a) + (1−λ)·P_Laplace(b)), and a document
+    * reports the bigram-weighted mean — the stronger
+    * perplexity-quality signal (boilerplate and word-salad separate on
+    * SEQUENCE probability even when their unigram mix looks normal).
+    *
+    * Shape: bigram instances come from one slice/zip projection over
+    * the materialized token array (no HOF-lambda recompute, no
+    * positional self-join); corpus bigram and unigram tables are
+    * partial-aggregated; the per-(a,b) score joins back by equi-key.
+    * Everything downstream of the counts is the t16 discipline —
+    * round-9 ln, decimal(18,9) weighted sums through the string hop,
+    * round-6 mean — so the whole statistic hash-gates. */
+  def bigramLogprob(docs: DataFrame): DataFrame = {
+    import graft.functions.DecimalSums
+    val D9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("w"))
+    val inst = toks
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1))).as("p"))
+      .select(col("doc_id"),
+        col("p").getField("0").as("a"), col("p").getField("1").as("b"))
+    val tf2 = inst.groupBy(col("doc_id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+    val big = tf2.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("c2"))
+    val uni = docs
+      .select(explode(wsTokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val stats = uni.agg(sum(col("cnt")).as("__n"), count(lit(1)).as("__v"))
+    val scored = big
+      .join(uni.select(col("term").as("a"), col("cnt").as("ca")), "a")
+      .join(uni.select(col("term").as("b"), col("cnt").as("cb")), "b")
+      .crossJoin(broadcast(stats))
+      .withColumn("lp", round(log(
+        lit(bigramLambda) * (col("c2").cast(DoubleType) / col("ca").cast(DoubleType)) +
+          lit(1.0 - bigramLambda) * ((col("cb") + 1).cast(DoubleType) /
+            (col("__n") + col("__v")).cast(DoubleType))), 9))
+      .select(col("a"), col("b"), col("lp"))
+    tf2.join(scored, Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("bigram_count"),
+        round(
+          DecimalSums.asDouble(sum((col("tf") * col("lp")).cast(D9))) /
+            sum(col("tf")).cast(DoubleType), 6).as("avg_logprob2"))
+      .orderBy(col("doc_id"))
+  }
+
+  def t21BigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    bigramLogprob(Tables.documents(spark, dir))
+
+  /** DuckDB twin of t21: bigrams by positional lateral unnest (the
+    * t17 pattern), identical interpolation arithmetic, identical
+    * round-9 ln / decimal(18,9) string-hop / round-6 mean. */
+  val t21Sql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |inst AS (
+       |  SELECT doc_id, w[j.j] AS a, w[j.j + 1] AS b
+       |  FROM w CROSS JOIN LATERAL (SELECT unnest(range(1, len(w))) AS j) j),
+       |tf2 AS (
+       |  SELECT doc_id, a, b, COUNT(*) AS tf FROM inst GROUP BY 1, 2, 3),
+       |big AS (SELECT a, b, SUM(tf) AS c2 FROM tf2 GROUP BY a, b),
+       |uni AS (
+       |  SELECT token AS term, COUNT(*) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+       |        FROM documents) t
+       |  GROUP BY token),
+       |stats AS (SELECT SUM(cnt) AS n, COUNT(*) AS v FROM uni),
+       |scored AS (
+       |  SELECT big.a, big.b,
+       |         ROUND(LN($bigramLambda *
+       |                    (CAST(big.c2 AS DOUBLE) / CAST(ua.cnt AS DOUBLE))
+       |                  + ${1.0 - bigramLambda} *
+       |                    (CAST(ub.cnt + 1 AS DOUBLE)
+       |                     / CAST(stats.n + stats.v AS DOUBLE))), 9) AS lp
+       |  FROM big JOIN uni ua ON ua.term = big.a
+       |           JOIN uni ub ON ub.term = big.b
+       |  CROSS JOIN stats)
+       |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS bigram_count,
+       |       ROUND(CAST(CAST(SUM(CAST(CAST(tf * lp AS DOUBLE)
+       |                                AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE)
+       |             / CAST(SUM(tf) AS DOUBLE), 6) AS avg_logprob2
+       |FROM tf2 JOIN scored USING (a, b)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // -- BPE merge learning -----------------------------------------------------
 
   /** Number of BPE merges the t17 gate learns (mirrored in [[t17Sql]]'s
@@ -1142,6 +1235,7 @@ object TextAnalysis {
     "t16_lm_logprob"     -> t16LmLogprob _,
     "t17_bpe_merges"     -> t17BpeMerges _,
     "t20_bpe_encode"     -> t20BpeEncode _,
+    "t21_bigram_logprob" -> t21BigramLogprob _,
     "t18_block_dedup"    -> t18BlockDedup _,
     "t19_vocab_growth"   -> t19VocabGrowth _,
   )
@@ -1164,6 +1258,7 @@ object TextAnalysis {
     "t16_lm_logprob"     -> t16Sql,
     "t17_bpe_merges"     -> t17Sql,
     "t20_bpe_encode"     -> t20Sql,
+    "t21_bigram_logprob" -> t21Sql,
     "t18_block_dedup"    -> t18Sql,
     "t19_vocab_growth"   -> t19Sql,
     // rows-only by design (no DuckDB twin exists):

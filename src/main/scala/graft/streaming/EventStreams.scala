@@ -245,6 +245,41 @@ object EventStreams {
       }
   }
 
+  /** One observed behavioral transition, emitted incrementally. */
+  final case class Trans(prev_type: String, event_type: String)
+
+  /** Last-seen event type per user, carried across micro-batches. */
+  final case class LastType(tpe: String)
+
+  /** Incremental per-user transition emission — the streaming form of
+    * the v21 first-order Markov matrix: state is ONE string per active
+    * user (the last event type seen), and each micro-batch emits the
+    * (prev, next) pairs its events complete, including the pair that
+    * SPANS the batch boundary (batch N's last event chains to batch
+    * N+1's first — the part a per-batch window could never see).
+    * Events inside a batch are ordered by full-microsecond (ts,
+    * event_id) — the same total order the batch twin's lag window
+    * uses. */
+  def transitionPairs(events: Dataset[Ev]): Dataset[Trans] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastType, Trans](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[Ev], state: GroupState[LastType]) =>
+          val types = rows.toSeq
+            .sortBy(e => (e.ts.toInstant.getEpochSecond * 1000000L +
+              e.ts.getNanos / 1000, e.event_id))
+            .map(_.event_type)
+          if (types.isEmpty) Iterator.empty
+          else {
+            val chain = state.getOption.map(_.tpe).toSeq ++ types
+            state.update(LastType(chain.last))
+            chain.sliding(2).collect { case Seq(a, b) => Trans(a, b) }
+          }
+      }
+  }
+
   // ---------------------------------------------------------------------------
   // Gate query: the actual micro-batch runtime, replayed to completion
   // ---------------------------------------------------------------------------
@@ -396,6 +431,29 @@ object EventStreams {
         col("m.total_value").as("total_value"),
         col("m.active_span_sec").as("active_span_sec"))
       .orderBy(col("user_id"))
+  }
+
+  /** v23 — the streamed transition matrix: [[transitionPairs]]' pair
+    * emissions through the runtime (the fMGWS store again, but in the
+    * INCREMENTAL-emission regime — per-event output with a
+    * boundary-spanning chain, where v17 emits settled summaries),
+    * aggregated post-settle into the same (count, row-share) matrix as
+    * batch v21 and hash-gated against v21's oracle. The sentinel user
+    * (-1) has a single event and therefore completes no pair; the
+    * filter is belt-and-braces. */
+  def v23StreamedTransitions(spark: SparkSession, dir: String): DataFrame = {
+    implicit val evEnc: org.apache.spark.sql.Encoder[Ev] =
+      org.apache.spark.sql.Encoders.product[Ev]
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prev_type"))
+    replayThroughRuntime(spark, dir, df => transitionPairs(df.as[Ev]).toDF())
+      .filter(col("prev_type") =!= "sentinel" &&
+        col("event_type") =!= "sentinel")
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_r", round(
+        col("n").cast("double") / sum(col("n")).over(w).cast("double"), 6))
+      .orderBy(col("prev_type"), col("event_type"))
   }
 
   /** v15 — the PRODUCTION ingest path, gate-exercised end to end: the

@@ -73,6 +73,12 @@ class EventStreamsSpec extends SparkSpec {
     assertSameRows(streamed, EventQueries.v04SlidingCounts(spark, sf))
   }
 
+  test("v23 streamed transitions match the batch v21 matrix exactly") {
+    assertSameRows(
+      EventStreams.v23StreamedTransitions(spark, sf),
+      EventQueries.v21TransitionMatrix(spark, sf))
+  }
+
   test("sessions replay matches the batch sessionizer") {
     val streamed = replay(EventStreams.sessions(_))
       .filter($"user_id" =!= -1L)

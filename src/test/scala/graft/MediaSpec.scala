@@ -114,6 +114,22 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("frameDeltaSums matches an independent per-pixel recomputation") {
+    for (id <- Seq(2L, 5L, 23L, 497L)) { // video ids: doc_id % 3 == 2
+      val got = Codec.frameDeltaSums(Codec.encode(id, "video"))
+      val (w, h, nf) =
+        (Codec.videoW(id), Codec.videoH(id), Codec.videoFrames(id))
+      val want = (0 until nf - 1).map { f =>
+        var s = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          s += math.abs(Codec.pixel(id, f + 1, x, y) - Codec.pixel(id, f, x, y))
+        (s, w.toLong * h)
+      }
+      assert(got == want, s"id=$id")
+      assert(got.length == nf - 1)
+    }
+  }
+
   test("phash64: identical payloads sign identically, distinct ids differ") {
     def ph(id: Long) = Media.phash64(javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(Codec.encode(id, "image"))))

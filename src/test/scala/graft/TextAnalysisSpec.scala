@@ -182,6 +182,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(merges(1) == ((2, "ab ab", "abab", 2L)))
   }
 
+  test("bigramLogprob: repeated-sequence doc outscores shuffled-word doc") {
+    // same unigram multiset, different sequences: the bigram model must
+    // prefer the doc whose transitions dominate the corpus
+    val docs = Seq(
+      (1L, "a b a b a b a b"),
+      (2L, "b b a a b a b a"),
+      (3L, "a b a b")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLogprob(docs)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // bigram counts: n_tokens-1 per doc
+    assert(r.map(_._2).toSeq == Seq(7L, 7L, 3L))
+    // doc 1 is pure (a,b)/(b,a) chains — the corpus majority; doc 2
+    // contains the rare (b,b)/(a,a) transitions and must score lower
+    assert(r(0)._3 > r(1)._3)
+  }
+
   test("bpeFit vocabulary encodes hand-checkable symbol sequences") {
     // after (l,o)->lo, (lo,w)->low, (e,r)->er:
     // low=[low](1), lower=[low,er](2), west=[w,e,s,t](4)
