@@ -1154,6 +1154,39 @@ object StarQueries {
 
   val q37Sql: String = q37Text("orders", "customer")
 
+  // ---------------------------------------------------------------------------
+  // q38 — RECURSIVE CTE subtree rollup (the bill-of-materials shape) over
+  // a synthetic 4-ary part hierarchy: parent(p) = p DIV 4, so the tree is
+  // closed-form in the key and ~log₄(N) deep. The recursion builds the
+  // (ancestor, descendant) closure — Σdepth(p) ≈ N·log₄N rows, NOT N² —
+  // and one grouped pass rolls every part's subtree size and decimal
+  // retail value. Exercises Spark 4's WITH RECURSIVE end to end (analyzer
+  // loop + UnionLoop execution), hash-gated: DuckDB runs the IDENTICAL
+  // query text modulo its `//` spelling of integer division. At 100 TB
+  // the per-round frontier join is key-partitioned like any other
+  // equi-join; depth — not data volume — bounds the round count.
+  // ---------------------------------------------------------------------------
+  def q38BomRollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("graft_q38_part")
+    spark.sql(q38Text("graft_q38_part", "DIV"))
+  }
+
+  private def q38Text(part: String, div: String): String =
+    s"""WITH RECURSIVE cl(anc, node) AS (
+       |  SELECT p_partkey, p_partkey FROM $part
+       |  UNION ALL
+       |  SELECT cl.anc, c.p_partkey
+       |  FROM cl JOIN $part c ON c.p_partkey $div 4 = cl.node
+       |                       AND c.p_partkey <> cl.node)
+       |SELECT cl.anc AS part_key,
+       |       CAST(COUNT(*) AS BIGINT) AS subtree_n,
+       |       ${sqlDsum("c.p_retailprice")} AS subtree_price
+       |FROM cl JOIN $part c ON c.p_partkey = cl.node
+       |GROUP BY cl.anc
+       |ORDER BY part_key""".stripMargin
+
+  val q38Sql: String = q38Text("part", "//")
+
   /** name → query for [[graft.SparkEntry]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> q01PricingSummary _,
@@ -1184,6 +1217,7 @@ object StarQueries {
     "q35_grouping_sets_revenue" -> q35GroupingSetsRevenue _,
     "q36_order_value_quartiles" -> q36OrderValueQuartiles _,
     "q37_above_nation_avg"  -> q37AboveNationAvg _,
+    "q38_bom_rollup"        -> q38BomRollup _,
     "q20_region_year_revenue" -> q20RegionYearRevenue _,
     "q21_customers_with_orders" -> q21CustomersWithOrders _,
     "q22_customers_without_orders" -> q22CustomersWithoutOrders _,
@@ -1228,6 +1262,7 @@ object StarQueries {
     "q35_grouping_sets_revenue" -> q35Sql,
     "q36_order_value_quartiles" -> q36Sql,
     "q37_above_nation_avg"  -> q37Sql,
+    "q38_bom_rollup"        -> q38Sql,
     "q20_region_year_revenue" -> q20Sql,
     "q21_customers_with_orders" -> q21Sql,
     "q22_customers_without_orders" -> q22Sql,

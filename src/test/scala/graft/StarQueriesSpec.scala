@@ -130,6 +130,23 @@ class StarQueriesSpec extends SparkSpec {
     assert(sizes.max - sizes.min <= 1 && sizes.sortBy(-_) == sizes)
   }
 
+  test("q38 recursive closure matches an in-memory tree walk") {
+    val r = operators.StarQueries.q38BomRollup(spark, sf)
+      .select($"part_key", $"subtree_n").as[(Long, Long)].collect().toMap
+    val keys = Tables.part(spark, sf).select($"p_partkey")
+      .as[Long].collect().sorted
+    // independent oracle: children(k) = {p : p/4 == k, p != k}; subtree
+    // sizes by bottom-up accumulation
+    val size = scala.collection.mutable.Map(keys.map(_ -> 1L): _*)
+    keys.reverse.foreach { p =>
+      val parent = p / 4
+      if (parent != p && size.contains(parent)) size(parent) += size(p)
+    }
+    assert(r == size.toMap)
+    // the 4-ary root's subtree is the whole catalog
+    assert(r(0L) == keys.length.toLong)
+  }
+
   test("q37 decorrelates the scalar subquery and matches the manual rewrite") {
     val q = StarQueries.q37AboveNationAvg(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
