@@ -607,7 +607,42 @@ object EventQueries {
       |FROM wide""".stripMargin.replace("BUCKET", bucket)
   }
 
+  /** v24 — schemaless semi-structured analytics through Spark 4's
+    * VARIANT type: `parse_json` shreds props into a variant ONCE and
+    * `variant_get` path-extracts without a declared schema — the
+    * ingest-first, schema-later path for logs whose shape drifts
+    * (v06 is the schema'd `from_json` twin; a drifted key there means
+    * a migration, here just a new path string). Decile buckets over
+    * the extracted k with decimal value sums; DuckDB mirrors with its
+    * JSON path extraction — both engines parse the same text, so the
+    * gate pins the extraction semantics end to end. */
+  def v24VariantBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k",
+        expr("variant_get(parse_json(props), '$.k', 'int')"))
+      .filter(col("k").isNotNull)
+      .groupBy(expr("k DIV 10").as("k_decile"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        dsum(col("value")).as("total_value"))
+      .orderBy(col("k_decile"))
+
+  val v24Sql: String =
+    s"""SELECT CAST(CAST(json_extract_string(props, '$$.k') AS INT) // 10
+       |            AS BIGINT) AS k_decile,
+       |  COUNT(*) AS n,
+       |  MIN(CAST(json_extract_string(props, '$$.k') AS INT)) AS min_k,
+       |  MAX(CAST(json_extract_string(props, '$$.k') AS INT)) AS max_k,
+       |  ${sqlDsum("value")} AS total_value
+       |FROM events
+       |WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |GROUP BY 1
+       |ORDER BY k_decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v24_variant_buckets"     -> v24VariantBuckets _,
     "v22_experiment_lift"     -> v22ExperimentLift _,
     "v21_transition_matrix"   -> v21TransitionMatrix _,
     "v20_ordered_funnel"      -> v20OrderedFunnel _,
@@ -643,6 +678,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "v19_retention_cohorts"    -> v19Sql,
     "v22_experiment_lift"      -> v22Sql,
+    "v24_variant_buckets"      -> v24Sql,
     "v20_ordered_funnel"       -> v20Sql,
     "v21_transition_matrix"    -> v21Sql,
     "v07_attributed_purchases" -> v07Sql,
