@@ -641,7 +641,124 @@ object EventQueries {
        |GROUP BY 1
        |ORDER BY k_decile""".stripMargin
 
+  /** v25 — time-series burst detection: hourly event counts per type,
+    * each compared against its SIX most recent preceding observed
+    * hours (a ROWS frame — "observed" because an hour with zero events
+    * of a type has no row; the trailing baseline is the last six
+    * *active* hours, the form that stays well-defined on sparse
+    * types). The spike predicate is kept in INTEGER arithmetic —
+    * `count > 2 × (trail_sum / 6)` rewritten as `3·count > trail_sum`
+    * — so there is no float boundary to flip between engines and the
+    * flag hash-gates exactly.
+    *
+    * Scale: one partial-aggregated shuffle to (hour, type), then a
+    * window partitioned by type — tiny key space, and the per-type
+    * series length grows with time, not corpus size. At 100 TB the
+    * hourly rollup (not the raw events) is what the window ever sees. */
+  def v25SpikeWindows(spark: SparkSession, dir: String): DataFrame = {
+    val wTrail = Window.partitionBy(col("event_type"))
+      .orderBy(col("hour_start")).rowsBetween(-6, -1)
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("event_count"))
+      .withColumn("trail_n", count(col("event_count")).over(wTrail))
+      .withColumn("trail_sum",
+        coalesce(sum(col("event_count")).over(wTrail), lit(0L)))
+      .withColumn("is_spike",
+        col("trail_n") === 6 && col("event_count") * 3 > col("trail_sum"))
+      .select(col("event_type"),
+        date_format(col("hour_start"), tsFmt).as("hour_start"),
+        col("event_count"), col("trail_n"), col("trail_sum"),
+        col("is_spike"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
+  val v25Sql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS h, event_type,
+      |         CAST(COUNT(*) AS BIGINT) AS event_count
+      |  FROM events GROUP BY 1, 2),
+      |trailed AS (
+      |  SELECT event_type, h, event_count,
+      |    CAST(COUNT(event_count) OVER w AS BIGINT) AS trail_n,
+      |    CAST(COALESCE(SUM(event_count) OVER w, 0) AS BIGINT) AS trail_sum
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+      |               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+      |  event_count, trail_n, trail_sum,
+      |  (trail_n = 6 AND event_count * 3 > trail_sum) AS is_spike
+      |FROM trailed
+      |ORDER BY event_type, hour_start""".stripMargin
+
+  /** v26 — sequential pattern mining over sessions: the most frequent
+    * 3-step event-type paths, where steps are consecutive events
+    * INSIDE a v02 session (the 30-min-gap sessionization), never
+    * across a session boundary. Paths are built with two `lead`s over
+    * the (session, ts, event_id) order — a projection, not a
+    * collect_list, so no per-session array ever materializes and the
+    * operator stays a window + one aggregate at any corpus size. The
+    * output is integer counts over strings → hash-exact; top-40 under
+    * the (n desc, path) total order. */
+  def v26SessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    val newSession =
+      when(lag(col("ts"), 1).over(byUser).isNull, 1)
+        .when(unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(byUser)) > gapUs, 1)
+        .otherwise(0)
+    val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("new_s", newSession)
+      .withColumn("session_id", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t2", lead(col("event_type"), 1).over(bySess))
+      .withColumn("t3", lead(col("event_type"), 2).over(bySess))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("path"), col("user_id"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(40)
+  }
+
+  val v26Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+      |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+      |         ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged),
+      |steps AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER s AS t2,
+      |    lead(event_type, 2) OVER s AS t3
+      |  FROM sessions
+      |  WINDOW s AS (PARTITION BY user_id, session_id ORDER BY ts, event_id))
+      |SELECT event_type || '>' || t2 || '>' || t3 AS path,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM steps
+      |WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY n DESC, path
+      |LIMIT 40""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v25_spike_windows"       -> v25SpikeWindows _,
+    "v26_session_paths"       -> v26SessionPaths _,
     "v24_variant_buckets"     -> v24VariantBuckets _,
     "v22_experiment_lift"     -> v22ExperimentLift _,
     "v21_transition_matrix"   -> v21TransitionMatrix _,
@@ -676,6 +793,8 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "v25_spike_windows"        -> v25Sql,
+    "v26_session_paths"        -> v26Sql,
     "v19_retention_cohorts"    -> v19Sql,
     "v22_experiment_lift"      -> v22Sql,
     "v24_variant_buckets"      -> v24Sql,

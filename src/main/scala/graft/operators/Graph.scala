@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
@@ -178,6 +179,40 @@ object Graph {
       .orderBy(col("part_key"))
   }
 
+  /** Rounds of the x04 gate — mirrored in [[x04Sql]]. */
+  val lpRounds = 4
+
+  /** Synchronous min-label propagation over the co-purchase graph —
+    * the community/grouping primitive (radius-[[lpRounds]] label
+    * spread; run to fixpoint it is exactly connected components, the
+    * [[graft.operators.Dedup.dupClusters]] algorithm). Every node
+    * starts as its own label; each round every node takes the MIN of
+    * its own label and its neighbors' — one equi-join of the static
+    * edge table with the label frame plus one partial-aggregated
+    * MIN shuffle per round, the same Pregel-without-Pregel profile as
+    * [[pagerank]], and all-integer so the gate pins every node's label
+    * after every round with no rounding convention. Labels stay
+    * distributed (never a driver collect); per-round localCheckpoint
+    * keeps the lineage flat. */
+  def labelPropagation(lineitem: DataFrame, rounds: Int = lpRounds): DataFrame = {
+    val e = directed(copurchaseEdges(lineitem))
+      .select(col("src"), col("dst")).localCheckpoint(true)
+    var lbl = e.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nbrMin = e.join(lbl, e("src") === lbl("node"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nmin"))
+      lbl = lbl.join(nbrMin, lbl("node") === nbrMin("dst"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+    }
+    val wc = Window.partitionBy(col("lbl"))
+    lbl.select(col("node").as("part_key"), col("lbl").as("community"),
+        count(lit(1)).over(wc).as("community_size"))
+      .orderBy(col("part_key"))
+  }
+
   def x01Pagerank(spark: SparkSession, dir: String): DataFrame =
     pagerank(Tables.lineitem(spark, dir))
 
@@ -186,6 +221,9 @@ object Graph {
 
   def x03BfsHops(spark: SparkSession, dir: String): DataFrame =
     bfsHopsFrom(Tables.lineitem(spark, dir))
+
+  def x04LabelCommunities(spark: SparkSession, dir: String): DataFrame =
+    labelPropagation(Tables.lineitem(spark, dir))
 
   /** Shared DuckDB edge CTEs of both oracles. */
   private val edgeSql: String =
@@ -268,15 +306,40 @@ object Graph {
        |FROM walk GROUP BY node
        |ORDER BY part_key""".stripMargin
 
+  /** Generated DuckDB twin of x04: lbl{i} is the label vector after i
+    * rounds — same LEFT JOIN + LEAST combine, all-integer, so every
+    * node's label after every round is pinned exactly. */
+  val x04Sql: String = {
+    val rounds = (0 until lpRounds).map { i =>
+      s"""lbl${i + 1} AS MATERIALIZED (
+         |  SELECT l.node,
+         |         LEAST(l.lbl, COALESCE(m.nmin, l.lbl)) AS lbl
+         |  FROM lbl$i l LEFT JOIN (
+         |    SELECT e.dst, MIN(p.lbl) AS nmin
+         |    FROM e JOIN lbl$i p ON e.src = p.node GROUP BY e.dst) m
+         |  ON m.dst = l.node)""".stripMargin
+    }
+    s"""WITH $edgeSql,
+       |lbl0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+       |${rounds.mkString(",\n")}
+       |SELECT node AS part_key, lbl AS community,
+       |       CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT)
+       |         AS community_size
+       |FROM lbl$lpRounds
+       |ORDER BY part_key""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_part_pagerank" -> x01Pagerank _,
     "x02_part_triangles" -> x02Triangles _,
     "x03_bfs_hops" -> x03BfsHops _,
+    "x04_label_communities" -> x04LabelCommunities _,
   )
 
   val oracles: Map[String, String] = Map(
     "x01_part_pagerank" -> x01Sql,
     "x02_part_triangles" -> x02Sql,
     "x03_bfs_hops" -> x03Sql,
+    "x04_label_communities" -> x04Sql,
   )
 }

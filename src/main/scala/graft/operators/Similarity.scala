@@ -1057,7 +1057,54 @@ object Similarity {
        |ORDER BY query_id, mmr_rank""".stripMargin
   }
 
+  /** Symmetric mutual-kNN pairs from ANY (query_id, rk, neighbor_id)
+    * top-k ranking: a pair survives iff each endpoint ranks the other
+    * inside ITS OWN top-k — the standard noise filter when turning an
+    * asymmetric kNN answer into a graph (a hub that everyone ranks but
+    * that ranks nobody back contributes no edges). One self-equi-join
+    * of the ranking with its column-swapped image on (src, dst) —
+    * both sides are already top-k-per-query (k·N rows), so the join
+    * never touches the corpus and the operator composes with any
+    * candidate generator: the exact ranking here, the s04 IVF path at
+    * 100 TB (same downstream by construction). */
+  def mutualKnn(knn: DataFrame): DataFrame = {
+    val fwd = knn.select(col("query_id").as("src"),
+      col("neighbor_id").as("dst"), col("rk").as("rk_ab"))
+    val rev = knn.select(col("neighbor_id").as("src"),
+      col("query_id").as("dst"), col("rk").as("rk_ba"))
+    fwd.join(rev, Seq("src", "dst"))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("id_a"), col("dst").as("id_b"),
+        col("rk_ab"), col("rk_ba"))
+  }
+
+  /** s13 — the mutual-kNN graph over the WHOLE corpus (every vector a
+    * query, k = 5), hash-gated: integer-only output, ranks built on
+    * round(cosine, 9) so the rank lists are bit-stable across engines
+    * (the s08 convention; boundary caveat at the top of this file). */
+  def s13MutualKnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    mutualKnn(bruteForceKnn(emb, emb, 5, roundCosineTo = 9))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val s13Sql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      |knn AS (
+      |  SELECT a.vec_id AS q, b.vec_id AS n,
+      |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |           ORDER BY ROUND(list_cosine_similarity(a.ev, b.ev), 9) DESC,
+      |                    b.vec_id) AS rk
+      |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+      |  QUALIFY rk <= 5)
+      |SELECT f.q AS id_a, f.n AS id_b,
+      |       CAST(f.rk AS INT) AS rk_ab, CAST(r.rk AS INT) AS rk_ba
+      |FROM knn f JOIN knn r ON r.q = f.n AND r.n = f.q
+      |WHERE f.q < f.n
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_mutual_knn"        -> s13MutualKnn _,
     "s08_hybrid_knn"        -> s08HybridKnn _,
     "s12_knn_filtered"      -> s12KnnFiltered _,
     "s01_knn_bruteforce"    -> s01KnnBruteForce _,
@@ -1073,6 +1120,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s13_mutual_knn"     -> s13Sql,
     "s01_knn_bruteforce" -> s01Sql,
     "s08_hybrid_knn"     -> s08Sql,
     "s12_knn_filtered"   -> s12Sql,

@@ -747,17 +747,97 @@ object Warehouse {
       .replace("PRICE_SUM", d("p")).replace("DISC_SUM", d("disc"))
   }
 
+  /** Generic distributed MERGE — the APPLY side of CDC ([[snapshotDiff]]
+    * is the read side): `changes` carries the key columns, an `op`
+    * column (`I` insert / `U` update / `D` delete), and new values for
+    * every non-key column of `base`. Resolution per key:
+    * `D` drops the row (a `D` for an absent key is a no-op), `U`/`I`
+    * take the change payload (a `U` for an absent key degrades to an
+    * insert — upsert semantics, the Delta/Iceberg MERGE convention),
+    * and an untouched base row passes through. Exactly ONE shuffle
+    * join on the key — the same sort-merge shape Delta's MERGE
+    * compiles to; at 100 TB both sides prune to touched partitions
+    * first and the join never widens beyond them. Requires at most one
+    * change row per key (the CDC compaction invariant). */
+  def mergeApply(base: DataFrame, changes: DataFrame,
+                 keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, when}
+    val payload = base.columns.filterNot(keyCols.contains).toSeq
+    val b = base.select(
+      keyCols.map(col) ++ payload.map(c => col(c).as(s"__b_$c")): _*)
+    val ch = changes.select(
+      keyCols.map(col) ++ payload.map(c => col(c).as(s"__c_$c"))
+        :+ col("op"): _*)
+    b.join(ch, keyCols, "full_outer")
+      .filter(!(col("op") <=> lit("D")))
+      .select(keyCols.map(col) ++ payload.map(c =>
+        when(col("op").isin("U", "I"), col(s"__c_$c"))
+          .otherwise(col(s"__b_$c")).as(c)): _*)
+  }
+
+  /** w06 — the MERGE end to end, hash-gated: the w02 rule set
+    * re-expressed as an explicit changeset (D every 11th key, U with
+    * 2× price every surviving 7th, I clones at every 17th key), applied
+    * to the keyed orders projection by the REAL full-outer merge, and
+    * the per-year row counts and price sums of the FINAL table must
+    * match the oracle's closed-form prediction of the merged state. */
+  def w06MergeApply(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, year}
+    val orders = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).as("o_year"))
+    val k = col("o_orderkey")
+    val deletes = orders.filter(k % 11 === 3)
+      .select(k.as("o_orderkey"),
+        lit(null).cast("double").as("o_totalprice"),
+        lit(null).cast("int").as("o_year"), lit("D").as("op"))
+    val updates = orders.filter(k % 11 =!= 3 && k % 7 === 0)
+      .select(k.as("o_orderkey"),
+        (col("o_totalprice") * 2).as("o_totalprice"),
+        col("o_year"), lit("U").as("op"))
+    val inserts = orders.filter(k % 17 === 0)
+      .select((k + lit(100000000L)).as("o_orderkey"),
+        col("o_totalprice"), col("o_year"), lit("I").as("op"))
+    mergeApply(orders, deletes.unionByName(updates).unionByName(inserts),
+        Seq("o_orderkey"))
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.DecimalSums.dsum(col("o_totalprice"))
+          .as("price_sum"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Oracle: the closed-form merged state (delete wins, updates double
+    * the survivors' prices, clones land at shifted keys). */
+  val w06Sql: String = {
+    val d = graft.functions.DecimalSums.sqlDsum _
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS k, o_totalprice AS p,
+       |         CAST(year(o_orderdate) AS INT) AS y
+       |  FROM orders),
+       |merged AS (
+       |  SELECT k, CASE WHEN k % 7 = 0 THEN p * 2 ELSE p END AS p, y
+       |  FROM base WHERE k % 11 <> 3
+       |  UNION ALL
+       |  SELECT k + 100000000, p, y FROM base WHERE k % 17 = 0)
+       |SELECT y AS o_year, COUNT(*) AS n, ${d("p")} AS price_sum
+       |FROM merged GROUP BY y
+       |ORDER BY o_year""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_incremental_agg" -> w01IncrementalAggRefresh _,
     "w02_snapshot_diff"   -> w02SnapshotDiff _,
     "w04_time_travel"     -> w04TimeTravel _,
-    "w05_schema_evolution" -> w05SchemaEvolution _)
+    "w05_schema_evolution" -> w05SchemaEvolution _,
+    "w06_merge_apply"     -> w06MergeApply _)
 
   val oracles: Map[String, String] = Map(
     "w01_incremental_agg" -> w01Sql,
     "w02_snapshot_diff"   -> w02Sql,
     "w04_time_travel"     -> w04Sql,
-    "w05_schema_evolution" -> w05Sql)
+    "w05_schema_evolution" -> w05Sql,
+    "w06_merge_apply"     -> w06Sql)
 
   /** Bucketed + sorted table write — the co-located-join layout.
     * Two tables bucketed on their join key with the SAME bucket count

@@ -105,4 +105,30 @@ class EventQueriesSpec extends SparkSpec {
     if (windows < 2000)
       assert(total == 2 * Tables.events(spark, sf).count())
   }
+
+  test("v25: hourly counts roll up to the table; spike flag matches its integer form") {
+    val r = EventQueries.v25SpikeWindows(spark, sf)
+    assert(r.agg(sum("event_count")).as[Long].head() ==
+      Tables.events(spark, sf).count())
+    assert(r.filter($"trail_n" < 0 || $"trail_n" > 6).count() == 0,
+      "trailing frame is at most six observed hours")
+    val inconsistent = r.filter($"is_spike" =!=
+      ($"trail_n" === 6 && $"event_count" * 3 > $"trail_sum")).count()
+    assert(inconsistent == 0, "spike flag must equal 3·count > trail_sum at full frames")
+  }
+
+  test("v26: paths are 3 event types from the corpus domain, ranked by support") {
+    val types = Tables.events(spark, sf)
+      .select($"event_type").distinct().as[String].collect().toSet
+    val rows = EventQueries.v26SessionPaths(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 40)
+    rows.foreach { case (path, n, nUsers) =>
+      val steps = path.split(">")
+      assert(steps.length == 3 && steps.forall(types.contains), path)
+      assert(n >= nUsers && nUsers >= 1, s"$path: n=$n users=$nUsers")
+    }
+    assert(rows.map(_._2).sameElements(rows.map(_._2).sorted.reverse),
+      "support must be non-increasing")
+  }
 }

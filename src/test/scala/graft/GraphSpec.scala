@@ -28,6 +28,29 @@ class GraphSpec extends SparkSpec {
       (3L, 1L, 191666666666L)))
   }
 
+  test("labelPropagation: one round spreads the min one hop; more rounds reach the component min") {
+    // path 1-2-3 plus the separate component {10, 11}
+    val g = li(1L -> Seq(1L, 2L), 2L -> Seq(2L, 3L), 3L -> Seq(10L, 11L))
+    val r1 = Graph.labelPropagation(g, rounds = 1)
+      .select($"part_key", $"community").as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 10L -> 10L, 11L -> 10L),
+      r1.toString)
+    val r4 = Graph.labelPropagation(g, rounds = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r4 == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L)), r4.toString)
+  }
+
+  test("labelPropagation: labels never exceed the node id and sizes sum to n") {
+    val r = Graph.labelPropagation(Tables.lineitem(spark, sf))
+    assert(r.filter($"community" > $"part_key").count() == 0,
+      "a min-propagated label can only decrease")
+    val n = r.count()
+    val sizeSum = r.select($"community", $"community_size").distinct()
+      .agg(sum($"community_size")).as[Long].head()
+    assert(sizeSum == n, s"community sizes $sizeSum must partition the $n nodes")
+  }
+
   test("pagerank: mass is conserved up to integer truncation") {
     val r = Graph.pagerank(Tables.lineitem(spark, sf))
     val total = r.agg(sum($"pr_fp")).as[Long].head()

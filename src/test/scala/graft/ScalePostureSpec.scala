@@ -453,6 +453,33 @@ class ScalePostureSpec extends SparkSpec {
     assert(d2 == "changed")
   }
 
+  test("mergeApply: D drops, U updates, I inserts; absent-key U upserts, absent-key D no-ops") {
+    val base = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "v")
+    val ch = Seq(
+      (2L, Option(9.0), "U"), (3L, Option.empty[Double], "D"),
+      (4L, Option(4.0), "I"), (5L, Option(5.0), "U"),
+      (9L, Option.empty[Double], "D")).toDF("k", "v", "op")
+    val out = Warehouse.mergeApply(base, ch, Seq("k"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(1L -> Some(1.0), 2L -> Some(9.0),
+      4L -> Some(4.0), 5L -> Some(5.0)), out.toString)
+  }
+
+  test("mergeApply inverts snapshotDiff: diff-then-apply reproduces the new snapshot") {
+    val old = Tables.orders(spark, sf)
+      .select($"o_orderkey".as("k"), $"o_totalprice".as("v"))
+    val neu = old.filter($"k" % 11 =!= 3)
+      .withColumn("v", when($"k" % 7 === 0, $"v" * 2).otherwise($"v"))
+      .unionByName(old.filter($"k" % 17 === 0)
+        .withColumn("k", $"k" + 100000000L))
+    val ch = Warehouse.snapshotDiff(old, neu, Seq("k"), Seq("v"))
+      .filter($"status" =!= "unchanged")
+      .select($"k", $"new_v".as("v"),
+        when($"status" === "added", "I")
+          .when($"status" === "removed", "D").otherwise("U").as("op"))
+    assert(digest(Warehouse.mergeApply(old, ch, Seq("k"))) == digest(neu))
+  }
+
   test("compact collapses a fragmented directory without changing data") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
     try {

@@ -407,4 +407,29 @@ class SimilaritySpec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
       "pqKnn output changed under repartitioning")
   }
+
+  test("mutualKnn keeps exactly the reciprocal pairs, with both ranks") {
+    val knn = Seq((1L, 1, 2L), (1L, 2, 3L), (2L, 1, 1L),
+      (3L, 1, 4L), (4L, 1, 3L))
+      .toDF("query_id", "rk", "neighbor_id")
+    val out = Similarity.mutualKnn(knn)
+      .as[(Long, Long, Int, Int)].collect().toSet
+    // 1↔2 reciprocate; 3↔4 reciprocate; 1→3 is not returned by 3
+    assert(out == Set((1L, 2L, 1, 1), (3L, 4L, 1, 1)), out.toString)
+  }
+
+  test("s13: every edge is reciprocal within the same exact kNN answer") {
+    val emb = Tables.embeddings(spark, sf)
+    val knn = Similarity.bruteForceKnn(emb, emb, 5, roundCosineTo = 9)
+      .as[(Long, Int, Long)].collect().toSet
+      .map { t: (Long, Int, Long) => (t._1, t._3) -> t._2 }.toMap
+    val edges = Similarity.s13MutualKnn(spark, sf)
+      .as[(Long, Long, Int, Int)].collect()
+    assert(edges.nonEmpty)
+    edges.foreach { case (a, b, rab, rba) =>
+      assert(a < b && rab >= 1 && rab <= 5 && rba >= 1 && rba <= 5)
+      assert(knn((a, b)) == rab && knn((b, a)) == rba,
+        s"edge ($a,$b) ranks disagree with the kNN answer")
+    }
+  }
 }
