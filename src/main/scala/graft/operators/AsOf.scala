@@ -72,6 +72,64 @@ object AsOf {
         rightVals.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 
+  /** NEAREST as-of join — for each left row, the temporally closest
+    * right row per key in EITHER direction (backward wins a distance
+    * tie; "backward" admits simultaneous rows, "forward" is strict —
+    * the two directions partition the right timeline). Same
+    * single-shuffle union shape as [[join]], with BOTH carried rows
+    * computed in one window pass: a running `last` over the preceding
+    * frame and a running `first(ignoreNulls)` over the following
+    * frame of the same (ts, side) sort — no second shuffle, no second
+    * sort. Output: every left column, `near_ts`, `direction`
+    * ('before'/'after', null when the key has no right rows), and
+    * `asof_<c>` for the requested right columns. */
+  def joinNearest(left: DataFrame, right: DataFrame, key: String,
+                  ts: String, rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val packed = struct(
+      (col(ts).as("rts") +: rightVals.map(c => col(c).as(c))): _*)
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          right.schema(ts).copy(name = "rts") +:
+            rightVals.map(c => right.schema(c)))))
+    val r0 = right
+      .withColumn("__side", lit(0))
+      .withColumn("__r", packed)
+      .select(col(key), col(ts), col("__side"), col("__r"))
+    val r = leftCols.filterNot(c => c == key || c == ts).foldLeft(r0) {
+      (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val cols = (leftCols :+ "__side") :+ "__r"
+    val unioned = l.select(cols.map(col): _*)
+      .unionByName(r.select(cols.map(col): _*))
+
+    val ord = Window.partitionBy(col(key)).orderBy(col(ts), col("__side"))
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // a right row at the left row's exact ts sorts BEFORE it (side 0),
+    // so it lands in the backward frame and never in the forward one
+    val filled = unioned
+      .withColumn("__back", last(col("__r"), ignoreNulls = true).over(wb))
+      .withColumn("__fwd", first(col("__r"), ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+    val db = unix_micros(col(ts)) - unix_micros(col("__back.rts"))
+    val df_ = unix_micros(col("__fwd.rts")) - unix_micros(col(ts))
+    val takeBack = col("__fwd").isNull ||
+      (col("__back").isNotNull && db <= df_)
+    val near = when(takeBack, col("__back")).otherwise(col("__fwd"))
+    filled
+      .withColumn("__near", near)
+      .withColumn("direction",
+        when(col("__back").isNull && col("__fwd").isNull,
+          lit(null).cast("string"))
+          .when(takeBack, lit("before")).otherwise(lit("after")))
+      .select((leftCols.map(col) :+ col("__near.rts").as("near_ts")
+        :+ col("direction")) ++
+        rightVals.map(c => col(s"__near.$c").as(s"asof_$c")): _*)
+  }
+
   // ---------------------------------------------------------------------------
   // Gate query
   // ---------------------------------------------------------------------------
@@ -169,13 +227,72 @@ object AsOf {
       |ORDER BY signup_id
       |LIMIT 2000""".stripMargin
 
+  /** v27 — per click, the temporally NEAREST purchase by the same user
+    * in either direction (the event-alignment primitive: attribute a
+    * click to its closest purchase, signed). DuckDB replays it as two
+    * chained native ASOF joins (>= backward, strict < forward) and the
+    * same integer-µs distance comparison, so the tie rule and both
+    * directions are pinned cross-engine. */
+  def v27NearestPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    AsOf.joinNearest(clicks, purchases, key = "user_id", ts = "ts",
+        rightVals = Seq("value"))
+      .select(
+        col("event_id"), col("user_id"), col("direction"),
+        ((unix_micros(col("near_ts")) - unix_micros(col("ts")))
+          .cast(DoubleType) / 1e6).as("delta_secs"),
+        col("asof_value").cast(D).cast(DoubleType).as("purchase_value"))
+      .orderBy(col("event_id"))
+      .limit(2000)
+  }
+
+  val v27Sql: String =
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |purchases AS (
+      |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT c.event_id, c.user_id, c.ts,
+      |         pb.ts AS bts, pb.value AS bval,
+      |         pf.ts AS fts, pf.value AS fval
+      |  FROM clicks c
+      |  ASOF LEFT JOIN purchases pb
+      |    ON c.user_id = pb.user_id AND c.ts >= pb.ts
+      |  ASOF LEFT JOIN purchases pf
+      |    ON c.user_id = pf.user_id AND c.ts < pf.ts),
+      |picked AS (
+      |  SELECT event_id, user_id, ts, bts, bval, fts, fval,
+      |    (fts IS NULL OR (bts IS NOT NULL AND
+      |       epoch_us(ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(ts)))
+      |      AS take_back
+      |  FROM j)
+      |SELECT event_id, user_id,
+      |  CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+      |       WHEN take_back THEN 'before' ELSE 'after' END AS direction,
+      |  CASE WHEN take_back
+      |       THEN CAST(epoch_us(bts) - epoch_us(ts) AS DOUBLE) / 1e6
+      |       ELSE CAST(epoch_us(fts) - epoch_us(ts) AS DOUBLE) / 1e6
+      |  END AS delta_secs,
+      |  CASE WHEN take_back THEN CAST(CAST(bval AS DECIMAL(18,4)) AS DOUBLE)
+      |       ELSE CAST(CAST(fval AS DECIMAL(18,4)) AS DOUBLE)
+      |  END AS purchase_value
+      |FROM picked
+      |ORDER BY event_id
+      |LIMIT 2000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v05_asof_purchase" -> v05AsofPurchase _,
     "v10_time_to_convert" -> v10TimeToConvert _,
+    "v27_nearest_purchase" -> v27NearestPurchase _,
   )
 
   val oracles: Map[String, String] = Map(
     "v05_asof_purchase" -> v05Sql,
     "v10_time_to_convert" -> v10Sql,
+    "v27_nearest_purchase" -> v27Sql,
   )
 }

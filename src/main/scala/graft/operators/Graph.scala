@@ -179,6 +179,47 @@ object Graph {
       .orderBy(col("part_key"))
   }
 
+  /** Personalized PageRank: same fixed-point integer scheme as
+    * [[pagerank]], but ALL teleport mass returns to a seed set instead
+    * of spreading uniformly — the "impact radius" / related-items
+    * primitive (scores decay with distance from the seeds, exactly
+    * zero beyond `rounds` hops). The per-round recurrence keeps the
+    * x01 shape (one edge⋈pr join + one partial-aggregated shuffle on
+    * dst; zero-mass nodes ride along as c=0 contributions because the
+    * graph is symmetric, so no extra left join is needed), and the
+    * all-integer arithmetic lets DuckDB replay every round exactly.
+    * Seeds: every 20th part id — a deterministic projection, mirrored
+    * literally in [[x05Sql]]. */
+  def personalizedPagerank(lineitem: DataFrame,
+                           rounds: Int = prRounds): DataFrame = {
+    val e = directed(copurchaseEdges(lineitem))
+    val out = e.groupBy(col("src"))
+      .agg(sum(col("w")).as("outw"), count(lit(1)).as("n_nbrs"))
+      .localCheckpoint(true)
+    val edges = e.join(out.select(col("src"), col("outw")), "src")
+      .localCheckpoint(true)
+    val isSeed = (c: org.apache.spark.sql.Column) => c % 20 === 0
+    val nSeeds = out.filter(isSeed(col("src"))).count()
+    require(nSeeds > 0, "seed set (part_key % 20 == 0) is empty")
+    var pr = out.select(col("src").as("node"),
+      when(isSeed(col("src")), lit(scale / nSeeds)).otherwise(lit(0L))
+        .as("pr")).localCheckpoint(true)
+    val base = (15L * scale) / (100L * nSeeds)
+    for (_ <- 1 to rounds) {
+      pr = edges.join(pr, edges("src") === pr("node"))
+        .select(col("dst"), expr("pr * w DIV outw").as("c"))
+        .groupBy(col("dst"))
+        .agg((when(isSeed(col("dst")), lit(base)).otherwise(lit(0L)) +
+          expr("85 * sum(c) DIV 100")).as("pr"))
+        .select(col("dst").as("node"), col("pr"))
+        .localCheckpoint(true)
+    }
+    out.join(pr, out("src") === pr("node"))
+      .select(col("src").as("part_key"), isSeed(col("src")).as("is_seed"),
+        col("pr").as("ppr_fp"))
+      .orderBy(col("part_key"))
+  }
+
   /** Rounds of the x04 gate — mirrored in [[x04Sql]]. */
   val lpRounds = 4
 
@@ -224,6 +265,9 @@ object Graph {
 
   def x04LabelCommunities(spark: SparkSession, dir: String): DataFrame =
     labelPropagation(Tables.lineitem(spark, dir))
+
+  def x05PersonalizedPagerank(spark: SparkSession, dir: String): DataFrame =
+    personalizedPagerank(Tables.lineitem(spark, dir))
 
   /** Shared DuckDB edge CTEs of both oracles. */
   private val edgeSql: String =
@@ -329,11 +373,39 @@ object Graph {
        |ORDER BY part_key""".stripMargin
   }
 
+  /** Generated DuckDB twin of x05: identical recurrence with the
+    * teleport CASE'd onto the seed projection. */
+  val x05Sql: String = {
+    val rounds = (0 until prRounds).map { i =>
+      s"""pr${i + 1} AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |         CASE WHEN e.dst % 20 = 0 THEN (SELECT b FROM base)
+         |              ELSE 0 END + 85 * SUM(p.pr * e.w // o.outw) // 100
+         |           AS pr
+         |  FROM e JOIN pr$i p ON e.src = p.node JOIN o ON e.src = o.src
+         |  GROUP BY e.dst)""".stripMargin
+    }
+    s"""WITH $edgeSql,
+       |o AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM e GROUP BY 1),
+       |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM o WHERE src % 20 = 0),
+       |base AS (SELECT 15 * ${scale}::BIGINT // (100 * n) AS b FROM ns),
+       |pr0 AS (SELECT src AS node,
+       |               CASE WHEN src % 20 = 0
+       |                    THEN (SELECT ${scale}::BIGINT // n FROM ns)
+       |                    ELSE 0 END AS pr FROM o),
+       |${rounds.mkString(",\n")}
+       |SELECT o.src AS part_key, o.src % 20 = 0 AS is_seed,
+       |       CAST(p.pr AS BIGINT) AS ppr_fp
+       |FROM o JOIN pr$prRounds p ON o.src = p.node
+       |ORDER BY part_key""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_part_pagerank" -> x01Pagerank _,
     "x02_part_triangles" -> x02Triangles _,
     "x03_bfs_hops" -> x03BfsHops _,
     "x04_label_communities" -> x04LabelCommunities _,
+    "x05_personalized_pagerank" -> x05PersonalizedPagerank _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -341,5 +413,6 @@ object Graph {
     "x02_part_triangles" -> x02Sql,
     "x03_bfs_hops" -> x03Sql,
     "x04_label_communities" -> x04Sql,
+    "x05_personalized_pagerank" -> x05Sql,
   )
 }

@@ -162,12 +162,67 @@ object Sketches {
       .orderBy(col("order_year"))
   }
 
+  // ---------------------------------------------------------------------------
+  // q39 — distinct-set ALGEBRA via theta sketches: per return-flag part
+  // populations compared pairwise (|A|, |B|, |A∪B|, |A∩B|, |A\B|) from
+  // ONE sketch per flag — the audience-overlap question HLL cannot
+  // answer (HLL unions but never intersects). At 100 TB each flag's
+  // sketch is built in one partial-aggregated pass and the pairwise
+  // algebra runs on 3 sketch blobs, never re-reading raw keys.
+  //
+  // Gate: hash-matched against exact DuckDB set counts — sound because
+  // at the gate SF the per-flag part populations (~2k) sit below the
+  // sketch's 2^12 nominal entries, where a theta sketch is EXACT by
+  // construction (no sampling has started; estimate == retained count).
+  // At bench SF (20k parts) the sketch estimates — still deterministic
+  // (hash-ordered retention, no RNG), which SketchesSpec pins within
+  // theta's published error envelope against exact distincts.
+  // ---------------------------------------------------------------------------
+  def q39ThetaFlagOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sk = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"), col("l_partkey"))
+      .groupBy(col("flag"))
+      .agg(expr("theta_sketch_agg(l_partkey, 12)").as("sk"))
+    sk.as("a").join(sk.as("b"), col("a.flag") < col("b.flag"))
+      .select(
+        col("a.flag").as("flag_a"), col("b.flag").as("flag_b"),
+        expr("CAST(theta_sketch_estimate(a.sk) AS BIGINT)").as("n_a"),
+        expr("CAST(theta_sketch_estimate(b.sk) AS BIGINT)").as("n_b"),
+        expr("CAST(theta_sketch_estimate(theta_union(a.sk, b.sk)) AS BIGINT)")
+          .as("n_union"),
+        expr("CAST(theta_sketch_estimate(theta_intersection(a.sk, b.sk)) AS BIGINT)")
+          .as("n_inter"),
+        expr("CAST(theta_sketch_estimate(theta_difference(a.sk, b.sk)) AS BIGINT)")
+          .as("n_diff"))
+      .orderBy(col("flag_a"), col("flag_b"))
+  }
+
+  /** Exact set algebra over the same flag → part populations. */
+  val q39Sql: String =
+    """WITH fp AS (
+      |  SELECT DISTINCT l_returnflag AS flag, l_partkey AS p FROM lineitem),
+      |c AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n FROM fp GROUP BY 1),
+      |i AS (
+      |  SELECT x.flag AS fa, y.flag AS fb, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM fp x JOIN fp y ON x.p = y.p AND x.flag < y.flag
+      |  GROUP BY 1, 2)
+      |SELECT ca.flag AS flag_a, cb.flag AS flag_b,
+      |  ca.n AS n_a, cb.n AS n_b,
+      |  ca.n + cb.n - COALESCE(i.n, 0) AS n_union,
+      |  COALESCE(i.n, 0) AS n_inter,
+      |  ca.n - COALESCE(i.n, 0) AS n_diff
+      |FROM c ca JOIN c cb ON ca.flag < cb.flag
+      |LEFT JOIN i ON i.fa = ca.flag AND i.fb = cb.flag
+      |ORDER BY flag_a, flag_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_bloom_pruned_join"    -> q29BloomPrunedJoin _,
     "q30_hll_distinct_rollup"  -> q30HllDistinctRollup _,
+    "q39_theta_flag_overlap"   -> q39ThetaFlagOverlap _,
   )
 
   val oracles: Map[String, String] = Map(
     "q29_bloom_pruned_join" -> q29Sql,
+    "q39_theta_flag_overlap" -> q39Sql,
   )
 }

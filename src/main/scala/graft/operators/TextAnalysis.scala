@@ -1216,7 +1216,76 @@ object TextAnalysis {
       |FROM b
       |ORDER BY bucket""".stripMargin
 
+  /** Minimum bigram support of the t22 gate — below this PMI is noise
+    * (mirrored literally in [[t22Sql]]). */
+  val pmiMinCount = 25
+
+  /** t22 — collocation mining by pointwise mutual information:
+    * PMI(a,b) = ln( c(ab)·N / (c(a)·c(b)) ) over adjacent-token
+    * bigrams, support-filtered, top-50. Three passes over the exploded
+    * token stream (unigram counts, bigram counts, one scalar slot
+    * total) joined on the term — every count an exact integer, the
+    * single ln applied to an identically-formed double quotient in
+    * both engines (the t16/t21 round-6 convention), so the gate
+    * hash-matches. At 100 TB this is the d02 posting-list profile:
+    * counts shuffle on the term, never the corpus; the support filter
+    * runs BEFORE the unigram joins so only collocation-grade bigrams
+    * ever reach a join. */
+  def t22PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(wsTokens(col("text")).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val nSlots = toks.agg(
+      sum(greatest(size(col("toks")) - 1, lit(0))).as("nslots"))
+    val bi = toks.select(explode(bigramsAll(col("toks"))).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= pmiMinCount)
+      .withColumn("parts", split(col("b"), " "))
+      .select(col("parts").getItem(0).as("w1"),
+        col("parts").getItem(1).as("w2"), col("cab"))
+    bi
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+      .crossJoin(broadcast(nSlots))
+      .select(col("w1"), col("w2"), col("cab"),
+        round(log((col("cab") * col("nslots")).cast(DoubleType) /
+          (col("c1") * col("c2")).cast(DoubleType)), 6).as("pmi_r"))
+      .orderBy(col("pmi_r").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
+  /** DuckDB twin of t22: positional lateral unnest bigrams (the t21
+    * pattern), identical integer products and round-6 ln. */
+  val t22Sql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |inst AS (
+       |  SELECT w[j.j] AS w1, w[j.j + 1] AS w2
+       |  FROM w CROSS JOIN LATERAL (SELECT unnest(range(1, len(w))) AS j) j),
+       |big AS (
+       |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cab
+       |  FROM inst GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $pmiMinCount),
+       |uni AS (
+       |  SELECT token AS term, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+       |        FROM documents) t
+       |  GROUP BY token),
+       |n AS (
+       |  SELECT CAST(SUM(CASE WHEN len(w) >= 2 THEN len(w) - 1
+       |                       ELSE 0 END) AS BIGINT) AS nslots FROM w)
+       |SELECT w1, w2, cab,
+       |  ROUND(LN(CAST(cab * nslots AS DOUBLE)
+       |           / CAST(ua.cnt * ub.cnt AS DOUBLE)), 6) AS pmi_r
+       |FROM big JOIN uni ua ON ua.term = w1
+       |         JOIN uni ub ON ub.term = w2
+       |CROSS JOIN n
+       |ORDER BY pmi_r DESC, w1, w2
+       |LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_pmi_collocations" -> t22PmiCollocations _,
     "t14_pii_redaction"   -> t14PiiRedaction _,
     "t13_decontamination" -> t13Decontamination _,
     "t15_decontamination_capped" -> t15DecontaminationCapped _,
@@ -1241,6 +1310,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t22_pmi_collocations" -> t22Sql,
     "t14_pii_redaction"   -> t14Sql,
     "t13_decontamination" -> t13Sql,
     "t15_decontamination_capped" -> t13Sql, // cap must lose no contaminated gram

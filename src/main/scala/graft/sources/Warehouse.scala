@@ -825,7 +825,97 @@ object Warehouse {
        |ORDER BY o_year""".stripMargin
   }
 
+  /** Bin width of the w07 drift gate (price units; mirrored literally
+    * in [[w07Sql]]). */
+  val psiBinWidth = 50000L
+
+  /** Distribution-drift report between two snapshots of a numeric
+    * column — the population-stability-index (PSI) monitor every
+    * production pipeline runs before trusting a refreshed table. Fixed-
+    * width bins (deterministic, no quantile fitting), Laplace-smoothed
+    * shares p = (n+1)/(N+B) so empty bins contribute finite terms, and
+    * the per-bin PSI contribution (p_new − p_old)·ln(p_new/p_old).
+    * Every count is an exact integer and both engines form the same
+    * double quotients, so the report hash-gates (round-9, t16
+    * convention). Scale: two partial-aggregated shuffles onto the bin
+    * key (cardinality = value range / width, independent of row
+    * count), one broadcast of the 3-scalar totals. */
+  def distributionDrift(old: DataFrame, neu: DataFrame, valueCol: String,
+                        binWidth: Long = psiBinWidth): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, count,
+      floor, lit, log, round, sum}
+    def binned(df: DataFrame, nAs: String) = df
+      .select(floor(col(valueCol) / binWidth).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(nAs))
+    val j = binned(old, "n_old")
+      .join(binned(neu, "n_new"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val tot = j.agg(sum(col("n_old")).as("tot_old"),
+      sum(col("n_new")).as("tot_new"), count(lit(1)).as("nbins"))
+    val d = org.apache.spark.sql.types.DoubleType
+    val pOld = (col("n_old") + 1).cast(d) / (col("tot_old") + col("nbins")).cast(d)
+    val pNew = (col("n_new") + 1).cast(d) / (col("tot_new") + col("nbins")).cast(d)
+    j.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_old"), col("n_new"),
+        round(pOld, 9).as("p_old_r"),
+        round(pNew, 9).as("p_new_r"),
+        round((pNew - pOld) * log(pNew / pOld), 9).as("psi_r"))
+      .orderBy(col("bin"))
+  }
+
+  /** w07 — the drift monitor over the w02 generation rules (the 2×
+    * re-pricing shifts real mass into higher bins), hash-gated against
+    * the closed-form new generation. */
+  def w07DriftPsi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.when
+    val orders = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val neu = orders
+      .filter(col("o_orderkey") % 11 =!= 3)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+      .unionByName(orders.filter(col("o_orderkey") % 17 === 0))
+    distributionDrift(orders, neu, "o_totalprice")
+  }
+
+  val w07Sql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+       |neu AS (
+       |  SELECT CASE WHEN k % 7 = 0 THEN p * 2 ELSE p END AS p
+       |  FROM base WHERE k % 11 <> 3
+       |  UNION ALL
+       |  SELECT p FROM base WHERE k % 17 = 0),
+       |ob AS (SELECT CAST(FLOOR(p / $psiBinWidth) AS BIGINT) AS bin,
+       |              CAST(COUNT(*) AS BIGINT) AS n_old
+       |       FROM base GROUP BY 1),
+       |nb AS (SELECT CAST(FLOOR(p / $psiBinWidth) AS BIGINT) AS bin,
+       |              CAST(COUNT(*) AS BIGINT) AS n_new
+       |       FROM neu GROUP BY 1),
+       |j AS (
+       |  SELECT COALESCE(ob.bin, nb.bin) AS bin,
+       |         COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+       |  FROM ob FULL OUTER JOIN nb ON ob.bin = nb.bin),
+       |t AS (SELECT SUM(n_old) AS tot_old, SUM(n_new) AS tot_new,
+       |             COUNT(*) AS nbins FROM j)
+       |SELECT bin, n_old, n_new,
+       |  ROUND(CAST(n_old + 1 AS DOUBLE) / CAST(tot_old + nbins AS DOUBLE), 9)
+       |    AS p_old_r,
+       |  ROUND(CAST(n_new + 1 AS DOUBLE) / CAST(tot_new + nbins AS DOUBLE), 9)
+       |    AS p_new_r,
+       |  ROUND((CAST(n_new + 1 AS DOUBLE) / CAST(tot_new + nbins AS DOUBLE)
+       |       - CAST(n_old + 1 AS DOUBLE) / CAST(tot_old + nbins AS DOUBLE))
+       |    * LN((CAST(n_new + 1 AS DOUBLE) / CAST(tot_new + nbins AS DOUBLE))
+       |       / (CAST(n_old + 1 AS DOUBLE) / CAST(tot_old + nbins AS DOUBLE))), 9)
+       |    AS psi_r
+       |FROM j CROSS JOIN t
+       |ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w07_drift_psi"       -> w07DriftPsi _,
     "w01_incremental_agg" -> w01IncrementalAggRefresh _,
     "w02_snapshot_diff"   -> w02SnapshotDiff _,
     "w04_time_travel"     -> w04TimeTravel _,
@@ -833,6 +923,7 @@ object Warehouse {
     "w06_merge_apply"     -> w06MergeApply _)
 
   val oracles: Map[String, String] = Map(
+    "w07_drift_psi"       -> w07Sql,
     "w01_incremental_agg" -> w01Sql,
     "w02_snapshot_diff"   -> w02Sql,
     "w04_time_travel"     -> w04Sql,

@@ -47,6 +47,32 @@ class AsOfSpec extends SparkSpec {
       "its NULL value must not be filled from an older row")
   }
 
+  test("joinNearest: closer side wins, backward wins ties, nulls only when keyless") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:12")),  // 2s after @10, 8s before @20 → before
+      (2L, 10L, ts("2024-01-01 00:00:19")),  // 9s after @10, 1s before @20 → after
+      (3L, 10L, ts("2024-01-01 00:00:15")),  // equidistant (5s) → backward wins
+      (4L, 10L, ts("2024-01-01 00:00:20")),  // simultaneous right → before, 0s
+      (5L, 10L, ts("2024-01-01 00:00:05")),  // before any right → after
+      (6L, 99L, ts("2024-01-01 00:00:05"))   // key without right rows → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:10"), 100.0),
+      (10L, ts("2024-01-01 00:00:20"), 200.0)
+    ).toDF("user_id", "ts", "value")
+    val out = AsOf.joinNearest(left, right, "user_id", "ts", Seq("value"))
+      .orderBy("event_id")
+      .select($"event_id", $"direction", $"asof_value")
+      .as[(Long, Option[String], Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (1L, Some("before"), Some(100.0)),
+      (2L, Some("after"), Some(200.0)),
+      (3L, Some("before"), Some(100.0)),
+      (4L, Some("before"), Some(200.0)),
+      (5L, Some("after"), Some(100.0)),
+      (6L, None, None)), out.toString)
+  }
+
   test("asof join carries every left column through unchanged") {
     val left = Seq((1L, 5L, ts("2024-01-01 00:00:10"), "extra"))
       .toDF("event_id", "user_id", "ts", "tag")

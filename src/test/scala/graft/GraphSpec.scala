@@ -41,6 +41,30 @@ class GraphSpec extends SparkSpec {
       (10L, 10L, 2L), (11L, 10L, 2L)), r4.toString)
   }
 
+  test("personalizedPagerank: mass radiates from the seed and dies past the round horizon") {
+    // path 20-1-2-3-4-5-6; the only seed (id % 20 == 0) sits at one end
+    val g = li(1L -> Seq(20L, 1L), 2L -> Seq(1L, 2L), 3L -> Seq(2L, 3L),
+      4L -> Seq(3L, 4L), 5L -> Seq(4L, 5L), 6L -> Seq(5L, 6L))
+    val r = Graph.personalizedPagerank(g).as[(Long, Boolean, Long)].collect()
+    val mass = r.map(t => t._1 -> t._3).toMap
+    assert(r.filter(_._2).map(_._1).toSet == Set(20L), "only node 20 is a seed")
+    // the degree-1 seed pushes ALL its mass to node 1 each round, so the
+    // peak sits on the neighbor (synchronous rounds oscillate by path
+    // parity beyond that — no monotone-decay claim); the hop horizon is
+    // exact: round r mass reaches distance r and no farther
+    assert(mass(20L) > 0L)
+    assert(mass(1L) == r.map(_._3).max, "the seed's neighbor holds the peak")
+    assert(mass(5L) > 0L, "5 hops is inside the horizon")
+    assert(mass(6L) == 0L, "mass cannot travel farther than `rounds` hops")
+  }
+
+  test("personalizedPagerank: total mass never exceeds one unit of scale") {
+    val r = Graph.personalizedPagerank(Tables.lineitem(spark, sf))
+    val total = r.agg(sum($"ppr_fp")).as[Long].head()
+    assert(total <= Graph.scale && total > 0,
+      s"integer truncation only loses mass: $total")
+  }
+
   test("labelPropagation: labels never exceed the node id and sizes sum to n") {
     val r = Graph.labelPropagation(Tables.lineitem(spark, sf))
     assert(r.filter($"community" > $"part_key").count() == 0,

@@ -480,6 +480,20 @@ class ScalePostureSpec extends SparkSpec {
     assert(digest(Warehouse.mergeApply(old, ch, Seq("k"))) == digest(neu))
   }
 
+  test("distributionDrift: zero against itself, positive mass shift detected, bins partition both sides") {
+    val base = Tables.orders(spark, sf).select($"o_orderkey", $"o_totalprice")
+    val self = Warehouse.distributionDrift(base, base, "o_totalprice")
+    assert(self.filter($"psi_r" =!= 0.0 || $"n_old" =!= $"n_new").count() == 0,
+      "identical snapshots must produce an all-zero PSI report")
+    val shifted = base.withColumn("o_totalprice", $"o_totalprice" * 2)
+    val drift = Warehouse.distributionDrift(base, shifted, "o_totalprice")
+    val psi = drift.agg(sum($"psi_r")).as[Double].head()
+    assert(psi > 0.1, s"a 2x price shift must register substantial drift, got $psi")
+    val (o, n) = (base.count(), shifted.count())
+    val sums = drift.agg(sum($"n_old"), sum($"n_new")).as[(Long, Long)].head()
+    assert(sums == ((o, n)), "every row lands in exactly one bin")
+  }
+
   test("compact collapses a fragmented directory without changing data") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
     try {

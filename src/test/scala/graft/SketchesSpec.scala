@@ -91,4 +91,41 @@ class SketchesSpec extends SparkSpec {
     }
     assert(a.collect().toSeq == b)
   }
+
+  test("q39 theta set algebra is exact below nominal entries and internally consistent") {
+    import graft.operators.Sketches
+    val rows = Sketches.q39ThetaFlagOverlap(spark, sf)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 3, "three flags → three unordered pairs")
+    // exact populations per flag pair, computed without sketches
+    val fp = Tables.lineitem(spark, sf)
+      .select($"l_returnflag".as("flag"), $"l_partkey".as("p")).distinct()
+    val sets = fp.as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { case (fa, fb, na, nb, nu, ni, nd) =>
+      val (a, b) = (sets(fa), sets(fb))
+      // below 2^12 retained hashes the sketch is in exact mode
+      assert((na, nb, nu, ni, nd) ==
+        (a.size.toLong, b.size.toLong, (a | b).size.toLong,
+          (a & b).size.toLong, (a -- b).size.toLong),
+        s"pair ($fa,$fb) disagrees with exact set algebra")
+    }
+  }
+
+  test("q39 sketches are partitioning-invariant") {
+    import graft.operators.Sketches
+    val a = Sketches.q39ThetaFlagOverlap(spark, sf).collect().toSeq
+    val li = Tables.lineitem(spark, sf)
+    val sk = li.repartition(7)
+      .select($"l_returnflag".as("flag"), $"l_partkey")
+      .groupBy($"flag")
+      .agg(expr("theta_sketch_agg(l_partkey, 12)").as("sk"))
+    val b = sk.as("a").join(sk.as("b"), $"a.flag" < $"b.flag")
+      .select($"a.flag", $"b.flag",
+        expr("CAST(theta_sketch_estimate(theta_intersection(a.sk, b.sk)) AS BIGINT)"))
+      .orderBy($"a.flag", $"b.flag")
+      .as[(String, String, Long)].collect().toSeq
+    assert(a.map(r => (r.getString(0), r.getString(1), r.getLong(5))) == b,
+      "intersection estimates must not depend on partitioning")
+  }
 }

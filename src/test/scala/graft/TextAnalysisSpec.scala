@@ -378,4 +378,25 @@ class TextAnalysisSpec extends SparkSpec {
       assert(out.filter($"avg_logprob" >= 0.0 || $"tok_count" <= 0L).count() == 0)
     } finally { out.unpersist(); () }
   }
+
+  test("t22: support floor holds, ranking is total, and the head PMI recomputes exactly") {
+    val rows = TextAnalysis.t22PmiCollocations(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    assert(rows.forall(_._3 >= TextAnalysis.pmiMinCount))
+    assert(rows.map(_._4).sameElements(rows.map(_._4).sorted.reverse))
+    // recompute the head row's PMI from first-principles counts
+    val (w1, w2, cab, pmi) = rows.head
+    val toks = Tables.documents(spark, sf)
+      .select(split($"text", " ").as("toks"))
+    val uni = toks.select(explode($"toks").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    val n = toks.select(greatest(size($"toks") - 1, lit(0)).as("s"))
+      .agg(sum($"s")).as[Long].head()
+    val expected = BigDecimal(math.log(
+      (cab.toDouble * n) / (uni(w1).toDouble * uni(w2))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(pmi == expected, s"head PMI $pmi != recomputed $expected")
+  }
 }
