@@ -113,39 +113,49 @@ object Clustering {
     * decimal(18,12) mean update with the string-hop, same empty-cell
     * carry-forward. Ends with `fin` = the final per-vector assignment
     * against `cent{numRounds}`. */
-  private val chainSql: String = {
+  /** One fit's CTE chain (cent0 → a/m/cent per round → fin), every CTE
+    * name `pfx`-prefixed so several fits with different k can coexist
+    * inside a single WITH (the c05 elbow). Expects an `emb` CTE in
+    * scope. */
+  private def chainBody(k: Int, pfx: String): String = {
     val dist =
       "ROUND(-2 * list_inner_product(e.v, ct.clist) + " +
         "list_inner_product(ct.clist, ct.clist), 9)"
     val roundsSql = (1 to numRounds).map { i =>
-      s"""a$i AS (
+      s"""${pfx}a$i AS (
          |  SELECT vec_id, (MIN({'d': $dist, 'c': ct.cell})).c AS cell
-         |  FROM emb e CROSS JOIN cent${i - 1} ct
+         |  FROM emb e CROSS JOIN ${pfx}cent${i - 1} ct
          |  GROUP BY vec_id),
-         |m$i AS (
+         |${pfx}m$i AS (
          |  SELECT a.cell, dd.d,
          |    ROUND(CAST(CAST(SUM(CAST(e.v[dd.d] AS DECIMAL(18,12))) AS VARCHAR)
          |               AS DOUBLE) / COUNT(*), 9) AS mu
-         |  FROM emb e JOIN a$i a USING (vec_id)
+         |  FROM emb e JOIN ${pfx}a$i a USING (vec_id)
          |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(e.v) + 1)) AS d) dd
          |  GROUP BY a.cell, dd.d),
-         |cent$i AS (
+         |${pfx}cent$i AS (
          |  SELECT p.cell, COALESCE(m.clist, p.clist) AS clist
-         |  FROM cent${i - 1} p
+         |  FROM ${pfx}cent${i - 1} p
          |  LEFT JOIN (SELECT cell, list(mu ORDER BY d) AS clist
-         |             FROM m$i GROUP BY cell) m ON p.cell = m.cell)""".stripMargin
+         |             FROM ${pfx}m$i GROUP BY cell) m ON p.cell = m.cell)""".stripMargin
     }
-    s"""WITH emb AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |cent0 AS (
+    s"""${pfx}cent0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
        |         v AS clist
-       |  FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $numCells)),
+       |  FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $k)),
        |${roundsSql.mkString(",\n")},
-       |fin AS MATERIALIZED (
+       |${pfx}fin AS MATERIALIZED (
        |  SELECT vec_id, (MIN({'d': $dist, 'c': ct.cell})).c AS cell
-       |  FROM emb e CROSS JOIN cent$numRounds ct GROUP BY vec_id)""".stripMargin
+       |  FROM emb e CROSS JOIN ${pfx}cent$numRounds ct GROUP BY vec_id)""".stripMargin
   }
+
+  private val embSql =
+    """emb AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin
+
+  private val chainSql: String =
+    s"""WITH $embSql,
+       |${chainBody(numCells, "")}""".stripMargin
 
   val c01Sql: String =
     s"""$chainSql
@@ -321,11 +331,67 @@ object Clustering {
        |FROM top t JOIN tot tt ON t.cell = tt.cell
        |ORDER BY t.cell""".stripMargin
 
+  /** The k ladder of the c05 gate — mirrored in [[c05Sql]]'s generated
+    * chains. */
+  val elbowKs = Seq(2, 4, 8, 16)
+
+  /** c05 — the elbow curve: the full deterministic fit at each k on
+    * the ladder, reporting mean own-centroid d² (inertia/n). The model-
+    * selection readout a curation run uses to PICK k before committing
+    * to a domain layout. Each fit is the c01 algorithm verbatim (same
+    * init, same round-9 argmin, same decimal means), the per-vector d²
+    * rounds to 9 and accumulates in exact decimal — so all four fits
+    * hash-gate against four generated DuckDB chains in one query.
+    * Scale: 4 fits × [[numRounds]] passes, each the no-join projection
+    * + k·dim-row shuffle profile of [[kmeansFit]]. */
+  def c05ElbowCurve(spark: SparkSession, dir: String): DataFrame = {
+    val D9 = DecimalType(18, 9)
+    val emb = Tables.embeddings(spark, dir)
+    val e = emb.select(col("vec_id"),
+      VectorOps.asDouble(col("embedding")).as("v"))
+    val rows = elbowKs.map { k =>
+      val (cents, assigned) = kmeansFit(emb, k)
+      val d2own = cents.tail.foldLeft(
+        when(col("cell") === cents.head._1, d2Expr(col("v"), cents.head._2))) {
+        case (acc, (c, arr)) =>
+          acc.when(col("cell") === c, d2Expr(col("v"), arr))
+      }
+      e.join(assigned, "vec_id")
+        .withColumn("d2", d2own)
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          round(graft.functions.DecimalSums.asDouble(sum(col("d2").cast(D9))) /
+            count(lit(1)).cast(DoubleType), 6).as("mean_d2_r"))
+        .select(lit(k).as("k"), col("n_vecs"), col("mean_d2_r"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy(col("k"))
+  }
+
+  val c05Sql: String = {
+    val perK = elbowKs.map { k =>
+      val p = s"k${k}_"
+      s"""SELECT $k AS k, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  ROUND(CAST(CAST(SUM(CAST(
+         |      ROUND(list_inner_product(e.v, e.v)
+         |            - 2 * list_inner_product(e.v, ct.clist)
+         |            + list_inner_product(ct.clist, ct.clist), 9)
+         |      AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
+         |    AS mean_d2_r
+         |FROM emb e JOIN ${p}fin a USING (vec_id)
+         |JOIN ${p}cent$numRounds ct ON ct.cell = a.cell""".stripMargin
+    }
+    s"""WITH $embSql,
+       |${elbowKs.map(k => chainBody(k, s"k${k}_")).mkString(",\n")}
+       |${perK.mkString("\nUNION ALL\n")}
+       |ORDER BY k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_kmeans_assign"  -> c01KmeansAssign _,
     "c02_cluster_quality" -> c02ClusterQuality _,
     "c03_domain_mix"     -> c03DomainMix _,
     "c04_cluster_purity" -> c04ClusterPurity _,
+    "c05_elbow_curve"    -> c05ElbowCurve _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -333,5 +399,6 @@ object Clustering {
     "c02_cluster_quality" -> c02Sql,
     "c03_domain_mix"     -> c03Sql,
     "c04_cluster_purity" -> c04Sql,
+    "c05_elbow_curve"    -> c05Sql,
   )
 }

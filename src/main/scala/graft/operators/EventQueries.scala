@@ -787,6 +787,9 @@ object EventQueries {
     // fMGWS in the incremental-emission regime: per-event pair output
     // with batch-boundary-spanning chains, vs v17's settled summaries
     "v23_streamed_transitions" -> graft.streaming.EventStreams.v23StreamedTransitions _,
+    // fMGWS with a BOUNDED-deque baseline + EventTimeTimeout hour
+    // finalization: the streamed v25 anomaly detector
+    "v28_streamed_spikes"      -> graft.streaming.EventStreams.v28StreamedSpikes _,
     // warehouse-as-state streaming ingest dedup over documents: parquet
     // LSH index carried across micro-batches AND a checkpointed restart
     "v18_streamed_ingest_dedup" -> graft.streaming.IngestDedup.v18StreamedIngestDedup _,
@@ -811,6 +814,7 @@ object EventQueries {
     "v12_streamed_tumbling"   -> v01Sql, // stream must equal the batch answer
     "v13_streamed_sessions"   -> v02Sql,
     "v23_streamed_transitions" -> v21Sql, // stream must equal the batch answer
+    "v28_streamed_spikes"      -> v25Sql, // stream must equal the batch answer
     "v14_streamed_dedup"      -> v03Sql,
     "v15_filesource_tumbling" -> v01Sql,
     "v16_streamed_attribution" -> v07Sql,

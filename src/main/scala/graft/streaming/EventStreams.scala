@@ -280,6 +280,79 @@ object EventStreams {
       }
   }
 
+  /** Per-type spike-detector state: the hour being accumulated (-1 =
+    * none pending), its running count, and the counts of the up-to-six
+    * most recent FINALIZED hours (the trailing baseline). */
+  final case class HourState(hour: Long, cnt: Long, trail: Seq[Long])
+
+  /** One finalized hour of one event type, with its trailing baseline
+    * and the integer-exact spike flag (the batch v25 shape). */
+  final case class SpikeRow(event_type: String, hour_start: Timestamp,
+                            event_count: Long, trail_n: Long,
+                            trail_sum: Long, is_spike: Boolean)
+
+  /** Streaming twin of the batch v25 spike detector: fMGWS keyed by
+    * event type, carrying a BOUNDED deque of the last six finalized
+    * hourly counts across micro-batch boundaries. An hour finalizes
+    * when a later-hour event of the same type arrives in-line, or —
+    * for idle types and at end of stream — when the event-time
+    * watermark passes its EventTimeTimeout (the far-future sentinel
+    * closes every pending hour, so the bounded replay settles). A
+    * timeout finalizes but KEEPS the trail in state, so a type that
+    * goes quiet and returns continues its baseline exactly like the
+    * batch ROWS frame over observed hours. State per key is O(6)
+    * longs — watermark-independent, unconditionally bounded. */
+  def spikeHourly(events: Dataset[Ev],
+                  lateness: String = defaultLateness): Dataset[SpikeRow] = {
+    import events.sparkSession.implicits._
+    events.toDF().withWatermark("ts", lateness).as[Ev]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[HourState, SpikeRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (tpe: String, rows: Iterator[Ev], state: GroupState[HourState]) =>
+          def finalizeHour(st: HourState): (SpikeRow, HourState) = {
+            val tn = st.trail.size.toLong
+            val tsum = st.trail.sum
+            (SpikeRow(tpe, new Timestamp(st.hour * 3600000L), st.cnt, tn,
+              tsum, tn == 6 && st.cnt * 3 > tsum),
+              HourState(-1L, 0L, (st.trail :+ st.cnt).takeRight(6)))
+          }
+          if (state.hasTimedOut) {
+            state.getOption.filter(_.hour >= 0) match {
+              case Some(st) =>
+                val (row, next) = finalizeHour(st)
+                state.update(next) // keep the trail: the type may return
+                Iterator.single(row)
+              case None => Iterator.empty
+            }
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              var st = state.getOption.getOrElse(HourState(-1L, 0L, Nil))
+              val out = scala.collection.mutable.ArrayBuffer[SpikeRow]()
+              sorted.foreach { e =>
+                val h = Math.floorDiv(e.ts.getTime, 3600000L)
+                if (st.hour == h) st = st.copy(cnt = st.cnt + 1)
+                else {
+                  if (st.hour >= 0) {
+                    val (row, next) = finalizeHour(st)
+                    out += row
+                    st = next
+                  }
+                  st = st.copy(hour = h, cnt = 1L)
+                }
+              }
+              state.update(st)
+              // fires only once the watermark proves no same-or-earlier
+              // hour rows can still arrive (the replay is ts-ordered)
+              state.setTimeoutTimestamp(sorted.last.ts.getTime + 2 * 3600000L)
+              out.iterator
+            }
+          }
+      }
+  }
+
   // ---------------------------------------------------------------------------
   // Gate query: the actual micro-batch runtime, replayed to completion
   // ---------------------------------------------------------------------------
@@ -454,6 +527,23 @@ object EventStreams {
       .withColumn("p_r", round(
         col("n").cast("double") / sum(col("n")).over(w).cast("double"), 6))
       .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  /** v28 — the spike detector computed by the streaming runtime
+    * (bounded-deque fMGWS state + EventTimeTimeout finalization),
+    * hash-gated against batch v25's oracle: every finalized hour, its
+    * trailing baseline, and the spike flag must match the batch ROWS
+    * frame exactly, including the final pending hour of every type
+    * (closed by the sentinel-driven timeout sweep). */
+  def v28StreamedSpikes(spark: SparkSession, dir: String): DataFrame = {
+    implicit val evEnc: org.apache.spark.sql.Encoder[Ev] =
+      org.apache.spark.sql.Encoders.product[Ev]
+    replayThroughRuntime(spark, dir, df => spikeHourly(df.as[Ev]).toDF())
+      .filter(col("event_type") =!= "sentinel")
+      .select(col("event_type"),
+        date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_count"), col("trail_n"), col("trail_sum"), col("is_spike"))
+      .orderBy(col("event_type"), col("hour_start"))
   }
 
   /** v15 — the PRODUCTION ingest path, gate-exercised end to end: the

@@ -109,4 +109,16 @@ class ClusteringSpec extends SparkSpec {
     assert(a.filter(r => Set(0L, 3L)(r._1)).forall(_._2 == 0))
     assert(a.filter(r => Set(1L, 2L, 4L)(r._1)).forall(_._2 == 1))
   }
+
+  test("c05 elbow: every k covers the corpus; capacity shows between the ladder ends") {
+    val rows = Clustering.c05ElbowCurve(spark, sf)
+      .as[(Int, Long, Double)].collect()
+    assert(rows.map(_._1).toSeq == Clustering.elbowKs)
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.forall(_._2 == n), "every fit assigns every vector")
+    assert(rows.forall(_._3 > 0.0))
+    val byK = rows.map(r => r._1 -> r._3).toMap
+    assert(byK(16) < byK(2),
+      s"16 centroids must fit far tighter than 2: ${byK(16)} vs ${byK(2)}")
+  }
 }

@@ -248,4 +248,10 @@ class EventStreamsSpec extends SparkSpec {
           .as("active_span_sec"))
     assertSameRows(finalProfiles, expected)
   }
+
+  test("streamed spike detector matches batch v25, pending hours closed by timeout") {
+    assertSameRows(
+      graft.streaming.EventStreams.v28StreamedSpikes(spark, sf),
+      graft.operators.EventQueries.v25SpikeWindows(spark, sf))
+  }
 }
