@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.Rewrites.VecSelfDot)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoin.Strategy)
   }
 }
 

@@ -78,7 +78,26 @@ object ScalingBench {
       // embarrassingly parallel with 16-byte outputs
       ("c01_kmeans_assign", true, operators.Clustering.c01KmeansAssign _),
       ("t17_bpe_merges", true, operators.TextAnalysis.t17BpeMerges _),
-      ("m07_image_phash", true, operators.Media.m07ImagePhash _))
+      ("m07_image_phash", true, operators.Media.m07ImagePhash _),
+      // mutual-kNN graph: the exact all-pairs candidate stage (the s13
+      // gate) vs the same mutual filter over IVF candidates with a
+      // corpus-scaled cell count (~512 vectors/cell, nprobe 4 → ~2k
+      // scored candidates per query REGARDLESS of corpus size). The
+      // mutual filter itself is bounded (k·N) either way — the curve
+      // isolates the candidate generator.
+      ("s13_mutual_exact", false,
+        (s, d) => {
+          val e = Tables.embeddings(s, d)
+          operators.Similarity.mutualKnn(
+            operators.Similarity.bruteForceKnn(e, e, 5, roundCosineTo = 9))
+        }),
+      ("s13_mutual_ivf", true,
+        (s, d) => {
+          val e = Tables.embeddings(s, d)
+          val nlist = math.max(16, (e.count() / 512).toInt)
+          operators.Similarity.mutualKnn(
+            operators.Similarity.ivfKnn(e, e, 5, nlist = nlist, nprobe = 4))
+        }))
 
     for (r <- scales) {
       val dir = s"/tmp/graft_scaling/x$r"

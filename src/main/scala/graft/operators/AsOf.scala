@@ -130,6 +130,29 @@ object AsOf {
         rightVals.map(c => col(s"__near.$c").as(s"asof_$c")): _*)
   }
 
+  /** As-of join through the CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.AsOfJoin.BroadcastAsOfJoinExec]]) — same output
+    * contract as [[join]], different execution regime: the right side
+    * is collected + broadcast as a per-key sorted index and every left
+    * row answers with a binary search. No shuffle, no sort, no window
+    * state; use when the right side is dimension-sized and the left is
+    * the fact stream. Requires the session to carry
+    * [[graft.GraftExtensions]] (the planner strategy). */
+  def joinBroadcast(left: DataFrame, right: DataFrame, key: String,
+                    ts: String, rightVals: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val la = left.queryExecution.analyzed
+    val ra = right.queryExecution.analyzed
+    def rattr(n: String) = ra.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"right side lacks column $n"))
+    val asofOut =
+      AttributeReference("asof_ts", rattr(ts).dataType, nullable = true)() +:
+        rightVals.map(c =>
+          AttributeReference(s"asof_$c", rattr(c).dataType, nullable = true)())
+    org.apache.spark.sql.GraftSqlBridge.ofRows(left.sparkSession,
+      graft.plans.AsOfJoin.AsOfJoinPlan(key, ts, rightVals, asofOut, la, ra))
+  }
+
   // ---------------------------------------------------------------------------
   // Gate query
   // ---------------------------------------------------------------------------
@@ -284,15 +307,40 @@ object AsOf {
       |ORDER BY event_id
       |LIMIT 2000""".stripMargin
 
+  /** v29 — v05's exact query executed through the custom broadcast
+    * as-of PHYSICAL operator instead of the composed shuffle shape,
+    * hash-gated against the SAME DuckDB ASOF oracle: two execution
+    * strategies, one semantics. (AsOfSpec pins that the plan really
+    * contains BroadcastAsOfJoinExec — this gate must not silently fall
+    * back to the composed form.) */
+  def v29AsofBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    joinBroadcast(clicks, purchases, key = "user_id", ts = "ts",
+        rightVals = Seq("value"))
+      .select(
+        col("event_id"), col("user_id"),
+        ((unix_micros(col("ts")) - unix_micros(col("asof_ts")))
+          .cast(DoubleType) / 1e6).as("secs_since_purchase"),
+        col("asof_value").cast(D).cast(DoubleType).as("purchase_value"))
+      .orderBy(col("event_id"))
+      .limit(2000)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v05_asof_purchase" -> v05AsofPurchase _,
     "v10_time_to_convert" -> v10TimeToConvert _,
     "v27_nearest_purchase" -> v27NearestPurchase _,
+    "v29_asof_broadcast" -> v29AsofBroadcast _,
   )
 
   val oracles: Map[String, String] = Map(
     "v05_asof_purchase" -> v05Sql,
     "v10_time_to_convert" -> v10Sql,
     "v27_nearest_purchase" -> v27Sql,
+    "v29_asof_broadcast" -> v05Sql, // same semantics, different physical operator
   )
 }

@@ -73,6 +73,47 @@ class AsOfSpec extends SparkSpec {
       (6L, None, None)), out.toString)
   }
 
+  test("joinBroadcast: custom physical operator, identical semantics to the composed join") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:05")),
+      (2L, 10L, ts("2024-01-01 00:00:10")),
+      (3L, 10L, ts("2024-01-01 00:00:20")),
+      (4L, 99L, ts("2024-01-01 00:00:30"))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:10"), Some(100.0)),
+      (10L, ts("2024-01-01 00:00:15"), None: Option[Double])
+    ).toDF("user_id", "ts", "value")
+    val out = AsOf.joinBroadcast(left, right, "user_id", "ts", Seq("value"))
+    // really the custom exec — not a silent fallback to something else
+    assert(out.queryExecution.executedPlan.toString
+      .contains("BroadcastAsOfJoin"), out.queryExecution.executedPlan.toString)
+    val rows = out.orderBy("event_id")
+      .select($"event_id", $"asof_ts", $"asof_value")
+      .as[(Long, Option[Timestamp], Option[Double])].collect().toSeq
+    assert(rows == Seq(
+      (1L, None, None),                                    // before any right
+      (2L, Some(ts("2024-01-01 00:00:10")), Some(100.0)),  // inclusive tie
+      (3L, Some(ts("2024-01-01 00:00:15")), None),         // latest prior, null stays null
+      (4L, None, None)), rows.toString)                    // keyless
+    // row-for-row identical to the composed operator on the same input
+    val composed = AsOf.join(left, right, "user_id", "ts", Seq("value"))
+    assert(out.exceptAll(composed).count() == 0 &&
+      composed.exceptAll(out).count() == 0)
+  }
+
+  test("joinBroadcast equals the composed join on the events corpus") {
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    val a = AsOf.joinBroadcast(clicks, purchases, "user_id", "ts", Seq("value"))
+    val b = AsOf.join(clicks, purchases, "user_id", "ts", Seq("value"))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "the two execution strategies must agree on every row")
+  }
+
   test("asof join carries every left column through unchanged") {
     val left = Seq((1L, 5L, ts("2024-01-01 00:00:10"), "extra"))
       .toDF("event_id", "user_id", "ts", "tag")

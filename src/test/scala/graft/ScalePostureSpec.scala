@@ -176,6 +176,34 @@ class ScalePostureSpec extends SparkSpec {
       "v18 candidate join must stay keyed on (band, bucket)")
   }
 
+  test("round-8 operators keep their promised plans (keyed joins, no cartesians)") {
+    // every new-this-round multi-input operator must stay on keyed
+    // joins; s13's candidate stage is intentionally the exact all-pairs
+    // scorer (quadratic by declaration, IVF is the 100 TB path), so it
+    // is exempt here and documented at its definition instead
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    for ((name, df) <- Seq(
+      "x04" -> graft.operators.Graph.x04LabelCommunities(spark, sf),
+      "x05" -> graft.operators.Graph.x05PersonalizedPagerank(spark, sf),
+      "w06" -> graft.sources.Warehouse.w06MergeApply(spark, sf),
+      "w07" -> graft.sources.Warehouse.w07DriftPsi(spark, sf),
+      "t22" -> graft.operators.TextAnalysis.t22PmiCollocations(spark, sf),
+      "v26" -> graft.operators.EventQueries.v26SessionPaths(spark, sf),
+      "v27" -> graft.operators.AsOf.v27NearestPurchase(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name degraded to a cartesian")
+    }
+    // the mutualKnn filter itself is one equi-join of two bounded
+    // top-k frames — keyed even though its s13 INPUT stage is all-pairs
+    val knn = graft.operators.Similarity.bruteForceKnn(
+      Tables.embeddings(spark, sf).limit(50),
+      Tables.embeddings(spark, sf).limit(50), 5)
+    val mk = plan(graft.operators.Similarity.mutualKnn(knn))
+    assert(!mk.contains("CartesianProduct"),
+      "mutualKnn must equi-join on the (src, dst) pair")
+  }
+
   test("evolved read: null-fills missing columns, widens drifted types") {
     import graft.sources.Warehouse
     val root = java.nio.file.Files.createTempDirectory("graft_evo").toString + "/t"
