@@ -716,8 +716,28 @@ object GameAnalytics {
        |ORDER BY AppID""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // g23 — the SAME ingest through the custom DataSource V2 connector
+  // (`graft.sources.GamesCsvSource`: hand-built parser, byte-range
+  // splits, column pruning, AppID filter pushdown), hash-gated against
+  // the SAME oracle as g22: three independent readers — the builtin
+  // PERMISSIVE CSV reader, DuckDB's read_csv, and our connector — must
+  // agree byte-for-byte on the quirk fixture (quoted commas, doubled
+  // quotes, empty→NULL, the short corrupt row dropped).
+  // ---------------------------------------------------------------------------
+  def g23Dsv2Ingest(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.GamesSource.ensureFixture()
+    graft.sources.GamesSource.clean(
+        spark.read.format("games-csv").load(path))
+      .select(col("AppID"), col("Name"), col("release_date"),
+        col("clean_price"), col("avg_owners"), col("Developers"),
+        col("Genres"), col("revenue"))
+      .orderBy(col("AppID"))
+  }
+
+  // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g23_dsv2_ingest"        -> g23Dsv2Ingest _,
     "g01_genre_revenue"      -> g01GenreRevenue _,
     "g02_dev_metrics"        -> g02DevMetrics _,
     "g03_yearly_trend"       -> g03YearlyTrend _,
@@ -763,5 +783,6 @@ object GameAnalytics {
     "g18_product_list"       -> g18Sql,
     "g19_price_ranges"       -> g19Sql,
     "g22_csv_ingest"         -> g22Sql,
+    "g23_dsv2_ingest"        -> g22Sql, // same semantics, custom connector
   )
 }
