@@ -1284,7 +1284,94 @@ object TextAnalysis {
        |ORDER BY pmi_r DESC, w1, w2
        |LIMIT 50""".stripMargin
 
+  /** Rank depth of the t23 Zipf fit (mirrored in [[t23Sql]]). */
+  val zipfRanks = 200
+
+  /** t23 — Zipf/power-law fit of the token rank-frequency curve: least
+    * squares of ln(freq) on ln(rank) over the top-[[zipfRanks]] tokens
+    * (slope ≈ −1 on natural language; a corpus-health signal — a flat
+    * slope means boilerplate, a cliff means template spam). Top ranks
+    * come from orderBy+limit (TakeOrdered — no global window over the
+    * vocabulary); the rank window then runs over ≤[[zipfRanks]] rows,
+    * bounded by declaration. The regression runs on round-9 ln inputs
+    * with EXACT decimal moment sums (the q28 discipline: decimal →
+    * string-hop → one fixed IEEE sequence), so slope/intercept/r² are
+    * hash-gated, not toleranced. */
+  def t23ZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DecimalSums.{asDouble, mdec}
+    val top = Tables.documents(spark, dir)
+      .select(explode(wsTokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(zipfRanks)
+    val ranked = top.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("w"))))
+    val xy = ranked.select(
+      round(log(col("rk").cast(DoubleType)), 9).as("x"),
+      round(log(col("cnt").cast(DoubleType)), 9).as("y"))
+    val mom = xy.agg(
+      count(lit(1)).as("n"),
+      sum(mdec(col("x"))).as("sx"), sum(mdec(col("y"))).as("sy"),
+      sum(mdec(col("x") * col("y"))).as("sxy"),
+      sum(mdec(col("x") * col("x"))).as("sxx"),
+      sum(mdec(col("y") * col("y"))).as("syy"))
+    val d = mom.select(col("n"), col("n").cast(DoubleType).as("nd"),
+      asDouble(col("sx")).as("dsx"), asDouble(col("sy")).as("dsy"),
+      asDouble(col("sxy")).as("dsxy"), asDouble(col("sxx")).as("dsxx"),
+      asDouble(col("syy")).as("dsyy"))
+    val num = col("nd") * col("dsxy") - col("dsx") * col("dsy")
+    val den = col("nd") * col("dsxx") - col("dsx") * col("dsx")
+    val slope = num / den
+    d.select(
+      col("n").as("n_ranks"),
+      round(slope, 6).as("slope_r"),
+      round((col("dsy") - slope * col("dsx")) / col("nd"), 6)
+        .as("intercept_r"),
+      round(num * num /
+        (den * (col("nd") * col("dsyy") - col("dsy") * col("dsy"))), 6)
+        .as("r2_r"))
+  }
+
+  /** DuckDB twin of t23: same TakeOrdered → rank → round-9 ln →
+    * decimal moments → identical IEEE expression trees. */
+  val t23Sql: String = {
+    import graft.functions.DecimalSums.{sqlAsDouble, sqlMdec}
+    s"""WITH tf AS (
+       |  SELECT token AS w, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+       |        FROM documents) t
+       |  GROUP BY token),
+       |top AS (SELECT w, cnt FROM tf ORDER BY cnt DESC, w LIMIT $zipfRanks),
+       |rk AS (SELECT cnt,
+       |         ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rk FROM top),
+       |xy AS (SELECT ROUND(LN(CAST(rk AS DOUBLE)), 9) AS x,
+       |              ROUND(LN(CAST(cnt AS DOUBLE)), 9) AS y FROM rk),
+       |mom AS (
+       |  SELECT COUNT(*) AS n,
+       |    SUM(${sqlMdec("x")}) AS sx, SUM(${sqlMdec("y")}) AS sy,
+       |    SUM(${sqlMdec("x * y")}) AS sxy,
+       |    SUM(${sqlMdec("x * x")}) AS sxx,
+       |    SUM(${sqlMdec("y * y")}) AS syy
+       |  FROM xy),
+       |d AS (
+       |  SELECT n, CAST(n AS DOUBLE) AS nd,
+       |    ${sqlAsDouble("sx")} AS dsx, ${sqlAsDouble("sy")} AS dsy,
+       |    ${sqlAsDouble("sxy")} AS dsxy, ${sqlAsDouble("sxx")} AS dsxx,
+       |    ${sqlAsDouble("syy")} AS dsyy
+       |  FROM mom)
+       |SELECT n AS n_ranks,
+       |  ROUND((nd * dsxy - dsx * dsy) / (nd * dsxx - dsx * dsx), 6)
+       |    AS slope_r,
+       |  ROUND((dsy - ((nd * dsxy - dsx * dsy) / (nd * dsxx - dsx * dsx))
+       |         * dsx) / nd, 6) AS intercept_r,
+       |  ROUND((nd * dsxy - dsx * dsy) * (nd * dsxy - dsx * dsy) /
+       |        ((nd * dsxx - dsx * dsx) * (nd * dsyy - dsy * dsy)), 6)
+       |    AS r2_r
+       |FROM d""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_zipf_fit"         -> t23ZipfFit _,
     "t22_pmi_collocations" -> t22PmiCollocations _,
     "t14_pii_redaction"   -> t14PiiRedaction _,
     "t13_decontamination" -> t13Decontamination _,
@@ -1310,6 +1397,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t23_zipf_fit"         -> t23Sql,
     "t22_pmi_collocations" -> t22Sql,
     "t14_pii_redaction"   -> t14Sql,
     "t13_decontamination" -> t13Sql,

@@ -399,4 +399,12 @@ class TextAnalysisSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(pmi == expected, s"head PMI $pmi != recomputed $expected")
   }
+
+  test("t23: a frequency-sorted curve must fit with negative slope and sane r²") {
+    val (n, slope, _, r2) = TextAnalysis.t23ZipfFit(spark, sf)
+      .as[(Long, Double, Double, Double)].head()
+    assert(n >= 2 && n <= TextAnalysis.zipfRanks)
+    assert(slope < 0.0, s"rank-frequency slope must be negative, got $slope")
+    assert(r2 > 0.0 && r2 <= 1.0, s"r² out of range: $r2")
+  }
 }
