@@ -39,6 +39,8 @@ class RocksDbStateStoreSpec extends SparkSpec {
     ("v15_file_source",       () => EventStreams.v15FileSourceTumbling(spark, sf)),
     ("v16_streamed_attribution", () => EventStreams.v16StreamedAttribution(spark, sf)),
     ("v17_streamed_profiles", () => EventStreams.v17StreamedProfiles(spark, sf)),
+    ("v23_streamed_transitions", () => EventStreams.v23StreamedTransitions(spark, sf)),
+    ("v28_streamed_spikes",   () => EventStreams.v28StreamedSpikes(spark, sf)),
     ("v18_streamed_ingest_dedup", () => IngestDedup.v18StreamedIngestDedup(spark, sf)))
 
   for ((name, run) <- gates)
