@@ -1103,7 +1103,70 @@ object Similarity {
       |WHERE f.q < f.n
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Negatives per anchor in the s14 gate (mirrored in [[s14Sql]]). */
+  val negativesPerAnchor = 3
+
+  /** s14 — contrastive training-pair mining: for every embedding, its
+    * nearest neighbor as the POSITIVE and [[negativesPerAnchor]]
+    * deterministic pseudo-random NEGATIVES — the (anchor, pos, negs)
+    * tuples a contrastive/embedding-training run consumes. Negatives
+    * are drawn by ranking candidates on md5(anchor#cand): uniform,
+    * engine-stable, seedless (the [[Pipeline.md5Bucket]] discipline
+    * applied to PAIRS), excluding the anchor itself and its positive.
+    * The gate scores the exact all-pairs candidate set (quadratic by
+    * declaration, like s13); at 100 TB the negative pool is a
+    * per-anchor hash-bucketed slice and the positive comes from the
+    * IVF path — both swaps leave this ranking rule untouched. Output
+    * is integer ids + ranks → hash-exact. */
+  def s14ContrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val pos = bruteForceKnn(emb, emb, 1, roundCosineTo = 9)
+      .select(col("query_id").as("anchor_id"), col("neighbor_id").as("pos_id"))
+    val ids = emb.select(col("vec_id"))
+    val cands = ids.as("a").join(ids.as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("anchor_id"), col("b.vec_id").as("cand_id"))
+      .join(pos, Seq("anchor_id"))
+      .filter(col("cand_id") =!= col("pos_id"))
+      .withColumn("hk",
+        md5(concat(col("anchor_id").cast("string"), lit("#"),
+          col("cand_id").cast("string"))))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("hk"), col("cand_id"))
+    cands
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= negativesPerAnchor)
+      .select(col("anchor_id"), col("pos_id"), col("neg_rank"),
+        col("cand_id").as("neg_id"))
+      .orderBy(col("anchor_id"), col("neg_rank"))
+  }
+
+  val s14Sql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |pos AS (
+       |  SELECT q AS anchor_id, n AS pos_id FROM (
+       |    SELECT a.vec_id AS q, b.vec_id AS n,
+       |           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |             ORDER BY ROUND(list_cosine_similarity(a.ev, b.ev), 9)
+       |               DESC, b.vec_id) AS rk
+       |    FROM v a JOIN v b ON a.vec_id <> b.vec_id)
+       |  WHERE rk = 1),
+       |cands AS (
+       |  SELECT p.anchor_id, p.pos_id, b.vec_id AS cand_id,
+       |         md5(CAST(p.anchor_id AS VARCHAR) || '#' ||
+       |             CAST(b.vec_id AS VARCHAR)) AS hk
+       |  FROM pos p JOIN v b
+       |    ON b.vec_id <> p.anchor_id AND b.vec_id <> p.pos_id)
+       |SELECT anchor_id, pos_id, CAST(neg_rank AS INT) AS neg_rank,
+       |       cand_id AS neg_id
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |               ORDER BY hk, cand_id) AS neg_rank
+       |      FROM cands) t
+       |WHERE neg_rank <= $negativesPerAnchor
+       |ORDER BY anchor_id, neg_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_contrastive_pairs" -> s14ContrastivePairs _,
     "s13_mutual_knn"        -> s13MutualKnn _,
     "s08_hybrid_knn"        -> s08HybridKnn _,
     "s12_knn_filtered"      -> s12KnnFiltered _,
@@ -1120,6 +1183,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s14_contrastive_pairs" -> s14Sql,
     "s13_mutual_knn"     -> s13Sql,
     "s01_knn_bruteforce" -> s01Sql,
     "s08_hybrid_knn"     -> s08Sql,

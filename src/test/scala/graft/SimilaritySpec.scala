@@ -418,6 +418,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Set((1L, 2L, 1, 1), (3L, 4L, 1, 1)), out.toString)
   }
 
+  test("s14: every anchor gets its true top-1 positive and 3 distinct clean negatives") {
+    val emb = Tables.embeddings(spark, sf)
+    val top1 = Similarity.bruteForceKnn(emb, emb, 1, roundCosineTo = 9)
+      .as[(Long, Int, Long)].collect().map(t => t._1 -> t._3).toMap
+    val rows = Similarity.s14ContrastivePairs(spark, sf)
+      .as[(Long, Long, Int, Long)].collect()
+    val byAnchor = rows.groupBy(_._1)
+    assert(byAnchor.size == emb.count(), "every vector is an anchor")
+    byAnchor.foreach { case (a, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == Seq(1, 2, 3),
+        s"anchor $a must carry negative ranks 1..3")
+      val p = rs.head._2
+      assert(p == top1(a), s"anchor $a positive must be its exact top-1")
+      val negs = rs.map(_._4)
+      assert(negs.distinct.length == 3 && !negs.contains(a) && !negs.contains(p),
+        s"anchor $a negatives must be distinct and exclude anchor/positive")
+    }
+  }
+
   test("s13: every edge is reciprocal within the same exact kNN answer") {
     val emb = Tables.embeddings(spark, sf)
     val knn = Similarity.bruteForceKnn(emb, emb, 5, roundCosineTo = 9)
