@@ -1120,12 +1120,14 @@ object Similarity {
     * is integer ids + ranks → hash-exact. */
   def s14ContrastivePairs(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val pos = bruteForceKnn(emb, emb, 1, roundCosineTo = 9)
+    // bounded anchor set — the s01/s08/s12 query-set convention; the
+    // negative pool is still the WHOLE corpus
+    val anchors = emb.filter(col("vec_id") < 200)
+    val pos = bruteForceKnn(anchors, emb, 1, roundCosineTo = 9)
       .select(col("query_id").as("anchor_id"), col("neighbor_id").as("pos_id"))
-    val ids = emb.select(col("vec_id"))
-    val cands = ids.as("a").join(ids.as("b"),
-        col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("anchor_id"), col("b.vec_id").as("cand_id"))
+    val cands = anchors.select(col("vec_id").as("anchor_id"))
+      .join(emb.select(col("vec_id").as("cand_id")),
+        col("anchor_id") =!= col("cand_id"))
       .join(pos, Seq("anchor_id"))
       .filter(col("cand_id") =!= col("pos_id"))
       .withColumn("hk",
@@ -1149,7 +1151,8 @@ object Similarity {
        |           ROW_NUMBER() OVER (PARTITION BY a.vec_id
        |             ORDER BY ROUND(list_cosine_similarity(a.ev, b.ev), 9)
        |               DESC, b.vec_id) AS rk
-       |    FROM v a JOIN v b ON a.vec_id <> b.vec_id)
+       |    FROM v a JOIN v b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 200)
        |  WHERE rk = 1),
        |cands AS (
        |  SELECT p.anchor_id, p.pos_id, b.vec_id AS cand_id,

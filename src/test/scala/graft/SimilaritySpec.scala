@@ -420,12 +420,13 @@ class SimilaritySpec extends SparkSpec {
 
   test("s14: every anchor gets its true top-1 positive and 3 distinct clean negatives") {
     val emb = Tables.embeddings(spark, sf)
-    val top1 = Similarity.bruteForceKnn(emb, emb, 1, roundCosineTo = 9)
+    val anchors = emb.filter($"vec_id" < 200)
+    val top1 = Similarity.bruteForceKnn(anchors, emb, 1, roundCosineTo = 9)
       .as[(Long, Int, Long)].collect().map(t => t._1 -> t._3).toMap
     val rows = Similarity.s14ContrastivePairs(spark, sf)
       .as[(Long, Long, Int, Long)].collect()
     val byAnchor = rows.groupBy(_._1)
-    assert(byAnchor.size == emb.count(), "every vector is an anchor")
+    assert(byAnchor.size == anchors.count(), "every bounded-set vector is an anchor")
     byAnchor.foreach { case (a, rs) =>
       assert(rs.map(_._3).sorted.toSeq == Seq(1, 2, 3),
         s"anchor $a must carry negative ranks 1..3")
