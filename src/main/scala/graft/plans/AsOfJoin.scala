@@ -62,6 +62,13 @@ object AsOfJoin {
     * binary search. Requires a LongType key and TimestampType ts (the
     * event-table shape this library's as-of queries use); value columns
     * are carried as opaque internal values of any type. */
+  object BroadcastAsOfJoinExec {
+    /** Hard cap on the collected right side — well above any dimension
+      * table, far below a driver-OOMing fact table. Misuse fails with a
+      * diagnostic naming the contract instead of an opaque OOM. */
+    val maxBroadcastRows: Int = 10_000_000
+  }
+
   final case class BroadcastAsOfJoinExec(keyName: String, tsName: String,
       rightVals: Seq[String], asofOut: Seq[Attribute],
       left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
@@ -83,8 +90,15 @@ object AsOfJoin {
 
       // driver-side index build: (key -> ts-sorted (tsMicros, packed
       // [rts, v...])) — the broadcast-able-right contract of this exec
+      val collected = right.executeCollect()
+      require(collected.length <= BroadcastAsOfJoinExec.maxBroadcastRows,
+        s"BroadcastAsOfJoinExec right side has ${collected.length} rows " +
+          s"(limit ${BroadcastAsOfJoinExec.maxBroadcastRows}): this operator " +
+          "broadcasts its right side and requires a dimension-sized state " +
+          "table; use graft.operators.AsOf.join (shuffle-based) for a " +
+          "fact-sized right side")
       val index: Map[Long, (Array[Long], Array[Array[Any]])] =
-        right.executeCollect()
+        collected
           .filter(r => !r.isNullAt(kIdx) && !r.isNullAt(tIdx))
           .groupBy(_.getLong(kIdx))
           .map { case (k, rs) =>

@@ -197,9 +197,14 @@ object GamesCsvSource {
     }
   }
 
-  /** Reads every line that STARTS inside [start, end); a line that
-    * straddles `end` is finished by this reader and skipped by the
-    * next (which fast-forwards past its partial first line). */
+  /** Reads every line that STARTS inside (start, end] — the Hadoop
+    * `LineRecordReader` convention: a line that straddles `end` is
+    * finished by this reader, AND the line that starts exactly at
+    * `end` is read by this reader too, because the next reader
+    * (seeking to `end`) unconditionally skips through its first
+    * newline. Owning [start, end) exclusive-of-`end` on BOTH sides
+    * would lose every line whose start byte lands exactly on a split
+    * boundary — silent, data-dependent row loss. */
   private final class GamesCsvReader(path: String, start: Long, end: Long,
       aligned: Boolean, required: StructType, filters: Array[Filter])
       extends PartitionReader[InternalRow] {
@@ -225,20 +230,25 @@ object GamesCsvSource {
       if (c < 0) linesExhausted = true
     }
 
-    /** Next raw line, or null at range end / EOF. Only lines starting
-      * before `end` belong to this reader. */
+    /** Next raw line decoded as UTF-8, or null at range end / EOF.
+      * Lines starting at pos <= `end` belong to this reader (the line
+      * starting exactly at `end` is the one the next reader's
+      * skip-first-line fast-forward throws away). Bytes are
+      * accumulated raw and decoded once per line — decoding byte-at-
+      * a-time via `toChar` would be Latin-1 and corrupt any multi-byte
+      * character the builtin CSV reader and DuckDB read as UTF-8. */
     private def nextLine(): String = {
-      if (linesExhausted || pos >= end) return null
-      val sb = new java.lang.StringBuilder
+      if (linesExhausted || pos > end) return null
+      val buf = new java.io.ByteArrayOutputStream(128)
       var c = in.read()
       if (c < 0) { linesExhausted = true; return null }
       while (c >= 0 && c != '\n') {
-        if (c != '\r') sb.append(c.toChar)
+        if (c != '\r') buf.write(c)
         pos += 1
         c = in.read()
       }
       if (c >= 0) pos += 1 else linesExhausted = true
-      sb.toString
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     }
 
     private def appId(fields: Array[String]): Integer = {

@@ -47,6 +47,58 @@ class Dsv2SourceSpec extends SparkSpec {
       "newline-aligned splits must partition the file exactly")
   }
 
+  test("split boundary landing exactly on a line start loses no rows") {
+    // Fixed-width lines whose length divides the split step: every
+    // interior boundary lands EXACTLY on a line start. The Hadoop
+    // convention (owner of [start,end) also reads the line starting at
+    // `end`; next reader unconditionally skips its first line) keeps
+    // these rows; an exclusive-both-sides contract loses one row per
+    // boundary, silently.
+    val dir = java.nio.file.Files.createTempDirectory("graft_fixed")
+    val f = dir.resolve("fixed.csv")
+    val header = "AppID,Name,release_date,clean_price,avg_owners,Developers,Genres\n"
+    val lines = (0 until 100).map(i => f"${100 + i}%d,N$i%03d,2020-01-01,5.0,1000,D,G\n")
+    assert(lines.map(_.length).distinct.size == 1, "fixture must be fixed-width")
+    val lineLen = lines.head.length
+    java.nio.file.Files.write(f, (header + lines.mkString).getBytes("UTF-8"))
+
+    val df = spark.read.format("games-csv")
+      .option("maxSplitBytes", (10 * lineLen).toString)
+      .load(f.toString)
+    assert(df.rdd.getNumPartitions == 10,
+      s"expected 10 aligned splits, got ${df.rdd.getNumPartitions}")
+    val ids = df.select($"AppID").as[Int].collect().sorted.toSeq
+    assert(ids == (100 until 200),
+      s"boundary-start lines must be read exactly once; missing: ${(100 until 200).toSet -- ids.toSet}")
+  }
+
+  test("multi-byte UTF-8 fields decode identically to the builtin reader") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_utf8")
+    val f = dir.resolve("utf8.csv")
+    val content =
+      "AppID,Name,release_date,clean_price,avg_owners,Developers,Genres\n" +
+        "1,Jeu Décalé,2020-01-01,5,1000,\"['Müller GmbH']\",\"['Ação', '游戏']\"\n" +
+        "2,Plain Ascii,2021-02-02,0,2000,\"['Dev']\",\"['Action']\"\n" +
+        "3,Ωmega — приключение,2022-03-03,9.99,3000,\"['株式会社']\",\"['ロールプレイング']\"\n"
+    java.nio.file.Files.write(f, content.getBytes("UTF-8"))
+
+    val custom = spark.read.format("games-csv").load(f.toString)
+      .select($"Name", $"Developers", $"Genres").collect().toSet
+    val builtin = spark.read.option("header", "true").csv(f.toString)
+      .select($"Name", $"Developers", $"Genres").collect().toSet
+    assert(custom == builtin,
+      s"UTF-8 decode must match the builtin reader:\n$custom\nvs\n$builtin")
+    assert(custom.exists(_.getString(0) == "Ωmega — приключение"))
+
+    // byte-range splits may cut INSIDE a multi-byte sequence: the skip-
+    // to-newline is byte-based ('\n' never occurs inside a UTF-8
+    // continuation), so tiny splits must still decode every row intact
+    val split = spark.read.format("games-csv").option("maxSplitBytes", "16")
+      .load(f.toString).select($"Name", $"Developers", $"Genres")
+    assert(split.rdd.getNumPartitions > 1)
+    assert(split.collect().toSet == builtin)
+  }
+
   test("column pruning reaches the scan") {
     val pruned = viaDsv2().select($"Name")
     val scans = pruned.queryExecution.executedPlan.collectLeaves()
