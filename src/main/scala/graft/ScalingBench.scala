@@ -60,10 +60,11 @@ object ScalingBench {
         (s, d) => Dedup.minhashDedupPairs(Tables.documents(s, d), 0.8,
           maxBucketSize = Some(32))),
       ("d12_semantic_exact", false, Dedup.d12SemanticDedup _),
-      // d13's fixed-granularity buckets bend quadratic too (~N²/2ᵇ per
-      // band — see the embeddingNearDupPairsLSH scale-honesty note), so
-      // it sits on the uncapped side of the curve; d14 is the scale path
-      ("d13_semantic_lsh", false, Dedup.d13SemanticDedupLsh _),
+      // round 8 measured the fixed-depth (b = 3 at any N) form OOMing
+      // the JVM at x100 — ~N²/8 candidates per band. d13 now scales its
+      // plane depth with log₂(N/256) and caps hot buckets, so it sits
+      // on the capped side; the x100 row must COMPLETE, that's the claim
+      ("d13_semantic_lsh", true, Dedup.d13SemanticDedupLsh _),
       ("d14_semantic_ivf", true, Dedup.d14SemanticDedupIvf _),
       ("t13_decontam_uncapped", false,
         (s, d) => TextAnalysis.decontaminate(Tables.documents(s, d), 5)),
@@ -99,7 +100,34 @@ object ScalingBench {
             operators.Similarity.ivfKnn(e, e, 5, nlist = nlist, nprobe = 4))
         }))
 
-    for (r <- scales) {
+    // Second axis for queries over the TPC-H-shaped tables (the graph
+    // family reads orders/lineitem, which ScaleCorpus does not scale):
+    // SPARK_GRAFT_SCALING_SF_DIRS=dir1,dir2,... iterates REAL sf dirs
+    // (sf0.001 → sf0.01 → sf0.1 spans 100×) and times the graph
+    // queries there, skipping the corpus synthesis entirely.
+    val sfDirAxis = sys.env.get("SPARK_GRAFT_SCALING_SF_DIRS")
+    sfDirAxis.foreach { dirsCsv =>
+      val graphRuns: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+        ("x01_pagerank", operators.Graph.x01Pagerank _),
+        ("x02_triangles", operators.Graph.x02Triangles _),
+        ("x03_bfs_hops", operators.Graph.x03BfsHops _))
+      for (dir <- dirsCsv.split(",").map(_.trim).filter(_.nonEmpty)) {
+        val nOrders = spark.read.parquet(s"$dir/orders.parquet").count()
+        val nLines = spark.read.parquet(s"$dir/lineitem.parquet").count()
+        for ((name, fn) <- graphRuns if only.forall(_.contains(name))) {
+          val sec = try time(fn(spark, dir)) catch {
+            case e: Exception =>
+              System.err.println(s"[scaling] $name@$dir failed: ${e.getMessage}")
+              -1.0
+          }
+          println(s"""{"sfDir":"$dir","orders":$nOrders,"lineitem":$nLines,""" +
+            s""""query":"$name","sec":${"%.3f".format(sec)}}""")
+          System.out.flush()
+        }
+      }
+    }
+
+    for (r <- scales if sfDirAxis.isEmpty) {
       val dir = s"/tmp/graft_scaling/x$r"
       ScaleCorpus.write(base, dir, r, spark)
       val nDocs = Tables.documents(spark, dir).count()

@@ -496,16 +496,24 @@ object Dedup {
     * give ~0.98 recall at cosine 0.45. Precision is exactly 1: every
     * emitted pair passed the true cosine test.
     *
-    * SCALE HONESTY: bucket granularity is FIXED (2ᵇ buckets per band),
-    * so on an unclustered corpus candidate volume is ~N²/2ᵇ per band —
-    * a constant-factor saving over exact all-pairs, not an asymptotic
-    * one, and widening b collapses recall at moderate thresholds
-    * ((1-θ/π)ᵇ shrinks geometrically). This shape wins when the
-    * threshold is HIGH (near-identical vectors, p per band ≈ 0.9) or
-    * the corpus is clustered; for moderate-threshold semantic dedup at
-    * 100 TB use [[embeddingNearDupPairsIVF]], whose cell count scales
-    * with the corpus. The d13 gate keeps this path hash-correct; the
-    * scaling curves (dev/scaling.md) record the bend. */
+    * SCALE HONESTY: at FIXED `planesPerBand` the bucket granularity is
+    * fixed (2ᵇ buckets per band), so on an unclustered corpus candidate
+    * volume is ~N²/2ᵇ per band — a constant-factor saving over exact
+    * all-pairs, not an asymptotic one (measured: the uncapped fixed-b
+    * form OOM'd the 128 GiB JVM at 50k vectors, dev/scaling.md round 8).
+    * The scale form therefore grows b with the corpus
+    * ([[lshPlanesFor]]: 2ᵇ ≈ N/targetBucket, what d13 does), holding
+    * bucket population ~constant and candidate volume ~linear — the
+    * E2LSH trade: recall per band at the threshold angle shrinks as pᵇ
+    * (p = 1-θ/π), so a deployment holding boundary recall raises
+    * `bands` ∝ p⁻ᵇ as it deepens b; near-identical pairs (p ≈ 1, the
+    * actual duplicates) survive any depth. For moderate-threshold
+    * semantic dedup where band growth is unaffordable, use
+    * [[embeddingNearDupPairsIVF]], whose cell count scales with the
+    * corpus at fixed probe cost. The d13 gate keeps this path
+    * hash-correct (its auto-scaled parameters equal the fixed ones at
+    * gate scale); the scaling curves (dev/scaling.md) record both the
+    * fixed-b bend and the scaled-b line. */
   def embeddingNearDupPairsLSH(emb: DataFrame, threshold: Double,
                                bands: Int = 12, planesPerBand: Int = 3,
                                seed: Long = 42L,
@@ -545,6 +553,18 @@ object Dedup {
       .withColumn("cosine", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
+  }
+
+  /** Corpus-scaled hyperplane depth: the smallest b ≥ 3 with
+    * 2ᵇ ≥ n/targetBucket, so a band's expected bucket population stays
+    * ~`targetBucket` as the corpus grows and the candidate self-join's
+    * volume stays ~N·targetBucket/2 per band instead of ~N²/2ᵇ.
+    * Pinned in DedupSpec; at gate scale (≤2k vectors) this equals the
+    * historical fixed b = 3, so the d13 hash gate is parameter-stable. */
+  def lshPlanesFor(n: Long, targetBucket: Long = 256L): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.max(3, needed)
   }
 
   /** IVF-celled embedding near-dup — the TRUE 100 TB path for
@@ -962,23 +982,42 @@ object Dedup {
       .crossJoin(dropped.agg(count(lit(1)).as("dropped_vecs")))
   }
 
-  /** d13 — the 100 TB semantic-dedup path made EXECUTABLE, not just
-    * documented: identical downstream to d12 (same [[dupClusters]] →
+  /** d13 — banded-hyperplane-LSH semantic dedup, SCALE-BOUNDED:
+    * identical downstream to d12 (same [[dupClusters]] →
     * drop-non-heads → survivor checksum via [[semanticSurvivors]]) but
-    * the pair stage is d07's sub-quadratic banded-LSH candidate
-    * generator instead of the exact all-pairs scan. Hash-gated against
-    * the SAME oracle as d12: every LSH candidate passes exact cosine
-    * verification (precision 1), and the band dial is turned up to 24
-    * so recall is 1 on this corpus — d07's default 12 bands miss one
-    * borderline pair at cosine 0.475 (12 bands ⇒ ~2% miss per pair at
-    * the threshold angle; 24 ⇒ ~5·10⁻⁴). Pair-set equality vs the
-    * exact scan is pinned in DedupSpec, so the scale path must
-    * reproduce the exact survivor set bit for bit. At 100 TB this is
-    * the knob a deployment tunes against its own threshold/corpus:
-    * bands trade linear candidate volume for exponentially less miss. */
+    * the pair stage is the banded-LSH candidate generator instead of
+    * the exact all-pairs scan, with BOTH scale guards engaged:
+    *
+    *  - **corpus-scaled granularity** ([[lshPlanesFor]]): plane depth
+    *    grows with log₂(N/256) so bucket population — and with it
+    *    candidate volume per band — stays ~constant per vector. Round
+    *    8's fixed-depth form (b = 3 at any N) OOM'd the 128 GiB JVM at
+    *    50k vectors (~N²/8 candidates per band, dev/scaling.md); the
+    *    scaled form completes there (see the re-measured row).
+    *  - **hot-bucket cap** ([[capBuckets]] via `maxBucketSize`): with
+    *    granularity scaled, an organic bucket holds ~256 vectors, so a
+    *    bucket over 4096 is a degenerate identical-vector clump whose
+    *    pairwise enumeration is quadratic by definition — dropped, to
+    *    be handled by cluster-level policy (the d08/d11 precedent;
+    *    engagement pinned in DedupSpec on a synthetic clump).
+    *
+    * Hash-gated against the SAME oracle as d12 — every LSH candidate
+    * passes exact cosine verification (precision 1), and at gate scale
+    * the auto-scaled depth equals the historical fixed b = 3 while 24
+    * bands give recall 1 on this corpus (d07's default 12 bands miss
+    * one borderline pair at cosine 0.475; 24 ⇒ ~5·10⁻⁴ miss). Pair-set
+    * equality vs the exact scan is pinned in DedupSpec, so the capped,
+    * depth-scaled path must reproduce the exact survivor set bit for
+    * bit. The remaining honest trade at 100 TB: deeper b shrinks
+    * per-band recall at the THRESHOLD angle as pᵇ (near-identical
+    * pairs survive any depth), so a deployment holding boundary recall
+    * raises `bands` with depth — or uses [[d14SemanticDedupIvf]],
+    * whose probe cost is flat in N. */
   def d13SemanticDedupLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    semanticSurvivors(emb, embeddingNearDupPairsLSH(emb, 0.45, bands = 24))
+    val planes = lshPlanesFor(emb.count())
+    semanticSurvivors(emb, embeddingNearDupPairsLSH(emb, 0.45, bands = 24,
+      planesPerBand = planes, maxBucketSize = Some(4096L)))
   }
 
   /** d14 — semantic dedup over the IVF-CELLED pair generator

@@ -1168,8 +1168,112 @@ object Similarity {
        |WHERE neg_rank <= $negativesPerAnchor
        |ORDER BY anchor_id, neg_rank""".stripMargin
 
+  /** s15 — the mutual-kNN graph over the IVF candidate generator: the
+    * measured 100 TB form of s13 (dev/scaling.md: 12.7s vs 115.6s exact
+    * at x100), now gate-exercised. [[mutualKnn]] composes with any
+    * top-k ranking by construction; here it consumes [[ivfKnn]] with a
+    * corpus-scaled cell count (~512 vectors/cell) and nprobe 8 — each
+    * query scores ~4k candidates REGARDLESS of corpus size. An edge
+    * needs BOTH endpoints' rankings right, so edge recall ≈ vertex
+    * recall²; nprobe 8 buys ~0.8 edge recall where the scaling run's
+    * nprobe 4 sits near 0.5 (measured on the gate corpora) — 2× probe
+    * cost, still constant per query, still ~5× faster than exact at
+    * x100. Rows-only gate BY DESIGN: IVF's probed top-k can differ
+    * from the exact top-k when a true neighbor's cell is outside the
+    * probe set, so the edge set is legitimately ≠ s13's (the d14
+    * precedent). What IS pinned (SimilaritySpec): edge recall vs the
+    * exact s13 graph at defaults, and the machinery dial — nprobe =
+    * nlist degenerates to s13's exact edge set. */
+  def s15MutualKnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val nlist = math.max(16L, emb.count() / 512L).toInt
+    mutualKnn(ivfKnn(emb, emb, 5, nlist = nlist, nprobe = math.min(8, nlist)))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Pool count for the s16 bucketed negative draw (mirrored in
+    * [[s16Sql]]): candidates are pooled by md5-bucket mod this, and an
+    * anchor draws only from ITS OWN pool. At gate scale 8 pools ≈ 60
+    * candidates each; at 100 TB the pool count grows ∝ N so a pool —
+    * and with it the per-anchor candidate join — stays constant-size. */
+  val s16NegativePools = 8
+
+  /** s16 — contrastive pair mining with the HASH-BUCKETED negative
+    * pool: the 100 TB form of s14's negative draw, gate-exercised.
+    * s14 ranks every (anchor, candidate) pair in the corpus — an
+    * anchors×corpus join whose cost per anchor grows with N. Here the
+    * corpus is split into [[s16NegativePools]] deterministic md5 pools
+    * ([[Pipeline.md5Bucket]] mod pools — the p04 discipline) and an
+    * anchor's negatives come only from its own pool, turning the draw
+    * into a bucket EQUI-join with ~N/pools candidates per anchor;
+    * growing pools ∝ N holds that constant. The md5(anchor#cand)
+    * ranking rule — uniform, engine-stable, seedless — is untouched,
+    * and the draw stays exactly as uniform (a hash pool is itself a
+    * uniform sample of the corpus). Positives are unchanged from s14
+    * (exact top-1; swap in the s15 IVF ranking at scale — same
+    * downstream by construction). Fully deterministic and
+    * SQL-expressible → HASH-gated, unlike the rows-only d14/s15
+    * approximations: the pool restriction changes WHICH negatives are
+    * drawn, not whether an oracle can replay the draw. */
+  def s16ContrastiveBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val anchors = emb.filter(col("vec_id") < 200)
+    val pos = bruteForceKnn(anchors, emb, 1, roundCosineTo = 9)
+      .select(col("query_id").as("anchor_id"), col("neighbor_id").as("pos_id"))
+    val pool = pmod(Pipeline.md5Bucket(col("vec_id")), lit(s16NegativePools))
+    val cands = anchors
+      .select(col("vec_id").as("anchor_id"), pool.as("pool"))
+      .join(emb.select(col("vec_id").as("cand_id"), pool.as("pool")),
+        Seq("pool"))
+      .filter(col("anchor_id") =!= col("cand_id"))
+      .join(pos, Seq("anchor_id"))
+      .filter(col("cand_id") =!= col("pos_id"))
+      .withColumn("hk",
+        md5(concat(col("anchor_id").cast("string"), lit("#"),
+          col("cand_id").cast("string"))))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("hk"), col("cand_id"))
+    cands
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= negativesPerAnchor)
+      .select(col("anchor_id"), col("pos_id"), col("neg_rank"),
+        col("cand_id").as("neg_id"))
+      .orderBy(col("anchor_id"), col("neg_rank"))
+  }
+
+  val s16Sql: String = {
+    val poolOf = (id: String) =>
+      s"(${Pipeline.sqlMd5Bucket(id)} % $s16NegativePools)"
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |pos AS (
+       |  SELECT q AS anchor_id, n AS pos_id FROM (
+       |    SELECT a.vec_id AS q, b.vec_id AS n,
+       |           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |             ORDER BY ROUND(list_cosine_similarity(a.ev, b.ev), 9)
+       |               DESC, b.vec_id) AS rk
+       |    FROM v a JOIN v b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 200)
+       |  WHERE rk = 1),
+       |cands AS (
+       |  SELECT p.anchor_id, p.pos_id, b.vec_id AS cand_id,
+       |         md5(CAST(p.anchor_id AS VARCHAR) || '#' ||
+       |             CAST(b.vec_id AS VARCHAR)) AS hk
+       |  FROM pos p JOIN v b
+       |    ON ${poolOf("b.vec_id")} = ${poolOf("p.anchor_id")}
+       |   AND b.vec_id <> p.anchor_id AND b.vec_id <> p.pos_id)
+       |SELECT anchor_id, pos_id, CAST(neg_rank AS INT) AS neg_rank,
+       |       cand_id AS neg_id
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |               ORDER BY hk, cand_id) AS neg_rank
+       |      FROM cands) t
+       |WHERE neg_rank <= $negativesPerAnchor
+       |ORDER BY anchor_id, neg_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s14_contrastive_pairs" -> s14ContrastivePairs _,
+    "s15_mutual_knn_ivf"    -> s15MutualKnnIvf _,
+    "s16_contrastive_bucketed" -> s16ContrastiveBucketed _,
     "s13_mutual_knn"        -> s13MutualKnn _,
     "s08_hybrid_knn"        -> s08HybridKnn _,
     "s12_knn_filtered"      -> s12KnnFiltered _,
@@ -1187,6 +1291,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "s14_contrastive_pairs" -> s14Sql,
+    "s16_contrastive_bucketed" -> s16Sql,
     "s13_mutual_knn"     -> s13Sql,
     "s01_knn_bruteforce" -> s01Sql,
     "s08_hybrid_knn"     -> s08Sql,

@@ -118,6 +118,61 @@ class DedupSpec extends SparkSpec {
       "24-band LSH pair set must equal the exact pair set at 0.45")
   }
 
+  test("lshPlanesFor: depth scales with log2(N/target), floors at the gate's b=3") {
+    // parameter stability at gate scale is what keeps the d13 hash gate
+    // sound: sf0.01 (500 vecs) and sf0.1 (5k) stay within the floor or
+    // one step above it, while 100 TB-class corpora deepen logarithmically
+    assert(Dedup.lshPlanesFor(500) == 3)
+    assert(Dedup.lshPlanesFor(2048) == 3)
+    assert(Dedup.lshPlanesFor(5000) == 5)
+    assert(Dedup.lshPlanesFor(50000) == 8)
+    assert(Dedup.lshPlanesFor(5000000) == 15)
+    // expected bucket population n/2^b never exceeds 2*target above floor
+    for (n <- Seq(10000L, 1000000L, 100000000L))
+      assert(n.toDouble / (1L << Dedup.lshPlanesFor(n)) <= 512.0,
+        s"bucket population unbounded at n=$n")
+  }
+
+  test("d13's guards: depth-scaled + capped LSH still equals the exact pair set") {
+    // the EXACT parameterization d13SemanticDedupLsh feeds the gate:
+    // auto-scaled depth, 24 bands, 4096 hot-bucket cap — must reproduce
+    // the exact pair set bit for bit on the gate corpus (the cap is
+    // lossless here: no organic bucket approaches 4096)
+    val emb = Tables.embeddings(spark, sf)
+    val exactPairs = Dedup.embeddingNearDupPairs(emb, 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val scaled = Dedup.embeddingNearDupPairsLSH(emb, 0.45, bands = 24,
+      planesPerBand = Dedup.lshPlanesFor(emb.count()),
+      maxBucketSize = Some(4096L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(scaled == exactPairs,
+      "d13's scale guards must be lossless on the gate corpus")
+  }
+
+  test("embedding hot-bucket cap drops an identical-vector clump, keeps organic pairs") {
+    // 40 IDENTICAL vectors: every band maps the clump to one bucket, so
+    // uncapped candidate volume pays C(40,2) quadratic per band. Two
+    // near-dup organic vectors elsewhere sit in population-2 buckets
+    // and must survive. This is the engagement pin for d13's cap.
+    val clump = (1L to 40L).map(i => (i, Array(1.0f, 0.02f, 0.01f, 0.03f)))
+    val organic = Seq(
+      (100L, Array(-0.9f, 0.85f, -0.7f, 0.6f)),
+      (101L, Array(-0.88f, 0.87f, -0.72f, 0.58f)))
+    val emb = (clump ++ organic).toDF("vec_id", "embedding")
+    val uncapped = Dedup.embeddingNearDupPairsLSH(emb, 0.9, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.embeddingNearDupPairsLSH(emb, 0.9, bands = 8,
+      maxBucketSize = Some(10L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.count(p => p._1 <= 40L && p._2 <= 40L) == 40 * 39 / 2,
+      "clump must dominate the uncapped pair set")
+    assert(capped.contains((100L, 101L)),
+      "organic small-bucket pair must survive the cap")
+    assert(!capped.exists(p => p._1 <= 40L && p._2 <= 40L),
+      "every clump bucket is over the cap, so its pairs are dropped " +
+        "(cluster-level policy territory, the d08/d11 contract)")
+  }
+
   test("IVF-celled embedding pairs: precision 1, bounded recall, exact at full probe") {
     val emb = Tables.embeddings(spark, sf)
     val exactPairs = Dedup.embeddingNearDupPairs(emb, 0.45)

@@ -438,6 +438,69 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s15: IVF mutual-kNN — bounded recall vs exact, exact at full probe") {
+    val emb = Tables.embeddings(spark, sf)
+    val exactEdges = Similarity.mutualKnn(
+      Similarity.bruteForceKnn(emb, emb, 5))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val ivfEdges = Similarity.s15MutualKnnIvf(spark, sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exactEdges.nonEmpty)
+    // edge recall ≈ vertex recall² — observed 0.80 at nprobe 8 on this
+    // corpus (0.49 at the scaling run's nprobe 4)
+    val recall = (ivfEdges & exactEdges).size.toDouble / exactEdges.size
+    assert(recall >= 0.75, f"IVF mutual-kNN edge recall degraded to $recall%.2f")
+    // machinery dial: probing every cell degenerates to the exact graph
+    // (the ivfKnn nprobe=nlist pin lifted to the composed operator)
+    val full = Similarity.mutualKnn(
+      Similarity.ivfKnn(emb, emb, 5, nlist = 16, nprobe = 16))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(full == exactEdges,
+      "nprobe = nlist must reproduce the exact mutual-kNN edge set")
+  }
+
+  test("s16: bucketed negatives stay inside the anchor's md5 pool") {
+    val emb = Tables.embeddings(spark, sf)
+    val anchors = emb.filter($"vec_id" < 200)
+    val top1 = Similarity.bruteForceKnn(anchors, emb, 1, roundCosineTo = 9)
+      .as[(Long, Int, Long)].collect().map(t => t._1 -> t._3).toMap
+    val poolOf = emb
+      .select($"vec_id",
+        pmod(graft.operators.Pipeline.md5Bucket($"vec_id"),
+          lit(Similarity.s16NegativePools)).as("pool"))
+      .as[(Long, Int)].collect().toMap
+    val rows = Similarity.s16ContrastiveBucketed(spark, sf)
+      .as[(Long, Long, Int, Long)].collect()
+    val byAnchor = rows.groupBy(_._1)
+    assert(byAnchor.size == anchors.count(),
+      "every bounded-set vector is an anchor")
+    byAnchor.foreach { case (a, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == Seq(1, 2, 3),
+        s"anchor $a must carry negative ranks 1..3")
+      assert(rs.head._2 == top1(a),
+        s"anchor $a positive must be its exact top-1 (unchanged from s14)")
+      rs.map(_._4).foreach { n =>
+        assert(poolOf(n) == poolOf(a),
+          s"anchor $a drew negative $n from pool ${poolOf(n)} != ${poolOf(a)}")
+        assert(n != a && n != top1(a))
+      }
+    }
+    // the pool restriction is the ONLY change from s14: within the
+    // pool, the draw ranks by the same md5(anchor#cand) key, so an
+    // s14 negative that happens to live in the anchor's pool must
+    // outrank any s16 negative with a larger hash key — spot-check via
+    // set relation: s16's rank-1 negative is s14's first in-pool pick
+    val s14ByAnchor = Similarity.s14ContrastivePairs(spark, sf)
+      .as[(Long, Long, Int, Long)].collect().groupBy(_._1)
+    byAnchor.foreach { case (a, rs) =>
+      val s14InPool = s14ByAnchor(a).sortBy(_._3).map(_._4)
+        .filter(n => poolOf(n) == poolOf(a))
+      if (s14InPool.nonEmpty)
+        assert(rs.minBy(_._3)._4 == s14InPool.head,
+          s"anchor $a: s16's first negative must be s14's first in-pool pick")
+    }
+  }
+
   test("s13: every edge is reciprocal within the same exact kNN answer") {
     val emb = Tables.embeddings(spark, sf)
     val knn = Similarity.bruteForceKnn(emb, emb, 5, roundCosineTo = 9)
