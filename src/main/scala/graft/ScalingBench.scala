@@ -72,6 +72,7 @@ object ScalingBench {
         (s, d) => TextAnalysis.decontaminate(Tables.documents(s, d), 5,
           maxShingleFreq = Some(8))),
       ("v18_streamed_ingest_dedup", true, IngestDedup.v18StreamedIngestDedup _),
+      ("v30_streamed_semantic_dedup", true, IngestDedup.v30StreamedSemanticDedup _),
       // singletons with no quadratic twin — their claim is a ~linear
       // slope: c01's assignment is a projection + constant-size
       // exchange, t17's rounds run over the word-TYPE table (which

@@ -514,12 +514,19 @@ object Dedup {
     * hash-correct (its auto-scaled parameters equal the fixed ones at
     * gate scale); the scaling curves (dev/scaling.md) record both the
     * fixed-b bend and the scaled-b line. */
-  def embeddingNearDupPairsLSH(emb: DataFrame, threshold: Double,
-                               bands: Int = 12, planesPerBand: Int = 3,
-                               seed: Long = 42L,
-                               maxBucketSize: Option[Long] = None): DataFrame = {
+  /** (vec_id, band, bucket) hyperplane-LSH rows for `emb` — the
+    * PERSISTABLE per-vector unit of the streamed semantic ingest dedup
+    * ([[graft.streaming.IngestDedup.semanticDedupingSink]]), the exact
+    * analog of [[bucketIndex]] for embeddings: a new batch buckets only
+    * its own vectors and discovers candidates by equality-join against
+    * the stored rows. A vector's buckets depend only on the vector (and
+    * the shared planes), never on batching — the discoverability
+    * argument the streamed gate rests on. Same expressions as the batch
+    * [[embeddingNearDupPairsLSH]] by construction. */
+  def embeddingBucketIndex(emb: DataFrame, bands: Int = 12,
+                           planesPerBand: Int = 3,
+                           seed: Long = 42L): DataFrame = {
     val e = emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", VectorOps.norm(col("v")))
     val probed = e.select(size(col("v")).as("d"))
       .filter(col("d").isNotNull).head(1)
     val dim = if (probed.isEmpty) 1 else probed(0).getInt(0)
@@ -527,6 +534,16 @@ object Dedup {
       VectorOps.hyperplaneBucket(col("v"),
         VectorOps.randomPlanes(planesPerBand, dim, seed + b))
     }
+    e.select(col("vec_id"),
+      posexplode(array(bandBuckets: _*)).as(Seq("band", "bucket")))
+  }
+
+  def embeddingNearDupPairsLSH(emb: DataFrame, threshold: Double,
+                               bands: Int = 12, planesPerBand: Int = 3,
+                               seed: Long = 42L,
+                               maxBucketSize: Option[Long] = None): DataFrame = {
+    val e = emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
     // materialized for the same reason as lshCandidates: the self-join
     // consumes it twice and the hyperplane-projection pipeline above it
     // is the expensive part. NARROW rows only — (vec_id, band, bucket),
@@ -537,8 +554,7 @@ object Dedup {
     // while id-pair rows merely shuffle. Vectors re-join AFTER distinct,
     // only for the candidates that survive.
     val bucketed = capBuckets(
-      e.select(col("vec_id"),
-        posexplode(array(bandBuckets: _*)).as(Seq("band", "bucket"))),
+      embeddingBucketIndex(emb, bands, planesPerBand, seed),
       maxBucketSize)
       .localCheckpoint(true)
     val cand = bucketed.as("a")
@@ -592,37 +608,23 @@ object Dedup {
                                spill: Int = 3, targetCell: Long = 256L,
                                minNlist: Int = 16,
                                seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = emb.sparkSession
-    import spark.implicits._
     val e = emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
       .localCheckpoint(true) // three consumers: count, assign, verify
     val n = e.count()
     val nlist = math.max(minNlist.toLong, n / targetCell).toInt
-    // deterministic sample fit, single partition — same rationale as
-    // Similarity.ivfIndex (distributed k-means partial-sum order is not
-    // bit-stable; quantizers are sample-fit in practice anyway). The
-    // sample and the iteration count are BOUNDED: nlist grows with N,
-    // so an nlist-proportional sample makes the single-threaded fit
-    // O(nlist · sample · iters) ≈ O(N²) — measured as 280 of d14's
-    // 295 s at the 50k-vector scaling point before the cap. 16k rows
-    // and 10 iterations hold centroid quality at these cell counts
-    // (recall pins unchanged) while the fit stays seconds. Past ~10⁵
-    // cells a flat single fit is the wrong tool no matter how sampled —
-    // the deployed form is a hierarchical quantizer (coarse k-means,
-    // then per-cell sub-fits, each a distributed sorted-sample task);
-    // the candidate join below is indifferent to which quantizer
-    // produced the cell ids.
-    val fitSample = e.orderBy(col("vec_id"))
-      .limit(math.min(math.max(nlist * 64, 1024), 16384))
-      .select(col("vec_id"), array_to_vector(col("v")).as("fv")).coalesce(1)
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(fitSample)
-    val centroids = model.clusterCenters.toSeq.zipWithIndex
-      .map { case (v, i) => (i, v.toArray.toSeq) }.toDF("cell", "centroid")
-      .withColumn("cn2", VectorOps.norm2(col("centroid")))
+    // TWO-LEVEL quantizer ([[Similarity.twoLevelCentroids]], round 9):
+    // coarse k-means over a bounded deterministic sample, then one
+    // DISTRIBUTED sub-fit task per coarse group — fit work spread over
+    // ~√nlist parallel tasks of bounded size, so the quantizer keeps
+    // shape past ~10⁵ cells where round 8's bounded single-driver-loop
+    // fit (16k sample, 10 iters — itself the fix for a measured O(N²)
+    // fit bug, dev/scaling.md) ran out of road. The spill-assignment
+    // and candidate joins below are indifferent to which quantizer
+    // produced the (cell, centroid, cn2) table.
+    val centroids = Similarity.twoLevelCentroids(
+      e.select(col("vec_id").as("id"), col("v")), nlist, seed)
+      .localCheckpoint(true) // broadcast side of the spill assignment
     // spill assignment: rank cells by |v−c|² = |v|² − 2v·c + |c|² (the
     // |v|² term is constant per vector) and keep the `spill` nearest
     val wCell = Window.partitionBy(col("vec_id"))
@@ -968,12 +970,21 @@ object Dedup {
     semanticSurvivors(emb, embeddingNearDupPairs(emb, 0.45))
   }
 
-  /** Shared downstream of d12/d13: cluster the pair list, drop every
-    * non-head member, summarize the survivor set. The pair generator is
-    * the ONLY thing that differs between the exact gate (d12) and the
-    * 100 TB LSH path (d13) — identical survivor logic by construction. */
+  /** Shared downstream of d12/d13/d14: cluster the pair list, drop
+    * every non-head member, summarize the survivor set. The pair
+    * generator is the ONLY thing that differs between the exact gate
+    * (d12) and the scale paths (d13/d14) — identical survivor logic by
+    * construction.
+    *
+    * Clustering runs through [[Graph.starContract]] (round 9), not
+    * [[dupClusters]]: both produce the identical component-minimum
+    * labeling (cross-pinned in GraphSpec), but min-label propagation
+    * needs DIAMETER rounds and the x100 scaling corpus produced a
+    * near-dup chain whose diameter blew past its 20-round budget
+    * (measured failure, dev/scaling.md) — star contraction covers the
+    * same component in O(log n) alternations. */
   private def semanticSurvivors(emb: DataFrame, pairDf: DataFrame): DataFrame = {
-    val dropped = dupClusters(pairDf.select(col("id_a"), col("id_b")))
+    val dropped = Graph.starContract(pairDf.select(col("id_a"), col("id_b")))
       .filter(col("node") =!= col("lbl"))
       .select(col("node").as("vec_id"))
     emb.select(col("vec_id"))

@@ -793,6 +793,9 @@ object EventQueries {
     // warehouse-as-state streaming ingest dedup over documents: parquet
     // LSH index carried across micro-batches AND a checkpointed restart
     "v18_streamed_ingest_dedup" -> graft.streaming.IngestDedup.v18StreamedIngestDedup _,
+    // the embedding twin: banded hyperplane-LSH index (d13's recall-1
+    // dials) carried across micro-batches and a checkpointed restart
+    "v30_streamed_semantic_dedup" -> graft.streaming.IngestDedup.v30StreamedSemanticDedup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -820,5 +823,6 @@ object EventQueries {
     "v16_streamed_attribution" -> v07Sql,
     "v17_streamed_profiles"   -> v17Sql,
     "v18_streamed_ingest_dedup" -> graft.streaming.IngestDedup.v18Sql,
+    "v30_streamed_semantic_dedup" -> graft.streaming.IngestDedup.v30Sql,
   )
 }

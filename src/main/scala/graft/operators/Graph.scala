@@ -254,6 +254,173 @@ object Graph {
       .orderBy(col("part_key"))
   }
 
+  /** Rounds of the x06 gate — mirrored in [[x06Sql]]. Large-star/
+    * small-star converges in O(log n) alternations; 6 is comfortably
+    * past convergence for every gate/bench corpus and the operator
+    * AUDITS convergence loudly (an extra alternation must be a no-op)
+    * rather than trusting the constant. */
+  val csRounds = 6
+
+  /** Connected components via ALTERNATING LARGE-STAR/SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the O(log n)-round formulation [[graft.operators.Dedup.dupClusters]]'s
+    * doc cites as the better-worst-case shape for 100 TB: min-label
+    * propagation needs DIAMETER rounds (a long path pays its length),
+    * while star alternations contract every component to a star in
+    * logarithmically many steps regardless of diameter.
+    *
+    * Each alternation is two of exactly the join-shapes this engine
+    * already scales: LARGE-STAR — per node u, connect every LARGER
+    * neighbor to m(u) = min(Γ(u) ∪ u): one per-src MIN aggregate +
+    * one equi-join re-keying the edge list; SMALL-STAR — per node u,
+    * connect its SMALLER neighbors (and u) to their minimum: the same
+    * aggregate + join on the canonical (a < b) list's larger endpoint.
+    * Edges only ever re-point toward smaller ids (connectivity
+    * preserved, a standard invariant of the algorithm), every value is
+    * an integer id (no rounding convention), and each step ends in
+    * DISTINCT — the frame stays ≤ |E| canonical pairs. Per-round
+    * localCheckpoint keeps lineage flat (the [[pagerank]] discipline).
+    *
+    * At the fixed point the edge list IS the component structure:
+    * every edge is (component-min, member). The operator then audits
+    * convergence — one more alternation must change nothing — and
+    * fails loudly otherwise (the [[graft.operators.Dedup.dupClusters]]
+    * truncation contract: partially-contracted edges look exactly like
+    * finished ones). Labels fall out as one LEFT join + coalesce;
+    * output matches x04's (part_key, community-like label, size) shape
+    * and is hash-gated against a DuckDB replay of every alternation
+    * ([[x06Sql]] — the x01/x04 generated-CTE-chain discipline). */
+  def starComponents(lineitem: DataFrame, rounds: Int = csRounds): DataFrame = {
+    val und = copurchaseEdges(lineitem)
+      .select(col("src").as("a"), col("dst").as("b")) // canonical a < b
+      .localCheckpoint(true)
+    val nodes = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .distinct().localCheckpoint(true)
+
+    def alternate(e: DataFrame): DataFrame = {
+      // LARGE-STAR: d = both directions; m(u) = min(Γ(u) ∪ u); every
+      // larger neighbor re-points to m(u). m ≤ src < dst, so (m, dst)
+      // is already canonical and never a self-loop.
+      val d = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      val m = d.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      val ls = d.join(m, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("m").as("a"), col("dst").as("b"))
+        .distinct()
+        .localCheckpoint(true)
+      // SMALL-STAR on the canonical list: per larger endpoint b,
+      // m2(b) = min of its smaller neighbors; they (and b) re-point to
+      // m2. m2 ≤ a < b keeps everything canonical and loop-free.
+      val m2 = ls.groupBy(col("b")).agg(min(col("a")).as("m"))
+      ls.join(m2, "b")
+        .filter(col("a") =!= col("m"))
+        .select(col("m").as("a"), col("a").as("b"))
+        .unionAll(m2.select(col("m").as("a"), col("b")))
+        .distinct()
+        .localCheckpoint(true)
+    }
+
+    var e = und
+    for (_ <- 1 to rounds) e = alternate(e)
+    // convergence audit, LOUD: one more alternation must be a no-op.
+    // At 100 TB this is the audit a deployment replaces with in-round
+    // changed-edge counters; here it is three bounded jobs over the
+    // already-materialized canonical list.
+    val again = alternate(e)
+    val stable = again.count() == e.count() &&
+      again.exceptAll(e).count() == 0 && e.exceptAll(again).count() == 0
+    if (!stable)
+      throw new IllegalStateException(
+        s"starComponents did not converge within $rounds alternations — " +
+          "raise csRounds (and its oracle mirror)")
+    val wc = Window.partitionBy(col("component"))
+    nodes
+      .join(e.select(col("b").as("node"), col("a").as("lbl")), Seq("node"), "left")
+      .select(col("node").as("part_key"),
+        coalesce(col("lbl"), col("node")).as("component"))
+      .withColumn("component_size", count(lit(1)).over(wc))
+      .orderBy(col("part_key"))
+  }
+
+  /** Early-exiting star contraction over an arbitrary pair list —
+    * [[graft.operators.Dedup.dupClusters]]'s O(log n)-round twin,
+    * shared by the semantic-dedup survivor path (whose x100 pair
+    * graph's diameter blew past min-label's 20-round budget — the
+    * failure this replaces with a logarithmic one).
+    *
+    * Same alternation as [[starComponents]] plus a SOUND one-scalar
+    * convergence check per round: every half-step maps each canonical
+    * edge (x, y) to an edge of value-sum ≤ x + y (large-star re-points
+    * y to m(x) ≤ x; small-star's per-group sum drops by
+    * (k−1)·(b − m₂) ≥ 0) and DISTINCT can only remove positive
+    * contributions — so Σ(a + b) is strictly decreasing UNLESS the
+    * alternation was the identity, and an unchanged sum ⟺ the edge set
+    * is a fixed point (disjoint stars centered at component minima).
+    * One tiny aggregate per round over the already-checkpointed frame
+    * replaces a three-job set-equality audit.
+    *
+    * Returns (node, lbl) for every node incident to a pair — the
+    * [[graft.operators.Dedup.dupClusters]] contract. Throws LOUDLY if
+    * `maxAlternations` (default 20 ⟹ components of ~2²⁰ nodes) is
+    * exhausted: partially-contracted edges look exactly like finished
+    * ones. */
+  def starContract(pairs: DataFrame, maxAlternations: Int = 20): DataFrame = {
+    val und = pairs
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct().localCheckpoint(true)
+    val nodes = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .distinct().localCheckpoint(true)
+
+    def alternate(e: DataFrame): DataFrame = {
+      val d = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      val m = d.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      val ls = d.join(m, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("m").as("a"), col("dst").as("b"))
+        .distinct()
+        .localCheckpoint(true)
+      val m2 = ls.groupBy(col("b")).agg(min(col("a")).as("m"))
+      ls.join(m2, "b")
+        .filter(col("a") =!= col("m"))
+        .select(col("m").as("a"), col("a").as("b"))
+        .unionAll(m2.select(col("m").as("a"), col("b")))
+        .distinct()
+        .localCheckpoint(true)
+    }
+
+    def sumOf(e: DataFrame): Long = e
+      .agg(coalesce(sum(col("a") + col("b")), lit(0L)).as("s"))
+      .head().getLong(0)
+
+    var e = und
+    var prev = sumOf(e)
+    var converged = prev == 0L // empty pair list: nothing to contract
+    var iter = 0
+    while (!converged && iter < maxAlternations) {
+      e = alternate(e)
+      val s = sumOf(e)
+      converged = s == prev
+      prev = s
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"starContract did not converge within $maxAlternations " +
+          "alternations — raise the budget")
+    nodes
+      .join(e.select(col("b").as("node"), col("a").as("lbl")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
+  }
+
   def x01Pagerank(spark: SparkSession, dir: String): DataFrame =
     pagerank(Tables.lineitem(spark, dir))
 
@@ -268,6 +435,9 @@ object Graph {
 
   def x05PersonalizedPagerank(spark: SparkSession, dir: String): DataFrame =
     personalizedPagerank(Tables.lineitem(spark, dir))
+
+  def x06StarComponents(spark: SparkSession, dir: String): DataFrame =
+    starComponents(Tables.lineitem(spark, dir))
 
   /** Shared DuckDB edge CTEs of both oracles. */
   private val edgeSql: String =
@@ -400,12 +570,47 @@ object Graph {
        |ORDER BY part_key""".stripMargin
   }
 
+  /** Generated DuckDB twin of x06: every large-star/small-star
+    * alternation replayed literally — lsI/eI are the edge lists after
+    * each half-step, all-integer, so the full contraction sequence is
+    * pinned bit-exactly, not just the final labels. */
+  val x06Sql: String = {
+    val rounds = (0 until csRounds).map { i =>
+      s"""d$i AS (SELECT a AS src, b AS dst FROM e$i
+         |        UNION ALL SELECT b, a FROM e$i),
+         |m$i AS (SELECT src, LEAST(MIN(dst), src) AS m
+         |        FROM d$i GROUP BY src),
+         |ls$i AS MATERIALIZED (
+         |  SELECT DISTINCT m.m AS a, d.dst AS b
+         |  FROM d$i d JOIN m$i m ON d.src = m.src
+         |  WHERE d.dst > d.src),
+         |m2$i AS (SELECT b, MIN(a) AS m FROM ls$i GROUP BY b),
+         |e${i + 1} AS MATERIALIZED (
+         |  SELECT DISTINCT a, b FROM (
+         |    SELECT m2.m AS a, ls.a AS b
+         |    FROM ls$i ls JOIN m2$i m2 ON ls.b = m2.b
+         |    WHERE ls.a <> m2.m
+         |    UNION ALL SELECT m, b FROM m2$i) t)""".stripMargin
+    }
+    s"""WITH $edgeSql,
+       |e0 AS (SELECT src AS a, dst AS b FROM und),
+       |${rounds.mkString(",\n")},
+       |nodes AS (SELECT DISTINCT src AS node FROM e)
+       |SELECT n.node AS part_key,
+       |       COALESCE(s.a, n.node) AS component,
+       |       CAST(COUNT(*) OVER (PARTITION BY COALESCE(s.a, n.node))
+       |            AS BIGINT) AS component_size
+       |FROM nodes n LEFT JOIN e$csRounds s ON s.b = n.node
+       |ORDER BY part_key""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_part_pagerank" -> x01Pagerank _,
     "x02_part_triangles" -> x02Triangles _,
     "x03_bfs_hops" -> x03BfsHops _,
     "x04_label_communities" -> x04LabelCommunities _,
     "x05_personalized_pagerank" -> x05PersonalizedPagerank _,
+    "x06_star_components" -> x06StarComponents _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -414,5 +619,6 @@ object Graph {
     "x03_bfs_hops" -> x03Sql,
     "x04_label_communities" -> x04Sql,
     "x05_personalized_pagerank" -> x05Sql,
+    "x06_star_components" -> x06Sql,
   )
 }

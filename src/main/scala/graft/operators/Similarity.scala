@@ -138,10 +138,104 @@ object Similarity {
     (cells, centroids)
   }
 
+  /** TWO-LEVEL (hierarchical) centroid fit — the quantizer for cell
+    * counts past what any bounded single fit can shape (~10⁵ cells,
+    * the documented d14/s04 gap): a coarse k-means over a bounded
+    * deterministic sample splits the corpus into ~√nlist groups, then
+    * EACH group fits its own ~√nlist sub-centroids as one DISTRIBUTED
+    * task (flatMapGroups over a per-group id-sorted bounded sample,
+    * running the same deterministic in-task Lloyd the PQ codebooks
+    * use). Fit work is spread over k1 parallel tasks of bounded size
+    * instead of one driver loop whose cost grows with nlist — and
+    * nothing downstream cares: the output is just a (cell, centroid,
+    * cn2) table, and assignment/probe/candidate joins are indifferent
+    * to which quantizer produced the cell ids.
+    *
+    * Determinism: coarse fit on an id-ordered coalesced sample (the
+    * [[ivfIndex]] discipline), coarse assignment argmin tie-broken on
+    * cell id, per-group samples id-ranked, [[lloydFit]] iteration
+    * order fixed — bit-identical across runs and partitionings
+    * (pinned in SimilaritySpec).
+    *
+    * Empty coarse groups (possible when k1 exceeds the natural cluster
+    * count) simply contribute no sub-centroids; cell ids stay unique
+    * via the coarse·k2+j numbering. `pts` columns: (id, v). */
+  private[operators] def twoLevelCentroids(pts: DataFrame, nlist: Int,
+                                           seed: Long): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = pts.sparkSession
+    import spark.implicits._
+    // k1·k2 <= nlist ALWAYS: the cell count must not exceed the nominal
+    // nlist, or nprobe = nlist stops being exhaustive and the
+    // degenerates-to-exact contract (and its pins) breaks
+    val k1 = math.max(2, math.floor(math.sqrt(nlist.toDouble)).toInt)
+    val k2 = math.max(1, nlist / k1)
+    val coarseSample = pts.orderBy(col("id"))
+      .limit(math.min(math.max(k1 * 64, 1024), 16384))
+      .select(col("id"), array_to_vector(col("v")).as("fv")).coalesce(1)
+    val coarseModel = new KMeans().setK(k1).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("coarse").fit(coarseSample)
+    val coarseCentroids = coarseModel.clusterCenters.toSeq.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.toSeq) }.toDF("coarse", "ccent")
+      .withColumn("ccn2", VectorOps.norm2(col("ccent")))
+    val wC = Window.partitionBy(col("id")).orderBy(col("cdist"), col("coarse"))
+    val assigned = pts.crossJoin(broadcast(coarseCentroids))
+      .withColumn("cdist",
+        VectorOps.dot(col("v"), col("ccent")) * lit(-2.0) + col("ccn2"))
+      .withColumn("crk", row_number().over(wC))
+      .filter(col("crk") === 1)
+      .select(col("id"), col("v"), col("coarse"))
+    // bounded per-group sample BEFORE grouping, so no task ever holds a
+    // whole coarse group — then one sub-fit task per group
+    val wS = Window.partitionBy(col("coarse")).orderBy(col("id"))
+    val sample = assigned
+      .withColumn("srk", row_number().over(wS))
+      .filter(col("srk") <= math.max(k2 * 64, 256))
+      .select(col("coarse"), col("id"), col("v"))
+    sample
+      .as[(Int, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (coarse: Int, it: Iterator[(Int, Long, Seq[Double])]) =>
+        val grp = it.toArray.sortBy(_._2).map(_._3.toArray)
+        val kEff = math.min(k2, grp.length)
+        lloydFit(grp, kEff, seed + 1 + coarse).zipWithIndex.iterator
+          .map { case (c, j) => (coarse * k2 + j, c.toSeq) }
+      }
+      .toDF("cell", "centroid")
+      .withColumn("cn2", VectorOps.norm2(col("centroid")))
+  }
+
+  /** [[ivfIndex]]'s shape (cells, centroids) built on the two-level
+    * quantizer: same assignment argmin as the flat index (rank all
+    * centroids by −2·v·c + ‖c‖², cell-id tiebreak), so the probe and
+    * candidate machinery downstream is untouched. */
+  private[operators] def ivfIndexTwoLevel(corpus: DataFrame, nlist: Int,
+                                          seed: Long): (DataFrame, DataFrame) = {
+    val c0 = corpus.select(col("vec_id").as("neighbor_id"),
+      VectorOps.asDouble(col("embedding")).as("cv"))
+    val centroids = twoLevelCentroids(
+      c0.select(col("neighbor_id").as("id"), col("cv").as("v")), nlist, seed)
+      .localCheckpoint(true) // consumed by assignment AND the probe ranking
+    val wA = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("cdist"), col("cell"))
+    val cells = c0.crossJoin(broadcast(centroids))
+      .withColumn("cdist",
+        VectorOps.dot(col("cv"), col("centroid")) * lit(-2.0) + col("cn2"))
+      .withColumn("crk", row_number().over(wA))
+      .filter(col("crk") === 1)
+      .select(col("neighbor_id"), col("cv"), col("cell"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+    (cells, centroids)
+  }
+
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
-             nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+             nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+             twoLevel: Boolean = false): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist)
-    val (cells, centroids) = ivfIndex(corpus, nlist, seed)
+    val (cells, centroids) =
+      if (twoLevel) ivfIndexTwoLevel(corpus, nlist, seed)
+      else ivfIndex(corpus, nlist, seed)
     val q = queries.select(col("vec_id").as("query_id"),
       VectorOps.asDouble(col("embedding")).as("qv"))
       .withColumn("qn", VectorOps.norm(col("qv")))
@@ -693,10 +787,13 @@ object Similarity {
 
   /** IVF ANN for the same queries (k-means quantizer is
     * engine-specific → rows-only gate; exhaustive-probe == exact and
-    * recall-at-default pinned in SimilaritySpec). */
+    * recall-at-default pinned in SimilaritySpec). Round 9: the gate
+    * runs on the TWO-LEVEL quantizer ([[twoLevelCentroids]]) — the
+    * form whose fit stays distributed past ~10⁵ cells; probe and
+    * rerank plumbing identical by construction. */
   def s04KnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    ivfKnn(emb.filter(col("vec_id") < 20), emb, 5)
+    ivfKnn(emb.filter(col("vec_id") < 20), emb, 5, twoLevel = true)
       .orderBy(col("query_id"), col("rk"))
   }
 

@@ -182,6 +182,141 @@ object IngestDedup {
     }
   }
 
+  /** The embeddings wire schema (matches `embeddings.parquet`). */
+  val vecsSchemaDdl: String =
+    "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+
+  /** Unbounded file-source reader for an embeddings directory. */
+  def readVecs(spark: SparkSession, dir: String,
+               maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(StructType.fromDDL(vecsSchemaDdl))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Streamed SEMANTIC ingest dedup — [[dedupingSink]]'s embedding
+    * twin, same warehouse-as-state pattern with the banded hyperplane
+    * LSH index in place of MinHash buckets:
+    *
+    *  - `index/buckets`: (vec_id, band, bucket) rows of every vector
+    *    ever seen ([[graft.operators.Dedup.embeddingBucketIndex]]) —
+    *    the candidate equi-join side;
+    *  - `index/vecs`:    (vec_id, embedding) — fetched only for exact
+    *    cosine verification of candidates.
+    *
+    * A vector LANDS only if no smaller-id vector seen so far sits at
+    * cosine ≥ `threshold` (min-id-wins); rejected vectors still become
+    * authorities. Per-batch cost is O(batch + candidates): the batch
+    * buckets only its own vectors and equi-joins the stored index.
+    * The default dials are the d13 gate's (24 bands × 3 planes, the
+    * setting DedupSpec pins to recall 1 at 0.45 on the gate corpus) —
+    * that pin is exactly what makes the exact-all-pairs oracle sound
+    * for the streamed gate: LSH discoverability of a pair depends only
+    * on the two vectors, never on batching. At 100 TB the bucket store
+    * is bucketed by `bucket` (candidate join bucket-pruned) and depth
+    * follows [[graft.operators.Dedup.lshPlanesFor]] with periodic
+    * re-bucketing as the corpus decade-steps — the index is plain
+    * parquet, so re-bucketing is one batch job over it. */
+  def semanticDedupingSink(streamed: DataFrame, outDir: String,
+                           indexDir: String, checkpointDir: String,
+                           threshold: Double = 0.45, bands: Int = 24,
+                           planesPerBand: Int = 3,
+                           seed: Long = 42L): StreamingQuery =
+    streamed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        val spark = batch.sparkSession
+        import graft.functions.VectorOps
+        val vecs = batch.select(col("vec_id"), col("embedding"))
+        val mine = Dedup.embeddingBucketIndex(vecs, bands, planesPerBand, seed)
+          .localCheckpoint(true)
+        val seenBuckets = readStateOrEmpty(spark, s"$indexDir/buckets",
+          "vec_id BIGINT, band INT, bucket BIGINT", id)
+          .select(col("vec_id"), col("band"), col("bucket"))
+        val seenVecs = readStateOrEmpty(spark, s"$indexDir/vecs",
+          "vec_id BIGINT, embedding ARRAY<FLOAT>", id)
+          .select(col("vec_id"), col("embedding"))
+        val authorities = seenBuckets.unionByName(mine)
+        val cand = mine.as("a")
+          .join(authorities.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("b.vec_id") < col("a.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+          .distinct()
+        val all = vecs.unionByName(seenVecs)
+          .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+          .withColumn("nrm", VectorOps.norm(col("v")))
+        val rejected = cand
+          .join(all.select(col("vec_id").as("id_a"), col("v").as("va"),
+            col("nrm").as("na")), Seq("id_a"))
+          .join(all.select(col("vec_id").as("id_b"), col("v").as("vb"),
+            col("nrm").as("nb")), Seq("id_b"))
+          .filter(graft.functions.VectorOps.dot(col("va"), col("vb")) /
+            (col("na") * col("nb")) >= threshold)
+          .select(col("id_a").as("vec_id")).distinct()
+        landPartitioned(batch.join(rejected, Seq("vec_id"), "left_anti"),
+          id, outDir)
+        landPartitioned(mine, id, s"$indexDir/buckets")
+        landPartitioned(vecs, id, s"$indexDir/vecs")
+        ()
+      }
+      .start()
+
+  /** v30 — streamed semantic ingest dedup end to end, hash-gated
+    * against the exact batch oracle (the v18 protocol verbatim): the
+    * embeddings table staged as three ascending vec_id slices, streamed
+    * one file per micro-batch, STOPPED mid-ingest and restarted from
+    * the checkpoint — the parquet-persisted bucket/vector index carries
+    * the seen-vectors state across the restart. The landed survivor set
+    * must equal "vectors with no smaller-id near-dup at cosine ≥ 0.45
+    * among ALL vectors". */
+  def v30StreamedSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_v30").toString
+    try {
+      val (src, out, idx, ckpt) =
+        (s"$base/src", s"$base/out", s"$base/idx", s"$base/ckpt")
+      val vecs = graft.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val maxId = vecs.agg(max(col("vec_id"))).head().getLong(0)
+      val (c1, c2) = (maxId / 3, 2 * maxId / 3)
+      val stage = Staging.stager(src)
+      stage(vecs.filter(col("vec_id") <= lit(c1)))
+      stage(vecs.filter(col("vec_id") > lit(c1) && col("vec_id") <= lit(c2)))
+      def start() = semanticDedupingSink(readVecs(spark, src), out, idx, ckpt)
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q1 = start()
+        try q1.processAllAvailable() finally q1.stop()
+        stage(vecs.filter(col("vec_id") > lit(c2)))
+        val q2 = start()
+        try q2.processAllAvailable() finally q2.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.read.parquet(out)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+        .localCheckpoint()
+    } finally {
+      val gone = new scala.reflect.io.Directory(new java.io.File(base))
+        .deleteRecursively()
+      if (!gone) System.err.println(s"[v30] temp staging not fully removed: $base")
+    }
+  }
+
+  /** Oracle: survivors = vectors that never appear as the LARGER id of
+    * an exact all-pairs cosine ≥ 0.45 pair (d12's pair CTE). */
+  val v30Sql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      |rejected AS (
+      |  SELECT DISTINCT b.vec_id AS id_b
+      |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.ev, b.ev) >= 0.45)
+      |SELECT vec_id, label FROM embeddings
+      |WHERE vec_id NOT IN (SELECT id_b FROM rejected)
+      |ORDER BY vec_id""".stripMargin
+
   /** Oracle: survivors = docs that never appear as the LARGER id of an
     * exact all-pairs shingle-Jaccard ≥ 0.8 pair (the pair CTE is
     * d02's). */

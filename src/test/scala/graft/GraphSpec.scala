@@ -102,6 +102,45 @@ class GraphSpec extends SparkSpec {
     assert(out === Array((1L, 0), (2L, 1), (3L, 2)))
   }
 
+  test("starComponents: long path contracts within the log-round budget; labels = component minima") {
+    // a 12-node path (diameter 11 — min-label propagation would need 11
+    // rounds; star alternations need ~log2(12)) plus a separate pair
+    // and a singleton-free second clique. Every node must land on its
+    // component's minimum id with the right size.
+    val path = (1L to 11L).map(i => i -> Seq(i, i + 1))
+    val g = li(path :+ (100L -> Seq(50L, 51L)) :+ (101L -> Seq(60L, 61L, 62L)): _*)
+    val out = Graph.starComponents(g)
+      .as[(Long, Long, Long)].collect().toSet
+    val expected =
+      (1L to 12L).map(i => (i, 1L, 12L)).toSet ++
+        Set((50L, 50L, 2L), (51L, 50L, 2L)) ++
+        Set((60L, 60L, 3L), (61L, 60L, 3L), (62L, 60L, 3L))
+    assert(out == expected, out.toString)
+  }
+
+  test("starComponents agrees with dupClusters on the same edge set") {
+    // two independent component algorithms (min-label propagation vs
+    // star contraction) must produce identical labelings
+    val g = li(1L -> Seq(3L, 7L), 2L -> Seq(7L, 9L), 3L -> Seq(20L, 21L),
+      4L -> Seq(9L, 40L), 5L -> Seq(21L, 22L))
+    val stars = Graph.starComponents(g)
+      .select($"part_key", $"component").as[(Long, Long)].collect().toMap
+    val pairs = Graph.copurchaseEdges(g)
+      .select($"src".as("id_a"), $"dst".as("id_b"))
+    val minLabel = graft.operators.Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(stars == minLabel, s"stars=$stars minLabel=$minLabel")
+  }
+
+  test("starComponents refuses to return partially-contracted edges") {
+    // a 40-node path cannot contract in 1 alternation — must throw, not
+    // hand back labels that merely look finished
+    val g = li((1L to 39L).map(i => i -> Seq(i, i + 1)): _*)
+    intercept[IllegalStateException] {
+      Graph.starComponents(g, rounds = 1).collect()
+    }
+  }
+
   test("bfs: hop cap bounds the expansion") {
     // chain 1-2-3-4-5-6-7: with maxHops=4 node 7 (dist 6) is absent
     val chain = (1L to 6L).map(i => (i, Seq(i, i + 1)))

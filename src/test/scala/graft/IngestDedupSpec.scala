@@ -72,6 +72,63 @@ class IngestDedupSpec extends SparkSpec {
     assert(runIngest(batches) == expected)
   }
 
+  /** Drive the semantic (embedding) sink the same way; returns kept
+    * vec_ids. */
+  private def runSemanticIngest(batches: Seq[Seq[(Long, Seq[Float])]]): Set[Long] = {
+    val base = java.nio.file.Files.createTempDirectory("graft_v30_spec").toString
+    try {
+      val (src, out, idx, ckpt) =
+        (s"$base/src", s"$base/out", s"$base/idx", s"$base/ckpt")
+      def frame(b: Seq[(Long, Seq[Float])]): DataFrame =
+        b.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      val (before, after) = batches.splitAt(2 min batches.size)
+      before.foreach(b => frame(b).coalesce(1).write.mode("append").parquet(src))
+      def start() = IngestDedup.semanticDedupingSink(
+        IngestDedup.readVecs(spark, src), out, idx, ckpt)
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      after.foreach(b => frame(b).coalesce(1).write.mode("append").parquet(src))
+      if (after.nonEmpty) {
+        val q2 = start()
+        try q2.processAllAvailable() finally q2.stop()
+      }
+      spark.read.parquet(out).select($"vec_id").as[Long].collect().toSet
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      ()
+    }
+  }
+
+  test("semantic: first-wins across batches and restart, rejected vectors still suppress") {
+    // 2-D chain in the (x,y) plane: cos(v1,v2) = cos 60° = 0.5 ≥ 0.45,
+    // cos(v2,v5) = 0.5 ≥ 0.45, cos(v1,v5) = cos 120° = −0.5 < 0.45 — a
+    // pure chain through a REJECTED vector. Uniques live in their own
+    // dimensions (cosine 0 to everything); 6 exact-dups 2 across
+    // batches AND the restart.
+    val c60 = math.cos(math.Pi / 3).toFloat; val s60 = math.sin(math.Pi / 3).toFloat
+    val v1 = Seq(1f, 0f, 0f, 0f)
+    val v2 = Seq(c60, s60, 0f, 0f)
+    val v5 = Seq(-c60, s60, 0f, 0f)
+    val u1 = Seq(0f, 0f, 1f, 0f)
+    val u2 = Seq(0f, 0f, 0f, 1f)
+    val kept = runSemanticIngest(Seq(
+      Seq(1L -> v1, 2L -> u1),
+      Seq(3L -> v2, 4L -> u2),   // 3 rejected vs 1 (cross-batch)
+      Seq(5L -> v5, 6L -> u1)))  // 5 rejected vs REJECTED 3 only; 6 dups 2
+    assert(kept == Set(1L, 2L, 4L), s"kept $kept")
+  }
+
+  test("semantic: streamed survivors equal the exact batch all-pairs answer on real vectors") {
+    val emb = Tables.embeddings(spark, sf)
+    val rejected = Dedup.embeddingNearDupPairs(emb, 0.45)
+      .select($"id_b").as[Long].collect().toSet
+    val all = emb.select($"vec_id").as[Long].collect().toSet
+    val batches = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      .grouped((all.size / 3 + 1)).map(_.toSeq).toSeq
+    assert(runSemanticIngest(batches) == all -- rejected)
+  }
+
   test("landing the same batch id twice leaves one copy (retry idempotency)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_land").toString
     try {
