@@ -735,9 +735,41 @@ object GameAnalytics {
   }
 
   // ---------------------------------------------------------------------------
+  // g24 — the DSv2 WRITE ladder, proven by ROUND TRIP: the fixture read
+  // through the custom connector, written back out through its
+  // staging-commit CSV sink (repartitioned, so the driver commit
+  // assembles MULTIPLE task part files), read again through the
+  // connector, and cleaned — must hash-match the SAME DuckDB oracle as
+  // g22 reading the original file. Quoting normalization (the sink only
+  // quotes fields that need it) is invisible to the gate because the
+  // grammar round-trips: csvField is parseLine's exact inverse.
+  // ---------------------------------------------------------------------------
+  def g24Dsv2Roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = graft.sources.GamesSource.ensureFixture()
+    val base = java.nio.file.Files.createTempDirectory("graft_g24")
+    val rt = base.resolve("games_rt.csv").toString
+    try {
+      spark.read.format("games-csv").load(src)
+        .repartition(3, col("AppID"))
+        .write.format("games-csv").mode("overwrite").save(rt)
+      graft.sources.GamesSource.clean(
+          spark.read.format("games-csv").load(rt))
+        .select(col("AppID"), col("Name"), col("release_date"),
+          col("clean_price"), col("avg_owners"), col("Developers"),
+          col("Genres"), col("revenue"))
+        .orderBy(col("AppID"))
+        .localCheckpoint() // materialize before the temp file is deleted
+    } finally {
+      new scala.reflect.io.Directory(base.toFile).deleteRecursively()
+      ()
+    }
+  }
+
+  // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g23_dsv2_ingest"        -> g23Dsv2Ingest _,
+    "g24_dsv2_roundtrip"     -> g24Dsv2Roundtrip _,
     "g01_genre_revenue"      -> g01GenreRevenue _,
     "g02_dev_metrics"        -> g02DevMetrics _,
     "g03_yearly_trend"       -> g03YearlyTrend _,
@@ -784,5 +816,6 @@ object GameAnalytics {
     "g19_price_ranges"       -> g19Sql,
     "g22_csv_ingest"         -> g22Sql,
     "g23_dsv2_ingest"        -> g22Sql, // same semantics, custom connector
+    "g24_dsv2_roundtrip"     -> g22Sql, // write+read round trip is lossless
   )
 }

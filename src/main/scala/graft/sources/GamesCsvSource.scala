@@ -8,12 +8,15 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
-  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
+  Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
+  DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
+  Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter,
   GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField,
@@ -108,14 +111,17 @@ object GamesCsvSource {
   }
 
   private final class GamesCsvTable(path: String)
-      extends Table with SupportsRead {
+      extends Table with SupportsRead with SupportsWrite {
     override def name(): String = s"games_csv($path)"
     override def schema(): StructType = dataSchema
     override def capabilities(): java.util.Set[TableCapability] =
-      java.util.EnumSet.of(TableCapability.BATCH_READ)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       new GamesCsvScanBuilder(path,
         options.getLong("maxSplitBytes", defaultSplitBytes))
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new GamesCsvWriteBuilder(path, info)
   }
 
   private final class GamesCsvScanBuilder(path: String, splitBytes: Long)
@@ -146,6 +152,129 @@ object GamesCsvSource {
 
     override def build(): Scan = new GamesCsvScan(path, splitBytes,
       required, pushed)
+  }
+
+  // -------------------------------------------------------------------------
+  // WRITE path — the full DSv2 write ladder (WriteBuilder → Write →
+  // BatchWrite → DataWriterFactory → DataWriter) with the standard
+  // two-phase commit: every task writes an isolated part file under a
+  // hidden staging directory and reports it in its commit MESSAGE; only
+  // the DRIVER's commit() assembles the destination (header + parts in
+  // partition order), so a failed/speculative task attempt can never
+  // leave bytes in the target, and abort() just drops the staging dir.
+  // The destination is the same single-file games_cleaned.csv contract
+  // the read side owns (RFC-4180 quoting, doubled-quote escapes,
+  // null→empty) — a directory-of-parts sink is what production would
+  // keep, but then it would also just use the parquet writer; the point
+  // here is the commit protocol and the byte format, both of which the
+  // g24 gate proves by ROUND TRIP: read → write → read must hash-match
+  // the same DuckDB oracle as the original file (g22's).
+  // -------------------------------------------------------------------------
+
+  /** RFC-4180 field encode: quote iff the value contains a comma,
+    * quote, or newline; escape quotes by doubling; null → empty —
+    * the exact inverse of [[parseLine]]'s accepted grammar. */
+  private[graft] def csvField(v: String): String =
+    if (v == null) ""
+    else if (v.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + v.replace("\"", "\"\"") + "\""
+    else v
+
+  private final case class CsvPartMessage(path: String, partitionId: Int)
+      extends WriterCommitMessage
+
+  private final class GamesCsvWriteBuilder(path: String,
+      info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
+    private var replace = false
+    override def truncate(): WriteBuilder = { replace = true; this }
+    override def build(): Write = {
+      require(info.schema().fieldNames.sameElements(dataSchema.fieldNames),
+        s"games-csv write expects columns ${dataSchema.fieldNames.mkString(",")}, " +
+          s"got ${info.schema().fieldNames.mkString(",")}")
+      new GamesCsvWrite(path, replace)
+    }
+  }
+
+  private final class GamesCsvWrite(path: String, replace: Boolean)
+      extends Write {
+    override def toBatch: BatchWrite = new GamesCsvBatchWrite(path, replace)
+  }
+
+  private final class GamesCsvBatchWrite(path: String, replace: Boolean)
+      extends BatchWrite {
+    private val staging = path + ".__staging__"
+
+    override def createBatchWriterFactory(info: PhysicalWriteInfo)
+        : DataWriterFactory = new GamesCsvWriterFactory(staging)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val p = new Path(path)
+      val fs = FileSystem.get(p.toUri, new Configuration())
+      if (!replace)
+        require(!fs.exists(p),
+          s"games-csv append target $path already exists — " +
+            "use overwrite for the single-file contract")
+      val out = fs.create(p, true)
+      try {
+        out.write((dataSchema.fieldNames.mkString(",") + "\n").getBytes("UTF-8"))
+        // partition order: deterministic assembly; DSv2 delivers exactly
+        // one committed message per partition
+        messages.map(_.asInstanceOf[CsvPartMessage]).sortBy(_.partitionId)
+          .foreach { m =>
+            val in = fs.open(new Path(m.path))
+            try {
+              val buf = new Array[Byte](64 * 1024)
+              var n = in.read(buf)
+              while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+            } finally in.close()
+          }
+      } finally out.close()
+      fs.delete(new Path(staging), true)
+      ()
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      val fs = FileSystem.get(new Path(staging).toUri, new Configuration())
+      fs.delete(new Path(staging), true)
+      ()
+    }
+  }
+
+  private final class GamesCsvWriterFactory(staging: String)
+      extends DataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long)
+        : DataWriter[InternalRow] = new GamesCsvWriter(staging, partitionId, taskId)
+  }
+
+  private final class GamesCsvWriter(staging: String, partitionId: Int,
+      taskId: Long) extends DataWriter[InternalRow] {
+    private val appIdPos = dataSchema.fieldIndex("AppID")
+    private val partPath =
+      new Path(staging, f"part-$partitionId%05d-$taskId.csv")
+    private val fs = FileSystem.get(partPath.toUri, new Configuration())
+    private val out = fs.create(partPath, true)
+
+    override def write(row: InternalRow): Unit = {
+      val fields = dataSchema.fields.indices.map { i =>
+        if (row.isNullAt(i)) null
+        else if (i == appIdPos) row.getInt(i).toString
+        else row.getUTF8String(i).toString
+      }
+      out.write((fields.map(csvField).mkString(",") + "\n").getBytes("UTF-8"))
+    }
+
+    override def commit(): WriterCommitMessage = {
+      out.close()
+      CsvPartMessage(partPath.toString, partitionId)
+    }
+
+    override def abort(): Unit = {
+      out.close()
+      fs.delete(partPath, false)
+      ()
+    }
+
+    override def close(): Unit = ()
   }
 
   /** `aligned` marks a start known to sit on a line boundary (the

@@ -99,6 +99,40 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(split.collect().toSet == builtin)
   }
 
+  test("write path: multi-partition round trip is lossless, including quoting edges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_w")
+    val rt = dir.resolve("rt.csv").toString
+    val original = viaDsv2()
+    original.repartition(4).write.format("games-csv")
+      .mode("overwrite").save(rt)
+    val back = spark.read.format("games-csv").load(rt)
+    assert(back.collect().toSet == original.collect().toSet,
+      "write→read must reproduce every row (quoted commas, doubled " +
+        "quotes, empty→null) across multiple task part files")
+    // the reassembled file still parses under DuckDB's grammar too —
+    // proven at the gate (g24 vs g22Sql); here pin the header + row count
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(rt)), "UTF-8").split("\n")
+    assert(lines.head == "AppID,Name,release_date,clean_price,avg_owners,Developers,Genres")
+    assert(lines.length - 1 == original.count())
+  }
+
+  test("write path: append refuses an existing target; schema mismatch fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_w2")
+    val t = dir.resolve("t.csv").toString
+    viaDsv2().write.format("games-csv").mode("overwrite").save(t)
+    intercept[Exception] {
+      viaDsv2().write.format("games-csv").mode("append").save(t)
+    }
+    // missing nullable columns are null-padded by Spark's output
+    // resolver (engine semantics, observed); an UNRESOLVABLE column is
+    // the loud-failure case
+    intercept[Exception] {
+      viaDsv2().withColumnRenamed("Name", "Foo").write.format("games-csv")
+        .mode("overwrite").save(dir.resolve("u.csv").toString)
+    }
+  }
+
   test("column pruning reaches the scan") {
     val pruned = viaDsv2().select($"Name")
     val scans = pruned.queryExecution.executedPlan.collectLeaves()
