@@ -291,6 +291,18 @@ object Graph {
     * and is hash-gated against a DuckDB replay of every alternation
     * ([[x06Sql]] — the x01/x04 generated-CTE-chain discipline). */
   def starComponents(lineitem: DataFrame, rounds: Int = csRounds): DataFrame = {
+    // the alternation loop runs ~4 shuffles per round over a frame of
+    // <=|E| 16-byte pairs — at gate/bench scale 32-way exchanges are
+    // pure task overhead x24 jobs (the v12-v17 streaming-replay
+    // rationale); results are partition-count-independent
+    val spark = lineitem.sparkSession
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try starComponentsInner(lineitem, rounds)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def starComponentsInner(lineitem: DataFrame, rounds: Int): DataFrame = {
     val und = copurchaseEdges(lineitem)
       .select(col("src").as("a"), col("dst").as("b")) // canonical a < b
       .localCheckpoint(true)
@@ -323,15 +335,27 @@ object Graph {
         .localCheckpoint(true)
     }
 
+    // fixed `rounds` alternations to mirror the oracle's CTE chain —
+    // but once the Σ(a+b) fixed-point test ([[starContract]]'s sound
+    // one-scalar check) says the edge set is stable, the remaining
+    // alternations are identities producing the SAME e_rounds the
+    // oracle computes, so they are skipped. Exhausting the budget
+    // without stabilizing throws LOUDLY: partially-contracted edges
+    // look exactly like finished ones.
+    def sumOf(f: DataFrame): Long = f
+      .agg(coalesce(sum(col("a") + col("b")), lit(0L)).as("s"))
+      .head().getLong(0)
     var e = und
-    for (_ <- 1 to rounds) e = alternate(e)
-    // convergence audit, LOUD: one more alternation must be a no-op.
-    // At 100 TB this is the audit a deployment replaces with in-round
-    // changed-edge counters; here it is three bounded jobs over the
-    // already-materialized canonical list.
-    val again = alternate(e)
-    val stable = again.count() == e.count() &&
-      again.exceptAll(e).count() == 0 && e.exceptAll(again).count() == 0
+    var prev = sumOf(e)
+    var stable = prev == 0L
+    var iter = 0
+    while (!stable && iter < rounds) {
+      e = alternate(e)
+      val s = sumOf(e)
+      stable = s == prev
+      prev = s
+      iter += 1
+    }
     if (!stable)
       throw new IllegalStateException(
         s"starComponents did not converge within $rounds alternations — " +
