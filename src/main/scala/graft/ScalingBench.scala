@@ -111,7 +111,8 @@ object ScalingBench {
       val graphRuns: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
         ("x01_pagerank", operators.Graph.x01Pagerank _),
         ("x02_triangles", operators.Graph.x02Triangles _),
-        ("x03_bfs_hops", operators.Graph.x03BfsHops _))
+        ("x03_bfs_hops", operators.Graph.x03BfsHops _),
+        ("x06_star_components", operators.Graph.x06StarComponents _))
       for (dir <- dirsCsv.split(",").map(_.trim).filter(_.nonEmpty)) {
         val nOrders = spark.read.parquet(s"$dir/orders.parquet").count()
         val nLines = spark.read.parquet(s"$dir/lineitem.parquet").count()
