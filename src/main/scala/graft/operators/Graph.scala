@@ -291,18 +291,12 @@ object Graph {
     * and is hash-gated against a DuckDB replay of every alternation
     * ([[x06Sql]] — the x01/x04 generated-CTE-chain discipline). */
   def starComponents(lineitem: DataFrame, rounds: Int = csRounds): DataFrame = {
-    // the alternation loop runs ~4 shuffles per round over a frame of
-    // <=|E| 16-byte pairs — at gate/bench scale 32-way exchanges are
-    // pure task overhead x24 jobs (the v12-v17 streaming-replay
-    // rationale); results are partition-count-independent
-    val spark = lineitem.sparkSession
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try starComponentsInner(lineitem, rounds)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-  }
-
-  private def starComponentsInner(lineitem: DataFrame, rounds: Int): DataFrame = {
+    // NOTE on shuffle width: unlike the streaming replay gates (fixed
+    // 8-partition state, v12–v17 rationale), the edge frame here GROWS
+    // with the corpus — pinning a narrow width would be a scale bug.
+    // The session's AQE coalescing already shrinks the small exchanges
+    // at gate/bench scale; at 1000 executors the same loop keeps full
+    // width.
     val und = copurchaseEdges(lineitem)
       .select(col("src").as("a"), col("dst").as("b")) // canonical a < b
       .localCheckpoint(true)
