@@ -160,8 +160,19 @@ object Similarity {
     * Empty coarse groups (possible when k1 exceeds the natural cluster
     * count) simply contribute no sub-centroids; cell ids stay unique
     * via the coarse·k2+j numbering. `pts` columns: (id, v). */
+  /** Both levels of the two-level fit: the k1-row coarse table and the
+    * final cell table carrying its `coarse` parent — so assignment can
+    * be HIERARCHICAL (rank k1 coarse centroids, then only the chosen
+    * group's k2 subs: N·(k1+k2) scored pairs instead of N·nlist). */
+  private[operators] final case class TwoLevelIndex(
+      coarse: DataFrame, cells: DataFrame)
+
   private[operators] def twoLevelCentroids(pts: DataFrame, nlist: Int,
-                                           seed: Long): DataFrame = {
+                                           seed: Long): DataFrame =
+    twoLevelIndex(pts, nlist, seed).cells.drop("coarse")
+
+  private[operators] def twoLevelIndex(pts: DataFrame, nlist: Int,
+                                       seed: Long): TwoLevelIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = pts.sparkSession
@@ -179,12 +190,16 @@ object Similarity {
     val coarseCentroids = coarseModel.clusterCenters.toSeq.zipWithIndex
       .map { case (v, i) => (i, v.toArray.toSeq) }.toDF("coarse", "ccent")
       .withColumn("ccn2", VectorOps.norm2(col("ccent")))
-    val wC = Window.partitionBy(col("id")).orderBy(col("cdist"), col("coarse"))
-    val assigned = pts.crossJoin(broadcast(coarseCentroids))
+    // window-free argmin: min(struct(dist, id)) is partial-aggregatable
+    // and totally ordered (distance then coarse id), so it matches the
+    // old (cdist, coarse)-ordered rank-1 window row exactly
+    val coarsePick = pts.crossJoin(broadcast(coarseCentroids))
       .withColumn("cdist",
         VectorOps.dot(col("v"), col("ccent")) * lit(-2.0) + col("ccn2"))
-      .withColumn("crk", row_number().over(wC))
-      .filter(col("crk") === 1)
+      .groupBy(col("id"))
+      .agg(min(struct(col("cdist"), col("coarse"))).as("m"))
+      .select(col("id"), col("m.coarse").as("coarse"))
+    val assigned = pts.join(coarsePick, "id")
       .select(col("id"), col("v"), col("coarse"))
     // bounded per-group sample BEFORE grouping, so no task ever holds a
     // whole coarse group — then one sub-fit task per group
@@ -193,40 +208,55 @@ object Similarity {
       .withColumn("srk", row_number().over(wS))
       .filter(col("srk") <= math.max(k2 * 64, 256))
       .select(col("coarse"), col("id"), col("v"))
-    sample
+    val cells = sample
       .as[(Int, Long, Seq[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (coarse: Int, it: Iterator[(Int, Long, Seq[Double])]) =>
         val grp = it.toArray.sortBy(_._2).map(_._3.toArray)
         val kEff = math.min(k2, grp.length)
         lloydFit(grp, kEff, seed + 1 + coarse).zipWithIndex.iterator
-          .map { case (c, j) => (coarse * k2 + j, c.toSeq) }
+          .map { case (c, j) => (coarse * k2 + j, coarse, c.toSeq) }
       }
-      .toDF("cell", "centroid")
+      .toDF("cell", "coarse", "centroid")
       .withColumn("cn2", VectorOps.norm2(col("centroid")))
+    TwoLevelIndex(coarseCentroids, cells)
   }
 
   /** [[ivfIndex]]'s shape (cells, centroids) built on the two-level
-    * quantizer: same assignment argmin as the flat index (rank all
-    * centroids by −2·v·c + ‖c‖², cell-id tiebreak), so the probe and
-    * candidate machinery downstream is untouched. */
+    * quantizer, with HIERARCHICAL assignment: each vector ranks the k1
+    * coarse centroids, then only its chosen group's sub-centroids —
+    * N·(k1+k2) scored pairs instead of N·nlist, and both argmins are
+    * partial-aggregatable `min(struct(dist, id))` (no window sort of a
+    * N·nlist frame). The standard multi-level-quantizer trade: a
+    * boundary vector may land in a sub-cell that is not its GLOBAL
+    * argmin cell — which shifts recall-at-defaults slightly (pinned),
+    * and changes NOTHING about the exhaustive-probe==exact contract:
+    * probing every cell covers the corpus regardless of which single
+    * cell each vector sits in. */
   private[operators] def ivfIndexTwoLevel(corpus: DataFrame, nlist: Int,
                                           seed: Long): (DataFrame, DataFrame) = {
     val c0 = corpus.select(col("vec_id").as("neighbor_id"),
       VectorOps.asDouble(col("embedding")).as("cv"))
-    val centroids = twoLevelCentroids(
+    val idx = twoLevelIndex(
       c0.select(col("neighbor_id").as("id"), col("cv").as("v")), nlist, seed)
-      .localCheckpoint(true) // consumed by assignment AND the probe ranking
-    val wA = Window.partitionBy(col("neighbor_id"))
-      .orderBy(col("cdist"), col("cell"))
-    val cells = c0.crossJoin(broadcast(centroids))
+    val subs = idx.cells.localCheckpoint(true) // assignment + probe ranking
+    val coarsePick = c0.crossJoin(broadcast(idx.coarse))
+      .withColumn("cd",
+        VectorOps.dot(col("cv"), col("ccent")) * lit(-2.0) + col("ccn2"))
+      .groupBy(col("neighbor_id"))
+      .agg(min(struct(col("cd"), col("coarse"))).as("m"))
+      .select(col("neighbor_id"), col("m.coarse").as("coarse"))
+    val cellPick = c0.join(coarsePick, "neighbor_id")
+      .join(broadcast(subs), "coarse")
       .withColumn("cdist",
         VectorOps.dot(col("cv"), col("centroid")) * lit(-2.0) + col("cn2"))
-      .withColumn("crk", row_number().over(wA))
-      .filter(col("crk") === 1)
+      .groupBy(col("neighbor_id"))
+      .agg(min(struct(col("cdist"), col("cell"))).as("m"))
+      .select(col("neighbor_id"), col("m.cell").as("cell"))
+    val cells = c0.join(cellPick, "neighbor_id")
       .select(col("neighbor_id"), col("cv"), col("cell"))
       .withColumn("cn", VectorOps.norm(col("cv")))
-    (cells, centroids)
+    (cells, subs.drop("coarse"))
   }
 
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
