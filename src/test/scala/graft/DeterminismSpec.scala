@@ -53,4 +53,17 @@ class DeterminismSpec extends SparkSpec {
   test("round-6 queries digest identically under different shuffle widths") {
     pinWidths(roundSix)
   }
+
+  // round 9: the new gate queries (v30 is a streaming runner —
+  // replay-pinned separately, the v18 convention) plus d14, whose
+  // quantizer (two-level, hierarchical assignment) and survivor
+  // clustering (starContract) both changed this round
+  private val roundNine = Seq(
+    "s15_mutual_knn_ivf", "s16_contrastive_bucketed",
+    "x06_star_components", "g24_dsv2_roundtrip",
+    "d14_semantic_dedup_ivf")
+
+  test("round-9 queries digest identically under different shuffle widths") {
+    pinWidths(roundNine)
+  }
 }
