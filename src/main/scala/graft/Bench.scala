@@ -63,8 +63,11 @@ object Bench {
     }
     // millisecond resolution: bench numbers live in a ±5-10% host-noise
     // band, and full-precision doubles nearly double the line the
-    // driver's bounded tail capture has to hold
-    def fmt(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
+    // driver's bounded tail capture has to hold. Locale.ROOT: a
+    // decimal-comma default locale would render invalid JSON.
+    def fmt(v: Double): String =
+      if (v < 0) "-1.0"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

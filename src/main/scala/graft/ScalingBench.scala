@@ -123,7 +123,7 @@ object ScalingBench {
               -1.0
           }
           println(s"""{"sfDir":"$dir","orders":$nOrders,"lineitem":$nLines,""" +
-            s""""query":"$name","sec":${"%.3f".format(sec)}}""")
+            s""""query":"$name","sec":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))}}""")
           System.out.flush()
         }
       }
@@ -143,7 +143,7 @@ object ScalingBench {
               -1.0
           }
         println(s"""{"scale":$r,"docs":$nDocs,"vecs":$nVecs,""" +
-          s""""query":"$name","capped":$capped,"sec":${"%.3f".format(sec)}}""")
+          s""""query":"$name","capped":$capped,"sec":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))}}""")
         System.out.flush()
       }
     }

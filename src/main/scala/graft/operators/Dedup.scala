@@ -488,6 +488,30 @@ object Dedup {
         round(col("cosine"), 6).as("cosine_r"))
   }
 
+  /** (vec_id, band, bucket) hyperplane-LSH rows for `emb` — the
+    * PERSISTABLE per-vector unit of the streamed semantic ingest dedup
+    * ([[graft.streaming.IngestDedup.semanticDedupingSink]]), the exact
+    * analog of [[bucketIndex]] for embeddings: a new batch buckets only
+    * its own vectors and discovers candidates by equality-join against
+    * the stored rows. A vector's buckets depend only on the vector (and
+    * the shared planes), never on batching — the discoverability
+    * argument the streamed gate rests on. Same expressions as the batch
+    * [[embeddingNearDupPairsLSH]] by construction. */
+  def embeddingBucketIndex(emb: DataFrame, bands: Int = 12,
+                           planesPerBand: Int = 3,
+                           seed: Long = 42L): DataFrame = {
+    val e = emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    val probed = e.select(size(col("v")).as("d"))
+      .filter(col("d").isNotNull).head(1)
+    val dim = if (probed.isEmpty) 1 else probed(0).getInt(0)
+    val bandBuckets = (0 until bands).map { b =>
+      VectorOps.hyperplaneBucket(col("v"),
+        VectorOps.randomPlanes(planesPerBand, dim, seed + b))
+    }
+    e.select(col("vec_id"),
+      posexplode(array(bandBuckets: _*)).as(Seq("band", "bucket")))
+  }
+
   /** Banded hyperplane-LSH embedding near-dup candidates + exact cosine
     * verification — the same band/bucket equality-join shape as
     * MinHash-LSH, applied to vectors. With G independent bands of b
@@ -514,30 +538,6 @@ object Dedup {
     * hash-correct (its auto-scaled parameters equal the fixed ones at
     * gate scale); the scaling curves (dev/scaling.md) record both the
     * fixed-b bend and the scaled-b line. */
-  /** (vec_id, band, bucket) hyperplane-LSH rows for `emb` — the
-    * PERSISTABLE per-vector unit of the streamed semantic ingest dedup
-    * ([[graft.streaming.IngestDedup.semanticDedupingSink]]), the exact
-    * analog of [[bucketIndex]] for embeddings: a new batch buckets only
-    * its own vectors and discovers candidates by equality-join against
-    * the stored rows. A vector's buckets depend only on the vector (and
-    * the shared planes), never on batching — the discoverability
-    * argument the streamed gate rests on. Same expressions as the batch
-    * [[embeddingNearDupPairsLSH]] by construction. */
-  def embeddingBucketIndex(emb: DataFrame, bands: Int = 12,
-                           planesPerBand: Int = 3,
-                           seed: Long = 42L): DataFrame = {
-    val e = emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
-    val probed = e.select(size(col("v")).as("d"))
-      .filter(col("d").isNotNull).head(1)
-    val dim = if (probed.isEmpty) 1 else probed(0).getInt(0)
-    val bandBuckets = (0 until bands).map { b =>
-      VectorOps.hyperplaneBucket(col("v"),
-        VectorOps.randomPlanes(planesPerBand, dim, seed + b))
-    }
-    e.select(col("vec_id"),
-      posexplode(array(bandBuckets: _*)).as(Seq("band", "bucket")))
-  }
-
   def embeddingNearDupPairsLSH(emb: DataFrame, threshold: Double,
                                bands: Int = 12, planesPerBand: Int = 3,
                                seed: Long = 42L,

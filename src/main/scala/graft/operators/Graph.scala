@@ -282,94 +282,46 @@ object Graph {
     * localCheckpoint keeps lineage flat (the [[pagerank]] discipline).
     *
     * At the fixed point the edge list IS the component structure:
-    * every edge is (component-min, member). The operator then audits
-    * convergence — one more alternation must change nothing — and
-    * fails loudly otherwise (the [[graft.operators.Dedup.dupClusters]]
-    * truncation contract: partially-contracted edges look exactly like
-    * finished ones). Labels fall out as one LEFT join + coalesce;
-    * output matches x04's (part_key, community-like label, size) shape
-    * and is hash-gated against a DuckDB replay of every alternation
-    * ([[x06Sql]] — the x01/x04 generated-CTE-chain discipline). */
+    * every edge is (component-min, member), detected by the sound
+    * Σ(a+b) one-scalar test and failed LOUDLY if the budget runs out
+    * (the [[graft.operators.Dedup.dupClusters]] truncation contract:
+    * partially-contracted edges look exactly like finished ones).
+    * The alternation itself lives in [[starContract]] — one
+    * implementation for the gate and the semantic-dedup survivor path.
+    * Labels fall out as one LEFT join + coalesce; output matches x04's
+    * (part_key, community-like label, size) shape and is hash-gated
+    * against a DuckDB replay of every alternation ([[x06Sql]] — the
+    * x01/x04 generated-CTE-chain discipline). */
   def starComponents(lineitem: DataFrame, rounds: Int = csRounds): DataFrame = {
-    // NOTE on shuffle width: unlike the streaming replay gates (fixed
-    // 8-partition state, v12–v17 rationale), the edge frame here GROWS
-    // with the corpus — pinning a narrow width would be a scale bug.
-    // The session's AQE coalescing already shrinks the small exchanges
-    // at gate/bench scale; at 1000 executors the same loop keeps full
-    // width.
+    // One implementation of the alternation exists — [[starContract]];
+    // this gate wrapper only derives the co-purchase edges, bounds the
+    // budget at the oracle-mirrored `rounds` (once the Σ(a+b)
+    // fixed-point test says stable, the oracle's remaining CTE rounds
+    // are identities producing the SAME e_rounds, so early exit is
+    // hash-safe), and shapes the x04-style output. NOTE on shuffle
+    // width: unlike the streaming replay gates (fixed 8-partition
+    // state, v12–v17 rationale), the edge frame GROWS with the corpus —
+    // pinning a narrow width would be a scale bug; AQE coalescing
+    // handles the small-exchange case.
     val und = copurchaseEdges(lineitem)
-      .select(col("src").as("a"), col("dst").as("b")) // canonical a < b
-      .localCheckpoint(true)
-    val nodes = und.select(col("a").as("node"))
-      .unionAll(und.select(col("b").as("node")))
-      .distinct().localCheckpoint(true)
-
-    def alternate(e: DataFrame): DataFrame = {
-      // LARGE-STAR: d = both directions; m(u) = min(Γ(u) ∪ u); every
-      // larger neighbor re-points to m(u). m ≤ src < dst, so (m, dst)
-      // is already canonical and never a self-loop.
-      val d = e.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-      val m = d.groupBy(col("src")).agg(min(col("dst")).as("mn"))
-        .select(col("src"), least(col("mn"), col("src")).as("m"))
-      val ls = d.join(m, "src")
-        .filter(col("dst") > col("src"))
-        .select(col("m").as("a"), col("dst").as("b"))
-        .distinct()
-        .localCheckpoint(true)
-      // SMALL-STAR on the canonical list: per larger endpoint b,
-      // m2(b) = min of its smaller neighbors; they (and b) re-point to
-      // m2. m2 ≤ a < b keeps everything canonical and loop-free.
-      val m2 = ls.groupBy(col("b")).agg(min(col("a")).as("m"))
-      ls.join(m2, "b")
-        .filter(col("a") =!= col("m"))
-        .select(col("m").as("a"), col("a").as("b"))
-        .unionAll(m2.select(col("m").as("a"), col("b")))
-        .distinct()
-        .localCheckpoint(true)
-    }
-
-    // fixed `rounds` alternations to mirror the oracle's CTE chain —
-    // but once the Σ(a+b) fixed-point test ([[starContract]]'s sound
-    // one-scalar check) says the edge set is stable, the remaining
-    // alternations are identities producing the SAME e_rounds the
-    // oracle computes, so they are skipped. Exhausting the budget
-    // without stabilizing throws LOUDLY: partially-contracted edges
-    // look exactly like finished ones.
-    def sumOf(f: DataFrame): Long = f
-      .agg(coalesce(sum(col("a") + col("b")), lit(0L)).as("s"))
-      .head().getLong(0)
-    var e = und
-    var prev = sumOf(e)
-    var stable = prev == 0L
-    var iter = 0
-    while (!stable && iter < rounds) {
-      e = alternate(e)
-      val s = sumOf(e)
-      stable = s == prev
-      prev = s
-      iter += 1
-    }
-    if (!stable)
-      throw new IllegalStateException(
-        s"starComponents did not converge within $rounds alternations — " +
-          "raise csRounds (and its oracle mirror)")
+      .select(col("src").as("id_a"), col("dst").as("id_b"))
+    val labels = starContract(und, maxAlternations = rounds)
     val wc = Window.partitionBy(col("component"))
-    nodes
-      .join(e.select(col("b").as("node"), col("a").as("lbl")), Seq("node"), "left")
-      .select(col("node").as("part_key"),
-        coalesce(col("lbl"), col("node")).as("component"))
+    labels
+      .select(col("node").as("part_key"), col("lbl").as("component"))
       .withColumn("component_size", count(lit(1)).over(wc))
       .orderBy(col("part_key"))
   }
 
   /** Early-exiting star contraction over an arbitrary pair list —
-    * [[graft.operators.Dedup.dupClusters]]'s O(log n)-round twin,
-    * shared by the semantic-dedup survivor path (whose x100 pair
-    * graph's diameter blew past min-label's 20-round budget — the
-    * failure this replaces with a logarithmic one).
+    * [[graft.operators.Dedup.dupClusters]]'s O(log n)-round twin and
+    * the SINGLE implementation of the alternation ([[starComponents]]
+    * wraps it for the x06 gate): shared with the semantic-dedup
+    * survivor path, whose x100 pair graph's diameter blew past
+    * min-label's 20-round budget — the failure this replaces with a
+    * logarithmic one.
     *
-    * Same alternation as [[starComponents]] plus a SOUND one-scalar
+    * The alternation pairs with a SOUND one-scalar
     * convergence check per round: every half-step maps each canonical
     * edge (x, y) to an edge of value-sum ≤ x + y (large-star re-points
     * y to m(x) ≤ x; small-star's per-group sum drops by

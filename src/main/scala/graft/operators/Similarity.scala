@@ -160,12 +160,15 @@ object Similarity {
     * Empty coarse groups (possible when k1 exceeds the natural cluster
     * count) simply contribute no sub-centroids; cell ids stay unique
     * via the coarse·k2+j numbering. `pts` columns: (id, v). */
-  /** Both levels of the two-level fit: the k1-row coarse table and the
+  /** Both levels of the two-level fit: the k1-row coarse table, the
     * final cell table carrying its `coarse` parent — so assignment can
     * be HIERARCHICAL (rank k1 coarse centroids, then only the chosen
-    * group's k2 subs: N·(k1+k2) scored pairs instead of N·nlist). */
+    * group's k2 subs: N·(k1+k2) scored pairs instead of N·nlist) —
+    * and the (id, coarse) assignment the fit already computed over the
+    * full corpus, so callers never pay the N·k1 coarse scoring pass a
+    * second time. */
   private[operators] final case class TwoLevelIndex(
-      coarse: DataFrame, cells: DataFrame)
+      coarse: DataFrame, cells: DataFrame, coarseAssign: DataFrame)
 
   private[operators] def twoLevelCentroids(pts: DataFrame, nlist: Int,
                                            seed: Long): DataFrame =
@@ -179,8 +182,10 @@ object Similarity {
     import spark.implicits._
     // k1·k2 <= nlist ALWAYS: the cell count must not exceed the nominal
     // nlist, or nprobe = nlist stops being exhaustive and the
-    // degenerates-to-exact contract (and its pins) breaks
-    val k1 = math.max(2, math.floor(math.sqrt(nlist.toDouble)).toInt)
+    // degenerates-to-exact contract (and its pins) breaks. The min
+    // clamp covers nlist = 1 (k1 would floor to 2 and mint 2 cells).
+    val k1 = math.min(nlist,
+      math.max(2, math.floor(math.sqrt(nlist.toDouble)).toInt))
     val k2 = math.max(1, nlist / k1)
     val coarseSample = pts.orderBy(col("id"))
       .limit(math.min(math.max(k1 * 64, 1024), 16384))
@@ -193,12 +198,16 @@ object Similarity {
     // window-free argmin: min(struct(dist, id)) is partial-aggregatable
     // and totally ordered (distance then coarse id), so it matches the
     // old (cdist, coarse)-ordered rank-1 window row exactly
+    // materialized ONCE: consumed by the sub-fit sample path here AND
+    // returned as coarseAssign for the caller's hierarchical assignment
+    // — narrow (id, coarse) rows, so the N·k1 scoring pass runs once
     val coarsePick = pts.crossJoin(broadcast(coarseCentroids))
       .withColumn("cdist",
         VectorOps.dot(col("v"), col("ccent")) * lit(-2.0) + col("ccn2"))
       .groupBy(col("id"))
       .agg(min(struct(col("cdist"), col("coarse"))).as("m"))
       .select(col("id"), col("m.coarse").as("coarse"))
+      .localCheckpoint(true)
     val assigned = pts.join(coarsePick, "id")
       .select(col("id"), col("v"), col("coarse"))
     // bounded per-group sample BEFORE grouping, so no task ever holds a
@@ -219,7 +228,8 @@ object Similarity {
       }
       .toDF("cell", "coarse", "centroid")
       .withColumn("cn2", VectorOps.norm2(col("centroid")))
-    TwoLevelIndex(coarseCentroids, cells)
+    TwoLevelIndex(coarseCentroids, cells,
+      assigned.select(col("id"), col("coarse")))
   }
 
   /** [[ivfIndex]]'s shape (cells, centroids) built on the two-level
@@ -240,12 +250,9 @@ object Similarity {
     val idx = twoLevelIndex(
       c0.select(col("neighbor_id").as("id"), col("cv").as("v")), nlist, seed)
     val subs = idx.cells.localCheckpoint(true) // assignment + probe ranking
-    val coarsePick = c0.crossJoin(broadcast(idx.coarse))
-      .withColumn("cd",
-        VectorOps.dot(col("cv"), col("ccent")) * lit(-2.0) + col("ccn2"))
-      .groupBy(col("neighbor_id"))
-      .agg(min(struct(col("cd"), col("coarse"))).as("m"))
-      .select(col("neighbor_id"), col("m.coarse").as("coarse"))
+    // the fit already scored every vector against the coarse level —
+    // reuse its materialized (id, coarse) instead of recomputing N·k1
+    val coarsePick = idx.coarseAssign.withColumnRenamed("id", "neighbor_id")
     val cellPick = c0.join(coarsePick, "neighbor_id")
       .join(broadcast(subs), "coarse")
       .withColumn("cdist",

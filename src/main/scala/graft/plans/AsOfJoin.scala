@@ -89,11 +89,14 @@ object AsOfJoin {
         s"right side must expose $keyName, $tsName, $rightVals")
 
       // driver-side index build: (key -> ts-sorted (tsMicros, packed
-      // [rts, v...])) — the broadcast-able-right contract of this exec
-      val collected = right.executeCollect()
+      // [rts, v...])) — the broadcast-able-right contract of this exec.
+      // executeTake bounds DRIVER memory during the pull itself (a plain
+      // executeCollect would OOM before any guard could fire); within
+      // the limit the taken rows ARE the full result.
+      val collected = right.executeTake(BroadcastAsOfJoinExec.maxBroadcastRows + 1)
       require(collected.length <= BroadcastAsOfJoinExec.maxBroadcastRows,
-        s"BroadcastAsOfJoinExec right side has ${collected.length} rows " +
-          s"(limit ${BroadcastAsOfJoinExec.maxBroadcastRows}): this operator " +
+        s"BroadcastAsOfJoinExec right side exceeds " +
+          s"${BroadcastAsOfJoinExec.maxBroadcastRows} rows: this operator " +
           "broadcasts its right side and requires a dimension-sized state " +
           "table; use graft.operators.AsOf.join (shuffle-based) for a " +
           "fact-sized right side")

@@ -214,7 +214,13 @@ object GamesCsvSource {
         require(!fs.exists(p),
           s"games-csv append target $path already exists — " +
             "use overwrite for the single-file contract")
-      val out = fs.create(p, true)
+      // assemble OFF-TARGET and rename into place: truncating the
+      // destination first would destroy the old file before the new one
+      // exists, so a driver crash (or a part-read IOException) mid-copy
+      // would leave a silently truncated CSV. The rename is the commit
+      // point; until it happens the old file is intact.
+      val tmp = new Path(staging, "__assembled__.csv")
+      val out = fs.create(tmp, true)
       try {
         out.write((dataSchema.fieldNames.mkString(",") + "\n").getBytes("UTF-8"))
         // partition order: deterministic assembly; DSv2 delivers exactly
@@ -229,6 +235,8 @@ object GamesCsvSource {
             } finally in.close()
           }
       } finally out.close()
+      if (fs.exists(p)) fs.delete(p, false)
+      require(fs.rename(tmp, p), s"games-csv commit rename $tmp -> $p failed")
       fs.delete(new Path(staging), true)
       ()
     }

@@ -220,8 +220,8 @@ object IngestDedup {
   def semanticDedupingSink(streamed: DataFrame, outDir: String,
                            indexDir: String, checkpointDir: String,
                            threshold: Double = 0.45, bands: Int = 24,
-                           planesPerBand: Int = 3,
-                           seed: Long = 42L): StreamingQuery =
+                           planesPerBand: Int = 3, seed: Long = 42L,
+                           maxBucketSize: Option[Long] = Some(4096L)): StreamingQuery =
     streamed.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
@@ -237,7 +237,15 @@ object IngestDedup {
         val seenVecs = readStateOrEmpty(spark, s"$indexDir/vecs",
           "vec_id BIGINT, embedding ARRAY<FLOAT>", id)
           .select(col("vec_id"), col("embedding"))
-        val authorities = seenBuckets.unionByName(mine)
+        // the d13 hot-bucket guard, counted over the COMBINED frame (the
+        // dedupingSink accounting): an identical-vector clump maps every
+        // band to one bucket, and the uncapped candidate join would pay
+        // C(n,2) per band — the exact blow-up that OOM'd the round-8
+        // fixed-depth d13 measurement. 4096 is lossless at gate scale
+        // (no organic bucket approaches it) and bounds every bucket's
+        // pair contribution at 100 TB.
+        val authorities = Dedup.capBuckets(
+          seenBuckets.unionByName(mine), maxBucketSize)
         val cand = mine.as("a")
           .join(authorities.as("b"),
             col("a.band") === col("b.band") &&
