@@ -74,20 +74,24 @@ object Bench {
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // stdout of an sbt run is scraped into a BOUNDED tail window: with
-    // 183 queries the headline alone can overflow it and truncate
+    // 183+ queries the headline alone can overflow it and truncate
     // mid-JSON (round-8 driver artifact held 57/183 and parsed null).
-    // Print one more SMALL line, last, that still parses whole inside
-    // any ~2 KB window: the same headline gzip+base64'd (~1.5 KB).
-    // Whichever line the scraper's parse lands on, the full per-query
-    // map is recoverable — and the lossless plain twin is persisted
-    // below and committed as dev/bench_r*.json each round.
+    // Print one more SMALL line, LAST, that still parses whole inside
+    // any ~1.5 KB window: the per-query seconds alone (ordered by
+    // sorted query name — reconstructible from SparkEntry.queries),
+    // gzip+base64'd to ~0.7 KB. Whichever line the scraper's parse
+    // lands on, the full per-query map is recoverable — and the
+    // lossless plain twin is persisted below and committed as
+    // dev/bench_r*.json each round.
     val gz = {
+      val secsCsv = results.map { case (_, v) => fmt(v) }.mkString(",")
       val bos = new java.io.ByteArrayOutputStream()
       val g = new java.util.zip.GZIPOutputStream(bos)
-      g.write(json.getBytes("UTF-8")); g.close()
+      g.write(secsCsv.getBytes("UTF-8")); g.close()
       java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","queries_gz_b64":"$gz"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n":${results.size},""" +
+      s""""secs_by_sorted_name_gz_b64":"$gz"}""")
     // also persist the plain line so the round artifact is
     // machine-readable in full regardless of stdout capture
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
