@@ -1370,7 +1370,63 @@ object TextAnalysis {
        |FROM d""".stripMargin
   }
 
+  /** Weights of the t24 linear quality model (mirrored in [[t24Sql]]):
+    * a fixed, published-weight stand-in for the distilled quality
+    * classifier (fasttext-style) a CCNet/RefinedWeb-class pipeline runs
+    * over every document — batch MODEL INFERENCE as an engine stage.
+    * Shapes the judgment the way those filters do: stopword density up,
+    * word-length plausibility up, digit spam down, a saturating length
+    * prior up. */
+  val t24Bias = -1.2
+  val t24KeepThreshold = 0.15
+
+  /** t24 — batch model inference: score every document with the
+    * fixed-weight linear quality classifier and a SOFTSIGN squash
+    * (raw/(1+|raw|)) — deliberately rational arithmetic: a sigmoid's
+    * exp() is a transcendental whose last-ulp rounding differs between
+    * libm implementations, while +,×,÷,| | are IEEE-exact in BOTH
+    * engines, so the scores (and the keep decision at the threshold)
+    * are bit-identical and the gate can hash them with NO rounding
+    * convention. Features reuse t02's hash-proven expressions; the
+    * length prior is the rational n/(n+500), not log(n), for the same
+    * reason. One projection, no shuffle until the gate's ORDER BY —
+    * model inference at 100 TB is a map. */
+  def t24QualityModel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val nd = col("n_chars").cast(DoubleType)
+    val raw = lit(t24Bias) +
+      lit(3.0) * stopwordRatio(col("text")) +
+      lit(1.5) * least(avgTokenLen(col("text")) / lit(10.0), lit(1.0)) -
+      lit(2.0) * digitRatio(col("text")) +
+      lit(0.8) * (nd / (nd + lit(500.0)))
+    Tables.documents(spark, dir)
+      .withColumn("__raw", raw)
+      .select(col("doc_id"),
+        (col("__raw") / (lit(1.0) + abs(col("__raw")))).as("model_score"),
+        ((col("__raw") / (lit(1.0) + abs(col("__raw")))) >=
+          lit(t24KeepThreshold)).as("keep"))
+      .orderBy(col("doc_id"))
+      .limit(1000)
+  }
+
+  val t24Sql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    $t24Bias + 3.0 * ($sqlStopCnt / $sqlNTok)
+       |      + 1.5 * least(($sqlAvgTokLen) / 10.0, 1.0)
+       |      - 2.0 * ($sqlDigitRatio)
+       |      + 0.8 * (CAST(n_chars AS DOUBLE)
+       |               / (CAST(n_chars AS DOUBLE) + 500.0)) AS raw
+       |  FROM documents)
+       |SELECT doc_id,
+       |  raw / (1.0 + abs(raw)) AS model_score,
+       |  raw / (1.0 + abs(raw)) >= $t24KeepThreshold AS keep
+       |FROM f
+       |ORDER BY doc_id
+       |LIMIT 1000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_quality_model"    -> t24QualityModel _,
     "t23_zipf_fit"         -> t23ZipfFit _,
     "t22_pmi_collocations" -> t22PmiCollocations _,
     "t14_pii_redaction"   -> t14PiiRedaction _,
@@ -1397,6 +1453,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t24_quality_model"    -> t24Sql,
     "t23_zipf_fit"         -> t23Sql,
     "t22_pmi_collocations" -> t22Sql,
     "t14_pii_redaction"   -> t14Sql,

@@ -61,7 +61,7 @@ class DeterminismSpec extends SparkSpec {
   private val roundNine = Seq(
     "s15_mutual_knn_ivf", "s16_contrastive_bucketed",
     "x06_star_components", "g24_dsv2_roundtrip",
-    "d14_semantic_dedup_ivf")
+    "d14_semantic_dedup_ivf", "t24_quality_model")
 
   test("round-9 queries digest identically under different shuffle widths") {
     pinWidths(roundNine)

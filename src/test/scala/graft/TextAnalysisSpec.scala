@@ -407,4 +407,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(slope < 0.0, s"rank-frequency slope must be negative, got $slope")
     assert(r2 > 0.0 && r2 <= 1.0, s"r² out of range: $r2")
   }
+
+  test("t24: scores stay in (-1,1), keep matches the threshold, prose beats digit spam") {
+    val rows = TextAnalysis.t24QualityModel(spark, sf)
+      .as[(Long, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, s, keep) =>
+      assert(s > -1.0 && s < 1.0, s"doc $id softsign out of range: $s")
+      assert(keep == (s >= TextAnalysis.t24KeepThreshold),
+        s"doc $id keep flag disagrees with the threshold")
+    }
+    // behavioral pin on crafted extremes via the same expressions the
+    // gate runs: stopword-rich prose must outscore digit spam
+    val crafted = Seq(
+      (1L, "the cat sat on the mat and it was the best of days for all of them"),
+      (2L, "8429 1039 5823 9321 7743 0921 5534 8812 9932 1204 5531 8820"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t24")
+    try {
+      crafted.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val scores = TextAnalysis.t24QualityModel(spark, tmp.toString)
+        .as[(Long, Double, Boolean)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+      assert(scores(1L)._1 > scores(2L)._1,
+        s"prose must outscore digit spam: $scores")
+      assert(scores(1L)._2 && !scores(2L)._2,
+        s"keep decisions must split the extremes: $scores")
+    } finally {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+      ()
+    }
+  }
 }
