@@ -85,7 +85,12 @@ object Graph {
     val out = e.groupBy(col("src"))
       .agg(sum(col("w")).as("outw"), count(lit(1)).as("n_nbrs"))
       .localCheckpoint(true)
+    // pre-partitioned on the per-round join key BEFORE the checkpoint:
+    // localCheckpoint preserves hash partitioning, so every round's
+    // edge⋈pr join reuses this layout and only the (node, pr) side
+    // exchanges — verified plan-side (no Exchange above the edge scan)
     val edges = e.join(out.select(col("src"), col("outw")), "src")
+      .repartition(col("src"))
       .localCheckpoint(true)
     val n = out.count()
     var pr = out.select(col("src").as("node"),
@@ -162,7 +167,9 @@ object Graph {
     * min-over-all-walks agree by definition of shortest path. */
   def bfsHopsFrom(lineitem: DataFrame, maxHops: Int = bfsHops): DataFrame = {
     val e = directed(copurchaseEdges(lineitem))
-      .select(col("src"), col("dst")).localCheckpoint(true)
+      .select(col("src"), col("dst"))
+      .repartition(col("src")) // the x01 pre-partitioning discipline
+      .localCheckpoint(true)
     val seed = e.agg(min(col("src"))).collect()(0).getLong(0)
     var visited = e.sparkSession.range(1).select(
       lit(seed).as("node"), lit(0).as("dist")).localCheckpoint(true)
@@ -197,6 +204,7 @@ object Graph {
       .agg(sum(col("w")).as("outw"), count(lit(1)).as("n_nbrs"))
       .localCheckpoint(true)
     val edges = e.join(out.select(col("src"), col("outw")), "src")
+      .repartition(col("src")) // the x01 pre-partitioning discipline
       .localCheckpoint(true)
     val isSeed = (c: org.apache.spark.sql.Column) => c % 20 === 0
     val nSeeds = out.filter(isSeed(col("src"))).count()
@@ -237,7 +245,9 @@ object Graph {
     * keeps the lineage flat. */
   def labelPropagation(lineitem: DataFrame, rounds: Int = lpRounds): DataFrame = {
     val e = directed(copurchaseEdges(lineitem))
-      .select(col("src"), col("dst")).localCheckpoint(true)
+      .select(col("src"), col("dst"))
+      .repartition(col("src")) // the x01 pre-partitioning discipline
+      .localCheckpoint(true)
     var lbl = e.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")).localCheckpoint(true)
     for (_ <- 1 to rounds) {
