@@ -85,12 +85,14 @@ object Graph {
     val out = e.groupBy(col("src"))
       .agg(sum(col("w")).as("outw"), count(lit(1)).as("n_nbrs"))
       .localCheckpoint(true)
-    // pre-partitioned on the per-round join key BEFORE the checkpoint:
-    // localCheckpoint preserves hash partitioning, so every round's
-    // edge⋈pr join reuses this layout and only the (node, pr) side
-    // exchanges — verified plan-side (no Exchange above the edge scan)
+    // NOTE: pre-partitioning this frame on src before the checkpoint
+    // would NOT save the per-round join exchange — localCheckpoint's
+    // LogicalRDD drops outputPartitioning in this Spark build (verified
+    // plan-side: a groupBy over a repartition+checkpoint frame still
+    // exchanges), so each round re-exchanges both sides by design. At
+    // cluster scale the fix is a reliable checkpoint into a BUCKETED
+    // table keyed on src, which survives with its layout.
     val edges = e.join(out.select(col("src"), col("outw")), "src")
-      .repartition(col("src"))
       .localCheckpoint(true)
     val n = out.count()
     var pr = out.select(col("src").as("node"),
@@ -167,9 +169,7 @@ object Graph {
     * min-over-all-walks agree by definition of shortest path. */
   def bfsHopsFrom(lineitem: DataFrame, maxHops: Int = bfsHops): DataFrame = {
     val e = directed(copurchaseEdges(lineitem))
-      .select(col("src"), col("dst"))
-      .repartition(col("src")) // the x01 pre-partitioning discipline
-      .localCheckpoint(true)
+      .select(col("src"), col("dst")).localCheckpoint(true)
     val seed = e.agg(min(col("src"))).collect()(0).getLong(0)
     var visited = e.sparkSession.range(1).select(
       lit(seed).as("node"), lit(0).as("dist")).localCheckpoint(true)
@@ -204,7 +204,6 @@ object Graph {
       .agg(sum(col("w")).as("outw"), count(lit(1)).as("n_nbrs"))
       .localCheckpoint(true)
     val edges = e.join(out.select(col("src"), col("outw")), "src")
-      .repartition(col("src")) // the x01 pre-partitioning discipline
       .localCheckpoint(true)
     val isSeed = (c: org.apache.spark.sql.Column) => c % 20 === 0
     val nSeeds = out.filter(isSeed(col("src"))).count()
@@ -245,9 +244,7 @@ object Graph {
     * keeps the lineage flat. */
   def labelPropagation(lineitem: DataFrame, rounds: Int = lpRounds): DataFrame = {
     val e = directed(copurchaseEdges(lineitem))
-      .select(col("src"), col("dst"))
-      .repartition(col("src")) // the x01 pre-partitioning discipline
-      .localCheckpoint(true)
+      .select(col("src"), col("dst")).localCheckpoint(true)
     var lbl = e.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")).localCheckpoint(true)
     for (_ <- 1 to rounds) {
