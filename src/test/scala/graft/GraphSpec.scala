@@ -141,6 +141,47 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("a pagerank round over a BUCKETED edge table drops the edge-side exchange") {
+    // the documented cluster-scale recipe (pagerank's checkpoint note):
+    // localCheckpoint drops outputPartitioning, so per-round
+    // co-location must come from a bucketed edge table instead — prove
+    // it: same round arithmetic, one fewer Exchange, identical result
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val g = li(1L -> Seq(1L, 2L), 2L -> Seq(2L, 3L), 3L -> Seq(1L, 3L),
+        4L -> Seq(3L, 4L))
+      val und = Graph.copurchaseEdges(g)
+      val e = und.select($"src", $"dst", $"w")
+        .unionAll(und.select($"dst".as("src"), $"src".as("dst"), $"w"))
+      val out = e.groupBy($"src").agg(sum($"w").as("outw"))
+      // checkpoint so the plain round's plan is the ROUND alone (the
+      // production shape), not the whole edge derivation
+      val edges = e.join(out, "src").localCheckpoint(true)
+      graft.sources.Warehouse.writeBucketed(edges, "graft_edges_b", "src", 4)
+      val pr = out.select($"src".as("node"), lit(1000L).as("pr"))
+        .localCheckpoint(true)
+      def round(ed: org.apache.spark.sql.DataFrame) =
+        ed.join(pr, ed("src") === pr("node"))
+          .select($"dst", expr("pr * w DIV outw").as("c"))
+          .groupBy($"dst").agg(sum($"c").as("m"))
+      val plain = round(edges)
+      val bucketed = round(spark.table("graft_edges_b"))
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.toString.linesIterator
+          .count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges(bucketed) == exchanges(plain) - 1,
+        s"bucketed round must drop exactly the edge-side exchange: " +
+          s"${exchanges(bucketed)} vs ${exchanges(plain)}")
+      val a = plain.as[(Long, Long)].collect().toSet
+      val b = bucketed.as[(Long, Long)].collect().toSet
+      assert(a == b, "bucketed round must compute the identical masses")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_edges_b")
+    }
+  }
+
   test("bfs: hop cap bounds the expansion") {
     // chain 1-2-3-4-5-6-7: with maxHops=4 node 7 (dist 6) is absent
     val chain = (1L to 6L).map(i => (i, Seq(i, i + 1)))
