@@ -336,8 +336,9 @@ object Graph {
     * contributions — so Σ(a + b) is strictly decreasing UNLESS the
     * alternation was the identity, and an unchanged sum ⟺ the edge set
     * is a fixed point (disjoint stars centered at component minima).
-    * One tiny aggregate per round over the already-checkpointed frame
-    * replaces a three-job set-equality audit.
+    * The scalar rides each checkpoint's own materialization as an
+    * observed metric ([[Dedup.dupClusters]]'s one-action-per-round
+    * precedent) — no separate aggregate job per round.
     *
     * Returns (node, lbl) for every node incident to a pair — the
     * [[graft.operators.Dedup.dupClusters]] contract. Throws LOUDLY if
@@ -345,46 +346,60 @@ object Graph {
     * exhausted: partially-contracted edges look exactly like finished
     * ones. */
   def starContract(pairs: DataFrame, maxAlternations: Int = 20): DataFrame = {
-    val und = pairs
+    // the Σ(a+b) scalar rides the frame's own eager-checkpoint job as an
+    // observed metric — the [[Dedup.dupClusters]] one-action-per-round
+    // shape; null sum ⟺ empty edge set
+    def checkpointWithSum(e: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val cp = e
+        .observe(obs, coalesce(sum(col("a") + col("b")), lit(0L)).as("s"))
+        .localCheckpoint(true)
+      (cp, obs.get("s").asInstanceOf[Long])
+    }
+
+    val (und, undSum) = checkpointWithSum(pairs
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
-      .distinct().localCheckpoint(true)
+      .distinct())
     val nodes = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .distinct().localCheckpoint(true)
 
-    def alternate(e: DataFrame): DataFrame = {
+    // One checkpoint + one action per alternation: both half-steps are
+    // min-over-group WINDOWS instead of groupBy+self-join (the window
+    // reads each frame once, so no intermediate materialization is
+    // needed to stop double-compute), and the small-star half emits its
+    // (m, b) group row from the a==m row of the same pass. Duplicate
+    // rows the dropped intermediate distinct would have removed produce
+    // duplicate outputs that the single final distinct removes — the
+    // post-distinct edge set is IDENTICAL to the two-checkpoint form
+    // (x06's per-alternation hash gate pins this).
+    def alternate(e: DataFrame): (DataFrame, Long) = {
       val d = e.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-      val m = d.groupBy(col("src")).agg(min(col("dst")).as("mn"))
-        .select(col("src"), least(col("mn"), col("src")).as("m"))
-      val ls = d.join(m, "src")
+      val ls = d
+        .withColumn("m",
+          least(min(col("dst")).over(Window.partitionBy(col("src"))),
+            col("src")))
         .filter(col("dst") > col("src"))
         .select(col("m").as("a"), col("dst").as("b"))
-        .distinct()
-        .localCheckpoint(true)
-      val m2 = ls.groupBy(col("b")).agg(min(col("a")).as("m"))
-      ls.join(m2, "b")
-        .filter(col("a") =!= col("m"))
-        .select(col("m").as("a"), col("a").as("b"))
-        .unionAll(m2.select(col("m").as("a"), col("b")))
-        .distinct()
-        .localCheckpoint(true)
+      checkpointWithSum(ls
+        .withColumn("mb", min(col("a")).over(Window.partitionBy(col("b"))))
+        .select(col("mb").as("a"),
+          when(col("a") === col("mb"), col("b")).otherwise(col("a")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct())
     }
 
-    def sumOf(e: DataFrame): Long = e
-      .agg(coalesce(sum(col("a") + col("b")), lit(0L)).as("s"))
-      .head().getLong(0)
-
     var e = und
-    var prev = sumOf(e)
+    var prev = undSum
     var converged = prev == 0L // empty pair list: nothing to contract
     var iter = 0
     while (!converged && iter < maxAlternations) {
-      e = alternate(e)
-      val s = sumOf(e)
+      val (next, s) = alternate(e)
+      e = next
       converged = s == prev
       prev = s
       iter += 1

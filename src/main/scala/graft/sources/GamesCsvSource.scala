@@ -191,18 +191,22 @@ object GamesCsvSource {
       require(info.schema().fieldNames.sameElements(dataSchema.fieldNames),
         s"games-csv write expects columns ${dataSchema.fieldNames.mkString(",")}, " +
           s"got ${info.schema().fieldNames.mkString(",")}")
-      new GamesCsvWrite(path, replace)
+      new GamesCsvWrite(path, replace, info.queryId())
     }
   }
 
-  private final class GamesCsvWrite(path: String, replace: Boolean)
-      extends Write {
-    override def toBatch: BatchWrite = new GamesCsvBatchWrite(path, replace)
+  private final class GamesCsvWrite(path: String, replace: Boolean,
+      queryId: String) extends Write {
+    override def toBatch: BatchWrite =
+      new GamesCsvBatchWrite(path, replace, queryId)
   }
 
-  private final class GamesCsvBatchWrite(path: String, replace: Boolean)
-      extends BatchWrite {
-    private val staging = path + ".__staging__"
+  private final class GamesCsvBatchWrite(path: String, replace: Boolean,
+      queryId: String) extends BatchWrite {
+    // staging is namespaced by the write's queryId: two concurrent writes
+    // to the same destination must not share a staging dir, or either
+    // job's commit()/abort() cleanup would destroy the other's part files
+    private val staging = path + s".__staging__$queryId"
 
     override def createBatchWriterFactory(info: PhysicalWriteInfo)
         : DataWriterFactory = new GamesCsvWriterFactory(staging)
@@ -235,8 +239,20 @@ object GamesCsvSource {
             } finally in.close()
           }
       } finally out.close()
-      if (fs.exists(p)) fs.delete(p, false)
-      require(fs.rename(tmp, p), s"games-csv commit rename $tmp -> $p failed")
+      // atomic replace: move the old file ASIDE (not delete) so a failed
+      // rename can restore it — delete-then-rename would lose the
+      // destination if the rename throws between the two steps
+      val aside = new Path(staging, "__replaced__.csv")
+      val hadOld = fs.exists(p)
+      if (hadOld)
+        require(fs.rename(p, aside), s"games-csv commit: move-aside $p failed")
+      try
+        require(fs.rename(tmp, p), s"games-csv commit rename $tmp -> $p failed")
+      catch {
+        case e: Throwable =>
+          if (hadOld && !fs.exists(p)) fs.rename(aside, p)
+          throw e
+      }
       fs.delete(new Path(staging), true)
       ()
     }

@@ -117,6 +117,28 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(lines.length - 1 == original.count())
   }
 
+  test("write path: overwrite replaces atomically and leaves no staging residue") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_w3")
+    val t = dir.resolve("t.csv").toString
+    viaDsv2().write.format("games-csv").mode("overwrite").save(t)
+    val first = spark.read.format("games-csv").load(t).count()
+    // second overwrite of an EXISTING destination exercises the
+    // move-aside replace (old file renamed aside, restored on failure,
+    // deleted with the staging dir on success — never delete-then-rename)
+    viaDsv2().filter($"AppID" > 10).write.format("games-csv")
+      .mode("overwrite").save(t)
+    assert(spark.read.format("games-csv").load(t).count() < first)
+    // staging dirs are namespaced per write (queryId) so concurrent
+    // writers never share one; every variant must be cleaned up
+    val residue = java.nio.file.Files.list(dir).iterator().asInstanceOf[
+      java.util.Iterator[java.nio.file.Path]]
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (residue.hasNext) names += residue.next().getFileName.toString
+    // (the local FS also leaves Hadoop's .crc checksum twin — not residue)
+    assert(!names.exists(n => n.contains("__staging__") || n.contains("__replaced__")),
+      s"no staging/aside residue may survive a commit: $names")
+  }
+
   test("write path: append refuses an existing target; schema mismatch fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_w2")
     val t = dir.resolve("t.csv").toString
