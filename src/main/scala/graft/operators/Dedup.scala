@@ -583,6 +583,60 @@ object Dedup {
     math.max(3, needed)
   }
 
+  /** Re-sign the streamed semantic-dedup parquet index
+    * ([[graft.streaming.IngestDedup.semanticDedupingSink]]'s
+    * `indexDir`) at a deeper hyperplane depth — THE batch job the
+    * sink's 100 TB story presupposes: as the ingested corpus
+    * decade-steps, [[lshPlanesFor]] wants more planes per band, and the
+    * already-landed `index/buckets` rows (signed at the old depth) stop
+    * being equi-join-compatible with freshly bucketed batches. This job
+    * rebuilds `index/buckets` from `index/vecs` at `newPlanesPerBand` —
+    * bit-identical to what a fresh full-corpus
+    * [[embeddingBucketIndex]] at the new depth would have produced
+    * (pinned in IngestDedupSpec), because a vector's buckets depend
+    * only on the vector and the shared seeded planes, never on WHEN it
+    * was bucketed. The per-row `batch_id` survives (re-joined from
+    * `index/vecs`), so the sink's `batch_id < id` retry filter keeps
+    * working across a re-bucket.
+    *
+    * The swap is move-aside atomic (the games-csv commit discipline):
+    * new rows are written beside the live dir, the live dir is renamed
+    * aside, the new dir renamed in, the aside deleted. A crash between
+    * the renames is repaired by re-running the job (it is idempotent —
+    * deterministic signing of an unchanged `index/vecs`); the sink's
+    * `planes` meta file is updated LAST, so a torn run re-buckets
+    * again rather than mis-joining. Single-writer discipline is the
+    * sink's own (one stream owns an index dir). */
+  def rebucketIndex(spark: SparkSession, indexDir: String, bands: Int,
+                    newPlanesPerBand: Int, seed: Long = 42L): Unit = {
+    import org.apache.hadoop.fs.Path
+    val vecs = spark.read.parquet(s"$indexDir/vecs")
+    val resigned = embeddingBucketIndex(
+        vecs.select(col("vec_id"), col("embedding")),
+        bands, newPlanesPerBand, seed)
+      .join(vecs.select(col("vec_id"), col("batch_id")), Seq("vec_id"))
+    val cur = new Path(s"$indexDir/buckets")
+    val tmp = new Path(s"$indexDir/buckets.__rebucket__")
+    val aside = new Path(s"$indexDir/buckets.__old__")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    resigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("batch_id").parquet(tmp.toString)
+    if (fs.exists(aside)) fs.delete(aside, true) // leftover of a torn run
+    // cur can be absent only when a previous run crashed between the
+    // two renames — then the re-signed tmp IS the recovery
+    if (fs.exists(cur))
+      require(fs.rename(cur, aside), s"rebucket: move-aside $cur failed")
+    try require(fs.rename(tmp, cur), s"rebucket: rename $tmp -> $cur failed")
+    catch {
+      case e: Throwable =>
+        if (!fs.exists(cur) && fs.exists(aside)) fs.rename(aside, cur)
+        throw e
+    }
+    fs.delete(aside, true)
+    graft.streaming.IngestDedup.writePlanesMeta(spark, indexDir,
+      newPlanesPerBand)
+  }
+
   /** IVF-celled embedding near-dup — the TRUE 100 TB path for
     * moderate-threshold semantic dedup: coarse-quantize the corpus
     * (k-means, fit on a deterministic sample — the

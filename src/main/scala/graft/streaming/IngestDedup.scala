@@ -82,6 +82,38 @@ object IngestDedup {
       .partitionBy("batch_id")
       .parquet(dir)
 
+  /** The semantic index's depth meta: `indexDir/planes` holds the
+    * planes-per-band its `buckets` rows are signed at. Written BEFORE
+    * the first bucket rows land and LAST by a re-bucket
+    * ([[graft.operators.Dedup.rebucketIndex]]), so the only crash
+    * window leaving it absent has rows signed at exactly the depth the
+    * next batch recomputes from its (unchanged) corpus counts. */
+  private[graft] def writePlanesMeta(spark: SparkSession, indexDir: String,
+                                     planes: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/planes")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/planes.__tmp__")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(planes.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"planes meta rename $tmp -> $p failed")
+  }
+
+  private[graft] def readPlanesMeta(spark: SparkSession,
+                                    indexDir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/planes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(buf.toString("UTF-8").trim.toInt)
+      } finally in.close()
+    }
+  }
+
   /** Start the deduplicating ingest: survivors land under `outDir`,
     * the seen-docs index under `indexDir` (both batch_id-partitioned,
     * see class doc for the exactly-once argument). */
@@ -212,15 +244,30 @@ object IngestDedup {
     * setting DedupSpec pins to recall 1 at 0.45 on the gate corpus) —
     * that pin is exactly what makes the exact-all-pairs oracle sound
     * for the streamed gate: LSH discoverability of a pair depends only
-    * on the two vectors, never on batching. At 100 TB the bucket store
-    * is bucketed by `bucket` (candidate join bucket-pruned) and depth
-    * follows [[graft.operators.Dedup.lshPlanesFor]] with periodic
-    * re-bucketing as the corpus decade-steps — the index is plain
-    * parquet, so re-bucketing is one batch job over it. */
+    * on the two vectors, never on batching.
+    *
+    * DEPTH SCALING (the 100 TB story, now built, not just documented):
+    * with `planesPerBand = None` the sink picks its hyperplane depth
+    * per batch from the corpus seen so far
+    * ([[graft.operators.Dedup.lshPlanesFor]]), and when the corpus
+    * decade-steps past the stored index's depth (the `indexDir/planes`
+    * meta) it first re-signs the whole parquet index at the deeper
+    * depth via [[graft.operators.Dedup.rebucketIndex]] — one idempotent
+    * batch job with a move-aside-atomic swap — then buckets the batch
+    * at the new depth. Landed survivors are unaffected by WHEN the
+    * re-bucket happens: a re-bucketed index is bit-identical to a
+    * fresh full-corpus bucketing at the new depth (IngestDedupSpec
+    * pins both the bit-identity and survivor-set invariance across a
+    * mid-stream re-bucket). At gate scale `lshPlanesFor` floors at the
+    * d13 dials' b = 3, so the v30 hash gate is parameter-stable; a
+    * deployment holding boundary recall raises `bands` as depth grows
+    * (the [[graft.operators.Dedup.embeddingNearDupPairsLSH]] E2LSH
+    * note). */
   def semanticDedupingSink(streamed: DataFrame, outDir: String,
                            indexDir: String, checkpointDir: String,
                            threshold: Double = 0.45, bands: Int = 24,
-                           planesPerBand: Int = 3, seed: Long = 42L,
+                           planesPerBand: Option[Int] = None,
+                           seed: Long = 42L,
                            maxBucketSize: Option[Long] = Some(4096L)): StreamingQuery =
     streamed.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -229,14 +276,32 @@ object IngestDedup {
         val spark = batch.sparkSession
         import graft.functions.VectorOps
         val vecs = batch.select(col("vec_id"), col("embedding"))
-        val mine = Dedup.embeddingBucketIndex(vecs, bands, planesPerBand, seed)
+        val seenVecs = readStateOrEmpty(spark, s"$indexDir/vecs",
+          "vec_id BIGINT, embedding ARRAY<FLOAT>", id)
+          .select(col("vec_id"), col("embedding"))
+        // depth decision BEFORE bucketing: auto mode re-signs the stored
+        // index first when the corpus has outgrown its depth, so the
+        // batch's buckets and the index's are always join-compatible
+        val depth = planesPerBand.getOrElse {
+          val want = Dedup.lshPlanesFor(seenVecs.count() + vecs.count())
+          readPlanesMeta(spark, indexDir) match {
+            case Some(have) if want > have =>
+              Dedup.rebucketIndex(spark, indexDir, bands, want, seed)
+              want
+            case Some(have) => have // never shrink below the stored depth
+            case None =>
+              // absent meta ⟺ empty committed index OR a torn re-bucket
+              // whose rows are already at `want` (counts unchanged on
+              // retry) — either way `want` matches the stored rows
+              writePlanesMeta(spark, indexDir, want)
+              want
+          }
+        }
+        val mine = Dedup.embeddingBucketIndex(vecs, bands, depth, seed)
           .localCheckpoint(true)
         val seenBuckets = readStateOrEmpty(spark, s"$indexDir/buckets",
           "vec_id BIGINT, band INT, bucket BIGINT", id)
           .select(col("vec_id"), col("band"), col("bucket"))
-        val seenVecs = readStateOrEmpty(spark, s"$indexDir/vecs",
-          "vec_id BIGINT, embedding ARRAY<FLOAT>", id)
-          .select(col("vec_id"), col("embedding"))
         // the d13 hot-bucket guard, counted over the COMBINED frame (the
         // dedupingSink accounting): an identical-vector clump maps every
         // band to one bucket, and the uncapped candidate join would pay

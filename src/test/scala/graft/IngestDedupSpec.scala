@@ -73,8 +73,16 @@ class IngestDedupSpec extends SparkSpec {
   }
 
   /** Drive the semantic (embedding) sink the same way; returns kept
-    * vec_ids. */
-  private def runSemanticIngest(batches: Seq[Seq[(Long, Seq[Float])]]): Set[Long] = {
+    * vec_ids. `phase1Planes`/`phase2Planes` force the depth per run
+    * (None = the sink's auto mode); `rebucketBetween` runs the offline
+    * [[Dedup.rebucketIndex]] batch job while the stream is DOWN —
+    * the mid-stream re-bucket scenario. `inspect` sees the index dir
+    * after everything lands. */
+  private def runSemanticIngest(batches: Seq[Seq[(Long, Seq[Float])]],
+                                phase1Planes: Option[Int] = None,
+                                phase2Planes: Option[Int] = None,
+                                rebucketBetween: Option[Int] = None,
+                                inspect: String => Unit = _ => ()): Set[Long] = {
     val base = java.nio.file.Files.createTempDirectory("graft_v30_spec").toString
     try {
       val (src, out, idx, ckpt) =
@@ -83,15 +91,18 @@ class IngestDedupSpec extends SparkSpec {
         b.toDF("vec_id", "embedding").withColumn("label", lit(0))
       val (before, after) = batches.splitAt(2 min batches.size)
       before.foreach(b => frame(b).coalesce(1).write.mode("append").parquet(src))
-      def start() = IngestDedup.semanticDedupingSink(
-        IngestDedup.readVecs(spark, src), out, idx, ckpt)
-      val q1 = start()
+      def start(planes: Option[Int]) = IngestDedup.semanticDedupingSink(
+        IngestDedup.readVecs(spark, src), out, idx, ckpt,
+        planesPerBand = planes)
+      val q1 = start(phase1Planes)
       try q1.processAllAvailable() finally q1.stop()
+      rebucketBetween.foreach(d => Dedup.rebucketIndex(spark, idx, 24, d))
       after.foreach(b => frame(b).coalesce(1).write.mode("append").parquet(src))
       if (after.nonEmpty) {
-        val q2 = start()
+        val q2 = start(phase2Planes)
         try q2.processAllAvailable() finally q2.stop()
       }
+      inspect(idx)
       spark.read.parquet(out).select($"vec_id").as[Long].collect().toSet
     } finally {
       new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
@@ -127,6 +138,76 @@ class IngestDedupSpec extends SparkSpec {
       .as[(Long, Seq[Float])].collect().sortBy(_._1)
       .grouped((all.size / 3 + 1)).map(_.toSeq).toSeq
     assert(runSemanticIngest(batches) == all -- rejected)
+  }
+
+  test("rebucketIndex re-signs bit-identically to a fresh full-corpus bucketing") {
+    val emb = Tables.embeddings(spark, sf)
+    val batches = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      .grouped((emb.count() / 3 + 1).toInt).map(_.toSeq).toSeq
+    runSemanticIngest(batches,
+      phase1Planes = Some(3), phase2Planes = Some(3),
+      inspect = { idx =>
+        Dedup.rebucketIndex(spark, idx, 24, 5)
+        val got = spark.read.parquet(s"$idx/buckets")
+          .select($"vec_id", $"band", $"bucket", $"batch_id")
+          .as[(Long, Int, Long, Long)].collect().toSet
+        val vecs = spark.read.parquet(s"$idx/vecs")
+        // a re-bucketed index == bucketing the whole seen corpus fresh
+        // at the new depth, batch ids intact — WHEN a vector was signed
+        // never matters (the discoverability invariance, exercised)
+        val want = Dedup.embeddingBucketIndex(
+            vecs.select($"vec_id", $"embedding"), 24, 5)
+          .join(vecs.select($"vec_id", $"batch_id"), Seq("vec_id"))
+          .select($"vec_id", $"band", $"bucket", $"batch_id")
+          .as[(Long, Int, Long, Long)].collect().toSet
+        assert(got == want)
+        assert(IngestDedup.readPlanesMeta(spark, idx).contains(5))
+        // idempotent: a second run (the crash-retry path) changes nothing
+        Dedup.rebucketIndex(spark, idx, 24, 5)
+        val again = spark.read.parquet(s"$idx/buckets")
+          .select($"vec_id", $"band", $"bucket", $"batch_id")
+          .as[(Long, Int, Long, Long)].collect().toSet
+        assert(again == got)
+      })
+  }
+
+  test("mid-stream re-bucket to a deeper depth preserves the landed survivor set") {
+    val emb = Tables.embeddings(spark, sf)
+    val rejected = Dedup.embeddingNearDupPairs(emb, 0.45)
+      .select($"id_b").as[Long].collect().toSet
+    val all = emb.select($"vec_id").as[Long].collect().toSet
+    val batches = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      .grouped((all.size / 3 + 1)).map(_.toSeq).toSeq
+    // phases 1-2 run at the gate depth, the index is re-bucketed to
+    // b = 4 while the stream is down, phase 3 buckets its batch at the
+    // new depth against the re-signed index — survivors must still be
+    // exactly the batch all-pairs answer (discoverability depends on
+    // the vectors and planes, never on when the re-bucket happened)
+    val kept = runSemanticIngest(batches,
+      phase1Planes = Some(3), phase2Planes = Some(4),
+      rebucketBetween = Some(4))
+    assert(kept == all -- rejected)
+  }
+
+  test("auto depth: a corpus crossing the lshPlanesFor boundary re-buckets mid-stream") {
+    // 2600 seeded ±1 vectors in dim 256: every pairwise cosine is a
+    // 256-term ±1 mean (≥ 0.45 needs a 7σ excursion — none exists under
+    // this fixed seed, so everything survives and recall is not in
+    // play). Slice 1 stays under the 2048-vector b=3 boundary, slice 2
+    // crosses it, so the sink must re-bucket the stored index to
+    // lshPlanesFor(2600) = 4 and keep landing — the meta file records
+    // the deepening.
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 2600).map(i =>
+      (i.toLong, Seq.fill(256)(if (rnd.nextBoolean()) 1f else -1f)))
+    var metaAfter: Option[Int] = None
+    val kept = runSemanticIngest(
+      Seq(vecs.take(1500), vecs.slice(1500, 2600)),
+      inspect = idx => metaAfter = IngestDedup.readPlanesMeta(spark, idx))
+    assert(kept == vecs.map(_._1).toSet)
+    assert(metaAfter.contains(4), s"expected auto re-bucket to 4, meta=$metaAfter")
   }
 
   test("landing the same batch id twice leaves one copy (retry idempotency)") {
