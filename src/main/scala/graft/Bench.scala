@@ -30,7 +30,16 @@ object Bench {
         true
       } catch { case _: Throwable => false }
 
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2,... — isolated re-measure of a
+    // subset (the BASELINE.md refresh convention: floors come from
+    // isolated or low-contention minimums, never from one contended
+    // full-catalog pass). The driver never sets this, so round
+    // artifacts stay full-catalog; subset artifacts feed
+    // dev/refresh_baseline.py alongside them.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // warmup dir: explicit env, else the smallest sibling SF, else the
     // bench dir itself — and report failures rather than silently
     // skipping warmup (an unwarmed first query inflates its number)

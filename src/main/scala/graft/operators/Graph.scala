@@ -75,6 +75,37 @@ object Graph {
       .unionAll(und.select(col("dst").as("src"), col("src").as("dst"),
         col("w")))
 
+  /** One damped fixed-point round: mass from `pr` pushed along
+    * `edges` (src, dst, w, outw), partially aggregated on dst. Shared
+    * by [[pagerank]] (checkpointed edges) and [[pagerankBucketed]]
+    * (bucketed edge table) — and by GraphSpec's exchange-count pin, so
+    * the pinned plan IS the gate's round shape. */
+  private[graft] def prRound(edges: DataFrame, pr: DataFrame,
+                             base: Long): DataFrame =
+    edges.join(pr, edges("src") === pr("node"))
+      .select(col("dst"), expr("pr * w DIV outw").as("c"))
+      .groupBy(col("dst"))
+      .agg((lit(base) + expr("85 * sum(c) DIV 100")).as("pr"))
+      .select(col("dst").as("node"), col("pr"))
+
+  /** (out-strength frame, initial pr vector, teleport base) for a
+    * directed-edge frame — the shared fit preamble. */
+  private def prSetup(e: DataFrame): (DataFrame, DataFrame, Long) = {
+    val out = e.groupBy(col("src"))
+      .agg(sum(col("w")).as("outw"), count(lit(1)).as("n_nbrs"))
+      .localCheckpoint(true)
+    val n = out.count()
+    val pr0 = out.select(col("src").as("node"),
+      lit(scale / n).as("pr")).localCheckpoint(true)
+    (out, pr0, (15L * scale) / (100L * n)) // teleport mass, integer-exact
+  }
+
+  private def prFinish(out: DataFrame, pr: DataFrame): DataFrame =
+    out.join(pr, out("src") === pr("node"))
+      .select(col("src").as("part_key"), col("n_nbrs"),
+        col("pr").as("pr_fp"))
+      .orderBy(col("part_key"))
+
   /** Fixed-point PageRank over the co-purchase graph:
     * (part_key, n_nbrs, pr_fp) after [[prRounds]] damped rounds from a
     * uniform start; pr_fp is the score in [[scale]] micro-units. */
@@ -82,34 +113,47 @@ object Graph {
     val e = directed(copurchaseEdges(lineitem))
     // static per-source strength + neighbor count, attached to the
     // edge table once so rounds touch exactly two frames
-    val out = e.groupBy(col("src"))
-      .agg(sum(col("w")).as("outw"), count(lit(1)).as("n_nbrs"))
-      .localCheckpoint(true)
+    val (out, pr0, base) = prSetup(e)
     // NOTE: pre-partitioning this frame on src before the checkpoint
     // would NOT save the per-round join exchange — localCheckpoint's
     // LogicalRDD drops outputPartitioning in this Spark build (verified
     // plan-side: a groupBy over a repartition+checkpoint frame still
     // exchanges), so each round re-exchanges both sides by design. At
     // cluster scale the fix is a reliable checkpoint into a BUCKETED
-    // table keyed on src, which survives with its layout.
+    // table keyed on src, which survives with its layout —
+    // [[pagerankBucketed]] (the x07 gate) runs exactly that recipe.
     val edges = e.join(out.select(col("src"), col("outw")), "src")
       .localCheckpoint(true)
-    val n = out.count()
-    var pr = out.select(col("src").as("node"),
-      lit(scale / n).as("pr")).localCheckpoint(true)
-    val base = (15L * scale) / (100L * n) // teleport mass, integer-exact
-    for (_ <- 1 to rounds) {
-      pr = edges.join(pr, edges("src") === pr("node"))
-        .select(col("dst"), expr("pr * w DIV outw").as("c"))
-        .groupBy(col("dst"))
-        .agg((lit(base) + expr("85 * sum(c) DIV 100")).as("pr"))
-        .select(col("dst").as("node"), col("pr"))
-        .localCheckpoint(true)
-    }
-    out.join(pr, out("src") === pr("node"))
-      .select(col("src").as("part_key"), col("n_nbrs"),
-        col("pr").as("pr_fp"))
-      .orderBy(col("part_key"))
+    var pr = pr0
+    for (_ <- 1 to rounds)
+      pr = prRound(edges, pr, base).localCheckpoint(true)
+    prFinish(out, pr)
+  }
+
+  /** The cluster-scale PageRank recipe as a gate (x07): the static
+    * edge frame is written ONCE into a src-BUCKETED sorted table
+    * ([[graft.sources.Warehouse.writeBucketed]]) and every round reads
+    * it back WITH its layout — bucketing survives storage where
+    * localCheckpoint's outputPartitioning does not, so the per-round
+    * join needs no edge-side exchange (GraphSpec pins 2-vs-3 exchanges
+    * on [[prRound]] itself under disabled broadcast). At 100 TB this
+    * is the difference between shuffling the edge list `rounds` times
+    * and shuffling only the (much smaller) rank vector: the one-time
+    * bucketed write is amortized over every round and every re-fit on
+    * the standing graph. Arithmetic is [[pagerank]]'s bit for bit —
+    * same integer rounds, same oracle (x01's generated CTE chain). */
+  def pagerankBucketed(lineitem: DataFrame, rounds: Int = prRounds,
+                       table: String = "graft_x07_edges"): DataFrame = {
+    val spark = lineitem.sparkSession
+    val e = directed(copurchaseEdges(lineitem))
+    val (out, pr0, base) = prSetup(e)
+    graft.sources.Warehouse.writeBucketed(
+      e.join(out.select(col("src"), col("outw")), "src"), table, "src", 32)
+    val edges = spark.table(table)
+    var pr = pr0
+    for (_ <- 1 to rounds)
+      pr = prRound(edges, pr, base).localCheckpoint(true)
+    prFinish(out, pr)
   }
 
   /** Per-node triangle count + local clustering coefficient over the
@@ -431,6 +475,9 @@ object Graph {
   def x06StarComponents(spark: SparkSession, dir: String): DataFrame =
     starComponents(Tables.lineitem(spark, dir))
 
+  def x07PagerankBucketed(spark: SparkSession, dir: String): DataFrame =
+    pagerankBucketed(Tables.lineitem(spark, dir))
+
   /** Shared DuckDB edge CTEs of both oracles. */
   private val edgeSql: String =
     """op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -603,6 +650,7 @@ object Graph {
     "x04_label_communities" -> x04LabelCommunities _,
     "x05_personalized_pagerank" -> x05PersonalizedPagerank _,
     "x06_star_components" -> x06StarComponents _,
+    "x07_pagerank_bucketed" -> x07PagerankBucketed _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -612,5 +660,8 @@ object Graph {
     "x04_label_communities" -> x04Sql,
     "x05_personalized_pagerank" -> x05Sql,
     "x06_star_components" -> x06Sql,
+    // identical masses by construction — the bucketed layout is a
+    // physical-plan change only, so x01's generated chain is the oracle
+    "x07_pagerank_bucketed" -> x01Sql,
   )
 }

@@ -1215,7 +1215,12 @@ object Similarity {
   /** s13 — the mutual-kNN graph over the WHOLE corpus (every vector a
     * query, k = 5), hash-gated: integer-only output, ranks built on
     * round(cosine, 9) so the rank lists are bit-stable across engines
-    * (the s08 convention; boundary caveat at the top of this file). */
+    * (the s08 convention; boundary caveat at the top of this file).
+    * The exact all-pairs candidate stage is the GATE-ORACLE form, by
+    * declaration — the deployment form is s15 (the same mutual filter
+    * over IVF candidates, measured 9× faster at x100 in
+    * dev/scaling.md); this query exists so s15 has an exact graph to
+    * be judged against. */
   def s13MutualKnn(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     mutualKnn(bruteForceKnn(emb, emb, 5, roundCosineTo = 9))

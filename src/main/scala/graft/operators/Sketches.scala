@@ -38,6 +38,13 @@ import graft.Tables
   *    partitioning (ScalaTest pins the estimate against exact
   *    distincts; the gate is rows-only — DuckDB's approx engine is a
   *    different implementation).
+  *
+  *  - '''Mergeable quantile summaries''' (q40): quantiles are holistic
+  *    — a month's exact p90 cannot be combined into a year's — so the
+  *    rollup needs a mergeable summary. [[graft.functions.QuantileSketch]]
+  *    is the deterministic one (KLL's randomized compaction would break
+  *    the width-sweep determinism pins): exact below its distinct-value
+  *    capacity, fixed-grid above it, merge-order-invariant either way.
   */
 object Sketches {
 
@@ -215,14 +222,79 @@ object Sketches {
       |LEFT JOIN i ON i.fa = ca.flag AND i.fb = cb.flag
       |ORDER BY flag_a, flag_b""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q40 — deterministic mergeable QUANTILE rollup: per-month price
+  // summaries built in one pass over orders, merged upward to yearly
+  // price quantiles WITHOUT re-reading raw values — the holistic
+  // statistic (exact percentile needs every value) made re-aggregable,
+  // completing the sketch family (q30 distincts, q39 set algebra).
+  // KLL would do this too but its randomized compaction breaks
+  // partitioning-invariance; graft.functions.QuantileSketch is
+  // deterministic by construction: EXACT below its distinct-value
+  // capacity (q39's theta precedent — the gate SF sits below it, so
+  // the gate hash-matches DuckDB's exact r-th-smallest), fixed-grid
+  // histogram above it (deterministic, merge-order-invariant;
+  // value error ≤ binWidth, pinned in QuantileSketchSpec).
+  // ---------------------------------------------------------------------------
+  private val (qsCap, qsLo, qsHi, qsBins) = (4096, 0.0, 512000.0, 8192)
+
+  def q40QuantileRollup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QuantileSketch
+    val build = udaf(QuantileSketch.buildAgg(qsCap, qsLo, qsHi, qsBins))
+    val merge = udaf(QuantileSketch.mergeAgg(qsCap, qsLo, qsHi, qsBins))
+    val qq = udf((b: Array[Byte], q: Double) =>
+      QuantileSketch.quantile(b, q, qsLo, qsHi))
+    val monthly = Tables.orders(spark, dir)
+      .select(
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        col("o_totalprice"))
+      .groupBy(col("order_year"), col("order_month"))
+      .agg(build(col("o_totalprice")).as("sk"), count(lit(1)).as("orders"))
+    monthly
+      .groupBy(col("order_year"))
+      .agg(merge(col("sk")).as("sk"), sum(col("orders")).as("n_orders"))
+      .select(
+        col("order_year"), col("n_orders"),
+        qq(col("sk"), lit(0.25)).as("p25_price"),
+        qq(col("sk"), lit(0.5)).as("p50_price"),
+        qq(col("sk"), lit(0.75)).as("p75_price"),
+        qq(col("sk"), lit(0.9)).as("p90_price"))
+      .orderBy(col("order_year"))
+  }
+
+  /** Exact r-th-smallest (r = ⌈q·n⌉) per year — the sketch's own
+    * quantile rule, so the hash gate is sound exactly while every
+    * year's distinct price count sits below the sketch capacity
+    * (true at gate SF: ≤ 2.4k distinct vs cap 4096). Ties in the
+    * ROW_NUMBER order are harmless: any permutation of equal values
+    * puts the same VALUE at rank r. */
+  val q40Sql: String =
+    """WITH o AS (
+      |  SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
+      |         o_totalprice AS v,
+      |         ROW_NUMBER() OVER (PARTITION BY YEAR(o_orderdate)
+      |                            ORDER BY o_totalprice) AS rn,
+      |         COUNT(*) OVER (PARTITION BY YEAR(o_orderdate)) AS n
+      |  FROM orders)
+      |SELECT order_year,
+      |  CAST(MAX(n) AS BIGINT) AS n_orders,
+      |  MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN v END) AS p25_price,
+      |  MAX(CASE WHEN rn = CAST(CEIL(0.5  * n) AS BIGINT) THEN v END) AS p50_price,
+      |  MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN v END) AS p75_price,
+      |  MAX(CASE WHEN rn = CAST(CEIL(0.9  * n) AS BIGINT) THEN v END) AS p90_price
+      |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_bloom_pruned_join"    -> q29BloomPrunedJoin _,
     "q30_hll_distinct_rollup"  -> q30HllDistinctRollup _,
     "q39_theta_flag_overlap"   -> q39ThetaFlagOverlap _,
+    "q40_quantile_rollup"      -> q40QuantileRollup _,
   )
 
   val oracles: Map[String, String] = Map(
     "q29_bloom_pruned_join" -> q29Sql,
     "q39_theta_flag_overlap" -> q39Sql,
+    "q40_quantile_rollup" -> q40Sql,
   )
 }

@@ -939,11 +939,25 @@ object Warehouse {
     * this is the standing-warehouse layout decision, made once at
     * write time and amortized over every subsequent join. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+                    buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val spark = df.sparkSession
+    // a managed-table LOCATION can outlive its catalog entry (the
+    // default in-memory catalog dies with the session, the warehouse
+    // dir does not) — an Overwrite into a fresh session then fails
+    // LOCATION_ALREADY_EXISTS; clear the orphaned dir first
+    if (mode == SaveMode.Overwrite &&
+        !spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        table.toLowerCase(java.util.Locale.ROOT))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write
       .mode(mode)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 }

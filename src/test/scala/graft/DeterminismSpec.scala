@@ -66,4 +66,12 @@ class DeterminismSpec extends SparkSpec {
   test("round-9 queries digest identically under different shuffle widths") {
     pinWidths(roundNine)
   }
+
+  // round 10: the quantile-sketch rollup (merge-order invariance is its
+  // whole reason to exist) and the bucketed-edge pagerank gate
+  private val roundTen = Seq("q40_quantile_rollup", "x07_pagerank_bucketed")
+
+  test("round-10 queries digest identically under different shuffle widths") {
+    pinWidths(roundTen)
+  }
 }

@@ -161,18 +161,18 @@ class GraphSpec extends SparkSpec {
       graft.sources.Warehouse.writeBucketed(edges, "graft_edges_b", "src", 4)
       val pr = out.select($"src".as("node"), lit(1000L).as("pr"))
         .localCheckpoint(true)
+      // the GATE's own round shape (x07 runs Graph.prRound verbatim) —
+      // pinning a test-local replica would let the gate drift
       def round(ed: org.apache.spark.sql.DataFrame) =
-        ed.join(pr, ed("src") === pr("node"))
-          .select($"dst", expr("pr * w DIV outw").as("c"))
-          .groupBy($"dst").agg(sum($"c").as("m"))
+        Graph.prRound(ed, pr, 7L)
       val plain = round(edges)
       val bucketed = round(spark.table("graft_edges_b"))
       def exchanges(df: org.apache.spark.sql.DataFrame): Int =
         df.queryExecution.executedPlan.toString.linesIterator
           .count(_.contains("Exchange hashpartitioning"))
-      assert(exchanges(bucketed) == exchanges(plain) - 1,
-        s"bucketed round must drop exactly the edge-side exchange: " +
-          s"${exchanges(bucketed)} vs ${exchanges(plain)}")
+      assert(exchanges(plain) == 3 && exchanges(bucketed) == 2,
+        s"bucketed round must drop exactly the edge-side exchange " +
+          s"(3 -> 2): got ${exchanges(plain)} vs ${exchanges(bucketed)}")
       val a = plain.as[(Long, Long)].collect().toSet
       val b = bucketed.as[(Long, Long)].collect().toSet
       assert(a == b, "bucketed round must compute the identical masses")
