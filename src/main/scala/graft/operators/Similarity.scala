@@ -151,8 +151,8 @@ object Similarity {
     * cn2) table, and assignment/probe/candidate joins are indifferent
     * to which quantizer produced the cell ids.
     *
-    * Determinism: coarse fit on an id-ordered coalesced sample (the
-    * [[ivfIndex]] discipline), coarse assignment argmin tie-broken on
+    * Determinism: coarse fit is a driver-local [[lloydFit]] over an
+    * id-ordered bounded sample, coarse assignment argmin tie-broken on
     * cell id, per-group samples id-ranked, [[lloydFit]] iteration
     * order fixed — bit-identical across runs and partitionings
     * (pinned in SimilaritySpec).
@@ -176,8 +176,6 @@ object Similarity {
 
   private[operators] def twoLevelIndex(pts: DataFrame, nlist: Int,
                                        seed: Long): TwoLevelIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = pts.sparkSession
     import spark.implicits._
     // k1·k2 <= nlist ALWAYS: the cell count must not exceed the nominal
@@ -187,29 +185,45 @@ object Similarity {
     val k1 = math.min(nlist,
       math.max(2, math.floor(math.sqrt(nlist.toDouble)).toInt))
     val k2 = math.max(1, nlist / k1)
+    // coarse fit runs DRIVER-LOCAL on the collected bounded sample
+    // (same deterministic [[lloydFit]] the sub-fits and PQ codebooks
+    // use): the sample is capped at 16384 rows regardless of corpus
+    // size — the established bounded-fit-sample discipline — and an ML
+    // KMeans over a coalesce(1) sample was single-threaded anyway
+    // while paying one scheduler job PER ITERATION (the measured
+    // d14/s04 fit overhead at gate SF; ~15 jobs for 10 iters)
     val coarseSample = pts.orderBy(col("id"))
       .limit(math.min(math.max(k1 * 64, 1024), 16384))
-      .select(col("id"), array_to_vector(col("v")).as("fv")).coalesce(1)
-    val coarseModel = new KMeans().setK(k1).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("coarse").fit(coarseSample)
-    val coarseCentroids = coarseModel.clusterCenters.toSeq.zipWithIndex
-      .map { case (v, i) => (i, v.toArray.toSeq) }.toDF("coarse", "ccent")
+      .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
+    val cents = lloydFit(coarseSample, k1, seed)
+    val coarseCentroids = cents.toSeq.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toDF("coarse", "ccent")
       .withColumn("ccn2", VectorOps.norm2(col("ccent")))
-    // window-free argmin: min(struct(dist, id)) is partial-aggregatable
-    // and totally ordered (distance then coarse id), so it matches the
-    // old (cdist, coarse)-ordered rank-1 window row exactly
-    // materialized ONCE: consumed by the sub-fit sample path here AND
-    // returned as coarseAssign for the caller's hierarchical assignment
-    // — narrow (id, coarse) rows, so the N·k1 scoring pass runs once
-    val coarsePick = pts.crossJoin(broadcast(coarseCentroids))
-      .withColumn("cdist",
-        VectorOps.dot(col("v"), col("ccent")) * lit(-2.0) + col("ccn2"))
-      .groupBy(col("id"))
-      .agg(min(struct(col("cdist"), col("coarse"))).as("m"))
-      .select(col("id"), col("m.coarse").as("coarse"))
-      .localCheckpoint(true)
-    val assigned = pts.join(coarsePick, "id")
-      .select(col("id"), col("v"), col("coarse"))
+    // coarse assignment is a PURE PROJECTION (the Clustering.assignCell
+    // shape): the k1 centroids are driver-local, so the argmin — same
+    // -2·dot + |c|² metric, lowest index on ties via least() over
+    // (d, c) structs — runs as a codegen'd column expression over
+    // literal centroid arrays instead of the former N×k1 crossJoin +
+    // min(struct) shuffle + re-join. |c|² is precomputed to a literal
+    // (a norm2 over a literal array is NOT constant-folded — custom
+    // expressions aren't foldable — and would re-evaluate per row).
+    // NOT checkpointed: each consumer re-runs one scan + k1 dots per
+    // row over the caller's (already checkpointed) corpus frame —
+    // cheaper at any scale than materializing a second full copy of
+    // the corpus WITH its vectors. Very large k1 degrades codegen to
+    // interpreted eval but stays shuffle-free.
+    val cn2s = cents.map(c => { var s = 0.0; var j = 0
+      while (j < c.length) { s += c(j) * c(j); j += 1 }; s })
+    val coarseOf: Column =
+      if (cents.length == 1) lit(0)
+      else least(cents.toSeq.zipWithIndex.map { case (arr, i) =>
+        struct(
+          (VectorOps.dot(col("v"), array(arr.toSeq.map(lit): _*)) *
+            lit(-2.0) + lit(cn2s(i))).as("d"),
+          lit(i).as("c"))
+      }: _*).getField("c")
+    val assigned = pts
+      .select(col("id"), col("v"), coarseOf.as("coarse"))
     // bounded per-group sample BEFORE grouping, so no task ever holds a
     // whole coarse group — then one sub-fit task per group
     val wS = Window.partitionBy(col("coarse")).orderBy(col("id"))
