@@ -45,6 +45,11 @@ NOTES = {
     "p04_hash_split": "no shuffle at all pre-sink",
     "p07_shuffle_shards": "hash-order global rank via the two-phase prefix sum — one range shuffle of (id, key) pairs (r5)",
     "q36_order_value_quartiles": "global NTILE as closed-form bucket of the two-phase rank — no single-partition window (r5)",
+    "q40_quantile_rollup": "deterministic mergeable quantile UDAF: monthly sketches merged to yearly, exact below capacity (r10)",
+    "x07_pagerank_bucketed": "x01's rounds over a src-bucketed edge table — includes the one-time bucketed write; only the rank vector shuffles per round (r10)",
+    "d12_semantic_dedup": "floor predates the starContract survivor stage (r9 trade: gate-SF cost for the measured x100 win); r10 observe() fusion reads ~1.2s isolated",
+    "d13_semantic_dedup_lsh": "floor predates lshPlanesFor depth scaling (r9); at sf0.1 the auto depth is 5, deeper than the floor-era fixed 3",
+    "v30_streamed_semantic_dedup": "floor predates auto depth (r10): the replay now re-buckets the index twice as the corpus crosses plane boundaries",
 }
 
 def main(*paths):
