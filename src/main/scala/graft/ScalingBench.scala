@@ -112,7 +112,10 @@ object ScalingBench {
         ("x01_pagerank", operators.Graph.x01Pagerank _),
         ("x02_triangles", operators.Graph.x02Triangles _),
         ("x03_bfs_hops", operators.Graph.x03BfsHops _),
-        ("x06_star_components", operators.Graph.x06StarComponents _))
+        ("x06_star_components", operators.Graph.x06StarComponents _),
+        // same rounds as x01 over the bucketed edge table — the curve
+        // includes the one-time bucketed write each run pays
+        ("x07_pagerank_bucketed", operators.Graph.x07PagerankBucketed _))
       for (dir <- dirsCsv.split(",").map(_.trim).filter(_.nonEmpty)) {
         val nOrders = spark.read.parquet(s"$dir/orders.parquet").count()
         val nLines = spark.read.parquet(s"$dir/lineitem.parquet").count()

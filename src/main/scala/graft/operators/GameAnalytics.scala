@@ -766,10 +766,150 @@ object GameAnalytics {
   }
 
   // ---------------------------------------------------------------------------
+  // g25 — the reference's HBase LOAD step ITSELF (stage3.ipynb cell 3):
+  // the reference never uses an HBase client — it renders collected
+  // rows into a batch_put_step4.txt of HBase-shell `put` commands and
+  // pipes the file through `hbase shell`. g25 regenerates that command
+  // stream as a (seq, cmd) frame, every line hash-gated: section 1 =
+  // game_profile (50 rows × 5 puts, cell-3 column order, Name/dev
+  // quote-stripped but genres NOT — reference quirk preserved),
+  // section 2 = dev_analytics summaries (top-20 by total_owners, 2
+  // puts, rowkey = dev with quotes stripped and spaces → '_'),
+  // section 3 = the product_list inverted index (50 rows, column
+  // qualifier = AppID, value = quote-stripped Name). Deliberate
+  // divergences, both forced: the reference's `.limit(n).collect()`
+  // is partition-order-arbitrary — every section here takes the same
+  // n rows under a TOTAL order (rowkey / owners-desc-then-dev /
+  // AppID; the every-LIMIT-needs-a-tiebreaker rule) — and numeric
+  // values render through engine-stable casts (float→double→
+  // decimal(10,2) for price, BIGINT for owners) instead of Python's
+  // str(float). NULL values render 'None' (str(None) — what cell 3's
+  // f-strings actually emit). Bounded by construction: three LIMITed
+  // sections, never a corpus-sized collect.
+  // ---------------------------------------------------------------------------
+  private def putCmd(table: String, rk: Column, colq: Column,
+                     v: Column): Column =
+    concat(lit(s"put '$table', '"), rk, lit("', '"), colq, lit("', '"),
+      coalesce(v, lit("None")), lit("'"))
+
+  private def noQuote(c: Column): Column = translate(c, "'", "")
+
+  def g25HbasePutBatch(spark: SparkSession, dir: String): DataFrame = {
+    val g = games(spark, dir)
+    val priceS = col("clean_price").cast("double")
+      .cast(org.apache.spark.sql.types.DecimalType(10, 2)).cast("string")
+    val wProf = Window.orderBy(col("rowkey")) // bounded: 50 rows post-limit
+    val profile = g16(g).limit(50)
+      .withColumn("rnk", row_number().over(wProf))
+      .select(col("rnk"), posexplode(array(
+        putCmd("game_profile", col("rowkey"), lit("info:name"),
+          noQuote(col("Name"))),
+        putCmd("game_profile", col("rowkey"), lit("info:dev"),
+          noQuote(col("clean_dev"))),
+        putCmd("game_profile", col("rowkey"), lit("info:genres"),
+          col("clean_genre")),
+        putCmd("game_profile", col("rowkey"), lit("metrics:price"), priceS),
+        putCmd("game_profile", col("rowkey"), lit("metrics:owners"),
+          col("avg_owners").cast("string")))))
+      .select(((col("rnk") - 1) * 5 + col("pos") + 1).cast("long").as("seq"),
+        col("col").as("cmd"))
+    val devRk = translate(noQuote(col("clean_dev")), " ", "_")
+    val wDev = Window.orderBy(col("total_owners").desc_nulls_last,
+      col("clean_dev")) // bounded: 20 rows post-limit
+    val summaries = g
+      .withColumn("clean_dev", strip1(col("Developers")))
+      .groupBy(col("clean_dev"))
+      .agg(count(col("AppID")).as("game_count"),
+        sum(col("avg_owners")).as("total_owners"))
+      .orderBy(col("total_owners").desc_nulls_last, col("clean_dev"))
+      .limit(20)
+      .withColumn("rnk", row_number().over(wDev))
+      .select(col("rnk"), posexplode(array(
+        putCmd("dev_analytics", devRk, lit("summary:game_count"),
+          col("game_count").cast("string")),
+        putCmd("dev_analytics", devRk, lit("summary:total_owners"),
+          col("total_owners").cast("string")))))
+      .select((lit(250) + (col("rnk") - 1) * 2 + col("pos") + 1)
+        .cast("long").as("seq"), col("col").as("cmd"))
+    val wRaw = Window.orderBy(col("AppID")) // bounded: 50 rows post-limit
+    val inverted = g
+      .withColumn("clean_dev", strip1(col("Developers")))
+      .orderBy(col("AppID")).limit(50)
+      .withColumn("rnk", row_number().over(wRaw))
+      .select((lit(290) + col("rnk")).cast("long").as("seq"),
+        putCmd("dev_analytics", devRk,
+          concat(lit("product_list:"), col("AppID").cast("string")),
+          noQuote(col("Name"))).as("cmd"))
+    profile.unionAll(summaries).unionAll(inverted).orderBy(col("seq"))
+  }
+
+  /** DuckDB rebuilds the identical command stream; dollar-quoted
+    * literals keep the embedded shell quotes readable. */
+  val g25Sql: String = {
+    def put(table: String, rk: String, colq: String, v: String): String =
+      s"$$$$put '$table', '$$$$ || $rk || $$$$', '$$$$ || $colq || " +
+        s"$$$$', '$$$$ || COALESCE($v, 'None') || $$$$'$$$$"
+    val noq = (e: String) => s"replace($e, chr(39), '')"
+    s"""$cte,
+       |prof AS (
+       |  SELECT reverse(CAST(AppID AS VARCHAR)) AS rowkey, Name,
+       |    ${sqlStrip1("Developers")} AS clean_dev,
+       |    ${sqlStrip1("Genres")} AS clean_genre,
+       |    clean_price, avg_owners
+       |  FROM games ORDER BY rowkey LIMIT 50),
+       |prow AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rowkey) AS rnk FROM prof),
+       |dev AS (
+       |  SELECT ${sqlStrip1("Developers")} AS clean_dev,
+       |    COUNT(AppID) AS game_count,
+       |    CAST(SUM(avg_owners) AS BIGINT) AS total_owners
+       |  FROM games GROUP BY 1
+       |  ORDER BY total_owners DESC NULLS LAST, clean_dev LIMIT 20),
+       |drow AS (SELECT *, ROW_NUMBER() OVER
+       |           (ORDER BY total_owners DESC NULLS LAST, clean_dev) AS rnk
+       |         FROM dev),
+       |raw AS (
+       |  SELECT AppID, Name, ${sqlStrip1("Developers")} AS clean_dev
+       |  FROM games ORDER BY AppID LIMIT 50),
+       |rrow AS (SELECT *, ROW_NUMBER() OVER (ORDER BY AppID) AS rnk FROM raw),
+       |lines AS (
+       |  SELECT (rnk-1)*5 + 1 AS seq,
+       |    ${put("game_profile", "rowkey", "'info:name'", noq("Name"))} AS cmd
+       |  FROM prow
+       |  UNION ALL SELECT (rnk-1)*5 + 2,
+       |    ${put("game_profile", "rowkey", "'info:dev'", noq("clean_dev"))}
+       |  FROM prow
+       |  UNION ALL SELECT (rnk-1)*5 + 3,
+       |    ${put("game_profile", "rowkey", "'info:genres'", "clean_genre")}
+       |  FROM prow
+       |  UNION ALL SELECT (rnk-1)*5 + 4,
+       |    ${put("game_profile", "rowkey", "'metrics:price'",
+                  "CAST(CAST(clean_price::DOUBLE AS DECIMAL(10,2)) AS VARCHAR)")}
+       |  FROM prow
+       |  UNION ALL SELECT (rnk-1)*5 + 5,
+       |    ${put("game_profile", "rowkey", "'metrics:owners'",
+                  "CAST(avg_owners AS VARCHAR)")}
+       |  FROM prow
+       |  UNION ALL SELECT 250 + (rnk-1)*2 + 1,
+       |    ${put("dev_analytics", s"replace(${noq("clean_dev")}, ' ', '_')",
+                  "'summary:game_count'", "CAST(game_count AS VARCHAR)")}
+       |  FROM drow
+       |  UNION ALL SELECT 250 + (rnk-1)*2 + 2,
+       |    ${put("dev_analytics", s"replace(${noq("clean_dev")}, ' ', '_')",
+                  "'summary:total_owners'", "CAST(total_owners AS VARCHAR)")}
+       |  FROM drow
+       |  UNION ALL SELECT 290 + rnk,
+       |    ${put("dev_analytics", s"replace(${noq("clean_dev")}, ' ', '_')",
+                  "'product_list:' || CAST(AppID AS VARCHAR)", noq("Name"))}
+       |  FROM rrow)
+       |SELECT CAST(seq AS BIGINT) AS seq, cmd FROM lines ORDER BY seq""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g23_dsv2_ingest"        -> g23Dsv2Ingest _,
     "g24_dsv2_roundtrip"     -> g24Dsv2Roundtrip _,
+    "g25_hbase_put_batch"    -> g25HbasePutBatch _,
     "g01_genre_revenue"      -> g01GenreRevenue _,
     "g02_dev_metrics"        -> g02DevMetrics _,
     "g03_yearly_trend"       -> g03YearlyTrend _,
@@ -817,5 +957,6 @@ object GameAnalytics {
     "g22_csv_ingest"         -> g22Sql,
     "g23_dsv2_ingest"        -> g22Sql, // same semantics, custom connector
     "g24_dsv2_roundtrip"     -> g22Sql, // write+read round trip is lossless
+    "g25_hbase_put_batch"    -> g25Sql,
   )
 }

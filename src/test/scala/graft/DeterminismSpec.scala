@@ -69,7 +69,8 @@ class DeterminismSpec extends SparkSpec {
 
   // round 10: the quantile-sketch rollup (merge-order invariance is its
   // whole reason to exist) and the bucketed-edge pagerank gate
-  private val roundTen = Seq("q40_quantile_rollup", "x07_pagerank_bucketed")
+  private val roundTen = Seq("q40_quantile_rollup", "x07_pagerank_bucketed",
+    "g25_hbase_put_batch")
 
   test("round-10 queries digest identically under different shuffle widths") {
     pinWidths(roundTen)

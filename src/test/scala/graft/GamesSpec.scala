@@ -169,4 +169,30 @@ class GamesSpec extends SparkSpec {
     assert(derived.filter($"Genres".isNull).count() > 0)
     assert(derived.filter($"clean_price" === 0.0f).count() > 0)
   }
+
+  test("g25: put-batch sections, shell grammar, and the cell-3 quirks") {
+    val lines = graft.operators.GameAnalytics
+      .g25HbasePutBatch(spark, sf)
+      .as[(Long, String)].collect()
+    assert(lines.map(_._1).toSeq == (1L to 340L),
+      "340 contiguous seq numbers: 50×5 profile + 20×2 summary + 50 index")
+    val bys = lines.toMap
+    // section boundaries carry the right tables/qualifiers
+    assert(bys(1L).startsWith("put 'game_profile', '"))
+    assert(bys(251L).contains("'summary:game_count'"))
+    assert(bys(291L).contains("'product_list:"))
+    // shell grammar: exactly 4 quoted operands per put, and no operand
+    // may contain an embedded quote EXCEPT genres (the reference quirk:
+    // cell 3 strips quotes from name/dev but NOT from clean_genre)
+    lines.foreach { case (seq, cmd) =>
+      assert(cmd.matches("put '[^']*', '[^']*', '[^']*', '.*'"), s"$seq: $cmd")
+      if ((seq - 1) % 5 != 2 || seq > 250)
+        assert(cmd.count(_ == '\'') == 8, s"$seq not quote-safe: $cmd")
+    }
+    // dev rowkeys carry the space->underscore rewrite
+    assert(lines.filter(l => l._1 > 250 && l._1 <= 290)
+      .forall(!_._2.split("', '")(1).contains(" ")))
+    // null owners render as Python's str(None) — what the f-string emits
+    assert(lines.exists(l => l._1 <= 250 && l._2.endsWith("'metrics:owners', 'None'")))
+  }
 }
