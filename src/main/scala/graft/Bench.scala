@@ -38,6 +38,13 @@ object Bench {
     // dev/refresh_baseline.py alongside them.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name must fail fast, not silently bench a partial subset
+    // and feed an incomplete artifact into a BASELINE refresh
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in the catalog: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // warmup dir: explicit env, else the smallest sibling SF, else the

@@ -610,6 +610,15 @@ object Dedup {
   def rebucketIndex(spark: SparkSession, indexDir: String, bands: Int,
                     newPlanesPerBand: Int, seed: Long = 42L): Unit = {
     import org.apache.hadoop.fs.Path
+    // a band-count mismatch would silently zero recall on the missing
+    // bands (rows re-signed with fewer bands than the sink probes) —
+    // the meta records bands exactly so this slip fails loudly
+    graft.streaming.IngestDedup.readPlanesMeta(spark, indexDir)
+      .foreach { case (_, b) =>
+        require(b == bands,
+          s"index at $indexDir is signed with $b bands, re-bucket asked " +
+            s"for $bands — band count is fixed for an index's lifetime")
+      }
     val vecs = spark.read.parquet(s"$indexDir/vecs")
     val resigned = embeddingBucketIndex(
         vecs.select(col("vec_id"), col("embedding")),
@@ -634,7 +643,7 @@ object Dedup {
     }
     fs.delete(aside, true)
     graft.streaming.IngestDedup.writePlanesMeta(spark, indexDir,
-      newPlanesPerBand)
+      newPlanesPerBand, bands)
   }
 
   /** IVF-celled embedding near-dup — the TRUE 100 TB path for

@@ -612,7 +612,8 @@ object GameAnalytics {
         array_join(sort_array(collect_list(
           concat(col("AppID").cast("string"), lit(":"), col("Name")))), ",")
           .as("product_list"))
-      .orderBy(col("total_owners").desc_nulls_last, col("clean_dev"))
+      .orderBy(col("total_owners").desc_nulls_last,
+        col("clean_dev").asc_nulls_last)
       .limit(20)
 
   val g18Sql: String =
@@ -623,7 +624,7 @@ object GameAnalytics {
        |    AS product_list
        |FROM games
        |GROUP BY 1
-       |ORDER BY total_owners DESC NULLS LAST, clean_dev
+       |ORDER BY total_owners DESC NULLS LAST, clean_dev NULLS LAST
        |LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------------------
@@ -815,13 +816,14 @@ object GameAnalytics {
         col("col").as("cmd"))
     val devRk = translate(noQuote(col("clean_dev")), " ", "_")
     val wDev = Window.orderBy(col("total_owners").desc_nulls_last,
-      col("clean_dev")) // bounded: 20 rows post-limit
+      col("clean_dev").asc_nulls_last) // bounded: 20 rows post-limit
     val summaries = g
       .withColumn("clean_dev", strip1(col("Developers")))
       .groupBy(col("clean_dev"))
       .agg(count(col("AppID")).as("game_count"),
         sum(col("avg_owners")).as("total_owners"))
-      .orderBy(col("total_owners").desc_nulls_last, col("clean_dev"))
+      .orderBy(col("total_owners").desc_nulls_last,
+        col("clean_dev").asc_nulls_last)
       .limit(20)
       .withColumn("rnk", row_number().over(wDev))
       .select(col("rnk"), posexplode(array(
@@ -863,9 +865,9 @@ object GameAnalytics {
        |    COUNT(AppID) AS game_count,
        |    CAST(SUM(avg_owners) AS BIGINT) AS total_owners
        |  FROM games GROUP BY 1
-       |  ORDER BY total_owners DESC NULLS LAST, clean_dev LIMIT 20),
+       |  ORDER BY total_owners DESC NULLS LAST, clean_dev NULLS LAST LIMIT 20),
        |drow AS (SELECT *, ROW_NUMBER() OVER
-       |           (ORDER BY total_owners DESC NULLS LAST, clean_dev) AS rnk
+       |           (ORDER BY total_owners DESC NULLS LAST, clean_dev NULLS LAST) AS rnk
        |         FROM dev),
        |raw AS (
        |  SELECT AppID, Name, ${sqlStrip1("Developers")} AS clean_dev

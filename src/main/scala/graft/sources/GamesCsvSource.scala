@@ -241,8 +241,15 @@ object GamesCsvSource {
       } finally out.close()
       // atomic replace: move the old file ASIDE (not delete) so a failed
       // rename can restore it — delete-then-rename would lose the
-      // destination if the rename throws between the two steps
-      val aside = new Path(staging, "__replaced__.csv")
+      // destination if the rename throws between the two steps. The
+      // aside lives NEXT TO the destination, never inside staging:
+      // after a failed commit Spark calls abort(), which deletes the
+      // whole staging dir — an aside parked there would destroy the
+      // only copy of the old data. Outside staging, a crash between
+      // the renames leaves the old bytes recoverable at a well-known
+      // sibling path, and the restore rename is CHECKED so a silent
+      // restore failure cannot masquerade as a clean abort.
+      val aside = new Path(path + s".__replaced__$queryId")
       val hadOld = fs.exists(p)
       if (hadOld)
         require(fs.rename(p, aside), s"games-csv commit: move-aside $p failed")
@@ -250,9 +257,13 @@ object GamesCsvSource {
         require(fs.rename(tmp, p), s"games-csv commit rename $tmp -> $p failed")
       catch {
         case e: Throwable =>
-          if (hadOld && !fs.exists(p)) fs.rename(aside, p)
+          if (hadOld && !fs.exists(p) && !fs.rename(aside, p))
+            e.addSuppressed(new java.io.IOException(
+              s"restore of $aside -> $p ALSO failed — old data preserved " +
+                "at the aside path"))
           throw e
       }
+      if (hadOld) fs.delete(aside, false)
       fs.delete(new Path(staging), true)
       ()
     }

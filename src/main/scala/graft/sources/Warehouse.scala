@@ -944,8 +944,13 @@ object Warehouse {
     // a managed-table LOCATION can outlive its catalog entry (the
     // default in-memory catalog dies with the session, the warehouse
     // dir does not) — an Overwrite into a fresh session then fails
-    // LOCATION_ALREADY_EXISTS; clear the orphaned dir first
-    if (mode == SaveMode.Overwrite &&
+    // LOCATION_ALREADY_EXISTS; clear the orphaned dir first. Scope:
+    // unqualified default-database names only (a db-qualified name
+    // lives at <warehouse>/<db>.db/<t>, not <warehouse>/<t>), and the
+    // cleanup assumes the session-per-process single-writer discipline
+    // the repo already runs (sbt invocations are serialized; two JVMs
+    // concurrently owning one table name would race here regardless)
+    if (mode == SaveMode.Overwrite && !table.contains(".") &&
         !spark.catalog.tableExists(table)) {
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"),

@@ -82,25 +82,29 @@ object IngestDedup {
       .partitionBy("batch_id")
       .parquet(dir)
 
-  /** The semantic index's depth meta: `indexDir/planes` holds the
-    * planes-per-band its `buckets` rows are signed at. Written BEFORE
-    * the first bucket rows land and LAST by a re-bucket
-    * ([[graft.operators.Dedup.rebucketIndex]]), so the only crash
-    * window leaving it absent has rows signed at exactly the depth the
-    * next batch recomputes from its (unchanged) corpus counts. */
+  /** The semantic index's signing meta: `indexDir/planes` holds
+    * "planes bands" — the parameters its `buckets` rows are signed
+    * with. Written by EVERY sink mode before its first bucket rows
+    * land (auto AND explicit — an index without meta cannot be safely
+    * resumed at a different depth) and LAST by a re-bucket
+    * ([[graft.operators.Dedup.rebucketIndex]]), so a torn re-bucket
+    * re-runs rather than mis-joining. Bands are recorded so an offline
+    * re-bucket with the wrong band count fails loudly instead of
+    * silently zeroing the missing bands' recall. */
   private[graft] def writePlanesMeta(spark: SparkSession, indexDir: String,
-                                     planes: Int): Unit = {
+                                     planes: Int, bands: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/planes")
     val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/planes.__tmp__")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(tmp, true)
-    try out.write(planes.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(s"$planes $bands".getBytes("UTF-8")) finally out.close()
     if (fs.exists(p)) fs.delete(p, false)
     require(fs.rename(tmp, p), s"planes meta rename $tmp -> $p failed")
   }
 
+  /** (planes, bands) of the stored index, if its meta exists. */
   private[graft] def readPlanesMeta(spark: SparkSession,
-                                    indexDir: String): Option[Int] = {
+                                    indexDir: String): Option[(Int, Int)] = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/planes")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
@@ -109,7 +113,8 @@ object IngestDedup {
       try {
         val buf = new java.io.ByteArrayOutputStream()
         org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        Some(buf.toString("UTF-8").trim.toInt)
+        val parts = buf.toString("UTF-8").trim.split("\\s+")
+        Some((parts(0).toInt, parts(1).toInt))
       } finally in.close()
     }
   }
@@ -282,20 +287,37 @@ object IngestDedup {
         // depth decision BEFORE bucketing: auto mode re-signs the stored
         // index first when the corpus has outgrown its depth, so the
         // batch's buckets and the index's are always join-compatible
-        val depth = planesPerBand.getOrElse {
-          val want = Dedup.lshPlanesFor(seenVecs.count() + vecs.count())
-          readPlanesMeta(spark, indexDir) match {
-            case Some(have) if want > have =>
-              Dedup.rebucketIndex(spark, indexDir, bands, want, seed)
-              want
-            case Some(have) => have // never shrink below the stored depth
-            case None =>
-              // absent meta ⟺ empty committed index OR a torn re-bucket
-              // whose rows are already at `want` (counts unchanged on
-              // retry) — either way `want` matches the stored rows
-              writePlanesMeta(spark, indexDir, want)
-              want
-          }
+        val meta = readPlanesMeta(spark, indexDir)
+        meta.foreach { case (_, b) =>
+          require(b == bands,
+            s"index at $indexDir is signed with $b bands, sink runs $bands" +
+              " — change neither mid-index, or re-bucket offline first")
+        }
+        val depth = planesPerBand match {
+          case Some(d) =>
+            // explicit mode still RECORDS its signing so an auto-mode
+            // resume (or an offline re-bucket) knows the stored depth
+            if (meta.isEmpty) writePlanesMeta(spark, indexDir, d, bands)
+            d
+          case None =>
+            val want = Dedup.lshPlanesFor(seenVecs.count() + vecs.count())
+            meta match {
+              case Some((have, _)) if want > have =>
+                Dedup.rebucketIndex(spark, indexDir, bands, want, seed)
+                want
+              case Some((have, _)) => have // never shrink below stored depth
+              case None if seenVecs.isEmpty =>
+                writePlanesMeta(spark, indexDir, want, bands)
+                want
+              case None =>
+                // committed rows exist but their signing is unrecorded
+                // (an index from before meta existed): the only sound
+                // move is to re-sign everything at `want` — rebucket is
+                // idempotent, depth-agnostic about the old rows, and
+                // writes the meta last
+                Dedup.rebucketIndex(spark, indexDir, bands, want, seed)
+                want
+            }
         }
         val mine = Dedup.embeddingBucketIndex(vecs, bands, depth, seed)
           .localCheckpoint(true)

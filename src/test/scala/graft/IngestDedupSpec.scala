@@ -82,6 +82,7 @@ class IngestDedupSpec extends SparkSpec {
                                 phase1Planes: Option[Int] = None,
                                 phase2Planes: Option[Int] = None,
                                 rebucketBetween: Option[Int] = None,
+                                betweenPhases: String => Unit = _ => (),
                                 inspect: String => Unit = _ => ()): Set[Long] = {
     val base = java.nio.file.Files.createTempDirectory("graft_v30_spec").toString
     try {
@@ -97,6 +98,7 @@ class IngestDedupSpec extends SparkSpec {
       val q1 = start(phase1Planes)
       try q1.processAllAvailable() finally q1.stop()
       rebucketBetween.foreach(d => Dedup.rebucketIndex(spark, idx, 24, d))
+      betweenPhases(idx)
       after.foreach(b => frame(b).coalesce(1).write.mode("append").parquet(src))
       if (after.nonEmpty) {
         val q2 = start(phase2Planes)
@@ -162,7 +164,13 @@ class IngestDedupSpec extends SparkSpec {
           .select($"vec_id", $"band", $"bucket", $"batch_id")
           .as[(Long, Int, Long, Long)].collect().toSet
         assert(got == want)
-        assert(IngestDedup.readPlanesMeta(spark, idx).contains(5))
+        assert(IngestDedup.readPlanesMeta(spark, idx).contains((5, 24)))
+        // a band-count mismatch must fail loudly, not zero recall on
+        // the missing bands
+        val e = intercept[IllegalArgumentException] {
+          Dedup.rebucketIndex(spark, idx, 32, 5)
+        }
+        assert(e.getMessage.contains("bands"))
         // idempotent: a second run (the crash-retry path) changes nothing
         Dedup.rebucketIndex(spark, idx, 24, 5)
         val again = spark.read.parquet(s"$idx/buckets")
@@ -202,12 +210,44 @@ class IngestDedupSpec extends SparkSpec {
     val rnd = new scala.util.Random(7)
     val vecs = (0 until 2600).map(i =>
       (i.toLong, Seq.fill(256)(if (rnd.nextBoolean()) 1f else -1f)))
-    var metaAfter: Option[Int] = None
+    var metaAfter: Option[(Int, Int)] = None
     val kept = runSemanticIngest(
       Seq(vecs.take(1500), vecs.slice(1500, 2600)),
       inspect = idx => metaAfter = IngestDedup.readPlanesMeta(spark, idx))
     assert(kept == vecs.map(_._1).toSet)
-    assert(metaAfter.contains(4), s"expected auto re-bucket to 4, meta=$metaAfter")
+    assert(metaAfter.contains((4, 24)), s"expected auto re-bucket to 4, meta=$metaAfter")
+  }
+
+  test("auto mode over a committed index with NO meta re-signs instead of mis-joining") {
+    // the legacy-index scenario the round-10 review surfaced: rows are
+    // committed but their signing depth is unrecorded (an index written
+    // before the meta existed). Resuming in auto mode must re-sign the
+    // whole index at the recomputed depth — assuming the rows already
+    // match would equi-join essentially nothing and land near-dups as
+    // survivors. Simulated by deleting the meta between phases; the
+    // 2600-vector corpus makes auto pick want=4 over the stored 3-deep
+    // rows, so a mis-join would be visible... except nothing here is a
+    // near-dup, so the REAL assertion is the meta and depth landing:
+    // phase 2 must complete against the re-signed index and record 4.
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 2600).map(i =>
+      (i.toLong, Seq.fill(256)(if (rnd.nextBoolean()) 1f else -1f)))
+    // plant one exact duplicate pair ACROSS the phases: its discovery
+    // requires the phase-2 batch to actually join the stored index
+    val dup = vecs :+ (9999L, vecs(100)._2)
+    var metaAfter: Option[(Int, Int)] = None
+    val kept = runSemanticIngest(
+      Seq(dup.take(800), dup.slice(800, 1500), dup.slice(1500, 2601)),
+      phase1Planes = Some(3),
+      betweenPhases = { idx =>
+        val fs = new org.apache.hadoop.fs.Path(idx)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$idx/planes"), false)
+      },
+      inspect = idx => metaAfter = IngestDedup.readPlanesMeta(spark, idx))
+    assert(kept == vecs.map(_._1).toSet,
+      "the cross-phase duplicate must be rejected against the re-signed index")
+    assert(metaAfter.contains((4, 24)), s"expected re-sign to 4, meta=$metaAfter")
   }
 
   test("landing the same batch id twice leaves one copy (retry idempotency)") {
