@@ -376,10 +376,10 @@ object Warehouse {
     * gate's oracle IS the full recompute). */
   def refreshAgg(spark: SparkSession, tableRoot: String, aggRoot: String,
                  partCol: String, touched: Seq[Any],
-                 aggs: Seq[Column]): Unit =
+                 aggs: Seq[Column], subCols: Seq[String] = Nil): Unit =
     read(spark, tableRoot)
       .filter(col(partCol).isin(touched: _*))
-      .groupBy(col(partCol))
+      .groupBy((partCol +: subCols).map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
@@ -440,6 +440,114 @@ object Warehouse {
        |SELECT o_year, COUNT(*) AS n_orders, $dsum AS revenue
        |FROM o GROUP BY o_year ORDER BY o_year""".stripMargin
   }
+
+  /** w08 — SKETCH-BACKED incremental rollup maintenance: the w01
+    * cycle with mergeable summaries instead of decomposable sums. The
+    * standing rollup table holds one row per (year, month) carrying a
+    * theta customer sketch, a [[graft.functions.QuantileSketch]] price
+    * sketch, and a count; an update batch (latest year, every 7th
+    * order: price ×2, customer re-assigned) upserts into the base and
+    * ONLY the touched year's rollup rows are re-sketched. The final
+    * per-year answer — distinct customers, p50/p90 price, order count
+    * — is computed ENTIRELY from the blobs (theta_union_agg +
+    * QuantileSketch merge over the 12 month rows), never re-reading
+    * raw orders.
+    *
+    * Why this matters at 100 TB: COUNT(DISTINCT) and percentiles are
+    * the two rollup statistics partial sums cannot maintain — without
+    * mergeable summaries every dashboard refresh re-shuffles raw keys
+    * (q30's motivation) AND re-sorts raw values (q40's). Here both
+    * ride the w01 maintenance protocol: land once, refresh touched
+    * partitions, answer any rollup level from kilobyte blobs.
+    *
+    * Hash gate soundness: at gate SF every year holds < 2^12 distinct
+    * customers (theta exact below nominal — the q39 argument, ACROSS a
+    * union of exact month sketches) and < 4096 distinct prices
+    * (QuantileSketch exact below capacity), so the blob-derived answer
+    * equals DuckDB's exact recompute bit for bit. */
+  def w08SketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, expr, lit, month, sum, udaf, udf, year}
+    import graft.functions.QuantileSketch
+    val (cap, lo, hi, bins) = (4096, 0.0, 512000.0, 8192) // the q40 dials
+    val qb = udaf(QuantileSketch.buildAgg(cap, lo, hi, bins))
+    val qm = udaf(QuantileSketch.mergeAgg(cap, lo, hi, bins))
+    val qq = udf((b: Array[Byte], q: Double) =>
+      QuantileSketch.quantile(b, q, lo, hi))
+    val base = java.nio.file.Files.createTempDirectory("graft_w08").toString
+    try {
+      val (root, skRoot) = (s"$base/orders", s"$base/sketch_rollup")
+      val orders = graft.Tables.orders(spark, dir)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .withColumn("o_month", month(col("o_orderdate")))
+        .withColumn("version", lit(1L))
+      writePartitioned(orders, root, Seq("o_year"))
+      val skSpec = Seq(
+        expr("theta_sketch_agg(o_custkey, 12)").as("cust_sk"),
+        qb(col("o_totalprice")).as("price_sk"),
+        count(lit(1)).as("n_orders"))
+      val years = orders.select(col("o_year")).distinct()
+        .collect().map(_.getInt(0)).toSeq // bounded: one value per year
+      refreshAgg(spark, root, skRoot, "o_year", years, skSpec,
+        subCols = Seq("o_month"))
+      val maxYear = years.max
+      val batch = orders
+        .filter(col("o_year") === lit(maxYear) && col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_custkey", col("o_custkey") + lit(1000000L))
+        .withColumn("version", lit(2L))
+      upsert(spark, root, batch, Seq("o_orderkey"), "version", Seq("o_year"))
+      refreshAgg(spark, root, skRoot, "o_year", Seq(maxYear), skSpec,
+        subCols = Seq("o_month"))
+      read(spark, skRoot)
+        .groupBy(col("o_year"))
+        .agg(
+          expr("CAST(theta_sketch_estimate(theta_union_agg(cust_sk, 12)) AS BIGINT)")
+            .as("distinct_customers"),
+          qm(col("price_sk")).as("price_yr"),
+          sum(col("n_orders")).as("n_orders"))
+        .select(col("o_year"), col("n_orders"), col("distinct_customers"),
+          qq(col("price_yr"), lit(0.5)).as("p50_price"),
+          qq(col("price_yr"), lit(0.9)).as("p90_price"))
+        .orderBy(col("o_year"))
+        .localCheckpoint() // materialize before the staging is deleted
+    } finally {
+      val gone = new scala.reflect.io.Directory(new java.io.File(base))
+        .deleteRecursively()
+      if (!gone) System.err.println(s"[w08] temp dir not fully removed: $base")
+    }
+  }
+
+  /** Oracle: exact distincts and exact r-th-smallest (the q40 rule)
+    * over the full recompute of the updated fixture. */
+  val w08Sql: String =
+    """WITH o AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |    CASE WHEN year(o_orderdate) =
+      |             (SELECT MAX(year(o_orderdate)) FROM orders)
+      |           AND o_orderkey % 7 = 0
+      |         THEN o_totalprice * 2 ELSE o_totalprice END AS price,
+      |    CASE WHEN year(o_orderdate) =
+      |             (SELECT MAX(year(o_orderdate)) FROM orders)
+      |           AND o_orderkey % 7 = 0
+      |         THEN o_custkey + 1000000 ELSE o_custkey END AS cust
+      |  FROM orders),
+      |d AS (
+      |  SELECT o_year, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |    CAST(COUNT(DISTINCT cust) AS BIGINT) AS distinct_customers
+      |  FROM o GROUP BY 1),
+      |r AS (
+      |  SELECT o_year, price,
+      |    ROW_NUMBER() OVER (PARTITION BY o_year ORDER BY price) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_year) AS n
+      |  FROM o),
+      |q AS (
+      |  SELECT o_year,
+      |    MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN price END) AS p50_price,
+      |    MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN price END) AS p90_price
+      |  FROM r GROUP BY 1)
+      |SELECT d.o_year, d.n_orders, d.distinct_customers, q.p50_price, q.p90_price
+      |FROM d JOIN q USING (o_year)
+      |ORDER BY o_year""".stripMargin
 
   // ---------------------------------------------------------------------------
   // Snapshot diff (CDC read between two generations)
@@ -917,6 +1025,7 @@ object Warehouse {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w07_drift_psi"       -> w07DriftPsi _,
     "w01_incremental_agg" -> w01IncrementalAggRefresh _,
+    "w08_sketch_rollup"   -> w08SketchRollup _,
     "w02_snapshot_diff"   -> w02SnapshotDiff _,
     "w04_time_travel"     -> w04TimeTravel _,
     "w05_schema_evolution" -> w05SchemaEvolution _,
@@ -925,6 +1034,7 @@ object Warehouse {
   val oracles: Map[String, String] = Map(
     "w07_drift_psi"       -> w07Sql,
     "w01_incremental_agg" -> w01Sql,
+    "w08_sketch_rollup"   -> w08Sql,
     "w02_snapshot_diff"   -> w02Sql,
     "w04_time_travel"     -> w04Sql,
     "w05_schema_evolution" -> w05Sql,

@@ -70,7 +70,7 @@ class DeterminismSpec extends SparkSpec {
   // round 10: the quantile-sketch rollup (merge-order invariance is its
   // whole reason to exist) and the bucketed-edge pagerank gate
   private val roundTen = Seq("q40_quantile_rollup", "x07_pagerank_bucketed",
-    "g25_hbase_put_batch")
+    "g25_hbase_put_batch", "w08_sketch_rollup")
 
   test("round-10 queries digest identically under different shuffle widths") {
     pinWidths(roundTen)

@@ -67,6 +67,31 @@ class QuantileSketchSpec extends SparkSpec {
       "rollup-merged sketch must equal the fresh full-corpus sketch")
   }
 
+  test("w08 blob-derived rollup equals the exact recompute (nothing lost in maintenance)") {
+    // the sketch-backed maintenance cycle answers from blobs alone —
+    // below both capacities that answer must be EXACT, not approximate
+    val got = SparkEntry.queries("w08_sketch_rollup")(spark, sf)
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq.sortBy(_._1)
+    val orders = Tables.orders(spark, sf)
+    val maxYear = orders.agg(max(year($"o_orderdate"))).head().getInt(0)
+    val updated = orders.select(
+      year($"o_orderdate").as("y"),
+      when(year($"o_orderdate") === maxYear && $"o_orderkey" % 7 === 0,
+        $"o_totalprice" * 2).otherwise($"o_totalprice").as("price"),
+      when(year($"o_orderdate") === maxYear && $"o_orderkey" % 7 === 0,
+        $"o_custkey" + 1000000L).otherwise($"o_custkey").as("cust"))
+      .as[(Int, Double, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (y, n, d, p50, p90) =>
+      val rows = updated.filter(_._1 == y)
+      assert(n == rows.length, s"year $y count")
+      assert(d == rows.map(_._3).distinct.length, s"year $y distincts")
+      val prices = rows.map(_._2).toSeq
+      assert(p50 == exactQ(prices, 0.5), s"year $y p50")
+      assert(p90 == exactQ(prices, 0.9), s"year $y p90")
+    }
+  }
+
   test("q40 exact mode holds at gate SF: sketch == oracle rule per year") {
     val got = SparkEntry.queries("q40_quantile_rollup")(spark, sf)
       .select($"order_year", $"n_orders", $"p50_price", $"p90_price")
