@@ -102,6 +102,34 @@ object IngestDedup {
     require(fs.rename(tmp, p), s"planes meta rename $tmp -> $p failed")
   }
 
+  /** Generic signing-dials guard for the MinHash sink's index (the
+    * hyperplane sink has the richer planes/bands meta above, which
+    * also drives depth scaling): first batch writes `indexDir/signing`
+    * atomically; every batch requires the stored line to equal its
+    * own dials — a restart under different dials must fail loudly,
+    * not equi-join nothing. */
+  private[graft] def checkSigningMeta(spark: SparkSession, indexDir: String,
+                                      line: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/signing")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/signing.__tmp__")
+      val out = fs.create(tmp, true)
+      try out.write(line.getBytes("UTF-8")) finally out.close()
+      require(fs.rename(tmp, p), s"signing meta rename $tmp -> $p failed")
+    } else {
+      val in = fs.open(p)
+      val stored = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        buf.toString("UTF-8").trim
+      } finally in.close()
+      require(stored == line,
+        s"index at $indexDir was signed with '$stored', sink runs '$line'" +
+          " — signing dials are fixed for an index's lifetime")
+    }
+  }
+
   /** (planes, bands) of the stored index, if its meta exists. */
   private[graft] def readPlanesMeta(spark: SparkSession,
                                     indexDir: String): Option[(Int, Int)] = {
@@ -132,6 +160,13 @@ object IngestDedup {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
         val spark = batch.sparkSession
         val docs = batch.select(col("doc_id"), col("text"))
+        // the v30-class signing-drift guard: stored bucket rows are only
+        // equi-join-compatible with batches signed under the SAME
+        // (numHashes, bandRows, shingle n) — a restart with different
+        // dials would silently match nothing and land near-dups as
+        // survivors. First batch records the dials; every batch checks.
+        checkSigningMeta(spark, indexDir,
+          s"minhash ${p.numHashes} ${p.bandRows} $n")
         // one signature pass over the BATCH only; three consumers
         // (candidate probe, within-batch authority side, index landing)
         // — materialize once

@@ -62,6 +62,35 @@ class IngestDedupSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 4L), s"kept $kept")
   }
 
+  test("restarting the MinHash sink with different dials fails loudly") {
+    // the v30-class signing-drift guard on the v18 index: stored rows
+    // signed under one (numHashes, bandRows, n) must never silently
+    // equi-join against a sink running different dials
+    val base = java.nio.file.Files.createTempDirectory("graft_v18_meta").toString
+    try {
+      val (src, out, idx, ckpt) =
+        (s"$base/src", s"$base/out", s"$base/idx", s"$base/ckpt")
+      Seq(1L -> "a b c d e f g h").toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(src)
+      val q1 = IngestDedup.dedupingSink(
+        IngestDedup.readDocs(spark, src), out, idx, ckpt)
+      try q1.processAllAvailable() finally q1.stop()
+      Seq(2L -> "a b c d e f g i").toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(src)
+      val q2 = IngestDedup.dedupingSink(
+        IngestDedup.readDocs(spark, src), out, idx, s"$base/ckpt2",
+        p = Dedup.MinHashParams(numHashes = 64, bandRows = 4))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        try q2.processAllAvailable() finally q2.stop()
+      }
+      assert(e.getMessage.contains("signed with") ||
+        Option(e.getCause).exists(_.getMessage.contains("signed with")))
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      ()
+    }
+  }
+
   test("streamed survivors equal the exact batch all-pairs answer on real docs") {
     val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
     val rejected = Dedup.jaccardPairs(docs, 0.8)
