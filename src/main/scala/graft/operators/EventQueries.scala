@@ -756,6 +756,19 @@ object EventQueries {
       |ORDER BY n DESC, path
       |LIMIT 40""".stripMargin
 
+  /** v31 oracle: the stream-static enrichment rollup as one batch
+    * query — events joined to the customer dimension, counted and
+    * decimal-summed per (10-min window, segment). */
+  val v31Sql: String =
+    s"""SELECT strftime(time_bucket(INTERVAL '10 minutes', e.ts),
+       |                '%Y-%m-%d %H:%M:%S') AS window_start,
+       |  c.c_mktsegment AS segment,
+       |  COUNT(*) AS event_count,
+       |  ${sqlDsum("e.value")} AS total_value
+       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       |GROUP BY 1, 2
+       |ORDER BY window_start, segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v25_spike_windows"       -> v25SpikeWindows _,
     "v26_session_paths"       -> v26SessionPaths _,
@@ -790,6 +803,9 @@ object EventQueries {
     // fMGWS with a BOUNDED-deque baseline + EventTimeTimeout hour
     // finalization: the streamed v25 anomaly detector
     "v28_streamed_spikes"      -> graft.streaming.EventStreams.v28StreamedSpikes _,
+    // the stream-STATIC broadcast enrichment join: stateless dimension
+    // lookup per micro-batch, the one join family v16 doesn't exercise
+    "v31_streamed_enrichment"  -> graft.streaming.EventStreams.v31StreamedEnrichment _,
     // warehouse-as-state streaming ingest dedup over documents: parquet
     // LSH index carried across micro-batches AND a checkpointed restart
     "v18_streamed_ingest_dedup" -> graft.streaming.IngestDedup.v18StreamedIngestDedup _,
@@ -821,6 +837,7 @@ object EventQueries {
     "v14_streamed_dedup"      -> v03Sql,
     "v15_filesource_tumbling" -> v01Sql,
     "v16_streamed_attribution" -> v07Sql,
+    "v31_streamed_enrichment" -> v31Sql,
     "v17_streamed_profiles"   -> v17Sql,
     "v18_streamed_ingest_dedup" -> graft.streaming.IngestDedup.v18Sql,
     "v30_streamed_semantic_dedup" -> graft.streaming.IngestDedup.v30Sql,

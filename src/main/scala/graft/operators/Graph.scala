@@ -457,6 +457,93 @@ object Graph {
       .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
   }
 
+  /** Oracle chain length for [[kCore]] (x08) — [[x08Sql]] materializes
+    * exactly this many peel rounds. The engine early-exits at the
+    * fixpoint instead; sound against the fixed-length chain because a
+    * peel round AT the fixpoint is the identity (no node is below k),
+    * so the oracle's surplus rounds change nothing. GraphSpec audits
+    * that the gate corpus converges within the chain length. */
+  val corePeelRounds = 8
+
+  /** Loud-throw budget for [[kCore]]'s early-exit loop — peel depth is
+    * data-dependent (the cascade can be long on near-threshold
+    * graphs), and a silently-truncated peel looks exactly like a
+    * finished one. */
+  val corePeelBudget = 24
+
+  /** k-core decomposition of the co-purchase graph: iteratively peel
+    * nodes of degree < k (with their incident edges) until the graph
+    * stabilizes — the surviving subgraph is the k-core, the standard
+    * density filter for "parts with robustly co-purchased context"
+    * (and, on document/similarity graphs, the community-kernel /
+    * spam-tail cut). k is derived from the graph itself —
+    * 7·(E/N)/10 in integer arithmetic, ~0.7× mean degree — so the
+    * peel bites at every scale factor instead of hardcoding a
+    * gate-SF-only threshold.
+    *
+    * Each round: per-src degree of the CURRENT graph (one partial
+    * aggregation whose exchange moves node-sized partials, not edges),
+    * then two semi-joins keep edges whose BOTH endpoints survive. The
+    * round's edge frame is checkpointed once with the edge count
+    * riding it as an observed metric ([[starContract]]'s
+    * one-action-per-round shape); the count is strictly decreasing
+    * unless the round was the identity, and peel-only-removes makes
+    * equal-count ⟺ fixed point a sound convergence test. All-integer
+    * state — no rounding convention anywhere.
+    *
+    * At 100 TB: the surviving-node frame is node-sized (catalog-scale,
+    * not corpus-scale) — when it fits the broadcast threshold AQE
+    * turns both semi-joins into broadcasts and the edge list never
+    * moves; past that they are plain keyed semi-joins (two edge
+    * exchanges per round) and the x07 bucketed-edge recipe removes
+    * the standing side's exchange for recurrent fits.
+    *
+    * Returns (part_key, core_k, core_deg) for the surviving nodes —
+    * core_deg ≥ k for every row by the fixpoint property (pinned in
+    * GraphSpec). */
+  def kCore(lineitem: DataFrame): DataFrame = {
+    val e0 = directed(copurchaseEdges(lineitem))
+      .select(col("src"), col("dst")).localCheckpoint(true)
+    val scalars = e0
+      .agg(count(lit(1)).as("e"), countDistinct(col("src")).as("n"))
+      .head() // bounded: two longs
+    val (eCnt, nCnt) = (scalars.getLong(0), scalars.getLong(1))
+    val k = if (nCnt == 0L) 0L else 7L * (eCnt / nCnt) / 10L
+
+    def peel(e: DataFrame): (DataFrame, Long) = {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+      val obs = org.apache.spark.sql.Observation()
+      val next = e
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .observe(obs, count(lit(1)).as("m"))
+        .localCheckpoint(true)
+      (next, obs.get("m").asInstanceOf[Long])
+    }
+
+    var e = e0
+    var prev = eCnt
+    var converged = prev == 0L
+    var iter = 0
+    while (!converged && iter < corePeelBudget) {
+      val (next, c) = peel(e)
+      e = next
+      converged = c == prev // peel only removes: equal count ⟺ identity
+      prev = c
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore did not reach its fixpoint within $corePeelBudget peel " +
+          "rounds — raise the budget")
+    e.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("part_key"), lit(k).as("core_k"),
+        col("core_deg"))
+      .orderBy(col("part_key"))
+  }
+
   def x01Pagerank(spark: SparkSession, dir: String): DataFrame =
     pagerank(Tables.lineitem(spark, dir))
 
@@ -477,6 +564,9 @@ object Graph {
 
   def x07PagerankBucketed(spark: SparkSession, dir: String): DataFrame =
     pagerankBucketed(Tables.lineitem(spark, dir))
+
+  def x08KCore(spark: SparkSession, dir: String): DataFrame =
+    kCore(Tables.lineitem(spark, dir))
 
   /** Shared DuckDB edge CTEs of both oracles. */
   private val edgeSql: String =
@@ -643,8 +733,37 @@ object Graph {
        |ORDER BY part_key""".stripMargin
   }
 
+  /** Generated DuckDB twin of x08: the derived threshold spelled in the
+    * same integer arithmetic, then [[corePeelRounds]] peel rounds
+    * materialized literally — each one degree-filter + two
+    * endpoint-membership joins, all-integer. The engine's early exit
+    * is invisible here: rounds at the fixpoint are the identity. */
+  val x08Sql: String = {
+    val rounds = (0 until corePeelRounds).map { i =>
+      s"""kd$i AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |         FROM ke$i GROUP BY 1),
+         |ke${i + 1} AS MATERIALIZED (
+         |  SELECT t.src, t.dst
+         |  FROM ke$i t JOIN kd$i a ON t.src = a.src
+         |              JOIN kd$i b ON t.dst = b.src
+         |  WHERE a.deg >= (SELECT k FROM kp)
+         |    AND b.deg >= (SELECT k FROM kp))""".stripMargin
+    }
+    s"""WITH $edgeSql,
+       |kp AS (SELECT 7 * (CAST(COUNT(*) AS BIGINT) //
+       |                   CAST(COUNT(DISTINCT src) AS BIGINT)) // 10 AS k
+       |       FROM e),
+       |ke0 AS (SELECT src, dst FROM e),
+       |${rounds.mkString(",\n")}
+       |SELECT src AS part_key, (SELECT k FROM kp) AS core_k,
+       |       CAST(COUNT(*) AS BIGINT) AS core_deg
+       |FROM ke$corePeelRounds GROUP BY src
+       |ORDER BY part_key""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_part_pagerank" -> x01Pagerank _,
+    "x08_kcore" -> x08KCore _,
     "x02_part_triangles" -> x02Triangles _,
     "x03_bfs_hops" -> x03BfsHops _,
     "x04_label_communities" -> x04LabelCommunities _,
@@ -663,5 +782,6 @@ object Graph {
     // identical masses by construction — the bucketed layout is a
     // physical-plan change only, so x01's generated chain is the oracle
     "x07_pagerank_bucketed" -> x01Sql,
+    "x08_kcore" -> x08Sql,
   )
 }

@@ -1022,8 +1022,107 @@ object Warehouse {
        |FROM j CROSS JOIN t
        |ORDER BY bin""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Zone-map data skipping (w09)
+  // ---------------------------------------------------------------------------
+
+  /** Per-file zone map of `zoneCol` over a flat parquet directory: one
+    * row per file with (min, max, rows). This is the stats table a
+    * table format (Delta/Iceberg) maintains incrementally at write
+    * time; bootstrapping it here is ONE column-pruned scan (only
+    * `zoneCol` + the metadata struct are read), and an appending
+    * producer keeps it current by unioning the new files' rows — the
+    * map never needs a full rebuild. */
+  def zoneMapStats(spark: SparkSession, root: String,
+                   zoneCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    spark.read.parquet(root)
+      .select(col("_metadata.file_path").as("file"), col(zoneCol))
+      .groupBy(col("file"))
+      .agg(min(col(zoneCol)).as("zmin"), max(col(zoneCol)).as("zmax"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Range-scan `root` reading ONLY the files whose [zmin, zmax]
+    * interval intersects [lo, hi] per `stats` (a [[zoneMapStats]]
+    * frame). Sound for any file layout — a file whose zone interval
+    * misses the predicate range cannot hold a matching row — and
+    * effective exactly when the data was written clustered on
+    * `zoneCol` (range-repartitioned/sorted, or Z-ordered via
+    * [[graft.operators.Layout]] for multi-column predicates). The
+    * residual filter stays on the scan, so pruning is invisible in
+    * the result by construction.
+    *
+    * The driver materializes only the SURVIVING FILE LIST (the same
+    * boundedness argument as partition pruning — metadata, never
+    * rows; a 100 TB table at 128 MB files is ~800k stats rows, and
+    * the intersection of a selective predicate is far smaller). */
+  def skippingScan(spark: SparkSession, stats: DataFrame, zoneCol: String,
+                   lo: Column, hi: Column): DataFrame = {
+    val picked = stats
+      .filter(col("zmax") >= lo && col("zmin") <= hi)
+      .select(col("file")).collect().map(_.getString(0)).sorted
+    require(picked.nonEmpty,
+      s"skippingScan: no file's [$zoneCol] zone intersects the range — " +
+        "empty scans should short-circuit at the caller")
+    spark.read.parquet(picked.toIndexedSeq: _*)
+      .filter(col(zoneCol) >= lo && col(zoneCol) <= hi)
+  }
+
+  /** w09 — zone-map FILE skipping: the data-skipping layer below
+    * partition pruning. Orders are written clustered on o_orderdate
+    * (range-repartition + sort — the layout decision), a per-file
+    * min/max stats table is derived in one pass, and a one-year range
+    * scan reads ONLY the files whose zones intersect 1996 (the
+    * ScalePostureSpec pin: a strict minority of files). At 100 TB this
+    * is the difference between scanning a 7-year table and scanning
+    * ~1/7th of it WITHOUT any partition column — finer-grained than
+    * hive partitioning (works on any clustered column, composes with
+    * it), and the mechanism under every lakehouse table format's
+    * "data skipping". Hash-gated against DuckDB's plain filtered scan
+    * of the SAME table: skipping must be invisible in the result. */
+  def w09ZoneMapSkipping(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, month}
+    val base = java.nio.file.Files.createTempDirectory("graft_w09").toString
+    try {
+      val root = s"$base/orders_clustered"
+      graft.Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .repartitionByRange(16, col("o_orderdate"))
+        .sortWithinPartitions(col("o_orderdate"))
+        .write.parquet(root)
+      val stats = zoneMapStats(spark, root, "o_orderdate")
+      val (lo, hi) = (lit("1996-01-01 00:00:00").cast("timestamp"),
+        lit("1996-12-31 23:59:59").cast("timestamp"))
+      skippingScan(spark, stats, "o_orderdate", lo, hi)
+        .groupBy(month(col("o_orderdate")).as("order_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.functions.DecimalSums.dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("order_month"))
+        .localCheckpoint() // materialize before the staging is deleted
+    } finally {
+      val gone = new scala.reflect.io.Directory(new java.io.File(base))
+        .deleteRecursively()
+      if (!gone) System.err.println(s"[w09] temp dir not fully removed: $base")
+    }
+  }
+
+  /** Oracle: the un-skipped scan — DuckDB reads every row of orders
+    * and filters; the engine must produce the identical result from
+    * the pruned file subset. */
+  val w09Sql: String = {
+    val dsum = graft.functions.DecimalSums.sqlDsum("o_totalprice")
+    s"""SELECT CAST(MONTH(o_orderdate) AS INT) AS order_month,
+       |  COUNT(*) AS n_orders, $dsum AS revenue
+       |FROM orders
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w07_drift_psi"       -> w07DriftPsi _,
+    "w09_zone_map_skipping" -> w09ZoneMapSkipping _,
     "w01_incremental_agg" -> w01IncrementalAggRefresh _,
     "w08_sketch_rollup"   -> w08SketchRollup _,
     "w02_snapshot_diff"   -> w02SnapshotDiff _,
@@ -1033,6 +1132,7 @@ object Warehouse {
 
   val oracles: Map[String, String] = Map(
     "w07_drift_psi"       -> w07Sql,
+    "w09_zone_map_skipping" -> w09Sql,
     "w01_incremental_agg" -> w01Sql,
     "w08_sketch_rollup"   -> w08Sql,
     "w02_snapshot_diff"   -> w02Sql,

@@ -60,6 +60,40 @@ object EventStreams {
         col("event_type"), col("event_count"), col("total_value"))
 
   // ---------------------------------------------------------------------------
+  // Stream-static enrichment join (streaming v31)
+  // ---------------------------------------------------------------------------
+
+  /** Stream⋈STATIC dimension enrichment — the join family v16's
+    * stream-stream join doesn't touch: each event is enriched with its
+    * user's market segment from the bounded `customer` dimension, then
+    * rolled up per (10-min window, segment). Stream-static joins are
+    * STATELESS on the stream side (no join state store, no watermark
+    * needed for the join itself — only the downstream windowed agg
+    * needs one), which is why this is THE shape for dimension lookup
+    * at 100 TB/day: the dimension broadcasts to every executor once
+    * per micro-batch plan and event rows never buffer.
+    *
+    * The watermark is declared BEFORE the join: rows the inner join
+    * drops (unknown users — including the replay harness's flush
+    * sentinel, user −1) still advance event time at the watermark
+    * node, so windows close even when the last rows seen are
+    * non-joining. */
+  def segmentRollup(events: DataFrame, customer: DataFrame,
+                    lateness: String = defaultLateness): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .join(broadcast(customer.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment"))), Seq("user_id"))
+      .groupBy(window(col("ts"), "10 minutes"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        graft.functions.DecimalSums.dsum(col("value")).as("total_value"))
+      .select(
+        date_format(col("window.start"), tsFmt).as("window_start"),
+        col("c_mktsegment").as("segment"),
+        col("event_count"), col("total_value"))
+
+  // ---------------------------------------------------------------------------
   // Sliding windows (streaming v04)
   // ---------------------------------------------------------------------------
 
@@ -466,6 +500,20 @@ object EventStreams {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("deduped_count"))
       .orderBy(col("event_type"))
+
+  /** v31 — the stream-STATIC enrichment join through the runtime: the
+    * broadcast dimension must be re-resolved against every micro-batch
+    * (a stateless join each batch, no join state store), and the
+    * downstream windowed aggregate's state must close correctly when
+    * the stream's last rows are non-joining (the sentinel advances the
+    * watermark at the pre-join watermark node, then the join drops
+    * it). Hash-gated against DuckDB running the same events⋈customer
+    * rollup as one batch query. */
+  def v31StreamedEnrichment(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.Tables.customer(spark, dir)
+    replayThroughRuntime(spark, dir, segmentRollup(_, dim))
+      .orderBy(col("window_start"), col("segment"))
+  }
 
   /** v16 — the stream-stream interval JOIN state store through the
     * runtime, the one store v12–v14 never touch: clicks and purchases

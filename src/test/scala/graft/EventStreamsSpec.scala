@@ -139,6 +139,24 @@ class EventStreamsSpec extends SparkSpec {
     assertSameRows(streamed, batch)
   }
 
+  test("segmentRollup replay matches the batch enrichment rollup") {
+    val dim = Tables.customer(spark, sf)
+    // the sentinel (user −1) matches no customer: the inner join drops
+    // it AFTER it advanced the watermark — windows must still close
+    val streamed = replay(EventStreams.segmentRollup(_, dim))
+    val batch = Tables.events(spark, sf)
+      .join(dim.select($"c_custkey".as("user_id"), $"c_mktsegment"),
+        Seq("user_id"))
+      .groupBy(window($"ts", "10 minutes"), $"c_mktsegment")
+      .agg(count(lit(1)).as("event_count"),
+        graft.functions.DecimalSums.dsum($"value").as("total_value"))
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"), $"c_mktsegment".as("segment"),
+        $"event_count", $"total_value")
+    assert(batch.count() > 0, "fixture must produce enriched windows")
+    assertSameRows(streamed, batch)
+  }
+
   test("attributedPurchases replay matches batch v07 exactly") {
     val streamed = replay(EventStreams.attributedPurchases(_))
     assertSameRows(streamed, EventQueries.v07AttributedPurchases(spark, sf))

@@ -233,4 +233,49 @@ class GraphSpec extends SparkSpec {
       .filter(_._2 > 0).toMap
     assert(got === naive)
   }
+
+  test("kCore: pendant peels off, clique survives with in-core degrees") {
+    // order 1 -> a 5-clique {10..14}; order 2 -> pendant 99 on node 10.
+    // E(directed) = 5*4 + 2 = 22, N = 6 -> k = 7*(22/6)/10 = 2.
+    // Peel: 99 (deg 1 < 2) drops; the clique (deg >= 4) is the 2-core.
+    val out = Graph.kCore(li(1L -> Seq(10L, 11L, 12L, 13L, 14L),
+        2L -> Seq(10L, 99L)))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out === Array(
+      (10L, 2L, 4L), (11L, 2L, 4L), (12L, 2L, 4L),
+      (13L, 2L, 4L), (14L, 2L, 4L)))
+  }
+
+  test("kCore: fixpoint within the oracle chain length; every survivor has core_deg >= k") {
+    // the x08Sql chain materializes corePeelRounds rounds and relies on
+    // surplus rounds being the identity — audit that the gate corpus
+    // really converges inside that budget, and that the k-core property
+    // holds for every surviving node
+    val core = Graph.kCore(Tables.lineitem(spark, sf))
+      .as[(Long, Long, Long)].collect()
+    assert(core.nonEmpty)
+    assert(core.forall { case (_, k, d) => d >= k },
+      "a k-core node with degree < k means the peel stopped early")
+    // independent driver-side replay: count rounds to fixpoint
+    var e = Graph.copurchaseEdges(Tables.lineitem(spark, sf))
+      .select($"src", $"dst").as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val k = core.head._2
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds <= Graph.corePeelRounds) {
+      val deg = e.groupBy(_._1).map { case (n, es) => (n, es.size) }
+      val next = e.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+      stable = next == e
+      e = next
+      rounds += 1
+    }
+    assert(stable,
+      s"gate corpus must reach its k-core fixpoint within " +
+        s"${Graph.corePeelRounds} peel rounds or the x08 oracle chain " +
+        "is too short")
+    // the replay agrees with the distributed peel
+    val replay = e.groupBy(_._1).map { case (n, es) => (n, es.size.toLong) }
+    assert(core.map(c => (c._1, c._3)).toMap === replay)
+  }
 }

@@ -621,4 +621,49 @@ class ScalePostureSpec extends SparkSpec {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("zone-map skipping reads a strict minority of files, result identical") {
+    val base = java.nio.file.Files.createTempDirectory("graft_w09_spec")
+    try {
+      val root = base.resolve("orders_clustered").toString
+      Tables.orders(spark, sf)
+        .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+        .repartitionByRange(16, $"o_orderdate")
+        .sortWithinPartitions($"o_orderdate")
+        .write.parquet(root)
+      val stats = Warehouse.zoneMapStats(spark, root, "o_orderdate")
+        .cache()
+      val total = stats.count()
+      assert(total >= 8, s"expected a multi-file layout, got $total files")
+      // zone maps cover every row exactly once
+      assert(stats.agg(sum($"n_rows")).head.getLong(0) ==
+        Tables.orders(spark, sf).count())
+      val (lo, hi) = (lit("1996-01-01 00:00:00").cast("timestamp"),
+        lit("1996-12-31 23:59:59").cast("timestamp"))
+      // the skipping decision: a strict minority of files intersect the
+      // one-year range of a ~6.6-year clustered table
+      val picked = stats.filter($"zmax" >= lo && $"zmin" <= hi).count()
+      assert(picked >= 1 && picked * 2 < total,
+        s"one year should intersect a strict minority of zones: $picked/$total")
+      // pruning is invisible: pruned scan == full-table filter, row for row
+      val pruned = Warehouse.skippingScan(spark, stats, "o_orderdate", lo, hi)
+        .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+      val full = spark.read.parquet(root)
+        .filter($"o_orderdate" >= lo && $"o_orderdate" <= hi)
+        .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+      assert(pruned.exceptAll(full).count() == 0)
+      assert(full.exceptAll(pruned).count() == 0)
+      // an empty zone intersection is refused loudly, not an empty scan
+      val e = intercept[IllegalArgumentException] {
+        Warehouse.skippingScan(spark, stats, "o_orderdate",
+          lit("2050-01-01 00:00:00").cast("timestamp"),
+          lit("2050-12-31 00:00:00").cast("timestamp"))
+      }
+      assert(e.getMessage.contains("zone"))
+      stats.unpersist()
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(base.toFile).deleteRecursively()
+    }
+  }
 }
