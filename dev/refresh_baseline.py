@@ -51,8 +51,9 @@ NOTES = {
     "d13_semantic_dedup_lsh": "floor predates lshPlanesFor depth scaling (r9); at sf0.1 the auto depth is 5, deeper than the floor-era fixed 3",
     "v30_streamed_semantic_dedup": "floor predates auto depth (r10): the replay now re-buckets the index twice as the corpus crosses plane boundaries",
     "w09_zone_map_skipping": "includes the one-time clustered write + stats bootstrap; the range scan itself reads 3 of 16 files (r10)",
-    "x08_kcore": "derived k=83 at sf0.1, ~11 peel rounds to the fixpoint; one degree agg + two semi-joins per round (r10)",
+    "x08_kcore": "derived k=83 at sf0.1, ~11 peel rounds to the fixpoint (cost is round count, not the joins: ~0.65s/round, below x01's 1.04); broadcast semi-joins when nodes fit (r10)",
     "v31_streamed_enrichment": "stream-static broadcast join through the replay runtime — runtime-overhead-dominated (stateless join, windowed-agg state only) (r10)",
+    "v32_streamed_funnel": "left-outer stream-stream join through the runtime: null emission waits for watermark proof, type-specific flush — runtime-overhead-dominated (r10)",
 }
 
 def main(*paths):

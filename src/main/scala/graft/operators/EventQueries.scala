@@ -756,6 +756,25 @@ object EventQueries {
       |ORDER BY n DESC, path
       |LIMIT 40""".stripMargin
 
+  /** v32 oracle: v07's attribution as a batch LEFT JOIN — unconverted
+    * clicks carry null purchase columns. Null purchase_ids sort LAST
+    * explicitly (Spark's ASC default is NULLS FIRST, DuckDB's is
+    * configurable — both sides pin NULLS LAST so the LIMIT is stable). */
+  val v32Sql: String =
+    """WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT click_id, purchase_id, c.user_id AS user_id,
+      |  CAST(epoch_us(purchase_ts) - epoch_us(click_ts) AS DOUBLE) / 1000000.0
+      |    AS lag_sec,
+      |  value AS purchase_value
+      |FROM c LEFT JOIN p ON c.user_id = p.user_id
+      |  AND purchase_ts >= click_ts
+      |  AND purchase_ts <= click_ts + INTERVAL 30 MINUTES
+      |ORDER BY click_id, purchase_id ASC NULLS LAST
+      |LIMIT 2000""".stripMargin
+
   /** v31 oracle: the stream-static enrichment rollup as one batch
     * query — events joined to the customer dimension, counted and
     * decimal-summed per (10-min window, segment). */
@@ -806,6 +825,9 @@ object EventQueries {
     // the stream-STATIC broadcast enrichment join: stateless dimension
     // lookup per micro-batch, the one join family v16 doesn't exercise
     "v31_streamed_enrichment"  -> graft.streaming.EventStreams.v31StreamedEnrichment _,
+    // the stream-stream join's LEFT-OUTER regime: watermark-proven null
+    // emission for unconverted clicks, the eviction path v16 never hits
+    "v32_streamed_funnel"      -> graft.streaming.EventStreams.v32StreamedFunnel _,
     // warehouse-as-state streaming ingest dedup over documents: parquet
     // LSH index carried across micro-batches AND a checkpointed restart
     "v18_streamed_ingest_dedup" -> graft.streaming.IngestDedup.v18StreamedIngestDedup _,
@@ -838,6 +860,7 @@ object EventQueries {
     "v15_filesource_tumbling" -> v01Sql,
     "v16_streamed_attribution" -> v07Sql,
     "v31_streamed_enrichment" -> v31Sql,
+    "v32_streamed_funnel"     -> v32Sql,
     "v17_streamed_profiles"   -> v17Sql,
     "v18_streamed_ingest_dedup" -> graft.streaming.IngestDedup.v18Sql,
     "v30_streamed_semantic_dedup" -> graft.streaming.IngestDedup.v30Sql,

@@ -414,7 +414,8 @@ object EventStreams {
     * transforms. */
   private def replayThroughRuntime(spark: SparkSession, dir: String,
       transform: DataFrame => DataFrame,
-      rowFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+      rowFilter: org.apache.spark.sql.Column = lit(true),
+      flush: Seq[Ev] = Seq(flushSentinel)): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // rowFilter drops rows the transform's FIRST operator would discard
@@ -456,7 +457,7 @@ object EventStreams {
         rows.grouped(batchSize).foreach { b =>
           ms.addData(b.toSeq); q.processAllAvailable()
         }
-        ms.addData(Seq(flushSentinel)); q.processAllAvailable()
+        ms.addData(flush); q.processAllAvailable()
       } finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(name)
@@ -526,6 +527,28 @@ object EventStreams {
     replayThroughRuntime(spark, dir, attributedPurchases(_),
         rowFilter = col("event_type").isin("click", "purchase"))
       .orderBy(col("click_id"), col("purchase_id"))
+      .limit(2000)
+
+  /** v32 — the stream-stream join's LEFT-OUTER regime through the
+    * runtime: where v16's inner matches emit eagerly, an unconverted
+    * click's null row may only surface once the PURCHASE-side watermark
+    * proves no in-window purchase can still arrive — the state-store
+    * eviction path v16 never exercises. The generic flush sentinel
+    * can't close it (type "sentinel" fails both side filters and never
+    * advances their watermarks — the v16 lesson), so the flush is a
+    * pair of far-future type-specific rows on users no real row can
+    * join (-2/-3, different users so they can't join each other; the
+    * crafted click's own null emission is dropped post-settle with the
+    * real sentinel rows). Hash-gated against the batch LEFT JOIN
+    * oracle. */
+  def v32StreamedFunnel(spark: SparkSession, dir: String): DataFrame =
+    replayThroughRuntime(spark, dir, attributionFunnel(_),
+        rowFilter = col("event_type").isin("click", "purchase"),
+        flush = Seq(
+          Ev(-2L, Timestamp.valueOf("2100-01-01 00:00:00"), -2L, "click", 0.0),
+          Ev(-3L, Timestamp.valueOf("2100-06-01 00:00:00"), -3L, "purchase", 0.0)))
+      .filter(col("user_id") >= 0)
+      .orderBy(col("click_id"), col("purchase_id").asc_nulls_last)
       .limit(2000)
 
   /** v17 — the flatMapGroupsWithState CUSTOM-STATE store through the
