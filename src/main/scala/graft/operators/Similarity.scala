@@ -302,6 +302,53 @@ object Similarity {
     rankCandidates(probed.join(cells, Seq("cell")), k)
   }
 
+  /** Build the IVF index ONCE into the warehouse (the vector-DB shape
+    * [[graft.streaming.IngestDedup]] already proved for the LSH dedup
+    * index): the assigned-cells table written PARTITIONED BY cell and
+    * the centroid table beside it. Every later query batch loads both
+    * and searches WITHOUT re-fitting — the fit cost (and its
+    * determinism dials) is paid at index-build time, amortized over
+    * every query until the corpus outgrows the quantizer (then
+    * re-bucket, the v30 `rebucketIndex` precedent).
+    *
+    * Partitioning by cell is the point: the probe joins the query's
+    * nprobe cells against the PARTITION COLUMN, so Spark's dynamic
+    * partition pruning reads only the probed cells' files — at a
+    * billion vectors in 4096 cells, a 20-query batch probing 4 cells
+    * each touches ≤80 partition directories, not the corpus
+    * (`SimilaritySpec` pins the pruning in the plan). */
+  def writeIvfIndex(corpus: DataFrame, indexDir: String, nlist: Int = 16,
+                    seed: Long = 42L): Unit = {
+    val (cells, centroids) = ivfIndexTwoLevel(corpus, nlist, seed)
+    graft.sources.Warehouse.writePartitioned(cells, s"$indexDir/cells",
+      Seq("cell"))
+    centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/centroids")
+  }
+
+  /** Search a [[writeIvfIndex]] index: rank the stored centroids per
+    * query (broadcast — nlist rows), probe `nprobe` cells through the
+    * partition-column equi-join, exact cosine inside. No fit, no
+    * corpus scan, bit-identical to [[ivfKnn]] with the same dials
+    * (same quantizer output, same probe arithmetic — pinned). */
+  def ivfKnnFromIndex(queries: DataFrame, indexDir: String, k: Int,
+                      nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val cells = spark.read.parquet(s"$indexDir/cells")
+    val q = queries.select(col("vec_id").as("query_id"),
+      VectorOps.asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", VectorOps.norm(col("qv")))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("d2p",
+        VectorOps.dot(col("qv"), col("centroid")) * lit(-2.0) + col("cn2"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2p"), col("cell"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    rankCandidates(probed.join(cells, Seq("cell")), k)
+  }
+
   /** Int8 scalar quantization + exact re-rank — the memory/IO scale
     * path orthogonal to bucketing: the corpus is stored and SHUFFLED as
     * `array<tinyint>` (4× smaller than float32, 8× than the double
@@ -846,6 +893,29 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
     ivfKnn(emb.filter(col("vec_id") < 20), emb, 5, twoLevel = true)
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** s17 — the same search as s04, but from a PERSISTED index: built
+    * once into a warehouse directory ([[writeIvfIndex]]), then searched
+    * with no fit and no corpus scan ([[ivfKnnFromIndex]]) — the
+    * build-once/query-many lifecycle every real vector store runs.
+    * Rows-only like s04 (the quantizer is engine-specific);
+    * SimilaritySpec pins the round trip bit-identical to the in-memory
+    * s04 path, full-probe-from-index == exact, and the probe's dynamic
+    * partition pruning in the plan. */
+  def s17KnnIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_s17").toString
+    try {
+      val emb = Tables.embeddings(spark, dir)
+      writeIvfIndex(emb, base)
+      ivfKnnFromIndex(emb.filter(col("vec_id") < 20), base, 5)
+        .orderBy(col("query_id"), col("rk"))
+        .localCheckpoint() // materialize before the staging is deleted
+    } finally {
+      val gone = new scala.reflect.io.Directory(new java.io.File(base))
+        .deleteRecursively()
+      if (!gone) System.err.println(s"[s17] temp dir not fully removed: $base")
+    }
   }
 
   /** Corpus bucket histogram (rows-only; exercises the bucketing shape
@@ -1434,6 +1504,7 @@ object Similarity {
     "s02_knn_ann"           -> s02KnnAnn _,
     "s03_ann_bucket_profile" -> s03AnnBucketProfile _,
     "s04_knn_ivf"           -> s04KnnIvf _,
+    "s17_knn_ivf_persisted" -> s17KnnIvfPersisted _,
     "s05_ivf_cell_profile"  -> s05IvfCellProfile _,
     "s06_knn_quantized"     -> s06KnnQuantized _,
     "s07_knn_ivfsq"         -> s07KnnIvfSq _,

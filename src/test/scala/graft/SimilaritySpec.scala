@@ -166,6 +166,40 @@ class SimilaritySpec extends SparkSpec {
       "two-level IVF output changed under repartitioning")
   }
 
+  test("persisted IVF index: round trip bit-identical, full probe exact, probe prunes partitions") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 20)
+    val base = java.nio.file.Files.createTempDirectory("graft_s17_spec")
+    try {
+      Similarity.writeIvfIndex(emb, base.toString)
+      // the loaded-index search must reproduce the in-memory s04 path
+      // bit for bit: same quantizer output survives the parquet round
+      // trip, same probe arithmetic on both sides
+      val fromIdx = Similarity.ivfKnnFromIndex(queries, base.toString, 5)
+      val inMem = Similarity.ivfKnn(queries, emb, 5, twoLevel = true)
+      assert(fromIdx.exceptAll(inMem).count() == 0 &&
+        inMem.exceptAll(fromIdx).count() == 0,
+        "search from the persisted index diverged from the in-memory path")
+      // exhaustive probe from the index degenerates to exact — the
+      // persisted cells hold the whole corpus exactly once
+      val full = Similarity.ivfKnnFromIndex(queries, base.toString, 5,
+        nprobe = 16)
+      val exact = Similarity.bruteForceKnn(queries, emb, 5)
+      assert(full.exceptAll(exact).count() == 0 &&
+        exact.exceptAll(full).count() == 0,
+        "full probe from the persisted index must equal exact")
+      // the probe's equi-join on the partition column dynamically
+      // prunes unprobed cells' files — the reason the index is
+      // partitioned by cell
+      val plan = fromIdx.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"expected dynamic partition pruning on the cells scan:\n$plan")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(base.toFile).deleteRecursively()
+    }
+  }
+
   test("ivfKnn recall is monotone in nprobe and exact at nprobe = nlist") {
     // the dial a 100 TB deployment actually turns: more probed cells can
     // only add candidates, so recall must be non-decreasing in nprobe
