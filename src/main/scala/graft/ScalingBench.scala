@@ -99,6 +99,26 @@ object ScalingBench {
           val nlist = math.max(16, (e.count() / 512).toInt)
           operators.Similarity.mutualKnn(
             operators.Similarity.ivfKnn(e, e, 5, nlist = nlist, nprobe = 4))
+        }),
+      // persisted IVF (s17): the build-once/query-many decomposition.
+      // The BUILD row pays the corpus-scaled fit + the cell-partitioned
+      // write; the SEARCH row (must run in the same invocation — it
+      // reads the build's output under the scaled corpus dir) is a
+      // 20-query batch probing 4 cells each, whose cost should stay
+      // ~flat while the corpus grows 100× — that flatness IS the
+      // amortization claim.
+      ("s17_ivf_index_build", true,
+        (s, d) => {
+          val e = Tables.embeddings(s, d)
+          val nlist = math.max(16, (e.count() / 512).toInt)
+          operators.Similarity.writeIvfIndex(e, s"$d/__s17_index", nlist)
+          s.read.parquet(s"$d/__s17_index/cells")
+        }),
+      ("s17_ivf_index_search", true,
+        (s, d) => {
+          import org.apache.spark.sql.functions.col
+          val q = Tables.embeddings(s, d).filter(col("vec_id") < 20)
+          operators.Similarity.ivfKnnFromIndex(q, s"$d/__s17_index", 5)
         }))
 
     // Second axis for queries over the TPC-H-shaped tables (the graph
