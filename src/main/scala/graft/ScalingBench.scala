@@ -21,6 +21,10 @@ import graft.streaming.IngestDedup
   */
 object ScalingBench {
 
+  /** Corpus dirs whose s17 index was built by THIS invocation. */
+  private val s17Built =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def force(df: DataFrame): Long = {
     // noop datasource: full distributed execution, zero driver pull
     df.write.format("noop").mode("overwrite").save()
@@ -102,20 +106,26 @@ object ScalingBench {
         }),
       // persisted IVF (s17): the build-once/query-many decomposition.
       // The BUILD row pays the corpus-scaled fit + the cell-partitioned
-      // write; the SEARCH row (must run in the same invocation — it
-      // reads the build's output under the scaled corpus dir) is a
-      // 20-query batch probing 4 cells each, whose cost should stay
-      // ~flat while the corpus grows 100× — that flatness IS the
-      // amortization claim.
+      // write; the SEARCH row is a 20-query batch probing 4 cells each,
+      // whose cost should stay ~flat while the corpus grows 100× —
+      // that flatness IS the amortization claim. The search REQUIRES
+      // its build in the same invocation: __s17_index survives under
+      // /tmp/graft_scaling/x$r across runs while ScaleCorpus only
+      // rewrites the tables, so a SCALING_ONLY=search run would
+      // silently time a stale index against fresh embeddings.
       ("s17_ivf_index_build", true,
         (s, d) => {
           val e = Tables.embeddings(s, d)
           val nlist = math.max(16, (e.count() / 512).toInt)
           operators.Similarity.writeIvfIndex(e, s"$d/__s17_index", nlist)
+          s17Built.add(d)
           s.read.parquet(s"$d/__s17_index/cells")
         }),
       ("s17_ivf_index_search", true,
         (s, d) => {
+          require(s17Built.contains(d),
+            s"s17_ivf_index_search at $d needs s17_ivf_index_build in " +
+              "the SAME invocation (include it in SPARK_GRAFT_SCALING_ONLY)")
           import org.apache.spark.sql.functions.col
           val q = Tables.embeddings(s, d).filter(col("vec_id") < 20)
           operators.Similarity.ivfKnnFromIndex(q, s"$d/__s17_index", 5)

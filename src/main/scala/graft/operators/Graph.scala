@@ -462,8 +462,10 @@ object Graph {
     * fixpoint instead; sound against the fixed-length chain because a
     * peel round AT the fixpoint is the identity (no node is below k),
     * so the oracle's surplus rounds change nothing. GraphSpec audits
-    * that the gate corpus converges within the chain length. */
-  val corePeelRounds = 8
+    * convergence-within-chain at the GATE corpus (sf0.01 — 5 content
+    * rounds measured; sf0.1 needs ~10, hence the margin to 12; the
+    * sf0.001 suite corpus converges in 1 and proves nothing). */
+  val corePeelRounds = 12
 
   /** Loud-throw budget for [[kCore]]'s early-exit loop — peel depth is
     * data-dependent (the cascade can be long on near-threshold

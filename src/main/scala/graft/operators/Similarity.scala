@@ -319,11 +319,21 @@ object Similarity {
     * (`SimilaritySpec` pins the pruning in the plan). */
   def writeIvfIndex(corpus: DataFrame, indexDir: String, nlist: Int = 16,
                     seed: Long = 42L): Unit = {
+    // Torn-rebuild protection (the v30 rebucketIndex meta-last
+    // precedent): cells and centroids are two separate overwrites, and
+    // a crash between them would pair NEW assignments with OLD
+    // centroids — silently wrong neighbors. The commit marker is
+    // deleted FIRST and written LAST, so any torn state has no marker
+    // and [[ivfKnnFromIndex]] refuses loudly instead of searching it.
+    val commit = new java.io.File(s"$indexDir/_graft_ivf_commit")
+    if (commit.exists()) commit.delete()
     val (cells, centroids) = ivfIndexTwoLevel(corpus, nlist, seed)
     graft.sources.Warehouse.writePartitioned(cells, s"$indexDir/cells",
       Seq("cell"))
     centroids.coalesce(1).write.mode("overwrite")
       .parquet(s"$indexDir/centroids")
+    java.nio.file.Files.write(commit.toPath,
+      s"nlist=$nlist seed=$seed".getBytes("UTF-8"))
   }
 
   /** Search a [[writeIvfIndex]] index: rank the stored centroids per
@@ -333,6 +343,10 @@ object Similarity {
     * (same quantizer output, same probe arithmetic — pinned). */
   def ivfKnnFromIndex(queries: DataFrame, indexDir: String, k: Int,
                       nprobe: Int = 4): DataFrame = {
+    require(new java.io.File(s"$indexDir/_graft_ivf_commit").exists(),
+      s"ivf index at $indexDir has no commit marker — a build crashed " +
+        "between the cells and centroids writes (or never ran); " +
+        "re-run writeIvfIndex before searching")
     val spark = queries.sparkSession
     val centroids = spark.read.parquet(s"$indexDir/centroids")
     val cells = spark.read.parquet(s"$indexDir/cells")

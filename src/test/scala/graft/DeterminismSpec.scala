@@ -75,4 +75,16 @@ class DeterminismSpec extends SparkSpec {
   test("round-10 queries digest identically under different shuffle widths") {
     pinWidths(roundTen)
   }
+
+  // round 10 tail: zone-map skipping (repartitionByRange(16) fixes the
+  // file layout regardless of session width, and pruning must be
+  // invisible either way), k-core (observed-count convergence must not
+  // depend on partitioning), persisted IVF (fit + parquet round trip).
+  // v31/v32 are streaming runners — replay-pinned separately.
+  private val roundTenTail = Seq("w09_zone_map_skipping", "x08_kcore",
+    "s17_knn_ivf_persisted")
+
+  test("round-10-tail queries digest identically under different shuffle widths") {
+    pinWidths(roundTenTail)
+  }
 }

@@ -248,16 +248,19 @@ class GraphSpec extends SparkSpec {
 
   test("kCore: fixpoint within the oracle chain length; every survivor has core_deg >= k") {
     // the x08Sql chain materializes corePeelRounds rounds and relies on
-    // surplus rounds being the identity — audit that the gate corpus
+    // surplus rounds being the identity — audit that the GATE corpus
+    // (sf0.01, where the driver's hash compare actually runs — the
+    // sf0.001 suite corpus converges in one round and proves nothing)
     // really converges inside that budget, and that the k-core property
     // holds for every surviving node
-    val core = Graph.kCore(Tables.lineitem(spark, sf))
+    val gateSf = "/root/testdata/sf0.01"
+    val core = Graph.kCore(Tables.lineitem(spark, gateSf))
       .as[(Long, Long, Long)].collect()
     assert(core.nonEmpty)
     assert(core.forall { case (_, k, d) => d >= k },
       "a k-core node with degree < k means the peel stopped early")
     // independent driver-side replay: count rounds to fixpoint
-    var e = Graph.copurchaseEdges(Tables.lineitem(spark, sf))
+    var e = Graph.copurchaseEdges(Tables.lineitem(spark, gateSf))
       .select($"src", $"dst").as[(Long, Long)].collect()
       .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
     val k = core.head._2

@@ -194,6 +194,17 @@ class SimilaritySpec extends SparkSpec {
       val plan = fromIdx.queryExecution.executedPlan.toString
       assert(plan.contains("dynamicpruning"),
         s"expected dynamic partition pruning on the cells scan:\n$plan")
+      // torn-rebuild protection: a build that died between the cells
+      // and centroids overwrites leaves no commit marker, and the
+      // search must refuse loudly rather than pair new cells with old
+      // centroids
+      val marker = new java.io.File(s"$base/_graft_ivf_commit")
+      assert(marker.exists(), "writeIvfIndex must write its commit marker")
+      marker.delete()
+      val e = intercept[IllegalArgumentException] {
+        Similarity.ivfKnnFromIndex(queries, base.toString, 5).collect()
+      }
+      assert(e.getMessage.contains("commit marker"))
     } finally {
       import scala.reflect.io.Directory
       new Directory(base.toFile).deleteRecursively()
