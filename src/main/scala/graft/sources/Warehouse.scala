@@ -1043,6 +1043,49 @@ object Warehouse {
         count(lit(1)).as("n_rows"))
   }
 
+  /** Append a batch into a zone-mapped table and maintain the stats
+    * table INCREMENTALLY — the claim that makes [[zoneMapStats]]'
+    * one-scan bootstrap a one-TIME cost: the batch lands as new files
+    * (append mode, clustered on the zone column), their stats come
+    * from ONE scan of THOSE FILES ONLY (identified by a before/after
+    * directory listing — driver-side metadata, never rows), and the
+    * updated map is the old stats plus the new files' rows. The
+    * full-table rebuild never runs again; ScalePostureSpec pins the
+    * incrementally-maintained map row-identical to a fresh
+    * [[zoneMapStats]] rebuild. Single-writer append assumed (the
+    * standing Warehouse discipline).
+    *
+    * `stats` must be a MATERIALIZED map (a stored stats table, a
+    * checkpoint, a collected frame) — passing the LAZY
+    * [[zoneMapStats]] plan over the same `root` would re-scan the
+    * post-append directory inside the union and double-count the new
+    * files. */
+  def appendWithZoneStats(batch: DataFrame, root: String, zoneCol: String,
+                          stats: DataFrame, files: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    import scala.jdk.CollectionConverters._
+    val spark = batch.sparkSession
+    def listParquet(): Set[String] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      try s.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+    val before = listParquet()
+    batch
+      .repartitionByRange(files, col(zoneCol))
+      .sortWithinPartitions(col(zoneCol))
+      .write.mode(SaveMode.Append).parquet(root)
+    val fresh = (listParquet() -- before).toSeq.sorted
+    require(fresh.nonEmpty, s"appendWithZoneStats: no new files under $root")
+    val freshStats = spark.read.parquet(fresh: _*)
+      .select(col("_metadata.file_path").as("file"), col(zoneCol))
+      .groupBy(col("file"))
+      .agg(min(col(zoneCol)).as("zmin"), max(col(zoneCol)).as("zmax"),
+        count(lit(1)).as("n_rows"))
+    stats.unionByName(freshStats)
+  }
+
   /** Range-scan `root` reading ONLY the files whose [zmin, zmax]
     * interval intersects [lo, hi] per `stats` (a [[zoneMapStats]]
     * frame). Sound for any file layout — a file whose zone interval

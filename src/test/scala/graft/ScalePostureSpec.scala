@@ -660,7 +660,34 @@ class ScalePostureSpec extends SparkSpec {
           lit("2050-12-31 00:00:00").cast("timestamp"))
       }
       assert(e.getMessage.contains("zone"))
+      // incremental maintenance: an appended batch's stats come from a
+      // scan of the NEW files only, and the unioned map must be
+      // row-identical to a fresh full rebuild — the one-time-bootstrap
+      // claim. The old map enters as a MATERIALIZED snapshot (the
+      // stored-stats-table shape the API documents): the lazy plan
+      // would re-scan the post-append dir, and leaving it CACHED would
+      // serve the stale pre-append map to the rebuild via plan-cache
+      // substitution — both real footguns this test documents.
+      val statsSnap = stats.localCheckpoint(true)
       stats.unpersist()
+      val batch = Tables.orders(spark, sf)
+        .filter($"o_orderkey" % 5 === 0)
+        .select($"o_orderkey" + 10000000L as "o_orderkey",
+          $"o_orderdate", $"o_totalprice")
+      val incr = Warehouse.appendWithZoneStats(batch, root, "o_orderdate",
+        statsSnap)
+      val rebuilt = Warehouse.zoneMapStats(spark, root, "o_orderdate")
+      assert(incr.exceptAll(rebuilt).count() == 0 &&
+        rebuilt.exceptAll(incr).count() == 0,
+        "incrementally-maintained zone map diverged from a full rebuild")
+      // and the skipping scan over the maintained map sees the new rows
+      val pruned2 = Warehouse.skippingScan(spark, incr, "o_orderdate",
+        lo, hi).select($"o_orderkey")
+      val full2 = spark.read.parquet(root)
+        .filter($"o_orderdate" >= lo && $"o_orderdate" <= hi)
+        .select($"o_orderkey")
+      assert(pruned2.exceptAll(full2).count() == 0 &&
+        full2.exceptAll(pruned2).count() == 0)
     } finally {
       import scala.reflect.io.Directory
       new Directory(base.toFile).deleteRecursively()
