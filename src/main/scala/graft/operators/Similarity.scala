@@ -311,12 +311,12 @@ object Similarity {
     * every query until the corpus outgrows the quantizer (then
     * re-bucket, the v30 `rebucketIndex` precedent).
     *
-    * Partitioning by cell is the point: the probe joins the query's
-    * nprobe cells against the PARTITION COLUMN, so Spark's dynamic
-    * partition pruning reads only the probed cells' files — at a
-    * billion vectors in 4096 cells, a 20-query batch probing 4 cells
-    * each touches ≤80 partition directories, not the corpus
-    * (`SimilaritySpec` pins the pruning in the plan). */
+    * Partitioning by cell is the point: [[ivfKnnFromIndex]] filters
+    * the scan to the batch's probed cells on the PARTITION COLUMN, so
+    * only those cells' files are listed and read — at a billion
+    * vectors in 4096 cells, a 20-query batch probing 4 cells each
+    * touches ≤80 partition directories, not the corpus
+    * (`SimilaritySpec` pins the files-read metric). */
   def writeIvfIndex(corpus: DataFrame, indexDir: String, nlist: Int = 16,
                     seed: Long = 42L): Unit = {
     // Torn-rebuild protection (the v30 rebucketIndex meta-last
@@ -340,7 +340,19 @@ object Similarity {
     * query (broadcast — nlist rows), probe `nprobe` cells through the
     * partition-column equi-join, exact cosine inside. No fit, no
     * corpus scan, bit-identical to [[ivfKnn]] with the same dials
-    * (same quantizer output, same probe arithmetic — pinned). */
+    * (same quantizer output, same probe arithmetic — pinned).
+    *
+    * Partition pruning is EXPLICIT: the batch's probed-cell set
+    * (bounded by nlist — the w09 file-list boundedness argument) is
+    * collected and applied as a static IN filter on the partition
+    * column, so the cells scan lists only probed cell= directories —
+    * guaranteed, metric-pinned in SimilaritySpec. Dynamic partition
+    * pruning was tried first and measured a no-op here: under AQE the
+    * planted DPP filter degenerated to `dynamicpruningexpression
+    * (true)` and the scan read every partition regardless of join
+    * build side — right answer, zero pruning. A deterministic
+    * metadata-cost filter beats a planner heuristic the operator
+    * can't rely on. */
   def ivfKnnFromIndex(queries: DataFrame, indexDir: String, k: Int,
                       nprobe: Int = 4): DataFrame = {
     require(new java.io.File(s"$indexDir/_graft_ivf_commit").exists(),
@@ -360,7 +372,15 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("d2p"), col("cell"))))
       .filter(col("crk") <= nprobe)
       .select(col("query_id"), col("qv"), col("qn"), col("cell"))
-    rankCandidates(probed.join(cells, Seq("cell")), k)
+      // materialized once: consumed by the cell-set pull AND the join
+      .localCheckpoint(true)
+    val probedCells = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by nlist
+    val pruned = cells.filter(col("cell")
+      .isin(probedCells.map(Int.box).toIndexedSeq: _*))
+    // the probe frame (|queries|·nprobe rows) is the small side BY
+    // CONSTRUCTION — broadcast it so only the pruned cells stream
+    rankCandidates(broadcast(probed).join(pruned, Seq("cell")), k)
   }
 
   /** Int8 scalar quantization + exact re-rank — the memory/IO scale

@@ -188,12 +188,26 @@ class SimilaritySpec extends SparkSpec {
       assert(full.exceptAll(exact).count() == 0 &&
         exact.exceptAll(full).count() == 0,
         "full probe from the persisted index must equal exact")
-      // the probe's equi-join on the partition column dynamically
-      // prunes unprobed cells' files — the reason the index is
-      // partitioned by cell
-      val plan = fromIdx.queryExecution.executedPlan.toString
-      assert(plan.contains("dynamicpruning"),
-        s"expected dynamic partition pruning on the cells scan:\n$plan")
+      // the probed-cell partition filter really prunes: a one-query,
+      // one-probe search must READ exactly one of the 16 cell
+      // partitions (metric-checked, not plan-string-checked — the DPP
+      // attempt this replaced LOOKED planned but read all 16)
+      val one = Similarity.ivfKnnFromIndex(
+        emb.filter($"vec_id" === 0), base.toString, 5, nprobe = 1)
+      one.collect()
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+        case s: FileSourceScanExec => Seq(s)
+        case q: QueryStageExec => scans(q.plan)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      }.flatten
+      val cellScan = scans(one.queryExecution.executedPlan)
+        .find(_.relation.location.rootPaths.exists(_.toString.contains("cells")))
+        .getOrElse(fail("no cells scan in the search plan"))
+      assert(cellScan.metrics("numFiles").value == 1,
+        s"one probe must read one cell partition's file, read " +
+          s"${cellScan.metrics("numFiles").value}")
       // torn-rebuild protection: a build that died between the cells
       // and centroids overwrites leaves no commit marker, and the
       // search must refuse loudly rather than pair new cells with old
