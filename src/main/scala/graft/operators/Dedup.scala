@@ -1021,6 +1021,87 @@ object Dedup {
       |                             b.embedding::DOUBLE[]) >= 0.45
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** d16 — SEMANTIC decontamination across the canonical md5 split:
+    * for every held-out vector (val/test by [[Pipeline.splitOf]], the
+    * ONE owner of the 205/230 split), report any TRAIN vector within
+    * cosine ≥ 0.45 — the embedding-space contamination check that
+    * n-gram decontamination (t13) structurally misses (a paraphrased
+    * benchmark item shares no 5-gram but sits at high cosine).
+    *
+    * The pair stage is d13's gate generator VERBATIM (banded
+    * hyperplane LSH, corpus-scaled depth, hot-bucket cap): the
+    * cross-split restriction is a SUBSET of d13's pair set, so its
+    * recall-1-at-gate-dials pin (DedupSpec) covers this gate's hash
+    * soundness exactly the way v18/v30's streamed gates lean on it. At
+    * 100 TB the held-out side is ~1/5 of the corpus and candidates
+    * stay bucket-bounded; a deployment that only ever decontaminates
+    * (never dedups) signs JUST the held-out side and equality-joins
+    * against the train bucket index (the d10 batch-vs-corpus shape).
+    *
+    * Hash-gated: DuckDB replays the identical md5 split arithmetic
+    * (p04's oracle discipline) and the exact all-pairs cross-split
+    * cosine scan. */
+  def d16SemanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = embeddingNearDupPairsLSH(emb, 0.45, bands = 24,
+      planesPerBand = lshPlanesFor(emb.count()), maxBucketSize = Some(4096L))
+    val split = emb.select(col("vec_id"),
+      Pipeline.splitOf(Pipeline.md5Bucket(col("vec_id"))).as("sp"))
+    val heldOutHit = pairs
+      .join(split.select(col("vec_id").as("id_a"), col("sp").as("sp_a")),
+        Seq("id_a"))
+      .join(split.select(col("vec_id").as("id_b"), col("sp").as("sp_b")),
+        Seq("id_b"))
+      .withColumn("held_id",
+        when(col("sp_a") =!= "train" && col("sp_b") === "train", col("id_a"))
+          .when(col("sp_b") =!= "train" && col("sp_a") === "train", col("id_b")))
+      .filter(col("held_id").isNotNull)
+      .withColumn("held_sp",
+        when(col("held_id") === col("id_a"), col("sp_a")).otherwise(col("sp_b")))
+    heldOutHit
+      .groupBy(col("held_id").as("vec_id"))
+      // min, not first: the split is a pure function of the id (every
+      // row agrees), but first() is partition-order-dependent by
+      // contract and would trip the determinism discipline
+      .agg(min(col("held_sp")).as("split"),
+        count(lit(1)).as("n_train_dups"),
+        max(col("cosine_r")).as("max_cosine_r"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Exact cross-split replay: same md5 arithmetic as p04's oracle,
+    * exact all-pairs cosine — the LSH path must find every
+    * contaminated held-out vector and the same per-vector counts. */
+  val d16Sql: String =
+    """WITH sp AS (
+      |  SELECT vec_id,
+      |    CASE WHEN bucket < 205 THEN 'train'
+      |         WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT vec_id,
+      |          CAST(16 * (strpos('0123456789abcdef',
+      |                     substring(md5(CAST(vec_id AS VARCHAR)), 31, 1)) - 1)
+      |             + (strpos('0123456789abcdef',
+      |                     substring(md5(CAST(vec_id AS VARCHAR)), 32, 1)) - 1)
+      |            AS INT) AS bucket
+      |        FROM embeddings)),
+      |h AS (SELECT e.vec_id, sp.split, e.embedding
+      |      FROM embeddings e JOIN sp ON sp.vec_id = e.vec_id
+      |      WHERE sp.split <> 'train'),
+      |r AS (SELECT e.vec_id, e.embedding
+      |      FROM embeddings e JOIN sp ON sp.vec_id = e.vec_id
+      |      WHERE sp.split = 'train'),
+      |pairs AS (
+      |  SELECT h.vec_id, h.split,
+      |    ROUND(list_cosine_similarity(h.embedding::DOUBLE[],
+      |                                 r.embedding::DOUBLE[]), 6) AS c
+      |  FROM h JOIN r
+      |    ON list_cosine_similarity(h.embedding::DOUBLE[],
+      |                              r.embedding::DOUBLE[]) >= 0.45)
+      |SELECT vec_id, MIN(split) AS split,
+      |       COUNT(*) AS n_train_dups, MAX(c) AS max_cosine_r
+      |FROM pairs GROUP BY 1
+      |ORDER BY vec_id""".stripMargin
+
   /** d12 — SEMANTIC dedup end to end (the SemDeDup shape): cluster the
     * exact embedding near-dup pairs transitively, drop every non-head
     * member, keep heads and singletons — the survivor checksum a
@@ -1209,6 +1290,7 @@ object Dedup {
     "d13_semantic_dedup_lsh" -> d13SemanticDedupLsh _,
     "d14_semantic_dedup_ivf" -> d14SemanticDedupIvf _,
     "d15_containment_pairs" -> d15ContainmentPairs _,
+    "d16_semantic_decontam" -> d16SemanticDecontam _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1223,6 +1305,7 @@ object Dedup {
     "d12_semantic_dedup"  -> d12Sql,
     "d13_semantic_dedup_lsh" -> d12Sql, // scale path must equal the exact answer
     "d15_containment_pairs" -> d15Sql,
+    "d16_semantic_decontam" -> d16Sql,
     // d14 is rows-only BY DESIGN: IVF cell partitioning trades
     // boundary-pair recall for linear candidate volume (pins in
     // DedupSpec: precision 1, recall ≥ 0.8, spill=nlist == exact)

@@ -295,4 +295,46 @@ class DedupSpec extends SparkSpec {
     // every reported duplicate authority precedes its new doc
     assert(inc.forall { case (d, a) => a < d })
   }
+
+  test("d16 semantic decontam equals the exact cross-split recomputation") {
+    // the gate's LSH pair stage (d13 dials) vs an exact-generator
+    // replay of the same held-out-vs-train restriction — the recall-1
+    // argument the hash gate rests on, exercised end to end
+    import graft.operators.Pipeline
+    val emb = Tables.embeddings(spark, sf)
+    val got = Dedup.d16SemanticDecontam(spark, sf)
+      .select($"vec_id", $"split", $"n_train_dups", $"max_cosine_r")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val split = emb.select($"vec_id",
+      Pipeline.splitOf(Pipeline.md5Bucket($"vec_id")).as("sp"))
+    val exactPairs = Dedup.embeddingNearDupPairs(emb, 0.45)
+      .join(split.select($"vec_id".as("id_a"), $"sp".as("sp_a")), Seq("id_a"))
+      .join(split.select($"vec_id".as("id_b"), $"sp".as("sp_b")), Seq("id_b"))
+      .withColumn("held_id",
+        when($"sp_a" =!= "train" && $"sp_b" === "train", $"id_a")
+          .when($"sp_b" =!= "train" && $"sp_a" === "train", $"id_b"))
+      .filter($"held_id".isNotNull)
+      .withColumn("held_sp",
+        when($"held_id" === $"id_a", $"sp_a").otherwise($"sp_b"))
+      .groupBy($"held_id".as("vec_id"))
+      .agg(min($"held_sp").as("split"), count(lit(1)).as("n_train_dups"),
+        max($"cosine_r").as("max_cosine_r"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(got == exactPairs,
+      s"LSH decontam=${got.size} vs exact=${exactPairs.size}")
+    // a planted paraphrase: a held-out vector cloned from a train one
+    // must be flagged with cosine ~1 (mechanism check on a corpus where
+    // the fixture may have no contamination at all)
+    val ids = emb.select($"vec_id",
+      Pipeline.md5Bucket($"vec_id").as("b")).as[(Long, Int)].collect()
+    val trainId = ids.find(_._2 < 205).get._1
+    val heldId = ids.find(_._2 >= 230).get._1
+    val trainVec = emb.filter($"vec_id" === trainId)
+      .select($"embedding").head().getSeq[Float](0)
+    val two = Seq((trainId, trainVec), (heldId, trainVec))
+      .toDF("vec_id", "embedding")
+    val pairs2 = Dedup.embeddingNearDupPairsLSH(two, 0.45, bands = 24,
+      planesPerBand = 3)
+    assert(pairs2.count() == 1, "identical cross-split vectors must pair")
+  }
 }

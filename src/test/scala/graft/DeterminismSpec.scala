@@ -82,7 +82,7 @@ class DeterminismSpec extends SparkSpec {
   // depend on partitioning), persisted IVF (fit + parquet round trip).
   // v31/v32 are streaming runners — replay-pinned separately.
   private val roundTenTail = Seq("w09_zone_map_skipping", "x08_kcore",
-    "s17_knn_ivf_persisted")
+    "s17_knn_ivf_persisted", "d16_semantic_decontam")
 
   test("round-10-tail queries digest identically under different shuffle widths") {
     pinWidths(roundTenTail)
