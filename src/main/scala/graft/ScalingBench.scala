@@ -104,6 +104,11 @@ object ScalingBench {
           operators.Similarity.mutualKnn(
             operators.Similarity.ivfKnn(e, e, 5, nlist = nlist, nprobe = 4))
         }),
+      // semantic decontamination (d16): d13's pair stage restricted
+      // cross-split — must inherit d13's completes-at-x100 behavior
+      // (same generator, strictly smaller downstream)
+      ("d16_semantic_decontam", true,
+        operators.Dedup.d16SemanticDecontam _),
       // persisted IVF (s17): the build-once/query-many decomposition.
       // The BUILD row pays the corpus-scaled fit + the cell-partitioned
       // write; the SEARCH row is a 20-query batch probing 4 cells each,
