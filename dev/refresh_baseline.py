@@ -54,7 +54,7 @@ NOTES = {
     "x08_kcore": "derived k=83 at sf0.1, ~11 peel rounds to the fixpoint (cost is round count, not the joins: ~0.65s/round, below x01's 1.04); broadcast semi-joins when nodes fit (r10)",
     "v31_streamed_enrichment": "stream-static broadcast join through the replay runtime — runtime-overhead-dominated (stateless join, windowed-agg state only) (r10)",
     "v32_streamed_funnel": "left-outer stream-stream join through the runtime: null emission waits for watermark proof, type-specific flush — runtime-overhead-dominated (r10)",
-    "d16_semantic_decontam": "embedding-space test-set contamination over the md5 split: d13's LSH pair stage (recall-1 dials) restricted cross-split — the check n-gram decontam (t13) structurally misses (r10)",
+    "d16_semantic_decontam": "embedding-space test-set contamination over the md5 split at d13's recall-1 dials, CROSS-ONLY candidates (held-out ⋈ train buckets — no train×train quadrant; x100 217.7 → 110.4s) — the check n-gram decontam (t13) structurally misses (r10)",
     "s17_knn_ivf_persisted": "build-once/query-many: includes the one-time index write. Floor predates the r10-tail explicit partition pruning (+1 probe materialization + cell-set pull, ~2.1s now) — the gate-SF cost of GUARANTEED file pruning at scale after DPP measured as a no-op (the d12 starContract trade precedent)",
 }
 

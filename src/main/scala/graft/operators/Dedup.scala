@@ -1028,44 +1028,62 @@ object Dedup {
     * n-gram decontamination (t13) structurally misses (a paraphrased
     * benchmark item shares no 5-gram but sits at high cosine).
     *
-    * The pair stage is d13's gate generator VERBATIM (banded
-    * hyperplane LSH, corpus-scaled depth, hot-bucket cap): the
-    * cross-split restriction is a SUBSET of d13's pair set, so its
+    * The candidate stage is CROSS-ONLY (the d10 batch-vs-corpus
+    * shape): one signing pass buckets the corpus at d13's gate dials
+    * (corpus-scaled depth, 24 bands, hot-bucket cap), then the
+    * held-out rows equality-join the TRAIN rows on (band, bucket) —
+    * the train×train quadrant (the dominant ~64% of d13's pair volume)
+    * is never generated. Discoverability is IDENTICAL to d13's
+    * generator restricted cross-split: a vector's buckets depend only
+    * on the vector and the shared planes (the v18/v30 argument), so a
+    * cross pair shares a bucket here iff it does there, and d13's
     * recall-1-at-gate-dials pin (DedupSpec) covers this gate's hash
-    * soundness exactly the way v18/v30's streamed gates lean on it. At
-    * 100 TB the held-out side is ~1/5 of the corpus and candidates
-    * stay bucket-bounded; a deployment that only ever decontaminates
-    * (never dedups) signs JUST the held-out side and equality-joins
-    * against the train bucket index (the d10 batch-vs-corpus shape).
+    * soundness; DedupSpec additionally pins this path == the exact
+    * cross-split recomputation end to end.
     *
     * Hash-gated: DuckDB replays the identical md5 split arithmetic
     * (p04's oracle discipline) and the exact all-pairs cross-split
     * cosine scan. */
   def d16SemanticDecontam(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val pairs = embeddingNearDupPairsLSH(emb, 0.45, bands = 24,
-      planesPerBand = lshPlanesFor(emb.count()), maxBucketSize = Some(4096L))
+    val planes = lshPlanesFor(emb.count())
     val split = emb.select(col("vec_id"),
       Pipeline.splitOf(Pipeline.md5Bucket(col("vec_id"))).as("sp"))
-    val heldOutHit = pairs
-      .join(split.select(col("vec_id").as("id_a"), col("sp").as("sp_a")),
-        Seq("id_a"))
-      .join(split.select(col("vec_id").as("id_b"), col("sp").as("sp_b")),
-        Seq("id_b"))
-      .withColumn("held_id",
-        when(col("sp_a") =!= "train" && col("sp_b") === "train", col("id_a"))
-          .when(col("sp_b") =!= "train" && col("sp_a") === "train", col("id_b")))
-      .filter(col("held_id").isNotNull)
-      .withColumn("held_sp",
-        when(col("held_id") === col("id_a"), col("sp_a")).otherwise(col("sp_b")))
-    heldOutHit
+    // cap BEFORE the split flag, on whole-corpus populations — the
+    // same degenerate-clump guard semantics as d13's generator. The
+    // flagged bucket frame feeds both join sides with differing
+    // filters; eager materialization stops the signing pipeline
+    // running once per side (incrementalPairs discipline).
+    val buckets = capBuckets(
+        embeddingBucketIndex(emb, bands = 24, planesPerBand = planes),
+        Some(4096L))
+      .join(split, Seq("vec_id"))
+      .localCheckpoint(true)
+    val cand = buckets.filter(col("sp") =!= "train").as("a")
+      .join(buckets.filter(col("sp") === "train").as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.vec_id").as("held_id"), col("a.sp").as("held_sp"),
+        col("b.vec_id").as("train_id"))
+      .distinct()
+    val e = emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+    cand
+      .join(e.select(col("vec_id").as("held_id"), col("v").as("va"),
+        col("nrm").as("na")), Seq("held_id"))
+      .join(e.select(col("vec_id").as("train_id"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("train_id"))
+      .withColumn("cosine",
+        VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= 0.45)
       .groupBy(col("held_id").as("vec_id"))
       // min, not first: the split is a pure function of the id (every
       // row agrees), but first() is partition-order-dependent by
       // contract and would trip the determinism discipline
       .agg(min(col("held_sp")).as("split"),
         count(lit(1)).as("n_train_dups"),
-        max(col("cosine_r")).as("max_cosine_r"))
+        // round is monotone, so max∘round == round∘max — matches the
+        // oracle's MAX over per-pair ROUND(...,6)
+        max(round(col("cosine"), 6)).as("max_cosine_r"))
       .orderBy(col("vec_id"))
   }
 
