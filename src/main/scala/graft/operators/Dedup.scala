@@ -1091,16 +1091,11 @@ object Dedup {
     * exact all-pairs cosine — the LSH path must find every
     * contaminated held-out vector and the same per-vector counts. */
   val d16Sql: String =
-    """WITH sp AS (
+    s"""WITH sp AS (
       |  SELECT vec_id,
       |    CASE WHEN bucket < 205 THEN 'train'
       |         WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
-      |  FROM (SELECT vec_id,
-      |          CAST(16 * (strpos('0123456789abcdef',
-      |                     substring(md5(CAST(vec_id AS VARCHAR)), 31, 1)) - 1)
-      |             + (strpos('0123456789abcdef',
-      |                     substring(md5(CAST(vec_id AS VARCHAR)), 32, 1)) - 1)
-      |            AS INT) AS bucket
+      |  FROM (SELECT vec_id, ${Pipeline.sqlMd5Bucket("vec_id")} AS bucket
       |        FROM embeddings)),
       |h AS (SELECT e.vec_id, sp.split, e.embedding
       |      FROM embeddings e JOIN sp ON sp.vec_id = e.vec_id

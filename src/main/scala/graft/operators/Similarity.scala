@@ -378,9 +378,15 @@ object Similarity {
       .collect().map(_.getInt(0)).sorted // bounded by nlist
     val pruned = cells.filter(col("cell")
       .isin(probedCells.map(Int.box).toIndexedSeq: _*))
-    // the probe frame (|queries|·nprobe rows) is the small side BY
-    // CONSTRUCTION — broadcast it so only the pruned cells stream
-    rankCandidates(broadcast(probed).join(pruned, Seq("cell")), k)
+    // broadcast the probe frame ONLY when it provably fits: it carries
+    // the query VECTORS (|queries|·nprobe rows × dim doubles), so a
+    // million-query batch would OOM the driver under an unconditional
+    // hint (the kCore size-conditional precedent) — past the envelope
+    // the join falls back to a keyed shuffle of the pruned cells
+    val probeRows = probed.count() // cheap: checkpointed above
+    val hint: DataFrame => DataFrame =
+      if (probeRows <= 200000L) broadcast else identity
+    rankCandidates(hint(probed).join(pruned, Seq("cell")), k)
   }
 
   /** Int8 scalar quantization + exact re-rank — the memory/IO scale
@@ -935,8 +941,10 @@ object Similarity {
     * build-once/query-many lifecycle every real vector store runs.
     * Rows-only like s04 (the quantizer is engine-specific);
     * SimilaritySpec pins the round trip bit-identical to the in-memory
-    * s04 path, full-probe-from-index == exact, and the probe's dynamic
-    * partition pruning in the plan. */
+    * s04 path, full-probe-from-index == exact, and the EXPLICIT
+    * probed-cell partition pruning on the files-read METRIC (one probe
+    * reads one of 16 partition files — never a plan-string pin; see
+    * [[ivfKnnFromIndex]] for why DPP was rejected). */
   def s17KnnIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_s17").toString
     try {

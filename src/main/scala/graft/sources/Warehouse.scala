@@ -1063,14 +1063,16 @@ object Warehouse {
   def appendWithZoneStats(batch: DataFrame, root: String, zoneCol: String,
                           stats: DataFrame, files: Int = 4): DataFrame = {
     import org.apache.spark.sql.functions.{count, lit, max, min}
-    import scala.jdk.CollectionConverters._
     val spark = batch.sparkSession
-    def listParquet(): Set[String] = {
-      val s = java.nio.file.Files.list(java.nio.file.Paths.get(root))
-      try s.iterator().asScala.map(_.toString)
+    // Hadoop FS, not java.nio: the rest of the zone-map layer works
+    // over any spark.read-able path (hdfs://, s3a://), and a
+    // bootstrap append must tolerate a not-yet-existing root
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listParquet(): Set[String] =
+      if (!fs.exists(rootPath)) Set.empty
+      else fs.listStatus(rootPath).map(_.getPath.toString)
         .filter(_.endsWith(".parquet")).toSet
-      finally s.close()
-    }
     val before = listParquet()
     batch
       .repartitionByRange(files, col(zoneCol))
@@ -1083,7 +1085,12 @@ object Warehouse {
       .groupBy(col("file"))
       .agg(min(col(zoneCol)).as("zmin"), max(col(zoneCol)).as("zmax"),
         count(lit(1)).as("n_rows"))
-    stats.unionByName(freshStats)
+    // materialized before returning: the updated map must itself
+    // satisfy this function's stats precondition (chained appends) and
+    // must not re-aggregate the new data files on every consumption —
+    // a lazy union would pay the per-use scan the incremental claim
+    // retires. File-count-sized, so the checkpoint is metadata-cheap.
+    stats.unionByName(freshStats).localCheckpoint(true)
   }
 
   /** Range-scan `root` reading ONLY the files whose [zmin, zmax]
