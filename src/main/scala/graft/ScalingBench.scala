@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, ScaleCorpus, TextAnalysis}
+import graft.functions.VectorOps
+import graft.operators.{Dedup, Graph, Pipeline, ScaleCorpus, TextAnalysis}
 import graft.streaming.IngestDedup
 
 /** Scaling-curve harness behind `dev/scaling.md`: times each
@@ -25,6 +27,10 @@ object ScalingBench {
   private val s17Built =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** dir → id cutoff of the 90% base index built for the append row. */
+  private val appendBase =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
   private def force(df: DataFrame): Long = {
     // noop datasource: full distributed execution, zero driver pull
     df.write.format("noop").mode("overwrite").save()
@@ -35,6 +41,192 @@ object ScalingBench {
     val t0 = System.nanoTime()
     force(fn)
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** RECALL-at-scale suite (`SPARK_GRAFT_SCALING_RECALL=1`) — the
+    * numbers behind dev/scaling.md's recall columns: at each scale,
+    * the depth-scaled LSH paths (d13 / d16 / v30 at the depth
+    * [[Dedup.lshPlanesFor]] picks) are scored against their EXACT
+    * twins (d12's all-pairs scan, d16's exact cross-split scan, v30's
+    * no-smaller-id-neighbor survivor rule). Precision is 1 by
+    * construction everywhere (every emitted pair passed the true
+    * cosine test), so the one number that can move is recall — and
+    * because fewer discovered edges can only SPLIT dup components,
+    * the LSH survivor set is always a superset of the exact one:
+    * `extra_survivors` is the whole survivor-level error.
+    * `d13_recall_comp` re-runs the d13 generator with the band count
+    * the compensation dial ([[Dedup.lshBandsFor]]) prescribes for the
+    * picked depth — the measured cost/recall trade of holding the
+    * boundary-pair miss probability flat while buckets deepen. */
+  private def recallSuite(spark: SparkSession, dir: String, scale: Int,
+                          only: Option[Set[String]]): Unit = {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val planes = Dedup.lshPlanesFor(n)
+    def want(q: String) = only.forall(_.contains(q))
+    def emit(query: String, fields: (String, Any)*): Unit = {
+      val kv = fields.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      println(s"""{"scale":$scale,"vecs":$n,"planes":$planes,"query":"$query",$kv}""")
+      System.out.flush()
+    }
+
+    // exact pair set — the shared denominator of d13/v30
+    val exactPairs = Dedup.embeddingNearDupPairs(emb, 0.45)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val nExact = exactPairs.count()
+    val exactDropped = Graph.starContract(exactPairs)
+      .filter(col("node") =!= col("lbl")).select(col("node"))
+      .localCheckpoint(true)
+    val nExactDropped = exactDropped.count()
+
+    def d13Metrics(tag: String, bands: Int): Unit = {
+      val found = Dedup.embeddingNearDupPairsLSH(emb, 0.45, bands = bands,
+        planesPerBand = planes, maxBucketSize = Some(4096L))
+        .select(col("id_a"), col("id_b")).localCheckpoint(true)
+      val nFound = found.count()
+      val hits = found.join(exactPairs, Seq("id_a", "id_b")).count()
+      val lshDropped = Graph.starContract(found)
+        .filter(col("node") =!= col("lbl")).select(col("node"))
+      // found ⊆ exact (precision 1) ⇒ LSH components split, never merge
+      // ⇒ LSH-dropped ⊆ exact-dropped: the extra survivors ARE the error
+      val extraSurvivors = exactDropped.exceptAll(lshDropped).count()
+      emit(tag, "bands" -> bands, "exact_pairs" -> nExact,
+        "found_pairs" -> nFound, "pair_hits" -> hits,
+        "pair_recall" -> f"${if (nExact == 0) 1.0 else hits.toDouble / nExact}%.4f",
+        "exact_dropped" -> nExactDropped,
+        "extra_survivors" -> extraSurvivors)
+    }
+    if (want("d13_recall")) d13Metrics("d13_recall", 24)
+    if (want("d13_recall_comp"))
+      d13Metrics("d13_recall_comp", Dedup.lshBandsFor(planes))
+
+    if (want("d16_recall")) {
+      val split = emb.select(col("vec_id"),
+        Pipeline.splitOf(Pipeline.md5Bucket(col("vec_id"))).as("sp"))
+      val e = emb
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", VectorOps.norm(col("v")))
+        .join(split, "vec_id").localCheckpoint(true)
+      val held = e.filter(col("sp") =!= "train")
+      val train = e.filter(col("sp") === "train")
+      val exactContam = held.as("a").join(train.as("b"),
+          VectorOps.dot(col("a.v"), col("b.v")) /
+            (col("a.nrm") * col("b.nrm")) >= 0.45)
+        .select(col("a.vec_id")).distinct().localCheckpoint(true)
+      val nContam = exactContam.count()
+      val found = Dedup.d16SemanticDecontam(spark, dir)
+        .select(col("vec_id")).localCheckpoint(true)
+      val hits = found.join(exactContam, Seq("vec_id")).count()
+      emit("d16_recall", "exact_contaminated" -> nContam,
+        "found" -> found.count(), "hits" -> hits,
+        "recall" -> f"${if (nContam == 0) 1.0 else hits.toDouble / nContam}%.4f")
+    }
+
+    if (want("v30_recall")) {
+      // exact first-wins twin: survivors = vectors never the LARGER id
+      // of an exact pair (the v30 oracle rule)
+      val exactSurv = emb.select(col("vec_id"))
+        .join(exactPairs.select(col("id_b").as("vec_id")).distinct(),
+          Seq("vec_id"), "left_anti").localCheckpoint(true)
+      val landed = IngestDedup.v30StreamedSemanticDedup(spark, dir)
+        .select(col("vec_id")).localCheckpoint(true)
+      val missing = exactSurv.exceptAll(landed).count()
+      val extra = landed.exceptAll(exactSurv).count()
+      emit("v30_recall", "exact_survivors" -> exactSurv.count(),
+        "landed" -> landed.count(), "missing" -> missing, "extra" -> extra)
+    }
+  }
+
+  /** STREAMING THROUGHPUT suite (`SPARK_GRAFT_SCALING_STREAM=1`) — the
+    * rows/s numbers behind dev/scaling.md's streaming section: the
+    * scaled events table ([[graft.operators.ScaleCorpus.events]]: R×
+    * the rows, R× the user-key cardinality, same 30-day horizon) is
+    * staged as 8 ts-ordered files and driven through the PRODUCTION
+    * ingest shape — file source, one file per micro-batch, RocksDB
+    * state store, noop sink — for two stateful pipelines: the v16
+    * stream-stream interval join and the v31 stream-static enrichment
+    * + windowed aggregate. A second pass over 8 near-empty files with
+    * the same batch count measures the FIXED micro-batch overhead
+    * (offset log, state-store commits, planning), so the marginal
+    * per-row cost — the number that extrapolates to 100 TB/day — is
+    * separated from the harness constant. */
+  private def streamSuite(spark: SparkSession, baseDir: String, dir: String,
+                          scale: Int, only: Option[Set[String]]): Unit = {
+    import graft.streaming.{EventStreams, Staging}
+    import org.apache.spark.sql.expressions.Window
+    val rocksdb =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val dim = Tables.customer(spark, baseDir) // dims don't scale with events
+    val shapes: Seq[(String, DataFrame => DataFrame)] = Seq(
+      ("v16_join_throughput", df => EventStreams.attributedPurchases(df)),
+      ("v31_enrich_throughput", df => EventStreams.segmentRollup(df, dim)))
+    val ev = Tables.events(spark, dir)
+    val slices = 8
+    // contiguous ts-ordered slices: watermark advancement across
+    // micro-batches mirrors a live in-order ingest
+    val sliced = ev.withColumn("__slice",
+      ntile(slices).over(Window.orderBy(col("ts"), col("event_id"))))
+      .localCheckpoint(true)
+    val nRows = sliced.count()
+    def drive(name: String, srcDir: String,
+              mk: DataFrame => DataFrame): (Double, Long, Long, Long, Long) = {
+      val t0 = System.nanoTime()
+      val q = mk(EventStreams.readEvents(spark, srcDir, maxFilesPerTrigger = 1))
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$srcDir/__ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress
+      val input = progress.map(_.numInputRows).sum
+      val batches = progress.length.toLong
+      val state = progress.reverse.find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators)
+      (sec, input, batches,
+        state.map(_.map(_.numRowsTotal).sum).getOrElse(0L),
+        state.map(_.map(_.memoryUsedBytes).sum).getOrElse(0L))
+    }
+    val prevProv = spark.conf.getOption(confKey)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(confKey, rocksdb)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      for ((name, mk) <- shapes if only.forall(_.contains(name))) {
+        val root = s"$dir/__stream_$name"
+        new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+        val stageFull = Staging.stager(s"$root/full")
+        for (k <- 1 to slices)
+          stageFull(sliced.filter(col("__slice") === k).drop("__slice"))
+        // near-empty twin: the 8 earliest rows, one per file — same
+        // batch count, ~zero rows → the fixed overhead measurement
+        val head8 = sliced.orderBy(col("ts"), col("event_id")).limit(slices)
+          .drop("__slice")
+        val stageTiny = Staging.stager(s"$root/tiny")
+        for (r <- head8.collect())
+          stageTiny(spark.createDataFrame(
+            java.util.Arrays.asList(r), head8.schema))
+        val (fixedSec, _, _, _, _) = drive(name, s"$root/tiny", mk)
+        val (sec, input, batches, stateRows, stateBytes) =
+          drive(name, s"$root/full", mk)
+        val marginal =
+          if (sec > fixedSec && input > 0) input / (sec - fixedSec) else -1.0
+        println(s"""{"scale":$scale,"query":"$name","rows":$nRows,""" +
+          s""""input_rows":$input,"batches":$batches,""" +
+          s""""sec":${f"$sec%.3f"},"fixed_sec":${f"$fixedSec%.3f"},""" +
+          s""""rows_per_sec":${f"${input / sec}%.0f"},""" +
+          s""""marginal_rows_per_sec":${f"$marginal%.0f"},""" +
+          s""""state_rows":$stateRows,"state_bytes":$stateBytes}""")
+        System.out.flush()
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProv match {
+        case Some(p) => spark.conf.set(confKey, p)
+        case None => spark.conf.unset(confKey)
+      }
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -131,9 +323,38 @@ object ScalingBench {
           require(s17Built.contains(d),
             s"s17_ivf_index_search at $d needs s17_ivf_index_build in " +
               "the SAME invocation (include it in SPARK_GRAFT_SCALING_ONLY)")
-          import org.apache.spark.sql.functions.col
           val q = Tables.embeddings(s, d).filter(col("vec_id") < 20)
           operators.Similarity.ivfKnnFromIndex(q, s"$d/__s17_index", 5)
+        }),
+      // incremental maintenance (round 11): build the index on the
+      // first 90% of ids (the standing corpus), then time ONLY the
+      // append of the last 10% — held against s17_ivf_index_build
+      // (the full fit+write): an append pays batch-sized assignment +
+      // one new generation's files, never the fit or the old corpus.
+      // The returned frame reads back just the appended generation
+      // (partition-pruned), so the timing is the append, not a
+      // full-corpus scan.
+      ("s17_ivf_append_base", true,
+        (s, d) => {
+          val e = Tables.embeddings(s, d)
+          val cut = e.agg(max(col("vec_id"))).head().getLong(0) * 9L / 10L
+          val baseCorpus = e.filter(col("vec_id") < cut)
+          val nlist = math.max(16, (baseCorpus.count() / 512).toInt)
+          operators.Similarity.writeIvfIndex(
+            baseCorpus, s"$d/__s17_append_index", nlist)
+          appendBase.put(d, cut)
+          s.read.parquet(s"$d/__s17_append_index/cells")
+        }),
+      ("s17_ivf_index_append", true,
+        (s, d) => {
+          require(appendBase.containsKey(d),
+            s"s17_ivf_index_append at $d needs s17_ivf_append_base in " +
+              "the SAME invocation (include it in SPARK_GRAFT_SCALING_ONLY)")
+          val batch = Tables.embeddings(s, d)
+            .filter(col("vec_id") >= appendBase.get(d))
+          operators.Similarity.appendToIvfIndex(batch, s"$d/__s17_append_index")
+          s.read.parquet(s"$d/__s17_append_index/cells")
+            .filter(col("gen") === 1)
         }))
 
     // Second axis for queries over the TPC-H-shaped tables (the graph
@@ -167,7 +388,20 @@ object ScalingBench {
       }
     }
 
-    for (r <- scales if sfDirAxis.isEmpty) {
+    val recallMode = sys.env.contains("SPARK_GRAFT_SCALING_RECALL")
+    val streamMode = sys.env.contains("SPARK_GRAFT_SCALING_STREAM")
+    for (r <- scales if sfDirAxis.isEmpty && recallMode) {
+      val dir = s"/tmp/graft_scaling/x$r"
+      ScaleCorpus.write(base, dir, r, spark)
+      recallSuite(spark, dir, r, only)
+    }
+    for (r <- scales if sfDirAxis.isEmpty && streamMode && !recallMode) {
+      val dir = s"/tmp/graft_scaling/x$r"
+      ScaleCorpus.write(base, dir, r, spark)
+      streamSuite(spark, base, dir, r, only)
+    }
+
+    for (r <- scales if sfDirAxis.isEmpty && !recallMode && !streamMode) {
       val dir = s"/tmp/graft_scaling/x$r"
       ScaleCorpus.write(base, dir, r, spark)
       val nDocs = Tables.documents(spark, dir).count()

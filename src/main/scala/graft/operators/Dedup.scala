@@ -583,6 +583,38 @@ object Dedup {
     math.max(3, needed)
   }
 
+  /** The band-count COMPENSATION DIAL for the depth-scaled LSH paths:
+    * the bands needed at depth `planesPerBand` to keep the boundary-
+    * pair discovery probability the gate geometry (24 bands × 3
+    * planes) delivers at the threshold angle. A random hyperplane
+    * agrees on a pair at cosine t with probability p = 1 − acos(t)/π,
+    * a b-plane band matches with pᵇ, and G independent bands miss with
+    * (1−pᵇ)ᴳ — so holding the miss probability fixed across depths
+    * means G(b) = ln(miss₀) / ln(1−pᵇ), which grows ≈ p⁻ᐞᵇ ≈ 2.4× per
+    * added plane at t = 0.45. That growth is the honest price of
+    * holding BOUNDARY recall while deepening buckets (near-identical
+    * pairs, p ≈ 1, survive any depth for free): candidate volume per
+    * vector stays ~targetBucket·G — linear in N with a G-factor
+    * constant — and the measured recall columns in dev/scaling.md
+    * show where the uncompensated geometry starts paying. A
+    * deployment that can't afford the band growth at its depth uses
+    * the IVF generator instead ([[embeddingNearDupPairsIVF]]), whose
+    * probe cost is flat in N — the same trade, paid in spill-probes.
+    * At gate scale planesPerBand = basePlanes, so this returns
+    * baseBands and every gate hash is untouched (pinned in
+    * DedupSpec). */
+  def lshBandsFor(planesPerBand: Int, threshold: Double = 0.45,
+                  baseBands: Int = 24, basePlanes: Int = 3): Int = {
+    require(planesPerBand >= basePlanes,
+      s"depth $planesPerBand below the base geometry's $basePlanes")
+    if (planesPerBand == basePlanes) baseBands
+    else {
+      val p = 1.0 - math.acos(threshold) / math.Pi
+      val missBase = baseBands * math.log1p(-math.pow(p, basePlanes))
+      math.ceil(missBase / math.log1p(-math.pow(p, planesPerBand))).toInt
+    }
+  }
+
   /** Re-sign the streamed semantic-dedup parquet index
     * ([[graft.streaming.IngestDedup.semanticDedupingSink]]'s
     * `indexDir`) at a deeper hyperplane depth — THE batch job the
@@ -669,8 +701,7 @@ object Dedup {
     * `distinct` for verification only. */
   def embeddingNearDupPairsIVF(emb: DataFrame, threshold: Double,
                                spill: Int = 3, targetCell: Long = 256L,
-                               minNlist: Int = 16,
-                               seed: Long = 42L): DataFrame = {
+                               minNlist: Int = 16): DataFrame = {
     val e = emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
       .localCheckpoint(true) // three consumers: count, assign, verify
@@ -686,7 +717,7 @@ object Dedup {
     // and candidate joins below are indifferent to which quantizer
     // produced the (cell, centroid, cn2) table.
     val centroids = Similarity.twoLevelCentroids(
-      e.select(col("vec_id").as("id"), col("v")), nlist, seed)
+      e.select(col("vec_id").as("id"), col("v")), nlist)
       .localCheckpoint(true) // broadcast side of the spill assignment
     // spill assignment: rank cells by |v−c|² = |v|² − 2v·c + |c|² (the
     // |v|² term is constant per vector) and keep the `spill` nearest

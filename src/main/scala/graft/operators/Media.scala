@@ -619,17 +619,60 @@ object Media {
 
   /** m04 — REAL pixel features routed into the similarity stack: decode
     * the first 50 PNG payloads, extract block-mean embeddings, nearest
-    * neighbor per image (rows-only: pixel-space knn ranking has no SQL
-    * oracle; decode correctness is m03's hash gate, geometry invariants
-    * are in ScalaTest). */
+    * neighbor per image. HASH-GATED (round 11): the fixture pixels are
+    * closed-form in doc_id (the m03/m06/m07 discipline), so the oracle
+    * re-derives every 8×8 block mean from the formulas — exact integer
+    * sum over the block, ONE double division by the block's pixel count
+    * then by 255 (mirrored left-to-right) — and replays the cosine
+    * ranking on round(cosine, 9) (the s08/s13 rank-stability
+    * convention). Integer-only output; a defect anywhere in
+    * decode→blockMeans→kNN breaks the hash. */
   def m04FeatureKnn(spark: SparkSession, dir: String): DataFrame = {
     val images = mediaFixture(
       Tables.documents(spark, dir)
         .filter(col("doc_id") % 3 === 0 && col("doc_id") < 150))
     val feats = imageFeatures(images)
-    Similarity.bruteForceKnn(feats, feats, 1)
+    Similarity.bruteForceKnn(feats, feats, 1, roundCosineTo = 9)
       .orderBy(col("query_id"))
   }
+
+  // block bounds mirror [[Codec.blockMeans]]: x ∈ [⌊gx·w/8⌋, ⌊(gx+1)·w/8⌋)
+  // (w ≥ 8 keeps every block non-empty and inside the image, so the
+  // max(x0+1,·)/min(·,w) guards are inert on the fixture); the pixel
+  // formula is frame 0 of [[Codec.pixel]]
+  val m04Sql: String =
+    """WITH img AS (
+      |  SELECT doc_id AS id, 8 + doc_id % 24 AS w, 8 + (doc_id * 7) % 24 AS h
+      |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 150),
+      |blocks AS (
+      |  SELECT i.id, g.gy * 8 + g.gx AS b,
+      |         CAST(SUM((i.id * 31 + x.x * 7 + y.y * 13) % 256) AS DOUBLE)
+      |           / (((((g.gx + 1) * i.w) // 8) - ((g.gx * i.w) // 8))
+      |              * ((((g.gy + 1) * i.h) // 8) - ((g.gy * i.h) // 8)))
+      |           / 255.0 AS mu
+      |  FROM img i
+      |  CROSS JOIN LATERAL (
+      |    SELECT gx.gx, gy.gy
+      |    FROM (SELECT unnest(range(0, 8)) AS gx) gx,
+      |         (SELECT unnest(range(0, 8)) AS gy) gy) g
+      |  CROSS JOIN LATERAL (SELECT unnest(range((g.gx * i.w) // 8,
+      |                                          ((g.gx + 1) * i.w) // 8)) AS x) x
+      |  CROSS JOIN LATERAL (SELECT unnest(range((g.gy * i.h) // 8,
+      |                                          ((g.gy + 1) * i.h) // 8)) AS y) y
+      |  GROUP BY i.id, g.gx, g.gy, i.w, i.h),
+      |vecs AS (SELECT id, list(mu ORDER BY b) AS v FROM blocks GROUP BY id),
+      |scored AS (
+      |  SELECT a.id AS query_id, b.id AS neighbor_id,
+      |         ROUND(list_inner_product(a.v, b.v) /
+      |               (sqrt(list_inner_product(a.v, a.v)) *
+      |                sqrt(list_inner_product(b.v, b.v))), 9) AS cosine
+      |  FROM vecs a JOIN vecs b ON a.id <> b.id)
+      |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |             ORDER BY cosine DESC, neighbor_id) AS rk
+      |      FROM scored) t
+      |WHERE rk = 1
+      |ORDER BY query_id""".stripMargin
 
   /** m06 — REAL pixel resize, hash-gated per media: every image payload
     * goes through decode → nearest-neighbor 8×8 resample → PNG
@@ -890,6 +933,7 @@ object Media {
     "m01_media_stats"  -> m01Sql,
     "m02_frame_sample" -> m02Sql,
     "m03_decode_profile" -> m03Sql,
+    "m04_feature_knn"  -> m04Sql,
     "m05_resize_profile" -> m05Sql,
     "m06_pixel_resize" -> m06Sql,
     "m07_image_phash"  -> m07Sql,

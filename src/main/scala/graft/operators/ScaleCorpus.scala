@@ -66,9 +66,29 @@ object ScaleCorpus {
         col("label"))
   }
 
+  /** `events` replicated `replicas`× — the axis of the streaming
+    * THROUGHPUT measurements: event ids offset by stride, USER ids
+    * offset per replica (so the user-key cardinality — the state-store
+    * entry count of every keyed stateful operator — grows ∝ R, the
+    * honest scale direction for a stream), timestamps untouched (the
+    * same 30-day horizon carries R× the rows, so per-window volume
+    * grows like a busier service, not a longer one). */
+  def events(ev: DataFrame, replicas: Int): DataFrame = {
+    val spark = ev.sparkSession
+    val head = ev.agg(max(col("event_id")), max(col("user_id"))).head()
+    val (stride, userStride) = (head.getLong(0) + 1, head.getLong(1) + 1)
+    val reps = spark.range(replicas.toLong).select(col("id").cast("int").as("k"))
+    ev.crossJoin(reps)
+      .select(
+        (col("event_id") + col("k").cast("long") * stride).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("k").cast("long") * userStride).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+  }
+
   /** Writes a scaled corpus dir shaped like the driver fixtures
-    * (`documents.parquet`, `embeddings.parquet`) so every gate entry
-    * point runs against it unmodified. */
+    * (`documents.parquet`, `embeddings.parquet`, `events.parquet`) so
+    * every gate entry point runs against it unmodified. */
   def write(baseDir: String, outDir: String, replicas: Int,
             spark: org.apache.spark.sql.SparkSession): Unit = {
     documents(graft.Tables.documents(spark, baseDir), replicas)
@@ -77,5 +97,8 @@ object ScaleCorpus {
     embeddings(graft.Tables.embeddings(spark, baseDir), replicas)
       .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    events(graft.Tables.events(spark, baseDir), replicas)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 }

@@ -101,42 +101,59 @@ object Similarity {
     * query touches nprobe/nlist of the corpus — the recall/compute
     * dial. `nprobe = nlist` degenerates to exact brute force, which the
     * ScalaTest pin exploits. */
+  /** Codegen'd argmin-cell projection over LITERAL centroids — the
+    * Clustering.assignCell shape: round(−2·v·c + |c|², 9) ranked with
+    * the cell id as tie-break (a total order), |c|² precomputed to a
+    * driver literal (custom expressions never constant-fold). No join,
+    * no shuffle — one scan, k dots per row. */
+  private def argminCellExpr(v: Column, cents: Array[Array[Double]]): Column =
+    if (cents.length == 1) lit(0)
+    else least(cents.toSeq.zipWithIndex.map { case (arr, i) =>
+      var s = 0.0; var j = 0
+      while (j < arr.length) { s += arr(j) * arr(j); j += 1 }
+      struct(
+        round(VectorOps.dot(v, array(arr.toSeq.map(lit): _*)) * lit(-2.0)
+          + lit(s), 9).as("d"),
+        lit(i).as("c"))
+    }: _*).getField("c")
+
   /** Fit the coarse quantizer and assign every corpus vector to a cell
     * — the index-build step shared by [[ivfKnn]] and the s05 balance
     * diagnostics. Returns (cells: neighbor_id/cv/cn/cell, centroids:
-    * cell/centroid/cn2 — nlist rows, broadcast side). */
-  private[operators] def ivfIndex(corpus: DataFrame, nlist: Int,
-                                  seed: Long): (DataFrame, DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val c0 = corpus.select(col("vec_id").as("neighbor_id"),
-      VectorOps.asDouble(col("embedding")).as("cv"))
-      .withColumn("fv", array_to_vector(col("cv")))
-    // fit on ONE partition of a DETERMINISTIC sample: k-means
-    // partial-sum merge order is task-completion-dependent, so a
-    // distributed fit is not bit-deterministic across runs, and fitting
-    // the full corpus single-threaded was the s04/s05 cost driver.
-    // Quantizers are trained on a sample in practice anyway
-    // (sample-then-fit); id-ordered head keeps the sample — and thus
-    // the centroids — identical across partitionings. Only the FIT is
-    // sampled and single-partition; assignment and search stay
-    // distributed over the full corpus.
-    val fitSample = c0.orderBy(col("neighbor_id"))
-      .limit(math.max(nlist * 64, 1024)).coalesce(1)
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(fitSample)
-    val cells = model.transform(c0)
-      .select(col("neighbor_id"), col("cv"), col("cell"))
-      .withColumn("cn", VectorOps.norm(col("cv")))
-    // centroid table: nlist rows of index metadata — broadcast side,
-    // with |c|² precomputed once per centroid
+    * cell/centroid/cn2 — nlist rows, broadcast side).
+    *
+    * The fit is the REPLAYABLE driver-local [[lloydFit]] over a
+    * bounded id-ordered sample: quantizers are trained on a sample in
+    * practice anyway (sample-then-fit), the id-ordered head keeps the
+    * sample — and thus the centroids — identical across partitionings
+    * AND engines, and assignment is a codegen'd literal projection
+    * over the full corpus (no join, no shuffle). A distributed ML
+    * KMeans fit was tried first and rejected twice over: partial-sum
+    * merge order is task-completion-dependent (not bit-deterministic),
+    * and k-means|| init is not SQL-replayable, which kept s05/s07/s10
+    * rows-only. */
+  private[operators] def ivfIndex(corpus: DataFrame, nlist: Int): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = model.clusterCenters.toSeq.zipWithIndex
-      .map { case (v, i) => (i, v.toArray.toSeq) }.toDF("cell", "centroid")
+    val c0 = corpus.select(col("vec_id").as("neighbor_id"),
+      VectorOps.asDouble(col("embedding")).as("cv"))
+    val sample = c0.orderBy(col("neighbor_id"))
+      .limit(flatFitSampleRows(nlist))
+      .select(col("cv")).as[Seq[Double]].collect().map(_.toArray)
+    val cents = lloydFit(sample, nlist)
+    val cells = c0
+      .withColumn("cell", argminCellExpr(col("cv"), cents))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+    val centroids = cents.toSeq.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toDF("cell", "centroid")
       .withColumn("cn2", VectorOps.norm2(col("centroid")))
     (cells, centroids)
   }
+
+  /** Fit-sample bound of the flat [[ivfIndex]] — mirrored in the s05
+    * oracle chain. */
+  private[operators] def flatFitSampleRows(nlist: Int): Int =
+    math.max(nlist * 64, 1024)
 
   /** TWO-LEVEL (hierarchical) centroid fit — the quantizer for cell
     * counts past what any bounded single fit can shape (~10⁵ cells,
@@ -170,21 +187,17 @@ object Similarity {
   private[operators] final case class TwoLevelIndex(
       coarse: DataFrame, cells: DataFrame, coarseAssign: DataFrame)
 
-  private[operators] def twoLevelCentroids(pts: DataFrame, nlist: Int,
-                                           seed: Long): DataFrame =
-    twoLevelIndex(pts, nlist, seed).cells.drop("coarse")
+  private[operators] def twoLevelCentroids(pts: DataFrame, nlist: Int): DataFrame =
+    twoLevelIndex(pts, nlist).cells.drop("coarse")
 
-  private[operators] def twoLevelIndex(pts: DataFrame, nlist: Int,
-                                       seed: Long): TwoLevelIndex = {
+  private[operators] def twoLevelIndex(pts: DataFrame, nlist: Int): TwoLevelIndex = {
     val spark = pts.sparkSession
     import spark.implicits._
     // k1·k2 <= nlist ALWAYS: the cell count must not exceed the nominal
     // nlist, or nprobe = nlist stops being exhaustive and the
     // degenerates-to-exact contract (and its pins) breaks. The min
     // clamp covers nlist = 1 (k1 would floor to 2 and mint 2 cells).
-    val k1 = math.min(nlist,
-      math.max(2, math.floor(math.sqrt(nlist.toDouble)).toInt))
-    val k2 = math.max(1, nlist / k1)
+    val (k1, k2) = twoLevelKs(nlist)
     // coarse fit runs DRIVER-LOCAL on the collected bounded sample
     // (same deterministic [[lloydFit]] the sub-fits and PQ codebooks
     // use): the sample is capped at 16384 rows regardless of corpus
@@ -193,9 +206,9 @@ object Similarity {
     // while paying one scheduler job PER ITERATION (the measured
     // d14/s04 fit overhead at gate SF; ~15 jobs for 10 iters)
     val coarseSample = pts.orderBy(col("id"))
-      .limit(math.min(math.max(k1 * 64, 1024), 16384))
+      .limit(coarseFitSampleRows(k1))
       .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
-    val cents = lloydFit(coarseSample, k1, seed)
+    val cents = lloydFit(coarseSample, k1)
     val coarseCentroids = cents.toSeq.zipWithIndex
       .map { case (v, i) => (i, v.toSeq) }.toDF("coarse", "ccent")
       .withColumn("ccn2", VectorOps.norm2(col("ccent")))
@@ -212,32 +225,21 @@ object Similarity {
     // cheaper at any scale than materializing a second full copy of
     // the corpus WITH its vectors. Very large k1 degrades codegen to
     // interpreted eval but stays shuffle-free.
-    val cn2s = cents.map(c => { var s = 0.0; var j = 0
-      while (j < c.length) { s += c(j) * c(j); j += 1 }; s })
-    val coarseOf: Column =
-      if (cents.length == 1) lit(0)
-      else least(cents.toSeq.zipWithIndex.map { case (arr, i) =>
-        struct(
-          (VectorOps.dot(col("v"), array(arr.toSeq.map(lit): _*)) *
-            lit(-2.0) + lit(cn2s(i))).as("d"),
-          lit(i).as("c"))
-      }: _*).getField("c")
     val assigned = pts
-      .select(col("id"), col("v"), coarseOf.as("coarse"))
+      .select(col("id"), col("v"), argminCellExpr(col("v"), cents).as("coarse"))
     // bounded per-group sample BEFORE grouping, so no task ever holds a
     // whole coarse group — then one sub-fit task per group
     val wS = Window.partitionBy(col("coarse")).orderBy(col("id"))
     val sample = assigned
       .withColumn("srk", row_number().over(wS))
-      .filter(col("srk") <= math.max(k2 * 64, 256))
+      .filter(col("srk") <= subFitSampleRows(k2))
       .select(col("coarse"), col("id"), col("v"))
     val cells = sample
       .as[(Int, Long, Seq[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (coarse: Int, it: Iterator[(Int, Long, Seq[Double])]) =>
         val grp = it.toArray.sortBy(_._2).map(_._3.toArray)
-        val kEff = math.min(k2, grp.length)
-        lloydFit(grp, kEff, seed + 1 + coarse).zipWithIndex.iterator
+        lloydFit(grp, k2).zipWithIndex.iterator
           .map { case (c, j) => (coarse * k2 + j, coarse, c.toSeq) }
       }
       .toDF("cell", "coarse", "centroid")
@@ -245,6 +247,20 @@ object Similarity {
     TwoLevelIndex(coarseCentroids, cells,
       assigned.select(col("id"), col("coarse")))
   }
+
+  /** The two level counts of [[twoLevelIndex]] — shared with the s04
+    * oracle chain generator so both derive from ONE formula. */
+  private[operators] def twoLevelKs(nlist: Int): (Int, Int) = {
+    val k1 = math.min(nlist,
+      math.max(2, math.floor(math.sqrt(nlist.toDouble)).toInt))
+    (k1, math.max(1, nlist / k1))
+  }
+
+  /** Fit-sample bounds — mirrored in the s04 oracle chain. */
+  private[operators] def coarseFitSampleRows(k1: Int): Int =
+    math.min(math.max(k1 * 64, 1024), 16384)
+  private[operators] def subFitSampleRows(k2: Int): Int =
+    math.max(k2 * 64, 256)
 
   /** [[ivfIndex]]'s shape (cells, centroids) built on the two-level
     * quantizer, with HIERARCHICAL assignment: each vector ranks the k1
@@ -257,83 +273,246 @@ object Similarity {
     * and changes NOTHING about the exhaustive-probe==exact contract:
     * probing every cell covers the corpus regardless of which single
     * cell each vector sits in. */
-  private[operators] def ivfIndexTwoLevel(corpus: DataFrame, nlist: Int,
-                                          seed: Long): (DataFrame, DataFrame) = {
+  private[operators] def ivfIndexTwoLevel(corpus: DataFrame,
+                                          nlist: Int): (DataFrame, DataFrame) = {
+    val (cells, subs, _) = ivfIndexTwoLevelFull(corpus, nlist)
+    (cells, subs)
+  }
+
+  /** [[ivfIndexTwoLevel]] plus the k1-row coarse centroid table — the
+    * piece [[writeIvfIndex]] persists so [[appendToIvfIndex]] can
+    * replay the hierarchical assignment on later batches without the
+    * fit. */
+  private[operators] def ivfIndexTwoLevelFull(
+      corpus: DataFrame, nlist: Int): (DataFrame, DataFrame, DataFrame) = {
     val c0 = corpus.select(col("vec_id").as("neighbor_id"),
       VectorOps.asDouble(col("embedding")).as("cv"))
     val idx = twoLevelIndex(
-      c0.select(col("neighbor_id").as("id"), col("cv").as("v")), nlist, seed)
+      c0.select(col("neighbor_id").as("id"), col("cv").as("v")), nlist)
     val subs = idx.cells.localCheckpoint(true) // assignment + probe ranking
     // the fit already scored every vector against the coarse level —
     // reuse its materialized (id, coarse) instead of recomputing N·k1
     val coarsePick = idx.coarseAssign.withColumnRenamed("id", "neighbor_id")
-    val cellPick = c0.join(coarsePick, "neighbor_id")
+    val cells = assignToSubCells(c0.join(coarsePick, "neighbor_id"), subs)
+    (cells, subs.drop("coarse"), idx.coarse)
+  }
+
+  /** The sub-cell argmin of the hierarchical assignment: expects
+    * (neighbor_id, cv, coarse) rows and the (cell, coarse, centroid,
+    * cn2) sub-centroid table; returns (neighbor_id, cv, cell, cn).
+    * Round-9 distance, cell-id tie-break — the replayable total order.
+    * Shared by the build and [[appendToIvfIndex]], so appended batches
+    * land in EXACTLY the cell the build would have assigned. */
+  private def assignToSubCells(withCoarse: DataFrame,
+                               subs: DataFrame): DataFrame = {
+    val cellPick = withCoarse
       .join(broadcast(subs), "coarse")
-      .withColumn("cdist",
-        VectorOps.dot(col("cv"), col("centroid")) * lit(-2.0) + col("cn2"))
+      .withColumn("cdist", round(
+        VectorOps.dot(col("cv"), col("centroid")) * lit(-2.0) + col("cn2"), 9))
       .groupBy(col("neighbor_id"))
       .agg(min(struct(col("cdist"), col("cell"))).as("m"))
       .select(col("neighbor_id"), col("m.cell").as("cell"))
-    val cells = c0.join(cellPick, "neighbor_id")
+    withCoarse.select(col("neighbor_id"), col("cv"))
+      .join(cellPick, "neighbor_id")
       .select(col("neighbor_id"), col("cv"), col("cell"))
       .withColumn("cn", VectorOps.norm(col("cv")))
-    (cells, subs.drop("coarse"))
   }
 
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
-             nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+             nlist: Int = 16, nprobe: Int = 4,
              twoLevel: Boolean = false): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist)
     val (cells, centroids) =
-      if (twoLevel) ivfIndexTwoLevel(corpus, nlist, seed)
-      else ivfIndex(corpus, nlist, seed)
+      if (twoLevel) ivfIndexTwoLevel(corpus, nlist)
+      else ivfIndex(corpus, nlist)
     val q = queries.select(col("vec_id").as("query_id"),
       VectorOps.asDouble(col("embedding")).as("qv"))
       .withColumn("qn", VectorOps.norm(col("qv")))
-    // centroid ranking: argmin over |q|² − 2·q·c + |c|², and |q|² is
-    // constant within a query's ranking — rank by (−2·q·c + |c|²)
-    val probed = q.crossJoin(broadcast(centroids))
-      .withColumn("d2p",
-        VectorOps.dot(col("qv"), col("centroid")) * lit(-2.0) + col("cn2"))
+    rankCandidates(probeCells(q, centroids, nprobe).join(cells, Seq("cell")), k)
+  }
+
+  /** Centroid ranking shared by every IVF probe: argmin over
+    * |q|² − 2·q·c + |c|², and |q|² is constant within a query's ranking
+    * — rank by round(−2·q·c + |c|², 9) with the cell id tie-break (the
+    * assignment's total order, so the probe set replays cross-engine).
+    * Expects (query_id, qv[, qn]) × (cell, centroid, cn2). */
+  private def probeCells(q: DataFrame, centroids: DataFrame,
+                         nprobe: Int): DataFrame =
+    q.crossJoin(broadcast(centroids))
+      .withColumn("d2p", round(
+        VectorOps.dot(col("qv"), col("centroid")) * lit(-2.0) + col("cn2"), 9))
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("d2p"), col("cell"))))
       .filter(col("crk") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
-    rankCandidates(probed.join(cells, Seq("cell")), k)
+      .select((q.columns.map(col) :+ col("cell")).toIndexedSeq: _*)
+
+  /** Commit metadata of a persisted IVF index — the content of the
+    * `_graft_ivf_commit` marker. `gen` is the highest COMMITTED
+    * generation: cells files live under `gen=<g>/cell=<c>` partitions
+    * and a reader only trusts `gen <= meta.gen`, which is what makes
+    * [[appendToIvfIndex]] snapshot-consistent (files of an in-flight
+    * append are invisible until the marker advances). */
+  final case class IvfMeta(nlist: Int, k1: Int, k2: Int, gen: Int)
+
+  private def ivfMetaPath(indexDir: String) =
+    java.nio.file.Paths.get(s"$indexDir/_graft_ivf_commit")
+
+  private[operators] def readIvfMeta(indexDir: String): IvfMeta = {
+    val p = ivfMetaPath(indexDir)
+    require(java.nio.file.Files.exists(p),
+      s"ivf index at $indexDir has no commit marker — a build crashed " +
+        "mid-write (or never ran, or a maintenance swap is in flight); " +
+        "re-run writeIvfIndex / maintainIvfIndex before searching")
+    val kv = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .trim.split("\\s+").map(_.split("=")).map(a => a(0) -> a(1).toInt).toMap
+    IvfMeta(kv("nlist"), kv("k1"), kv("k2"), kv("gen"))
+  }
+
+  /** Marker write is ATOMIC (temp file + ATOMIC_MOVE): the marker is
+    * the commit point of both the initial build and every append. */
+  private def writeIvfMeta(indexDir: String, m: IvfMeta): Unit = {
+    val p = ivfMetaPath(indexDir)
+    val tmp = java.nio.file.Paths.get(s"$indexDir/_graft_ivf_commit.__tmp__")
+    java.nio.file.Files.write(tmp,
+      s"nlist=${m.nlist} k1=${m.k1} k2=${m.k2} gen=${m.gen}".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Build the IVF index ONCE into the warehouse (the vector-DB shape
     * [[graft.streaming.IngestDedup]] already proved for the LSH dedup
-    * index): the assigned-cells table written PARTITIONED BY cell and
-    * the centroid table beside it. Every later query batch loads both
-    * and searches WITHOUT re-fitting — the fit cost (and its
-    * determinism dials) is paid at index-build time, amortized over
-    * every query until the corpus outgrows the quantizer (then
-    * re-bucket, the v30 `rebucketIndex` precedent).
+    * index): the assigned-cells table written PARTITIONED BY
+    * (gen, cell), the sub-centroid table and the k1-row COARSE centroid
+    * table beside it (the stored quantizer [[appendToIvfIndex]] replays
+    * on later batches). Every later query batch loads these and
+    * searches WITHOUT re-fitting — the fit cost (and its determinism
+    * dials) is paid at index-build time, amortized over every query
+    * until the corpus outgrows the quantizer (then [[maintainIvfIndex]]
+    * re-fits, the v30 `rebucketIndex` precedent).
     *
     * Partitioning by cell is the point: [[ivfKnnFromIndex]] filters
     * the scan to the batch's probed cells on the PARTITION COLUMN, so
     * only those cells' files are listed and read — at a billion
     * vectors in 4096 cells, a 20-query batch probing 4 cells each
     * touches ≤80 partition directories, not the corpus
-    * (`SimilaritySpec` pins the files-read metric). */
-  def writeIvfIndex(corpus: DataFrame, indexDir: String, nlist: Int = 16,
-                    seed: Long = 42L): Unit = {
+    * (`SimilaritySpec` pins the files-read metric). The `gen` partition
+    * level above it is the append/commit unit — bounded by append
+    * count, compactable by [[maintainIvfIndex]]'s re-fit. */
+  def writeIvfIndex(corpus: DataFrame, indexDir: String, nlist: Int = 16): Unit = {
     // Torn-rebuild protection (the v30 rebucketIndex meta-last
-    // precedent): cells and centroids are two separate overwrites, and
-    // a crash between them would pair NEW assignments with OLD
-    // centroids — silently wrong neighbors. The commit marker is
-    // deleted FIRST and written LAST, so any torn state has no marker
+    // precedent): cells/centroids/coarse are separate overwrites, and a
+    // crash between them would pair NEW assignments with OLD centroids
+    // — silently wrong neighbors. The commit marker is deleted FIRST
+    // and written LAST (atomically), so any torn state has no marker
     // and [[ivfKnnFromIndex]] refuses loudly instead of searching it.
-    val commit = new java.io.File(s"$indexDir/_graft_ivf_commit")
-    if (commit.exists()) commit.delete()
-    val (cells, centroids) = ivfIndexTwoLevel(corpus, nlist, seed)
-    graft.sources.Warehouse.writePartitioned(cells, s"$indexDir/cells",
-      Seq("cell"))
+    java.nio.file.Files.deleteIfExists(ivfMetaPath(indexDir))
+    val (cells, centroids, coarse) = ivfIndexTwoLevelFull(corpus, nlist)
+    graft.sources.Warehouse.writePartitioned(
+      cells.withColumn("gen", lit(0)), s"$indexDir/cells", Seq("gen", "cell"))
     centroids.coalesce(1).write.mode("overwrite")
       .parquet(s"$indexDir/centroids")
-    java.nio.file.Files.write(commit.toPath,
-      s"nlist=$nlist seed=$seed".getBytes("UTF-8"))
+    coarse.coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/coarse")
+    val (k1, k2) = twoLevelKs(nlist)
+    writeIvfMeta(indexDir, IvfMeta(nlist, k1, k2, gen = 0))
+  }
+
+  /** Append a batch of new vectors to a persisted index WITHOUT
+    * re-fitting — the maintenance op a real vector store runs between
+    * re-fits: the batch is assigned with the STORED quantizer (the
+    * coarse argmin over the persisted k1 coarse centroids, then the
+    * sub-cell argmin within the chosen group — [[assignToSubCells]],
+    * the build's own arithmetic, so an appended vector lands in
+    * exactly the cell the build would have put it) and lands as new
+    * files under the NEXT generation's (gen, cell) partitions.
+    *
+    * Snapshot consistency: a search concurrent with an append sees
+    * either the old corpus or old+batch, never a torn half-batch —
+    * readers filter `gen <= marker.gen` and the marker only advances
+    * (atomic move) AFTER every batch file is written. A crashed append
+    * leaves invisible orphan files under the uncommitted generation;
+    * re-running the append overwrites that generation's partitions
+    * (idempotent by generation number).
+    *
+    * What appends do NOT do is adapt the quantizer — cell sizes drift
+    * as the appended distribution shifts, which is [[maintainIvfIndex]]'s
+    * trigger to re-fit. Batching-invariance (one append == two halves)
+    * and search-over-append == exact-at-full-probe are pinned in
+    * SimilaritySpec. */
+  def appendToIvfIndex(batch: DataFrame, indexDir: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val meta = readIvfMeta(indexDir)
+    val newGen = meta.gen + 1
+    val coarseCents = spark.read.parquet(s"$indexDir/coarse")
+      .orderBy(col("coarse")).select(col("ccent"))
+      .as[Seq[Double]].collect().map(_.toArray)
+    // sub-centroid table with its coarse parent re-derived from the
+    // cell numbering (cell = coarse·k2 + j — writeIvfIndex's contract)
+    val subs = spark.read.parquet(s"$indexDir/centroids")
+      .withColumn("coarse", (col("cell") / lit(meta.k2)).cast("int"))
+    val c0 = batch.select(col("vec_id").as("neighbor_id"),
+      VectorOps.asDouble(col("embedding")).as("cv"))
+    val withCoarse = c0.withColumn("coarse",
+      argminCellExpr(col("cv"), coarseCents))
+    val cells = assignToSubCells(withCoarse, subs)
+      .withColumn("gen", lit(newGen))
+    // dynamic partition overwrite of ONLY this generation's partitions:
+    // idempotent re-append after a crash, appends never touch committed
+    // generations' files
+    cells.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("gen", "cell")
+      .parquet(s"$indexDir/cells")
+    writeIvfMeta(indexDir, meta.copy(gen = newGen)) // the commit point
+  }
+
+  /** Cell-balance maintenance: if appends have drifted any cell past
+    * `maxSkew`× the mean population, re-fit the whole quantizer from
+    * the index's OWN stored vectors and swap the index move-aside-
+    * atomically (the rebucketIndex protocol) — one idempotent batch
+    * job, generations compacted back to a single gen=0. Returns true
+    * iff a re-fit ran. A search hitting the swap window finds no
+    * marker and refuses loudly rather than reading a torn index; a
+    * crash between the renames is repaired by re-running (the re-fit
+    * is deterministic on the unchanged vector set). `nlist` defaults
+    * to corpus-scaled (~512 vectors/cell, the s15/s17 convention) so a
+    * grown corpus also gets a GROWN cell count out of the same
+    * trigger. */
+  def maintainIvfIndex(spark: SparkSession, indexDir: String,
+                       maxSkew: Double = 4.0,
+                       nlist: Option[Int] = None): Boolean = {
+    val meta = readIvfMeta(indexDir)
+    val cells = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("gen") <= meta.gen)
+    val pops = cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("total"), max(col("n")).as("biggest")).head()
+    val (total, biggest) = (pops.getLong(0), pops.getLong(1))
+    if (biggest.toDouble <= maxSkew * (total.toDouble / meta.nlist)) false
+    else {
+      val corpus = cells
+        .select(col("neighbor_id").as("vec_id"), col("cv").as("embedding"))
+      val newNlist = nlist.getOrElse(
+        math.max(meta.nlist, (total / 512L).toInt))
+      import org.apache.hadoop.fs.Path
+      val cur = new Path(indexDir)
+      val tmp = new Path(s"$indexDir.__refit__")
+      val aside = new Path(s"$indexDir.__old__")
+      val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(tmp)) fs.delete(tmp, true) // leftover of a torn run
+      writeIvfIndex(corpus.localCheckpoint(true), tmp.toString, newNlist)
+      if (fs.exists(aside)) fs.delete(aside, true)
+      require(fs.rename(cur, aside), s"maintain: move-aside $cur failed")
+      try require(fs.rename(tmp, cur), s"maintain: rename $tmp -> $cur failed")
+      catch {
+        case e: Throwable =>
+          if (!fs.exists(cur) && fs.exists(aside)) fs.rename(aside, cur)
+          throw e
+      }
+      fs.delete(aside, true)
+      true
+    }
   }
 
   /** Search a [[writeIvfIndex]] index: rank the stored centroids per
@@ -355,23 +534,18 @@ object Similarity {
     * can't rely on. */
   def ivfKnnFromIndex(queries: DataFrame, indexDir: String, k: Int,
                       nprobe: Int = 4): DataFrame = {
-    require(new java.io.File(s"$indexDir/_graft_ivf_commit").exists(),
-      s"ivf index at $indexDir has no commit marker — a build crashed " +
-        "between the cells and centroids writes (or never ran); " +
-        "re-run writeIvfIndex before searching")
+    val meta = readIvfMeta(indexDir)
     val spark = queries.sparkSession
     val centroids = spark.read.parquet(s"$indexDir/centroids")
+    // gen <= marker: the snapshot filter that makes concurrent appends
+    // invisible until their commit point (a partition-column filter —
+    // uncommitted generations' directories are pruned, never read)
     val cells = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("gen") <= meta.gen)
     val q = queries.select(col("vec_id").as("query_id"),
       VectorOps.asDouble(col("embedding")).as("qv"))
       .withColumn("qn", VectorOps.norm(col("qv")))
-    val probed = q.crossJoin(broadcast(centroids))
-      .withColumn("d2p",
-        VectorOps.dot(col("qv"), col("centroid")) * lit(-2.0) + col("cn2"))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("d2p"), col("cell"))))
-      .filter(col("crk") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    val probed = probeCells(q, centroids, nprobe)
       // materialized once: consumed by the cell-set pull AND the join
       .localCheckpoint(true)
     val probedCells = probed.select(col("cell")).distinct()
@@ -475,10 +649,10 @@ object Similarity {
     * cosine only by int8 rounding — absorbed by the re-rank buffer
     * (recall vs exact pinned in SimilaritySpec). */
   def ivfSqKnn(queries: DataFrame, corpus: DataFrame, k: Int,
-               nlist: Int = 16, nprobe: Int = 4, rerankFactor: Int = 4,
-               seed: Long = 42L): DataFrame = {
+               nlist: Int = 16, nprobe: Int = 4,
+               rerankFactor: Int = 4): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist)
-    val (cells, centroids) = ivfIndex(corpus, nlist, seed)
+    val (cells, centroids) = ivfIndex(corpus, nlist)
 
     def int8(v: Column, maxAbs: Column): Column =
       transform(v, x => round(x * (lit(127.0) / maxAbs)).cast("tinyint"))
@@ -504,16 +678,9 @@ object Similarity {
         VectorOps.asDouble(int8(col("qv"), col("max_abs"))).as("qv8"))
       .withColumn("qn8", VectorOps.norm(col("qv8")))
 
-    // probe: rank centroids per query (argmin |q−c|² = argmin −2q·c+|c|²,
-    // |q|² constant within the query) — nlist-row broadcast, as ivfKnn
-    val probed = q.select(col("query_id"), col("qv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("d2p",
-        VectorOps.dot(col("qv"), col("centroid")) * lit(-2.0) + col("cn2"))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("d2p"), col("cell"))))
-      .filter(col("crk") <= nprobe)
-      .select(col("query_id"), col("cell"))
+    // probe: rank centroids per query — nlist-row broadcast, as ivfKnn
+    val probed = probeCells(q.select(col("query_id"), col("qv")),
+      centroids, nprobe).select(col("query_id"), col("cell"))
 
     // coarse stage: equi-join on cell — the int8 scoring only ever sees
     // (query, probed-cell-member) pairs. Zero-norm guard as quantizedKnn.
@@ -559,8 +726,8 @@ object Similarity {
     * (and every code derived from them) are identical across runs and
     * partitionings. Returns codebooks(s)(j) = centroid j of subspace
     * s; subspace width is dim/m. */
-  private[operators] def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
-                                     seed: Long): Array[Array[Array[Double]]] = {
+  private[operators] def pqCodebooks(corpus: DataFrame, m: Int,
+                                     ksub: Int): Array[Array[Array[Double]]] = {
     val probed = corpus.select(size(col("embedding")).as("d"))
       .filter(col("d").isNotNull).head(1)
     val dim = if (probed.isEmpty) m else probed(0).getInt(0)
@@ -584,49 +751,89 @@ object Similarity {
       .select(col("nv")).collect()
       .map(_.getSeq[Double](0).toArray)
     (0 until m).toArray.map { s =>
-      lloydFit(sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)),
-        ksub, seed + s)
+      lloydFit(sample.map(v =>
+        java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)), ksub)
     }
   }
 
-  /** Deterministic in-driver Lloyd's over a bounded sample: seeded
-    * distinct-point init, fixed iterations, argmin ties to the lowest
-    * centroid index, an emptied centroid keeps its previous value.
+  /** Round half-away-from-zero at 9 decimals via the decimal hop —
+    * bit-identical to Spark's `round(col, 9)` (both go through
+    * BigDecimal.valueOf + HALF_UP) and gate-proven against DuckDB's
+    * ROUND by the c01 chain on this very table. */
+  private def r9(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** REPLAYABLE in-driver Lloyd's over a bounded id-ordered sample —
+    * the [[graft.operators.Clustering]] cross-engine discipline applied
+    * to the quantizer fit, so a DuckDB WITH-chain can re-derive every
+    * centroid and the IVF gates hash-gate (s04/s05/s17) instead of
+    * rows-only:
+    *  - init: the first min(k, n) sample points (sample is id-ordered —
+    *    no RNG, no seed state);
+    *  - assignment: argmin over round(−2·p·c + |c|², 9) with ties to
+    *    the lowest centroid index (|p|² is constant per point and
+    *    dropped; rounding absorbs sub-ulp accumulation skew between
+    *    engines — the RoundingBoundarySpec caveat applies);
+    *  - update: per-dimension means as EXACT decimal(18,12) sums
+    *    (each value rounded to 12 decimals first — Spark/DuckDB's
+    *    double→decimal cast), surfaced through the decimal→string→
+    *    double hop and rounded to 9 (the [[graft.functions.DecimalSums]]
+    *    string-hop, driver-local); an emptied centroid keeps its
+    *    previous value;
+    *  - fixed iteration count ([[lloydIters]]): convergence loops
+    *    diverge the moment the engines disagree once.
     * Iteration order over the (id-ordered) sample is fixed, so the
-    * result is identical across runs and partitionings. */
-  private def lloydFit(pts: Array[Array[Double]], k: Int,
-                       seed: Long, iters: Int = 10): Array[Array[Double]] = {
-    require(pts.nonEmpty, "empty codebook fit sample")
+    * result is identical across runs and partitionings — and across
+    * ENGINES, which the old seeded-shuffle init could never be. */
+  private[operators] val lloydIters = 10
+
+  private[operators] def lloydFit(pts: Array[Array[Double]], k: Int,
+                                  iters: Int = lloydIters): Array[Array[Double]] = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    require(pts.nonEmpty, "empty fit sample")
     val dim = pts(0).length
-    val rnd = new scala.util.Random(seed)
-    val init = rnd.shuffle(pts.indices.toVector).take(k)
-    val cents = Array.tabulate(k)(i =>
-      pts(init(i % init.length)).clone)
-    val sums = Array.fill(k)(new Array[Double](dim))
-    val cnts = new Array[Long](k)
+    val kEff = math.min(k, pts.length)
+    val cents = Array.tabulate(kEff)(i => pts(i).clone)
+    val cn2 = new Array[Double](kEff)
+    val cnts = new Array[Long](kEff)
     for (_ <- 0 until iters) {
+      var c = 0
+      while (c < kEff) {
+        var s = 0.0; var j = 0
+        while (j < dim) { s += cents(c)(j) * cents(c)(j); j += 1 }
+        cn2(c) = s; c += 1
+      }
       java.util.Arrays.fill(cnts, 0L)
-      sums.foreach(java.util.Arrays.fill(_, 0.0))
+      val sums = Array.fill(kEff, dim)(JBD.ZERO)
       pts.foreach { p =>
         var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < k) {
-          var d = 0.0; var j = 0
-          while (j < dim) { val t = p(j) - cents(c)(j); d += t * t; j += 1 }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
+        var ci = 0
+        while (ci < kEff) {
+          var dot = 0.0; var j = 0
+          while (j < dim) { dot += p(j) * cents(ci)(j); j += 1 }
+          val d = r9(-2.0 * dot + cn2(ci))
+          if (d < bestD) { bestD = d; best = ci }
+          ci += 1
         }
         var j = 0
-        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+        while (j < dim) {
+          sums(best)(j) = sums(best)(j).add(
+            JBD.valueOf(p(j)).setScale(12, RoundingMode.HALF_UP))
+          j += 1
+        }
         cnts(best) += 1
       }
-      var c = 0
-      while (c < k) {
-        if (cnts(c) > 0) {
+      var c2 = 0
+      while (c2 < kEff) {
+        if (cnts(c2) > 0) {
           var j = 0
-          while (j < dim) { cents(c)(j) = sums(c)(j) / cnts(c); j += 1 }
+          while (j < dim) {
+            cents(c2)(j) = r9(sums(c2)(j).toPlainString.toDouble / cnts(c2))
+            j += 1
+          }
         }
-        c += 1
+        c2 += 1
       }
     }
     cents
@@ -716,10 +923,9 @@ object Similarity {
     * SimilaritySpec; rerank depth ≥ corpus degenerates to exact brute
     * force (also pinned). */
   def pqKnn(queries: DataFrame, corpus: DataFrame, k: Int,
-            m: Int = 8, ksub: Int = 32, rerankFactor: Int = 8,
-            seed: Long = 42L): DataFrame = {
+            m: Int = 8, ksub: Int = 32, rerankFactor: Int = 8): DataFrame = {
     require(m >= 1 && ksub >= 1 && rerankFactor >= 1)
-    val cb = pqCodebooks(corpus, m, ksub, seed)
+    val cb = pqCodebooks(corpus, m, ksub)
     val codes = pqEncode(corpus, "neighbor_id", cb)
     val luts = pqLuts(queries, cb)
 
@@ -764,10 +970,10 @@ object Similarity {
     * degenerates to exact brute force — pinned, as s07. */
   def ivfPqKnn(queries: DataFrame, corpus: DataFrame, k: Int,
                nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 32,
-               rerankFactor: Int = 8, seed: Long = 42L): DataFrame = {
+               rerankFactor: Int = 8): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist)
-    val (cells, centroids) = ivfIndex(corpus, nlist, seed)
-    val cb = pqCodebooks(corpus, m, ksub, seed)
+    val (cells, centroids) = ivfIndex(corpus, nlist)
+    val cb = pqCodebooks(corpus, m, ksub)
     // the candidate-join payload: (cell, id, m codes) — cell keys the
     // shuffle, the codes are all the coarse stage ever reads
     val codes = pqEncode(corpus, "neighbor_id", cb)
@@ -775,14 +981,8 @@ object Similarity {
     val luts = pqLuts(queries, cb)
 
     // probe: rank centroids per query — nlist-row broadcast, as ivfKnn
-    val probed = luts.select(col("query_id"), col("qv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("d2p",
-        VectorOps.dot(col("qv"), col("centroid")) * lit(-2.0) + col("cn2"))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("d2p"), col("cell"))))
-      .filter(col("crk") <= nprobe)
-      .select(col("query_id"), col("cell"))
+    val probed = probeCells(luts.select(col("query_id"), col("qv")),
+      centroids, nprobe).select(col("query_id"), col("cell"))
 
     val wCoarse = Window.partitionBy(col("query_id"))
       .orderBy(col("__adc"), col("neighbor_id"))
@@ -813,9 +1013,11 @@ object Similarity {
   private def rankCandidates(cands: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
+    // round(cosine, 9) — the s08/s13 rank-stability convention, so the
+    // hash-gated IVF tails (s04/s05/s17) rank bit-identically cross-engine
     cands.filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine",
-        VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cosine", round(
+        VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("neighbor_id"))
@@ -923,12 +1125,16 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  /** IVF ANN for the same queries (k-means quantizer is
-    * engine-specific → rows-only gate; exhaustive-probe == exact and
-    * recall-at-default pinned in SimilaritySpec). Round 9: the gate
-    * runs on the TWO-LEVEL quantizer ([[twoLevelCentroids]]) — the
-    * form whose fit stays distributed past ~10⁵ cells; probe and
-    * rerank plumbing identical by construction. */
+  /** IVF ANN for the same queries, HASH-GATED (round 11): the gate
+    * runs on the TWO-LEVEL quantizer ([[twoLevelIndex]]) — the form
+    * whose fit stays distributed past ~10⁵ cells — and since the fit
+    * became the replayable [[lloydFit]] (first-k id-ordered init,
+    * round-9 argmin, decimal string-hop means), the DuckDB oracle
+    * re-derives BOTH levels through generated Lloyd chains
+    * ([[s04Sql]]), replays the hierarchical cell assignment, the probe
+    * ranking, and the final cosine top-5 — rank-only output, the
+    * s01/s13 discipline. Exhaustive-probe == exact and
+    * recall-at-default stay pinned in SimilaritySpec. */
   def s04KnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     ivfKnn(emb.filter(col("vec_id") < 20), emb, 5, twoLevel = true)
@@ -939,12 +1145,14 @@ object Similarity {
     * once into a warehouse directory ([[writeIvfIndex]]), then searched
     * with no fit and no corpus scan ([[ivfKnnFromIndex]]) — the
     * build-once/query-many lifecycle every real vector store runs.
-    * Rows-only like s04 (the quantizer is engine-specific);
-    * SimilaritySpec pins the round trip bit-identical to the in-memory
-    * s04 path, full-probe-from-index == exact, and the EXPLICIT
-    * probed-cell partition pruning on the files-read METRIC (one probe
-    * reads one of 16 partition files — never a plan-string pin; see
-    * [[ivfKnnFromIndex]] for why DPP was rejected). */
+    * HASH-GATED like s04 (round 11) against the SAME generated Lloyd
+    * replay — the round trip is pinned bit-identical to the in-memory
+    * s04 path in SimilaritySpec, so one oracle covers both, and a
+    * persist/reload defect now breaks a hash, not just a pin.
+    * SimilaritySpec also pins full-probe-from-index == exact and the
+    * EXPLICIT probed-cell partition pruning on the files-read METRIC
+    * (one probe reads one of 16 partition files — never a plan-string
+    * pin; see [[ivfKnnFromIndex]] for why DPP was rejected). */
   def s17KnnIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_s17").toString
     try {
@@ -969,29 +1177,205 @@ object Similarity {
       .orderBy(col("bucket"))
 
   /** s05 — IVF index health: per cell, population and mean
-    * centroid-distance (rows-only: the quantizer is engine-specific).
-    * The balance numbers are what an operator tunes nlist/nprobe by —
-    * one empty or monster cell means the probe budget is mis-spent.
-    * Mean distance goes through a decimal cast so the profile stays
-    * bit-identical across thread counts (double averaging is
-    * partition-order-dependent). */
+    * centroid-distance, HASH-GATED since the fit became the replayable
+    * [[lloydFit]]: the oracle re-derives the 16 centroids through the
+    * generated Lloyd chain ([[s05Sql]]) and replays every vector's cell
+    * — one disagreement anywhere in the fit breaks the gate. The
+    * balance numbers are what an operator tunes nlist/nprobe by — one
+    * empty or monster cell means the probe budget is mis-spent. The
+    * per-vector distance rounds to 9 (the assignment discipline) and
+    * the mean runs in exact decimal(18,8) through the string-hop, so
+    * the profile is bit-identical across thread counts AND engines. */
   def s05IvfCellProfile(spark: SparkSession, dir: String): DataFrame = {
-    val (cells, centroids) = ivfIndex(Tables.embeddings(spark, dir), 16, 42L)
+    val (cells, centroids) = ivfIndex(Tables.embeddings(spark, dir), 16)
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val D8 = DecimalType(18, 8)
     cells.join(broadcast(centroids), Seq("cell"))
-      .withColumn("dist",
+      .withColumn("dist", round(
         sqrt(greatest(
           col("cn") * col("cn") -
             VectorOps.dot(col("cv"), col("centroid")) * lit(2.0) + col("cn2"),
-          lit(0.0))))
+          lit(0.0))), 9))
       .groupBy(col("cell"))
       .agg(
         count(lit(1)).as("vec_count"),
-        (sum(col("dist").cast(D8)).cast(DoubleType) /
-          count(lit(1)).cast(DoubleType)).as("avg_centroid_dist"))
+        round(graft.functions.DecimalSums.asDouble(sum(col("dist").cast(D8))) /
+          count(lit(1)).cast(DoubleType), 6).as("avg_centroid_dist"))
       .orderBy(col("cell"))
   }
+
+  // ---------------------------------------------------------------------------
+  // Generated Lloyd-replay oracles (s04 / s05 / s17)
+  // ---------------------------------------------------------------------------
+
+  /** ROUND(−2·v·c + |c|², 9) — the assignment/probe distance term, the
+    * c01 chain's expression verbatim. */
+  private def sqlDist(v: String, c: String): String =
+    s"ROUND(-2 * list_inner_product($v, $c) + " +
+      s"list_inner_product($c, $c), 9)"
+
+  /** One [[lloydFit]] replay as DuckDB CTEs over `src` (columns vec_id,
+    * v — already the id-ordered bounded sample): {pfx}cent0 …
+    * {pfx}cent{lloydIters}. Mirrors the driver loop literally: first-k
+    * init in id order, per-round argmin over [[sqlDist]] with the
+    * lowest cell id on ties (MIN over a (d, c) struct), exact
+    * decimal(18,12) means through the string-hop rounded to 9,
+    * empty-cell carry-forward. The c01 chainBody shape with a
+    * parameterized source and [[lloydIters]] rounds. */
+  private def lloydChainSql(src: String, k: Int, pfx: String): String = {
+    val rounds = (1 to lloydIters).map { i =>
+      s"""${pfx}a$i AS MATERIALIZED (
+         |  SELECT vec_id, (MIN({'d': ${sqlDist("s.v", "ct.clist")}, 'c': ct.cell})).c AS cell
+         |  FROM $src s CROSS JOIN ${pfx}cent${i - 1} ct
+         |  GROUP BY vec_id),
+         |${pfx}m$i AS MATERIALIZED (
+         |  SELECT a.cell, dd.d,
+         |    ROUND(CAST(CAST(SUM(CAST(s.v[dd.d] AS DECIMAL(18,12))) AS VARCHAR)
+         |               AS DOUBLE) / COUNT(*), 9) AS mu
+         |  FROM $src s JOIN ${pfx}a$i a USING (vec_id)
+         |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(s.v) + 1)) AS d) dd
+         |  GROUP BY a.cell, dd.d),
+         |${pfx}cent$i AS MATERIALIZED (
+         |  SELECT p.cell, COALESCE(m.clist, p.clist) AS clist
+         |  FROM ${pfx}cent${i - 1} p
+         |  LEFT JOIN (SELECT cell, list(mu ORDER BY d) AS clist
+         |             FROM ${pfx}m$i GROUP BY cell) m ON p.cell = m.cell)""".stripMargin
+    }
+    s"""${pfx}cent0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+       |         v AS clist
+       |  FROM (SELECT vec_id, v FROM $src ORDER BY vec_id LIMIT $k)),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  /** The GROUPED Lloyd replay — one independent fit per `coarse` group
+    * in a single chain (the distributed flatMapGroups sub-fits of
+    * [[twoLevelIndex]]): `src` carries (coarse, vec_id, v, rn) with rn
+    * the per-group id rank; cent tables carry (coarse, cell, clist)
+    * where cell is the WITHIN-group index j. Same arithmetic as
+    * [[lloydChainSql]], every join group-scoped. */
+  private def lloydGroupChainSql(src: String, k: Int, pfx: String): String = {
+    val rounds = (1 to lloydIters).map { i =>
+      s"""${pfx}a$i AS MATERIALIZED (
+         |  SELECT s.coarse, s.vec_id,
+         |         (MIN({'d': ${sqlDist("s.v", "ct.clist")}, 'c': ct.cell})).c AS cell
+         |  FROM $src s JOIN ${pfx}cent${i - 1} ct ON ct.coarse = s.coarse
+         |  GROUP BY s.coarse, s.vec_id),
+         |${pfx}m$i AS MATERIALIZED (
+         |  SELECT a.coarse, a.cell, dd.d,
+         |    ROUND(CAST(CAST(SUM(CAST(s.v[dd.d] AS DECIMAL(18,12))) AS VARCHAR)
+         |               AS DOUBLE) / COUNT(*), 9) AS mu
+         |  FROM $src s JOIN ${pfx}a$i a
+         |    ON a.coarse = s.coarse AND a.vec_id = s.vec_id
+         |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(s.v) + 1)) AS d) dd
+         |  GROUP BY a.coarse, a.cell, dd.d),
+         |${pfx}cent$i AS MATERIALIZED (
+         |  SELECT p.coarse, p.cell, COALESCE(m.clist, p.clist) AS clist
+         |  FROM ${pfx}cent${i - 1} p
+         |  LEFT JOIN (SELECT coarse, cell, list(mu ORDER BY d) AS clist
+         |             FROM ${pfx}m$i GROUP BY coarse, cell) m
+         |    ON p.coarse = m.coarse AND p.cell = m.cell)""".stripMargin
+    }
+    s"""${pfx}cent0 AS MATERIALIZED (
+       |  SELECT coarse, CAST(rn - 1 AS INT) AS cell, v AS clist
+       |  FROM $src WHERE rn <= $k),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  /** The full two-level index replay (ends with `cells` = the final
+    * (coarse, cell, clist) table and `fin` = every corpus vector's
+    * hierarchical cell assignment) — [[twoLevelIndex]] +
+    * [[ivfIndexTwoLevel]] as one generated WITH-body. */
+  private def twoLevelChainSql(nlist: Int): String = {
+    val (k1, k2) = twoLevelKs(nlist)
+    s"""emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |csamp AS MATERIALIZED (SELECT vec_id, v FROM emb ORDER BY vec_id
+       |          LIMIT ${coarseFitSampleRows(k1)}),
+       |${lloydChainSql("csamp", k1, "c_")},
+       |crs AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |         (MIN({'d': ${sqlDist("e.v", "ct.clist")}, 'c': ct.cell})).c AS coarse
+       |  FROM emb e CROSS JOIN c_cent$lloydIters ct
+       |  GROUP BY e.vec_id),
+       |ssamp AS MATERIALIZED (
+       |  SELECT a.coarse, e.vec_id, e.v,
+       |         ROW_NUMBER() OVER (PARTITION BY a.coarse ORDER BY e.vec_id) AS rn
+       |  FROM emb e JOIN crs a USING (vec_id)
+       |  QUALIFY rn <= ${subFitSampleRows(k2)}),
+       |${lloydGroupChainSql("ssamp", k2, "s_")},
+       |cells AS MATERIALIZED (
+       |  SELECT coarse, coarse * $k2 + cell AS cell, clist
+       |  FROM s_cent$lloydIters),
+       |fin AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |         (MIN({'d': ${sqlDist("e.v", "ct.clist")}, 'c': ct.cell})).c AS cell
+       |  FROM emb e JOIN crs a USING (vec_id)
+       |  JOIN cells ct ON ct.coarse = a.coarse
+       |  GROUP BY e.vec_id)""".stripMargin
+  }
+
+  /** Probe + exact-cosine-rank tail shared by the s04/s17 oracles:
+    * mirrors [[probeCells]] (round-9 d2p, cell tie-break, nprobe 4) and
+    * [[rankCandidates]] (round-9 cosine, neighbor-id tie-break, k 5)
+    * over the replayed `cells`/`fin` tables. */
+  private def ivfSearchSql(nprobe: Int, k: Int): String =
+    s"""q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 20),
+       |probe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, ct.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${sqlDist("q.qv", "ct.clist")}, ct.cell) AS crk
+       |    FROM q CROSS JOIN cells ct) t
+       |  WHERE crk <= $nprobe),
+       |scored AS (
+       |  SELECT p.query_id, f.vec_id AS neighbor_id,
+       |         ROUND(list_inner_product(eq.qv, en.v) /
+       |               (sqrt(list_inner_product(eq.qv, eq.qv)) *
+       |                sqrt(list_inner_product(en.v, en.v))), 9) AS cosine
+       |  FROM probe p
+       |  JOIN fin f ON f.cell = p.cell AND f.vec_id <> p.query_id
+       |  JOIN q eq ON eq.query_id = p.query_id
+       |  JOIN emb en ON en.vec_id = f.vec_id)
+       |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY cosine DESC, neighbor_id) AS rk
+       |      FROM scored) t
+       |WHERE rk <= $k
+       |ORDER BY query_id, rk""".stripMargin
+
+  val s04Sql: String =
+    s"""WITH ${twoLevelChainSql(16)},
+       |${ivfSearchSql(4, 5)}""".stripMargin
+
+  /** s17 is pinned bit-identical to s04 (SimilaritySpec), so the
+    * persisted-index search replays against the SAME oracle. */
+  val s17Sql: String = s04Sql
+
+  val s05Sql: String =
+    s"""WITH emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |samp AS MATERIALIZED (SELECT vec_id, v FROM emb ORDER BY vec_id
+       |         LIMIT ${flatFitSampleRows(16)}),
+       |${lloydChainSql("samp", 16, "")},
+       |asn AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |         (MIN({'d': ${sqlDist("e.v", "ct.clist")}, 'c': ct.cell})).c AS cell
+       |  FROM emb e CROSS JOIN cent$lloydIters ct
+       |  GROUP BY e.vec_id),
+       |d AS (
+       |  SELECT a.cell,
+       |    ROUND(sqrt(greatest(
+       |      sqrt(list_inner_product(e.v, e.v)) *
+       |        sqrt(list_inner_product(e.v, e.v))
+       |      - 2 * list_inner_product(e.v, ct.clist)
+       |      + list_inner_product(ct.clist, ct.clist), 0.0)), 9) AS dist
+       |  FROM emb e JOIN asn a USING (vec_id)
+       |  JOIN cent$lloydIters ct ON ct.cell = a.cell)
+       |SELECT cell, COUNT(*) AS vec_count,
+       |  ROUND(CAST(CAST(SUM(CAST(dist AS DECIMAL(18,8))) AS VARCHAR)
+       |             AS DOUBLE) / COUNT(*), 6) AS avg_centroid_dist
+       |FROM d
+       |GROUP BY cell
+       |ORDER BY cell""".stripMargin
 
   /** s06 — int8-quantized kNN for the same queries (quantization is a
     * lossy engine choice → rows-only gate; recall vs s01 pinned in
@@ -1560,6 +1944,9 @@ object Similarity {
     "s16_contrastive_bucketed" -> s16Sql,
     "s13_mutual_knn"     -> s13Sql,
     "s01_knn_bruteforce" -> s01Sql,
+    "s04_knn_ivf"        -> s04Sql,
+    "s05_ivf_cell_profile" -> s05Sql,
+    "s17_knn_ivf_persisted" -> s17Sql,
     "s08_hybrid_knn"     -> s08Sql,
     "s12_knn_filtered"   -> s12Sql,
     "s11_knn_mmr"        -> s11Sql,

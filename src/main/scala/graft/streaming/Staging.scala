@@ -12,7 +12,7 @@ import org.apache.spark.sql.DataFrame
   * the same or an earlier batch). A stager stamps every newly written
   * data file with a strictly increasing mtime so discovery order is
   * the staging order regardless of filesystem timestamp granularity. */
-private[streaming] object Staging {
+private[graft] object Staging {
 
   /** Returns a staging function for `dir`: each call writes `part` as
     * one appended parquet file and stamps the new data files with the

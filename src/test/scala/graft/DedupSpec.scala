@@ -133,6 +133,25 @@ class DedupSpec extends SparkSpec {
         s"bucket population unbounded at n=$n")
   }
 
+  test("lshBandsFor: identity at the gate geometry, miss probability held across depths") {
+    // the compensation dial (round 11): gate hashes depend on
+    // lshBandsFor(3) == 24 — the d13/d16/v30 band counts are literal
+    assert(Dedup.lshBandsFor(3) == 24)
+    // strictly increasing in depth, ≈2.4× per added plane at t = 0.45
+    val ladder = (3 to 10).map(Dedup.lshBandsFor(_))
+    assert(ladder.zip(ladder.tail).forall { case (a, b) => b > a },
+      s"band ladder not increasing: $ladder")
+    // the dial's contract: at the prescribed band count, the boundary
+    // miss probability (1-p^b)^G never exceeds the gate geometry's
+    val p = 1.0 - math.acos(0.45) / math.Pi
+    val missBase = math.pow(1.0 - math.pow(p, 3), 24)
+    for (b <- 4 to 12) {
+      val miss = math.pow(1.0 - math.pow(p, b), Dedup.lshBandsFor(b))
+      assert(miss <= missBase * 1.0000001,
+        f"dial under-compensates at b=$b: miss $miss%.2e vs base $missBase%.2e")
+    }
+  }
+
   test("d13's guards: depth-scaled + capped LSH still equals the exact pair set") {
     // the EXACT parameterization d13SemanticDedupLsh feeds the gate:
     // auto-scaled depth, 24 bands, 4096 hot-bucket cap — must reproduce
