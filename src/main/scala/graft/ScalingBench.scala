@@ -80,9 +80,11 @@ object ScalingBench {
     val nExactDropped = exactDropped.count()
 
     def d13Metrics(tag: String, bands: Int): Unit = {
+      val t0 = System.nanoTime()
       val found = Dedup.embeddingNearDupPairsLSH(emb, 0.45, bands = bands,
         planesPerBand = planes, maxBucketSize = Some(4096L))
         .select(col("id_a"), col("id_b")).localCheckpoint(true)
+      val genSec = (System.nanoTime() - t0) / 1e9
       val nFound = found.count()
       val hits = found.join(exactPairs, Seq("id_a", "id_b")).count()
       val lshDropped = Graph.starContract(found)
@@ -90,15 +92,21 @@ object ScalingBench {
       // found ⊆ exact (precision 1) ⇒ LSH components split, never merge
       // ⇒ LSH-dropped ⊆ exact-dropped: the extra survivors ARE the error
       val extraSurvivors = exactDropped.exceptAll(lshDropped).count()
-      emit(tag, "bands" -> bands, "exact_pairs" -> nExact,
+      emit(tag, "bands" -> bands, "gen_sec" -> f"$genSec%.1f",
+        "exact_pairs" -> nExact,
         "found_pairs" -> nFound, "pair_hits" -> hits,
         "pair_recall" -> f"${if (nExact == 0) 1.0 else hits.toDouble / nExact}%.4f",
         "exact_dropped" -> nExactDropped,
         "extra_survivors" -> extraSurvivors)
     }
     if (want("d13_recall")) d13Metrics("d13_recall", 24)
+    // SPARK_GRAFT_SCALING_COMP_BANDS overrides the dial's band count —
+    // the partial-dial points of the recall/cost curve (the full dial
+    // at b=8 is 240 bands, measured past this host's memory)
     if (want("d13_recall_comp"))
-      d13Metrics("d13_recall_comp", Dedup.lshBandsFor(planes))
+      d13Metrics("d13_recall_comp",
+        sys.env.get("SPARK_GRAFT_SCALING_COMP_BANDS").map(_.toInt)
+          .getOrElse(Dedup.lshBandsFor(planes)))
 
     if (want("d16_recall")) {
       val split = emb.select(col("vec_id"),

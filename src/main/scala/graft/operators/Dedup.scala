@@ -1075,11 +1075,42 @@ object Dedup {
     * Hash-gated: DuckDB replays the identical md5 split arithmetic
     * (p04's oracle discipline) and the exact all-pairs cross-split
     * cosine scan. */
-  def d16SemanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+  def d16SemanticDecontam(spark: SparkSession, dir: String): DataFrame =
+    semanticDecontam(spark, dir, 0.45)
+
+  /** d16's body with the contamination threshold exposed — the
+    * ScalingBench second-threshold row (0.35) measures how the
+    * cross-only candidate join's verified volume scales when the
+    * contamination bar loosens; the gate stays pinned at 0.45. */
+  def semanticDecontam(spark: SparkSession, dir: String,
+                       threshold: Double): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val planes = lshPlanesFor(emb.count())
     val split = emb.select(col("vec_id"),
       Pipeline.splitOf(Pipeline.md5Bucket(col("vec_id"))).as("sp"))
+    crossSplitContamination(emb, split, threshold)
+      .groupBy(col("held_id").as("vec_id"))
+      // min, not first: the split is a pure function of the id (every
+      // row agrees), but first() is partition-order-dependent by
+      // contract and would trip the determinism discipline
+      .agg(min(col("held_sp")).as("split"),
+        count(lit(1)).as("n_train_dups"),
+        // round is monotone, so max∘round == round∘max — matches the
+        // oracle's MAX over per-pair ROUND(...,6)
+        max(round(col("cosine"), 6)).as("max_cosine_r"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The CROSS-ONLY contamination stage shared by d16 (grouped per
+    * held-out vector) and p12 (the train-side drop list): every
+    * (held, train) pair at cosine ≥ threshold, discovered at d13's
+    * dials (corpus-scaled depth, 24 bands, 4096 hot-bucket cap) and
+    * exact-cosine verified. `split` columns: (vec_id, sp). The
+    * train×train quadrant never exists — held-out rows equality-join
+    * TRAIN rows on (band, bucket). Returns (held_id, held_sp,
+    * train_id, cosine). */
+  def crossSplitContamination(emb: DataFrame, split: DataFrame,
+                              threshold: Double): DataFrame = {
+    val planes = lshPlanesFor(emb.count())
     // cap BEFORE the split flag, on whole-corpus populations — the
     // same degenerate-clump guard semantics as d13's generator. The
     // flagged bucket frame feeds both join sides with differing
@@ -1105,17 +1136,8 @@ object Dedup {
         col("nrm").as("nb")), Seq("train_id"))
       .withColumn("cosine",
         VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cosine") >= 0.45)
-      .groupBy(col("held_id").as("vec_id"))
-      // min, not first: the split is a pure function of the id (every
-      // row agrees), but first() is partition-order-dependent by
-      // contract and would trip the determinism discipline
-      .agg(min(col("held_sp")).as("split"),
-        count(lit(1)).as("n_train_dups"),
-        // round is monotone, so max∘round == round∘max — matches the
-        // oracle's MAX over per-pair ROUND(...,6)
-        max(round(col("cosine"), 6)).as("max_cosine_r"))
-      .orderBy(col("vec_id"))
+      .filter(col("cosine") >= threshold)
+      .select(col("held_id"), col("held_sp"), col("train_id"), col("cosine"))
   }
 
   /** Exact cross-split replay: same md5 arithmetic as p04's oracle,

@@ -618,6 +618,142 @@ object Pipeline {
        |ORDER BY curriculum_rank""".stripMargin
   }
 
+  /** p12 — the FULL pre-training data path as one judged job, the
+    * composition the pipeline modules exist for:
+    *
+    *   leakage-safe split (p10: near-dup clusters assigned as units)
+    *   → semantic test-set decontamination of TRAIN (d16's cross-only
+    *     candidate stage against THIS split: every train doc at cosine
+    *     ≥ 0.45 to any held-out doc is dropped — the eval-leak d16
+    *     reports per held-out vector, here closed on the train side)
+    *   → curriculum ordering of the surviving train corpus (p11's
+    *     quality bins, md5 shuffle, global rank + token schedule).
+    *
+    * One output frame: the ordered training corpus a run would consume,
+    * with every upstream decision (cluster labels, split buckets,
+    * contamination drops, bins, ranks, token cumsum) pinned by the
+    * hash gate — a defect anywhere in the chain moves some row.
+    *
+    * Scale: each stage is its gate query's own plan (posting-list pair
+    * join + O(log n) clustering; cross-only LSH candidates; two-phase
+    * global cumsum) — composing them adds no new shuffle shape. The
+    * split frame is the one multi-consumer intermediate (contamination
+    * join sides + the survivor filter), so it alone is eagerly
+    * materialized. */
+  def p12PretrainCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    // 1. leakage-safe split — p10's exact assignment (cluster head's
+    // md5 bucket; singletons keep their own id)
+    val labels = Dedup.dupClusters(
+      Dedup.jaccardPairs(docs.select(col("doc_id"), col("text")), 0.8)
+        .select(col("id_a"), col("id_b")))
+    val head = coalesce(col("lbl"), col("doc_id"))
+    val split = docs.join(labels, docs("doc_id") === labels("node"), "left")
+      .select(col("doc_id").as("vec_id"), splitOf(md5Bucket(head)).as("sp"))
+      .localCheckpoint(true)
+    // 2. semantic decontamination: drop every train doc contaminated
+    // by a held-out doc under THIS split (the doc/vec id domains are
+    // the shared fixture ids)
+    val contaminated = Dedup.crossSplitContamination(emb, split, 0.45)
+      .select(col("train_id").as("doc_id")).distinct()
+    // 3. p11's curriculum over the decontaminated train corpus
+    val train = docs
+      .join(split.filter(col("sp") === "train")
+        .select(col("vec_id").as("doc_id")), Seq("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val scored = train.select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+      .withColumn("bin",
+        when(col("q") >= 0.8, 4).when(col("q") >= 0.6, 3)
+          .when(col("q") >= 0.4, 2).when(col("q") >= 0.2, 1).otherwise(0))
+      .withColumn("shuf", md5(col("doc_id").cast("string")))
+    Cumulative.withCumsumAndRank(scored,
+      Seq(col("bin").desc, col("shuf").asc, col("doc_id").asc),
+      col("n_tok"), cumName = "cum_tokens", rankName = "curriculum_rank")
+      .select(col("doc_id"), col("bin"), col("curriculum_rank"),
+        col("cum_tokens").cast("long").as("cum_tokens"))
+      .orderBy(col("curriculum_rank"))
+  }
+
+  /** p10's recursive closure + split decode, the exact cross-split
+    * cosine scan (the d16 oracle's rule under the p10 split), and
+    * p11's window — the whole pipeline replayed. */
+  val p12Sql: String = {
+    import TextAnalysis.sqlQuality
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         w[i.i] || ' ' || w[i.i+1] || ' ' || w[i.i+2] AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |        WHERE len(string_split(text, ' ')) >= 3)
+       |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) i
+       |  UNION ALL
+       |  SELECT doc_id, text AS shingle FROM documents
+       |  WHERE len(string_split(text, ' ')) < 3),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |    JOIN sizes sa ON id_a = sa.doc_id
+       |    JOIN sizes sb ON id_b = sb.doc_id
+       |  WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.8),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |labels AS (
+       |  SELECT src AS node, least(src, MIN(dst)) AS lbl
+       |  FROM reach GROUP BY src),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN hb < 205 THEN 'train'
+       |         WHEN hb < 230 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT d.doc_id,
+       |          ${sqlMd5Bucket("COALESCE(l.lbl, d.doc_id)")} AS hb
+       |        FROM documents d LEFT JOIN labels l ON d.doc_id = l.node)),
+       |h AS (SELECT e.vec_id, e.embedding
+       |      FROM embeddings e JOIN sp ON sp.doc_id = e.vec_id
+       |      WHERE sp.split <> 'train'),
+       |r AS (SELECT e.vec_id, e.embedding
+       |      FROM embeddings e JOIN sp ON sp.doc_id = e.vec_id
+       |      WHERE sp.split = 'train'),
+       |contaminated AS (
+       |  SELECT DISTINCT r.vec_id AS doc_id
+       |  FROM h JOIN r
+       |    ON list_cosine_similarity(h.embedding::DOUBLE[],
+       |                              r.embedding::DOUBLE[]) >= 0.45),
+       |train AS (
+       |  SELECT d.doc_id, d.text
+       |  FROM documents d JOIN sp ON sp.doc_id = d.doc_id
+       |  WHERE sp.split = 'train'
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |s AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    $sqlQuality AS q,
+       |    md5(CAST(doc_id AS VARCHAR)) AS shuf
+       |  FROM train),
+       |b AS (
+       |  SELECT doc_id, n_tok, shuf,
+       |    CASE WHEN q >= 0.8 THEN 4 WHEN q >= 0.6 THEN 3
+       |         WHEN q >= 0.4 THEN 2 WHEN q >= 0.2 THEN 1 ELSE 0 END AS bin
+       |  FROM s)
+       |SELECT doc_id, bin,
+       |  CAST(ROW_NUMBER() OVER w AS INT) AS curriculum_rank,
+       |  CAST(SUM(n_tok) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+       |                          AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |FROM b
+       |WINDOW w AS (ORDER BY bin DESC, shuf, doc_id)
+       |ORDER BY curriculum_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p02_pipeline_funnel" -> p02PipelineFunnel _,
     "p04_hash_split"      -> p04HashSplit _,
@@ -627,6 +763,7 @@ object Pipeline {
     "p09_temperature_mix" -> p09TemperatureMix _,
     "p10_leakage_safe_split" -> p10LeakageSafeSplit _,
     "p11_curriculum_order" -> p11CurriculumOrder _,
+    "p12_pretrain_corpus" -> p12PretrainCorpus _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -638,5 +775,6 @@ object Pipeline {
     "p09_temperature_mix" -> p09Sql,
     "p10_leakage_safe_split" -> p10Sql,
     "p11_curriculum_order" -> p11Sql,
+    "p12_pretrain_corpus" -> p12Sql,
   )
 }

@@ -185,4 +185,29 @@ class PipelineSpec extends SparkSpec {
         s"source ${r.getString(0)}: report ${r.getLong(3)} vs direct $kept")
     }
   }
+
+  test("p12: p10's train corpus minus cross-split contamination, p11-ordered") {
+    import org.apache.spark.sql.functions.col
+    val p12 = Pipeline.p12PretrainCorpus(spark, sf).localCheckpoint()
+    val p10 = Pipeline.p10LeakageSafeSplit(spark, sf).localCheckpoint()
+    // membership: every output doc is a p10 TRAIN doc
+    assert(p12.join(p10.filter(col("split") =!= "train"), "doc_id").count() == 0,
+      "a held-out document leaked into the training corpus")
+    // the decontamination stage is LIVE on this corpus: strictly fewer
+    // docs than p10's train split (2 contaminated train docs at sf0.01)
+    val trainN = p10.filter(col("split") === "train").count()
+    val outN = p12.count()
+    assert(outN < trainN,
+      s"decontamination dropped nothing: $outN of $trainN train docs kept")
+    // curriculum shape: dense ranks 1..N, nondecreasing token schedule,
+    // bins nonincreasing along the rank order (clean data first)
+    val rows = p12.orderBy(col("curriculum_rank"))
+      .select(col("curriculum_rank"), col("bin"), col("cum_tokens"))
+      .as[(Int, Int, Long)].collect()
+    assert(rows.map(_._1).toSeq == (1 to outN.toInt).toSeq, "ranks not dense")
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => b._3 >= a._3 && b._2 <= a._2
+      case _ => true
+    }, "token schedule or bin order broken")
+  }
 }
