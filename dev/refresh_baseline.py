@@ -1,14 +1,21 @@
 #!/usr/bin/env python3
 """Rewrite BASELINE.md's per-query table from a graft.Bench JSON file.
 
-Usage: python3 dev/refresh_baseline.py BENCH.json [BENCH2.json ...]
+Usage: python3 dev/refresh_baseline.py BENCH.json [BENCH2.json ...] \
+           [--refloor q1,q2 NEW.json ...]
 Multiple files are min-merged per query (damps one-off host contention).
-Keeps the prose around the table; regenerates every `| query | secs |` row
-from the bench JSON, preserving per-query notes defined below.
+Queries named after --refloor take their minimum ONLY from the files
+listed after the flag — the deliberate-reshape re-floor: a historical
+minimum that predates a shipped algorithm swap stops suppressing the
+floor, while every other query still min-merges across everything.
+Keeps the prose around the table; regenerates every `| query | secs |`
+row from the bench JSON, preserving per-query notes defined below.
 """
 import json, re, sys
 
 NOTES = {
+    "p12_pretrain_corpus": "end-to-end pretrain pipeline: p10 leakage-safe split → cross-split semantic decontamination of train → p11 curriculum, one hash-gated job (r11)",
+    "s04_knn_ivf": "two-level quantizer on the replayable seedless fit (r11: hash-gated via the generated coarse+sub-fit Lloyd chains)",
     "d02_jaccard_pairs": "pair-volume-inherent: posting-list expansion dominates; r5 dropped the per-list sort_array (least/greatest at emit)",
     "d09_dup_clusters": "embeds the full d02 pair computation + label propagation; r5 fused the convergence count into the checkpoint job (one action/round)",
     "d10_incremental_dedup": "one signature pass over new∪existing; batch⋈corpus buckets only (no corpus×corpus quadrant)",
@@ -17,18 +24,16 @@ NOTES = {
     "p02_pipeline_funnel": "single-pass flag funnel + codegen pair expansion",
     "p03_data_profile": "five exact COUNT(DISTINCT)s in one pass — Expand ×5 by design",
     "p05_approx_profile": "HLL++ twin of p03 — no Expand, mergeable sketches",
-    "s05_ivf_cell_profile": "quantizer fit on a deterministic id-ordered sample",
+    "s05_ivf_cell_profile": "flat IVF profile on the replayable seedless driver-local fit (r11: hash-gated via the generated Lloyd chain; was ML KMeans)",
     "m03_decode_profile": "real ImageIO/WAV/container decode of generated payloads (r5)",
-    "m04_feature_knn": "real pixel block-mean embeddings (r5)",
+    "m04_feature_knn": "real pixel block-mean embeddings, round-9 cosine rank (r11: hash-gated against closed-form block means)",
     "v12_streamed_tumbling": "micro-batch RUNTIME gate: 4 planned micro-batches + sentinel flush through the state store — runtime-overhead-dominated, not a throughput query (same transform runs as v01)",
     "v13_streamed_sessions": "session-merge state store through the runtime — runtime-overhead-dominated (batch twin: v02)",
     "v14_streamed_dedup": "dedup state store through the runtime — runtime-overhead-dominated (batch twin: v03)",
     "v15_filesource_tumbling": "file-source ingest + checkpointed restart, parquet staging included — runtime-overhead-dominated (batch twin: v01)",
     "t12_sequence_pack": "two-phase global cumsum (rank elided r5)",
     "d11_minhash_capped": "d03 + hot-bucket anti-join guard",
-    "d12_semantic_dedup": "SemDeDup shape: exact cosine pairs → transitive clusters → survivor checksum (r5)",
     "t14_pii_redaction": "three codegen'd regexp_replace passes + md5, no shuffle (r5)",
-    "d13_semantic_dedup_lsh": "d12's cluster+survivor stages over the banded-LSH pair stage (24 bands) — the 100 TB path, pair-recall 1.0 on this corpus (r6)",
     "t15_decontamination_capped": "t13 with the hot-shingle cap engaged (maxShingleFreq=2) — lossless on this corpus, bounds the join fan-out (r6)",
     "v17_streamed_profiles": "fMGWS custom-state store through the replay runtime — runtime-overhead-dominated (batch twin: plain GROUP BY) (r6)",
     "v18_streamed_ingest_dedup": "warehouse-as-state streaming ingest dedup: per-batch LSH signing vs the persisted bucket index, mid-stream restart included — runtime+staging-dominated (r6)",
@@ -47,27 +52,40 @@ NOTES = {
     "q36_order_value_quartiles": "global NTILE as closed-form bucket of the two-phase rank — no single-partition window (r5)",
     "q40_quantile_rollup": "deterministic mergeable quantile UDAF: monthly sketches merged to yearly, exact below capacity (r10)",
     "x07_pagerank_bucketed": "x01's rounds over a src-bucketed edge table — includes the one-time bucketed write; only the rank vector shuffles per round (r10)",
-    "d12_semantic_dedup": "floor predates the starContract survivor stage (r9 trade: gate-SF cost for the measured x100 win); r10 observe() fusion reads ~1.2s isolated",
-    "d13_semantic_dedup_lsh": "floor predates lshPlanesFor depth scaling (r9); at sf0.1 the auto depth is 5, deeper than the floor-era fixed 3",
-    "v30_streamed_semantic_dedup": "floor predates auto depth (r10): the replay now re-buckets the index twice as the corpus crosses plane boundaries",
+    "d12_semantic_dedup": "SemDeDup shape: exact cosine pairs → starContract clusters → survivor checksum; floor re-measured r11 on the shipped form (the pre-r9 min-label floor read 0.97)",
+    "d13_semantic_dedup_lsh": "d12's survivor stages over the depth-scaled banded-LSH pair stage (24 bands, auto depth 5 at sf0.1, 4096 cap); floor re-measured r11 on the shipped form (the pre-depth-scaling floor read 3.42)",
+    "v30_streamed_semantic_dedup": "warehouse-as-state semantic ingest dedup, per-batch auto depth + two mid-replay index re-buckets; floor re-measured r11 on the shipped form (the pre-auto-depth floor read 6.11)",
     "w09_zone_map_skipping": "includes the one-time clustered write + stats bootstrap; the range scan itself reads 3 of 16 files (r10)",
     "x08_kcore": "derived k=83 at sf0.1, ~11 peel rounds to the fixpoint (cost is round count, not the joins: ~0.65s/round, below x01's 1.04); broadcast semi-joins when nodes fit (r10)",
     "v31_streamed_enrichment": "stream-static broadcast join through the replay runtime — runtime-overhead-dominated (stateless join, windowed-agg state only) (r10)",
     "v32_streamed_funnel": "left-outer stream-stream join through the runtime: null emission waits for watermark proof, type-specific flush — runtime-overhead-dominated (r10)",
     "d16_semantic_decontam": "embedding-space test-set contamination over the md5 split at d13's recall-1 dials, CROSS-ONLY candidates (held-out ⋈ train buckets — no train×train quadrant; x100 217.7 → 110.4s) — the check n-gram decontam (t13) structurally misses (r10)",
-    "s17_knn_ivf_persisted": "build-once/query-many: includes the one-time index write. Floor predates the r10-tail explicit partition pruning (+1 probe materialization + cell-set pull, ~2.1s now) — the gate-SF cost of GUARANTEED file pruning at scale after DPP measured as a no-op (the d12 starContract trade precedent)",
+    "s17_knn_ivf_persisted": "build-once/query-many incl. the one-time index write; explicit probed-cell + committed-generation partition pruning (DPP measured a no-op); floor re-measured r11 on the shipped form (the pre-pruning floor read 1.18)",
 }
 
-def main(*paths):
+def main(*argv):
     # zero args (or bench files with an empty queries map) must refuse,
     # not rewrite the table to an empty '0 queries' row
-    if not paths:
+    if not argv:
         sys.exit(__doc__)
+    args = list(argv)
+    refloor, paths, post = set(), [], []
+    if "--refloor" in args:
+        i = args.index("--refloor")
+        refloor = set(args[i + 1].split(","))
+        paths, post = args[:i], args[i + 2:]
+        if not post:
+            sys.exit("--refloor needs at least one bench file after the list")
+    else:
+        paths = args
     # min-merge; a failed repeat (-1) in one file must not clobber a
-    # valid measurement from another — only all-failed stays -1
+    # valid measurement from another — only all-failed stays -1.
+    # Re-floored queries ignore pre-flag files entirely.
     qs = {}
-    for path in paths:
+    def absorb(path, skip):
         for k, v in json.load(open(path))["queries"].items():
+            if k in skip:
+                continue
             prev = qs.get(k)
             if v < 0:
                 qs.setdefault(k, -1.0)
@@ -75,6 +93,13 @@ def main(*paths):
                 qs[k] = v
             else:
                 qs[k] = min(prev, v)
+    for path in paths:
+        absorb(path, skip=refloor)
+    for path in post:
+        absorb(path, skip=set())
+    missing = sorted(refloor - set(qs))
+    if missing:
+        sys.exit(f"refloor names never measured in the given files: {missing}")
     if not qs:
         sys.exit("refusing to rewrite BASELINE.md: no queries in the given files")
     failed = sorted(k for k, v in qs.items() if v < 0)

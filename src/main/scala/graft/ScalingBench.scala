@@ -177,12 +177,12 @@ object ScalingBench {
       ntile(slices).over(Window.orderBy(col("ts"), col("event_id"))))
       .localCheckpoint(true)
     val nRows = sliced.count()
-    def drive(name: String, srcDir: String,
-              mk: DataFrame => DataFrame): (Double, Long, Long, Long, Long) = {
+    def drive(name: String, srcDir: String, mk: DataFrame => DataFrame,
+              ckpt: String): (Double, Long, Long, Long, Long) = {
       val t0 = System.nanoTime()
       val q = mk(EventStreams.readEvents(spark, srcDir, maxFilesPerTrigger = 1))
         .writeStream.format("noop")
-        .option("checkpointLocation", s"$srcDir/__ckpt")
+        .option("checkpointLocation", s"$srcDir/$ckpt")
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
         .start()
       try q.processAllAvailable() finally q.stop()
@@ -190,11 +190,15 @@ object ScalingBench {
       val progress = q.recentProgress
       val input = progress.map(_.numInputRows).sum
       val batches = progress.length.toLong
-      val state = progress.reverse.find(_.stateOperators.nonEmpty)
-        .map(_.stateOperators)
-      (sec, input, batches,
-        state.map(_.map(_.numRowsTotal).sum).getOrElse(0L),
-        state.map(_.map(_.memoryUsedBytes).sum).getOrElse(0L))
+      // PEAK state across the replay — the end state is mostly evicted
+      val withState = progress.filter(_.stateOperators.nonEmpty)
+      val peakRows =
+        if (withState.isEmpty) 0L
+        else withState.map(_.stateOperators.map(_.numRowsTotal).sum).max
+      val peakBytes =
+        if (withState.isEmpty) 0L
+        else withState.map(_.stateOperators.map(_.memoryUsedBytes).sum).max
+      (sec, input, batches, peakRows, peakBytes)
     }
     val prevProv = spark.conf.getOption(confKey)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -215,9 +219,12 @@ object ScalingBench {
         for (r <- head8.collect())
           stageTiny(spark.createDataFrame(
             java.util.Arrays.asList(r), head8.schema))
-        val (fixedSec, _, _, _, _) = drive(name, s"$root/tiny", mk)
+        // warm-up drive first (discarded): plan/codegen warm-up must be
+        // charged to neither the throughput nor the overhead estimate
+        drive(name, s"$root/tiny", mk, "__ckpt_warm")
         val (sec, input, batches, stateRows, stateBytes) =
-          drive(name, s"$root/full", mk)
+          drive(name, s"$root/full", mk, "__ckpt_full")
+        val (fixedSec, _, _, _, _) = drive(name, s"$root/tiny", mk, "__ckpt_fix")
         val marginal =
           if (sec > fixedSec && input > 0) input / (sec - fixedSec) else -1.0
         println(s"""{"scale":$scale,"query":"$name","rows":$nRows,""" +

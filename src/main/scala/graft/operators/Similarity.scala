@@ -797,6 +797,11 @@ object Similarity {
     val cents = Array.tabulate(kEff)(i => pts(i).clone)
     val cn2 = new Array[Double](kEff)
     val cnts = new Array[Long](kEff)
+    // the decimal(18,12) cast of each coordinate is iteration-invariant
+    // — converting inside the loop was the measured cost driver of the
+    // PQ fits (m × ksub × sample × iters conversions)
+    val pts12: Array[Array[JBD]] = pts.map(_.map(x =>
+      JBD.valueOf(x).setScale(12, RoundingMode.HALF_UP)))
     for (_ <- 0 until iters) {
       var c = 0
       while (c < kEff) {
@@ -806,7 +811,9 @@ object Similarity {
       }
       java.util.Arrays.fill(cnts, 0L)
       val sums = Array.fill(kEff, dim)(JBD.ZERO)
-      pts.foreach { p =>
+      var pi = 0
+      while (pi < pts.length) {
+        val p = pts(pi)
         var best = 0; var bestD = Double.MaxValue
         var ci = 0
         while (ci < kEff) {
@@ -816,13 +823,14 @@ object Similarity {
           if (d < bestD) { bestD = d; best = ci }
           ci += 1
         }
+        val p12 = pts12(pi)
         var j = 0
         while (j < dim) {
-          sums(best)(j) = sums(best)(j).add(
-            JBD.valueOf(p(j)).setScale(12, RoundingMode.HALF_UP))
+          sums(best)(j) = sums(best)(j).add(p12(j))
           j += 1
         }
         cnts(best) += 1
+        pi += 1
       }
       var c2 = 0
       while (c2 < kEff) {
@@ -1824,21 +1832,66 @@ object Similarity {
     * corpus-scaled cell count (~512 vectors/cell) and nprobe 8 — each
     * query scores ~4k candidates REGARDLESS of corpus size. An edge
     * needs BOTH endpoints' rankings right, so edge recall ≈ vertex
-    * recall²; nprobe 8 buys ~0.8 edge recall where the scaling run's
+    * recall²; nprobe 8 buys ~0.74 edge recall where the scaling run's
     * nprobe 4 sits near 0.5 (measured on the gate corpora) — 2× probe
     * cost, still constant per query, still ~5× faster than exact at
-    * x100. Rows-only gate BY DESIGN: IVF's probed top-k can differ
-    * from the exact top-k when a true neighbor's cell is outside the
-    * probe set, so the edge set is legitimately ≠ s13's (the d14
-    * precedent). What IS pinned (SimilaritySpec): edge recall vs the
-    * exact s13 graph at defaults, and the machinery dial — nprobe =
-    * nlist degenerates to s13's exact edge set. */
+    * x100. HASH-gated since round 11: the flat quantizer became the
+    * replayable [[lloydFit]], so the oracle re-derives the fit through
+    * the generated Lloyd chain, replays every vector's cell, every
+    * query's probe set, the round-9 cosine rankings, and the mutual
+    * filter ([[s15Sql]]). The edge set is still legitimately ≠ s13's
+    * (a true neighbor's cell can sit outside the probe set — the d14
+    * trade); what the gate pins is that BOTH engines make the same
+    * approximation. Edge recall vs the exact s13 graph and the
+    * nprobe = nlist degenerate-to-exact dial stay pinned in
+    * SimilaritySpec. The oracle's chain is generated at the gate-scale
+    * cell count (the corpus-scaled nlist floors at 16 below 8192
+    * vectors — both gate SFs); a larger gate SF re-derives it, the
+    * x08 convention. */
   def s15MutualKnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val nlist = math.max(16L, emb.count() / 512L).toInt
     mutualKnn(ivfKnn(emb, emb, 5, nlist = nlist, nprobe = math.min(8, nlist)))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  val s15Sql: String =
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |samp AS MATERIALIZED (SELECT vec_id, v FROM emb ORDER BY vec_id
+       |       LIMIT ${flatFitSampleRows(16)}),
+       |${lloydChainSql("samp", 16, "")},
+       |asn AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |         (MIN({'d': ${sqlDist("e.v", "ct.clist")}, 'c': ct.cell})).c AS cell
+       |  FROM emb e CROSS JOIN cent$lloydIters ct
+       |  GROUP BY e.vec_id),
+       |probe AS MATERIALIZED (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, ct.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${sqlDist("q.v", "ct.clist")}, ct.cell) AS crk
+       |    FROM emb q CROSS JOIN cent$lloydIters ct) t
+       |  WHERE crk <= 8),
+       |knn AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, rk FROM (
+       |    SELECT p.query_id, a.vec_id AS neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |             ORDER BY ROUND(list_inner_product(eq.v, en.v) /
+       |                      (sqrt(list_inner_product(eq.v, eq.v)) *
+       |                       sqrt(list_inner_product(en.v, en.v))), 9) DESC,
+       |                      a.vec_id) AS rk
+       |    FROM probe p
+       |    JOIN asn a ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |    JOIN emb eq ON eq.vec_id = p.query_id
+       |    JOIN emb en ON en.vec_id = a.vec_id) t
+       |  WHERE rk <= 5)
+       |SELECT f.query_id AS id_a, f.neighbor_id AS id_b,
+       |       CAST(f.rk AS INT) AS rk_ab, CAST(r.rk AS INT) AS rk_ba
+       |FROM knn f JOIN knn r
+       |  ON r.query_id = f.neighbor_id AND r.neighbor_id = f.query_id
+       |WHERE f.query_id < f.neighbor_id
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Pool count for the s16 bucketed negative draw (mirrored in
     * [[s16Sql]]): candidates are pooled by md5-bucket mod this, and an
@@ -1946,6 +1999,7 @@ object Similarity {
     "s01_knn_bruteforce" -> s01Sql,
     "s04_knn_ivf"        -> s04Sql,
     "s05_ivf_cell_profile" -> s05Sql,
+    "s15_mutual_knn_ivf" -> s15Sql,
     "s17_knn_ivf_persisted" -> s17Sql,
     "s08_hybrid_knn"     -> s08Sql,
     "s12_knn_filtered"   -> s12Sql,
