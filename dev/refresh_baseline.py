@@ -15,7 +15,7 @@ import json, re, sys
 
 NOTES = {
     "p12_pretrain_corpus": "end-to-end pretrain pipeline: p10 leakage-safe split → cross-split semantic decontamination of train → p11 curriculum, one hash-gated job (r11)",
-    "s04_knn_ivf": "two-level quantizer on the replayable seedless fit (r11: hash-gated via the generated coarse+sub-fit Lloyd chains)",
+    "s04_knn_ivf": "two-level quantizer on the replayable seedless fit (r11: hash-gated via the generated coarse+sub-fit Lloyd chains; floor re-measured r11 — the pre-reshape floor read 0.53)",
     "d02_jaccard_pairs": "pair-volume-inherent: posting-list expansion dominates; r5 dropped the per-list sort_array (least/greatest at emit)",
     "d09_dup_clusters": "embeds the full d02 pair computation + label propagation; r5 fused the convergence count into the checkpoint job (one action/round)",
     "d10_incremental_dedup": "one signature pass over new∪existing; batch⋈corpus buckets only (no corpus×corpus quadrant)",

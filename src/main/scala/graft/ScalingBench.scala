@@ -316,6 +316,11 @@ object ScalingBench {
       // (same generator, strictly smaller downstream)
       ("d16_semantic_decontam", true,
         operators.Dedup.d16SemanticDecontam _),
+      // the same cross-only join at a LOOSER contamination bar — how
+      // verified pair volume (and wall-clock) scales when the
+      // threshold drops toward the LSH bucketing's discovery angle
+      ("d16_decontam_t035", true,
+        (s, d) => operators.Dedup.semanticDecontam(s, d, 0.35)),
       // persisted IVF (s17): the build-once/query-many decomposition.
       // The BUILD row pays the corpus-scaled fit + the cell-partitioned
       // write; the SEARCH row is a 20-query batch probing 4 cells each,

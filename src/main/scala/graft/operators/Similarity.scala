@@ -759,10 +759,30 @@ object Similarity {
   /** Round half-away-from-zero at 9 decimals via the decimal hop —
     * bit-identical to Spark's `round(col, 9)` (both go through
     * BigDecimal.valueOf + HALF_UP) and gate-proven against DuckDB's
-    * ROUND by the c01 chain on this very table. */
-  private def r9(x: Double): Double =
+    * ROUND by the c01 chain on this very table.
+    *
+    * Fast path: when x·10⁹'s fractional part is provably far from the
+    * .5 tie (beyond the combined double-multiply + shortest-repr error
+    * envelope, ~|y|·2⁻⁵¹ ≪ the 1e-14 guard), the rounding DECISION is
+    * identical in double and decimal arithmetic, and z/1e9 (z an exact
+    * ≤2⁵³ integer, 1e9 exact) is the correctly-rounded double of the
+    * exact decimal z·10⁻⁹ — the same double BigDecimal.doubleValue
+    * returns. Only near-tie values (probability ~1e-14 per call) pay
+    * the BigDecimal hop. This is the lloydFit inner-loop cost driver:
+    * the PQ fits call it m·ksub·sample·iters ≈ 2.6M times. */
+  private[graft] def r9(x: Double): Double = {
+    if (x == 0.0) return 0.0 // normalize -0.0 like BigDecimal does
+    val y = x * 1e9
+    val ay = math.abs(y)
+    if (ay < 4.5e15) { // f, f+1 exactly representable; tol meaningful
+      val f = math.floor(y)
+      val frac = y - f
+      if (math.abs(frac - 0.5) > math.max(1e-9, ay * 1e-14))
+        return (if (frac > 0.5) f + 1.0 else f) / 1e9
+    }
     java.math.BigDecimal.valueOf(x)
       .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+  }
 
   /** REPLAYABLE in-driver Lloyd's over a bounded id-ordered sample —
     * the [[graft.operators.Clustering]] cross-engine discipline applied

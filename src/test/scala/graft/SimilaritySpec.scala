@@ -315,6 +315,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("r9 fast path is bit-identical to the BigDecimal decimal hop") {
+    // the lloydFit inner-loop rounding: the double fast path must
+    // agree with BigDecimal.valueOf(x).setScale(9, HALF_UP) on every
+    // value class — random magnitudes, exact 9-decimal values, values
+    // AT the .5 tie (fallback territory), negatives, and ±0.0
+    def slow(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    val rnd = new scala.util.Random(7)
+    val samples = Iterator.fill(2000000) {
+      val mag = math.pow(10.0, rnd.nextInt(14) - 6)
+      (rnd.nextDouble() - 0.5) * mag
+    } ++ Iterator(0.0, -0.0, 1.5e-9, -1.5e-9, 2.5e-9, -2.5e-9,
+      0.1234567895, -0.1234567895, 1e15, -1e15, 123.0000000005)
+    for (x <- samples) {
+      val (fast, ref) = (Similarity.r9(x), slow(x))
+      assert(java.lang.Double.doubleToLongBits(fast) ==
+        java.lang.Double.doubleToLongBits(ref),
+        s"r9($x): fast $fast != decimal $ref")
+    }
+  }
+
   test("ivfKnn recall is monotone in nprobe and exact at nprobe = nlist") {
     // the dial a 100 TB deployment actually turns: more probed cells can
     // only add candidates, so recall must be non-decreasing in nprobe
