@@ -1379,6 +1379,209 @@ object Similarity {
     * persisted-index search replays against the SAME oracle. */
   val s17Sql: String = s04Sql
 
+  /** The int8 quantization mirror: x → CAST(ROUND(x·(127/m)) AS
+    * TINYINT), m the side's own max|x| (greatest with ε — the
+    * zero-corpus guard). Int8 values as doubles make every coarse dot
+    * product EXACT integer arithmetic (< 2⁵³), so cosine8 is bit-
+    * identical cross-engine with no rounding convention at all — only
+    * the quantization round itself carries the usual boundary
+    * caveat. */
+  private def sqlInt8(v: String, m: String): String =
+    s"list_transform($v, x -> CAST(CAST(ROUND(x * (127.0 / $m)) " +
+      "AS TINYINT) AS DOUBLE))"
+
+  private def sqlMaxAbs(src: String): String =
+    s"""SELECT greatest(MAX(list_aggregate(list_transform(v, x -> abs(x)),
+       |         'max')), 1e-30) AS m FROM $src""".stripMargin
+
+  /** The int8 coarse cosine with the zero-norm guard (quantized-to-zero
+    * vectors score −2.0, below any true cosine — the NaN-sorts-first
+    * guard mirrored from [[quantizedKnn]]). */
+  private def sqlCosine8(a: String, b: String): String =
+    s"""CASE WHEN sqrt(list_inner_product($a, $a)) = 0.0
+       |              OR sqrt(list_inner_product($b, $b)) = 0.0 THEN -2.0
+       |         ELSE list_inner_product($a, $b) /
+       |              (sqrt(list_inner_product($a, $a)) *
+       |               sqrt(list_inner_product($b, $b))) END""".stripMargin
+
+  /** Exact round-9 cosine re-rank tail over a (query_id, neighbor_id)
+    * candidate CTE — [[rankCandidates]]' mirror, shared by s06/s07. */
+  private def sqlRerank(candCte: String, k: Int): String =
+    s"""SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id
+       |FROM (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+       |           ROUND(list_inner_product(eq.v, en.v) /
+       |                 (sqrt(list_inner_product(eq.v, eq.v)) *
+       |                  sqrt(list_inner_product(en.v, en.v))), 9) DESC,
+       |           c.neighbor_id) AS rk
+       |  FROM $candCte c JOIN emb eq ON eq.vec_id = c.query_id
+       |  JOIN emb en ON en.vec_id = c.neighbor_id) t
+       |WHERE rk <= $k
+       |ORDER BY query_id, rk""".stripMargin
+
+  val s06Sql: String =
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS MATERIALIZED (SELECT vec_id, v FROM emb WHERE vec_id < 20),
+       |qm AS MATERIALIZED (${sqlMaxAbs("q")}),
+       |cm AS MATERIALIZED (${sqlMaxAbs("emb")}),
+       |q8 AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, ${sqlInt8("q.v", "qm.m")} AS qv8
+       |  FROM q, qm),
+       |c8 AS MATERIALIZED (
+       |  SELECT e.vec_id AS neighbor_id, ${sqlInt8("e.v", "cm.m")} AS cv8
+       |  FROM emb e, cm),
+       |cand AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.query_id, b.neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY a.query_id ORDER BY
+       |             ${sqlCosine8("a.qv8", "b.cv8")} DESC,
+       |             b.neighbor_id) AS crk
+       |    FROM q8 a JOIN c8 b ON b.neighbor_id <> a.query_id) t
+       |  WHERE crk <= 20)
+       |${sqlRerank("cand", 5)}""".stripMargin
+
+  val s07Sql: String =
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |samp AS MATERIALIZED (SELECT vec_id, v FROM emb ORDER BY vec_id
+       |       LIMIT ${flatFitSampleRows(16)}),
+       |${lloydChainSql("samp", 16, "")},
+       |asn AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |         (MIN({'d': ${sqlDist("e.v", "ct.clist")}, 'c': ct.cell})).c AS cell
+       |  FROM emb e CROSS JOIN cent$lloydIters ct
+       |  GROUP BY e.vec_id),
+       |q AS MATERIALIZED (SELECT vec_id, v FROM emb WHERE vec_id < 20),
+       |qm AS MATERIALIZED (${sqlMaxAbs("q")}),
+       |cm AS MATERIALIZED (${sqlMaxAbs("emb")}),
+       |q8 AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, ${sqlInt8("q.v", "qm.m")} AS qv8
+       |  FROM q, qm),
+       |c8 AS MATERIALIZED (
+       |  SELECT e.vec_id AS neighbor_id, a.cell,
+       |         ${sqlInt8("e.v", "cm.m")} AS cv8
+       |  FROM emb e JOIN asn a USING (vec_id), cm),
+       |probe AS MATERIALIZED (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, ct.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${sqlDist("q.v", "ct.clist")}, ct.cell) AS crk
+       |    FROM q CROSS JOIN cent$lloydIters ct) t
+       |  WHERE crk <= 4),
+       |cand AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT p.query_id, b.neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+       |             ${sqlCosine8("a.qv8", "b.cv8")} DESC,
+       |             b.neighbor_id) AS crk
+       |    FROM probe p
+       |    JOIN q8 a ON a.query_id = p.query_id
+       |    JOIN c8 b ON b.cell = p.cell AND b.neighbor_id <> p.query_id) t
+       |  WHERE crk <= 20)
+       |${sqlRerank("cand", 5)}""".stripMargin
+
+  /** The PQ replay shared by s09/s10: unit-normalized corpus, the
+    * id-ordered bounded codebook sample, one [[lloydChainSql]] per
+    * subspace over its slice, the per-vector code argmin (raw-double
+    * pqScore — the same expression both engines evaluate over
+    * bit-identical inputs, the d12 raw-threshold precedent), and the
+    * `codes` table. Ends with CTEs: nrm (vec_id, v — unit vectors),
+    * q (query side, vec_id < 20), codes (vec_id, c0..c{m-1}). */
+  private def pqChainSql(m: Int, ksub: Int, dsub: Int): String = {
+    def slice(v: String, s: Int) = s"$v[${s * dsub + 1}:${(s + 1) * dsub}]"
+    def score(sub: String, cb: String) =
+      s"list_inner_product($sub, $cb.clist) * -2.0 + " +
+        s"list_inner_product($cb.clist, $cb.clist)"
+    val sliceSamps = (0 until m).map { s =>
+      s"""pq${s}samp AS MATERIALIZED (
+         |  SELECT vec_id, ${slice("v", s)} AS v FROM psamp)""".stripMargin
+    }
+    val chains = (0 until m).map(s =>
+      lloydChainSql(s"pq${s}samp", ksub, s"pq${s}_"))
+    val codeCols = (0 until m).map { s =>
+      s"""    (SELECT (MIN({'d': ${score(s"n.${slice("v", s)}", "cb")},
+         |             'c': cb.cell})).c
+         |     FROM pq${s}_cent$lloydIters cb) AS c$s""".stripMargin
+    }
+    s"""emb AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |nrm0 AS MATERIALIZED (
+       |  SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS n FROM emb),
+       |nrm AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         CASE WHEN n > 0.0 THEN list_transform(v, x -> x / n)
+       |              ELSE v END AS v
+       |  FROM nrm0),
+       |psamp AS MATERIALIZED (
+       |  SELECT vec_id, v FROM nrm ORDER BY vec_id
+       |  LIMIT ${math.max(ksub * 64, 1024)}),
+       |${sliceSamps.mkString(",\n")},
+       |${chains.mkString(",\n")},
+       |q AS MATERIALIZED (SELECT vec_id, v FROM nrm WHERE vec_id < 20),
+       |codes AS MATERIALIZED (
+       |  SELECT n.vec_id,
+       |${codeCols.mkString(",\n")}
+       |  FROM nrm n)""".stripMargin
+  }
+
+  /** The ADC coarse candidate stage over the replayed codes: each
+    * (query, neighbor) pair pays m centroid lookups summed left to
+    * right — [[adcExpr]]'s mirror — and the top rerankFactor·k per
+    * query go to the round-9 exact tail. `extraJoin`/`extraCond`
+    * inject s10's probed-cell restriction. */
+  private def pqAdcSql(m: Int, dsub: Int, buffer: Int,
+                       fromExtra: String, condExtra: String): String = {
+    def slice(v: String, s: Int) = s"$v[${s * dsub + 1}:${(s + 1) * dsub}]"
+    val joins = (0 until m).map(s =>
+      s"  JOIN pq${s}_cent$lloydIters cb$s ON cb$s.cell = co.c$s")
+    val adc = (0 until m).map(s =>
+      s"(list_inner_product(${slice("a.v", s)}, cb$s.clist) * -2.0 + " +
+        s"list_inner_product(cb$s.clist, cb$s.clist))").mkString("\n             + ")
+    s"""cand AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, co.vec_id AS neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |             $adc,
+       |             co.vec_id) AS crk
+       |    FROM q a
+       |    JOIN codes co ON co.vec_id <> a.vec_id$condExtra
+       |$fromExtra${joins.mkString("\n")}) t
+       |  WHERE crk <= $buffer)""".stripMargin
+  }
+
+  val s09Sql: String =
+    s"""WITH ${pqChainSql(8, 32, 8)},
+       |${pqAdcSql(8, 8, 40, "", "")}
+       |${sqlRerank("cand", 5)}""".stripMargin
+
+  /** s10 = the PQ replay with the ADC scan restricted to the flat IVF
+    * index's probed cells (iv_ chain — the s05/s07 quantizer replay). */
+  val s10Sql: String =
+    s"""WITH ${pqChainSql(8, 32, 8)},
+       |samp AS MATERIALIZED (SELECT vec_id, v FROM emb ORDER BY vec_id
+       |       LIMIT ${flatFitSampleRows(16)}),
+       |${lloydChainSql("samp", 16, "iv_")},
+       |asn AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |         (MIN({'d': ${sqlDist("e.v", "ct.clist")}, 'c': ct.cell})).c AS cell
+       |  FROM emb e CROSS JOIN iv_cent$lloydIters ct
+       |  GROUP BY e.vec_id),
+       |qr AS MATERIALIZED (SELECT vec_id, v FROM emb WHERE vec_id < 20),
+       |probe AS MATERIALIZED (
+       |  SELECT query_id, cell FROM (
+       |    SELECT qr.vec_id AS query_id, ct.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY qr.vec_id
+       |             ORDER BY ${sqlDist("qr.v", "ct.clist")}, ct.cell) AS crk
+       |    FROM qr CROSS JOIN iv_cent$lloydIters ct) t
+       |  WHERE crk <= 4),
+       |${pqAdcSql(8, 8, 40,
+        "    JOIN asn ON asn.vec_id = co.vec_id\n" +
+          "    JOIN probe p ON p.query_id = a.vec_id AND p.cell = asn.cell\n",
+        "")}
+       |${sqlRerank("cand", 5)}""".stripMargin
+
   val s05Sql: String =
     s"""WITH emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |samp AS MATERIALIZED (SELECT vec_id, v FROM emb ORDER BY vec_id
@@ -1405,39 +1608,51 @@ object Similarity {
        |GROUP BY cell
        |ORDER BY cell""".stripMargin
 
-  /** s06 — int8-quantized kNN for the same queries (quantization is a
-    * lossy engine choice → rows-only gate; recall vs s01 pinned in
-    * SimilaritySpec). */
+  /** s06 — int8-quantized kNN for the same queries. HASH-GATED (round
+    * 11): the quantization is a pure per-value formula
+    * (round(x·127/max|x|), per side) both engines replay, and the int8
+    * coarse dots are EXACT integer arithmetic in doubles — cosine8 is
+    * bit-identical cross-engine with no rounding convention; the
+    * re-rank is the round-9 exact tail. Recall vs s01 stays pinned in
+    * SimilaritySpec. */
   def s06KnnQuantized(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     quantizedKnn(emb.filter(col("vec_id") < 20), emb, 5)
       .orderBy(col("query_id"), col("rk"))
   }
 
-  /** s07 — IVF-SQ kNN for the same queries (k-means quantizer +
-    * int8 rounding are engine-specific → rows-only gate; exhaustive
-    * probe + deep re-rank == exact and recall-at-default pinned in
-    * SimilaritySpec, along with the cell-bucketed-join plan assert). */
+  /** s07 — IVF-SQ kNN for the same queries. HASH-GATED (round 11): the
+    * cell quantizer replays through the flat Lloyd chain (s05's), the
+    * probe through the round-9 ranking, the int8 coarse stage through
+    * the exact-integer cosine8 (s06's argument), the tail through the
+    * round-9 re-rank. Exhaustive probe + deep re-rank == exact and
+    * recall-at-default stay pinned in SimilaritySpec, along with the
+    * cell-bucketed-join plan assert. */
   def s07KnnIvfSq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     ivfSqKnn(emb.filter(col("vec_id") < 20), emb, 5)
       .orderBy(col("query_id"), col("rk"))
   }
 
-  /** s09 — PQ-ADC kNN for the same queries (the codebooks are an
-    * engine-specific lossy choice → rows-only gate; exactness under a
-    * corpus-deep re-rank and recall at defaults are pinned in
-    * SimilaritySpec). */
+  /** s09 — PQ-ADC kNN for the same queries. HASH-GATED (round 11): the
+    * per-subspace codebooks replay through 8 generated Lloyd chains
+    * over the unit-normalized sample slices, the code assignment and
+    * ADC sums through the same raw-double pqScore expression both
+    * engines evaluate over bit-identical inputs (the d12 raw-threshold
+    * precedent), and the tail through the round-9 exact re-rank.
+    * Exactness under a corpus-deep re-rank and recall at defaults stay
+    * pinned in SimilaritySpec. */
   def s09KnnPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     pqKnn(emb.filter(col("vec_id") < 20), emb, 5)
       .orderBy(col("query_id"), col("rk"))
   }
 
-  /** s10 — IVF-PQ kNN for the same queries (quantizer + codebooks are
-    * engine-specific → rows-only gate; exhaustive-probe + deep-re-rank
-    * == exact, recall floor, and the cell-bucketed plan are pinned in
-    * SimilaritySpec). */
+  /** s10 — IVF-PQ kNN for the same queries. HASH-GATED (round 11):
+    * s09's PQ replay with the ADC scan restricted to the flat IVF
+    * chain's probed cells ([[s10Sql]]). Exhaustive-probe +
+    * deep-re-rank == exact, recall floor, and the cell-bucketed plan
+    * stay pinned in SimilaritySpec. */
   def s10KnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     ivfPqKnn(emb.filter(col("vec_id") < 20), emb, 5)
@@ -2019,6 +2234,10 @@ object Similarity {
     "s01_knn_bruteforce" -> s01Sql,
     "s04_knn_ivf"        -> s04Sql,
     "s05_ivf_cell_profile" -> s05Sql,
+    "s06_knn_quantized"  -> s06Sql,
+    "s07_knn_ivfsq"      -> s07Sql,
+    "s09_knn_pq"         -> s09Sql,
+    "s10_knn_ivfpq"      -> s10Sql,
     "s15_mutual_knn_ivf" -> s15Sql,
     "s17_knn_ivf_persisted" -> s17Sql,
     "s08_hybrid_knn"     -> s08Sql,
