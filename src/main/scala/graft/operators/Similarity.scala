@@ -458,6 +458,18 @@ object Similarity {
       argminCellExpr(col("cv"), coarseCents))
     val cells = assignToSubCells(withCoarse, subs)
       .withColumn("gen", lit(newGen))
+      // materialized BEFORE the orphan sweep below deletes the dir a
+      // lazy plan could otherwise still be reading its own inputs from
+      .localCheckpoint(true)
+    // sweep any UNCOMMITTED leftovers of this generation first: a
+    // crashed append retried with a DIFFERENT batch would otherwise
+    // leave the old attempt's files in cell partitions the new batch
+    // doesn't touch — invisible now, silently visible the moment the
+    // marker advances. (Dynamic overwrite alone only replaces the
+    // partitions the NEW batch writes.)
+    val genDir = new org.apache.hadoop.fs.Path(s"$indexDir/cells/gen=$newGen")
+    val fs = genDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(genDir)) fs.delete(genDir, true)
     // dynamic partition overwrite of ONLY this generation's partitions:
     // idempotent re-append after a crash, appends never touch committed
     // generations' files

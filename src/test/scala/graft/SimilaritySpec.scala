@@ -279,6 +279,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("appendToIvfIndex: a crashed append's orphans never leak into a later commit") {
+    // the retry-with-a-DIFFERENT-batch hazard: batch A lands its files
+    // but dies before the marker advance (simulated by rolling the
+    // marker back); the retried append carries batch B. B's commit must
+    // expose exactly head ∪ B — A's orphan cell files (in partitions B
+    // doesn't touch) are swept, not resurrected.
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 20)
+    val head = emb.filter($"vec_id" < 400)
+    val a = emb.filter($"vec_id" >= 400 && $"vec_id" < 450)
+    val b = emb.filter($"vec_id" >= 450)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_orphan")
+    try {
+      Similarity.writeIvfIndex(emb.filter($"vec_id" < 400), dir.toString)
+      Similarity.appendToIvfIndex(a, dir.toString)
+      val markerPath = java.nio.file.Paths.get(s"$dir/_graft_ivf_commit")
+      val committed = new String(
+        java.nio.file.Files.readAllBytes(markerPath), "UTF-8")
+      java.nio.file.Files.write(markerPath,
+        committed.replace("gen=1", "gen=0").getBytes("UTF-8"))
+      Similarity.appendToIvfIndex(b, dir.toString)
+      val full = Similarity.ivfKnnFromIndex(queries, dir.toString, 5,
+        nprobe = 16)
+      val exact = Similarity.bruteForceKnn(queries, head.unionByName(b), 5)
+      assert(full.exceptAll(exact).count() == 0 &&
+        exact.exceptAll(full).count() == 0,
+        "a crashed append's batch leaked into the committed index")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
   test("maintainIvfIndex: balanced index is a no-op, drift triggers an atomic re-fit") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" < 20)
