@@ -72,6 +72,9 @@ def main(*argv):
     refloor, paths, post = set(), [], []
     if "--refloor" in args:
         i = args.index("--refloor")
+        if i + 1 >= len(args):
+            sys.exit("--refloor needs a query list and at least one "
+                     "bench file after it\n" + __doc__)
         refloor = set(args[i + 1].split(","))
         paths, post = args[:i], args[i + 2:]
         if not post:

@@ -12,7 +12,21 @@ object Verify {
     // the g22 oracle SQL reads the CSV fixture from disk — materialize it
     // up front so the oracle never depends on query execution order
     graft.sources.GamesSource.ensureFixture()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_ONLY=q1,q2 runs a subset — the judge-side
+    // spot-check knob (an sf0.1 oracle audit of three queries should
+    // not pay the other 197). oracle_sql.json / queries.json still
+    // cover the FULL catalog so a subset run never masquerades as a
+    // complete one to the driver (it compares only dumped dirs).
+    val onlySet = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      onlySet.forall(_.contains(name)) }
+    onlySet.foreach { s =>
+      val unknown = s -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_VERIFY_ONLY names unknown " +
+        s"queries: ${unknown.toSeq.sorted.mkString(",")}")
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -487,14 +487,17 @@ object Similarity {
     * job, generations compacted back to a single gen=0. Returns true
     * iff a re-fit ran. A search hitting the swap window finds no
     * marker and refuses loudly rather than reading a torn index; a
-    * crash between the renames is repaired by re-running (the re-fit
-    * is deterministic on the unchanged vector set). `nlist` defaults
+    * crash BETWEEN the two renames (indexDir itself missing) is
+    * detected and completed/rolled back at the next maintain entry by
+    * [[repairTornSwap]] — committed staging finishes the swap,
+    * uncommitted staging restores the moved-aside dir. `nlist` defaults
     * to corpus-scaled (~512 vectors/cell, the s15/s17 convention) so a
     * grown corpus also gets a GROWN cell count out of the same
     * trigger. */
   def maintainIvfIndex(spark: SparkSession, indexDir: String,
                        maxSkew: Double = 4.0,
                        nlist: Option[Int] = None): Boolean = {
+    repairTornSwap(spark, indexDir)
     val meta = readIvfMeta(indexDir)
     val cells = spark.read.parquet(s"$indexDir/cells")
       .filter(col("gen") <= meta.gen)
@@ -525,6 +528,40 @@ object Similarity {
       fs.delete(aside, true)
       true
     }
+  }
+
+  /** Finish or roll back a maintenance swap that crashed BETWEEN the
+    * two renames: after rename(cur→aside) succeeds and the JVM dies
+    * before rename(tmp→cur), `indexDir` itself is gone — a bare re-run
+    * would throw at [[readIvfMeta]] and even searches can't proceed,
+    * because the corpus lives in the moved-aside dir. Recovery is
+    * decided by the refit staging dir's OWN commit marker
+    * (writeIvfIndex writes it last, atomically): a committed
+    * `<dir>.__refit__` is a complete new index — finish the swap; an
+    * uncommitted one is torn — roll the `<dir>.__old__` copy back and
+    * discard the staging. Both arms are idempotent (pure renames), so
+    * a crash inside the repair just repairs again. No-op whenever
+    * `indexDir` exists. */
+  private def repairTornSwap(spark: SparkSession, indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val cur = new Path(indexDir)
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(cur)) return
+    val tmp = new Path(s"$indexDir.__refit__")
+    val aside = new Path(s"$indexDir.__old__")
+    val tmpCommitted =
+      fs.exists(new Path(s"$indexDir.__refit__/_graft_ivf_commit"))
+    if (tmpCommitted) {
+      // the refit finished — the crash lost only the final rename
+      require(fs.rename(tmp, cur), s"maintain repair: $tmp -> $cur failed")
+      if (fs.exists(aside)) fs.delete(aside, true)
+    } else if (fs.exists(aside)) {
+      // refit never committed: the moved-aside index is still the truth
+      require(fs.rename(aside, cur), s"maintain repair: $aside -> $cur failed")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    }
+    // neither exists: no index was ever built here — fall through to
+    // readIvfMeta's loud no-commit-marker error
   }
 
   /** Search a [[writeIvfIndex]] index: rank the stored centroids per
@@ -783,6 +820,11 @@ object Similarity {
     * the BigDecimal hop. This is the lloydFit inner-loop cost driver:
     * the PQ fits call it m·ksub·sample·iters ≈ 2.6M times. */
   private[graft] def r9(x: Double): Double = {
+    // non-finite passthrough, matching Spark's Round semantics: without
+    // it a single NaN/±Inf embedding coordinate skips the fast path
+    // (comparisons false) and BigDecimal.valueOf(x) throws an opaque
+    // NumberFormatException out of the driver-local fit
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) return x
     if (x == 0.0) return 0.0 // normalize -0.0 like BigDecimal does
     val y = x * 1e9
     val ay = math.abs(y)

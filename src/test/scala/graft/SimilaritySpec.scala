@@ -348,6 +348,67 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("maintainIvfIndex: a crash between the two swap renames is repaired at the next entry") {
+    // simulate the JVM dying after rename(cur→aside) and before
+    // rename(tmp→cur) — indexDir itself is gone, the committed refit
+    // sits in .__refit__, the old index in .__old__. A bare re-run used
+    // to throw at readIvfMeta; the repair must complete the swap and
+    // leave a searchable, correct index.
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 20)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_torn")
+      .resolve("idx")
+    try {
+      Similarity.writeIvfIndex(emb, dir.toString)
+      // stage a COMMITTED refit beside it (what maintain's writeIvfIndex
+      // into tmp produces), then crash mid-swap: cur → aside, tmp stays
+      Similarity.writeIvfIndex(emb, s"$dir.__refit__")
+      java.nio.file.Files.move(dir, java.nio.file.Paths.get(s"$dir.__old__"))
+      assert(!java.nio.file.Files.exists(dir))
+      // next maintain entry repairs (completes the swap), then proceeds
+      Similarity.maintainIvfIndex(spark, dir.toString, maxSkew = 16.0)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/_graft_ivf_commit")),
+        "repair must leave a committed index at indexDir")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir.__old__")) &&
+        !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$dir.__refit__")),
+        "repair must clear the staging dirs")
+      val full = Similarity.ivfKnnFromIndex(queries, dir.toString, 5,
+        nprobe = 16)
+      val exact = Similarity.bruteForceKnn(queries, emb, 5)
+      assert(full.exceptAll(exact).count() == 0 &&
+        exact.exceptAll(full).count() == 0,
+        "repaired index must answer exactly at full probe")
+
+      // the OTHER torn state: tmp exists but never committed (no marker)
+      // — roll back to the moved-aside old index, discard the staging
+      Similarity.writeIvfIndex(emb, s"$dir.__refit__")
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$dir.__refit__/_graft_ivf_commit"))
+      java.nio.file.Files.move(dir, java.nio.file.Paths.get(s"$dir.__old__"))
+      Similarity.maintainIvfIndex(spark, dir.toString, maxSkew = 16.0)
+      val rolled = Similarity.ivfKnnFromIndex(queries, dir.toString, 5,
+        nprobe = 16)
+      assert(rolled.exceptAll(exact).count() == 0 &&
+        exact.exceptAll(rolled).count() == 0,
+        "rollback must restore the old index intact")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir.__refit__")),
+        "rollback must discard the uncommitted staging")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.getParent.toFile).deleteRecursively()
+    }
+  }
+
+  test("r9 passes non-finite values through, matching Spark's Round") {
+    assert(java.lang.Double.isNaN(Similarity.r9(Double.NaN)))
+    assert(Similarity.r9(Double.PositiveInfinity) == Double.PositiveInfinity)
+    assert(Similarity.r9(Double.NegativeInfinity) == Double.NegativeInfinity)
+  }
+
   test("r9 fast path is bit-identical to the BigDecimal decimal hop") {
     // the lloydFit inner-loop rounding: the double fast path must
     // agree with BigDecimal.valueOf(x).setScale(9, HALF_UP) on every
