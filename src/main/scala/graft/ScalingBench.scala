@@ -79,26 +79,33 @@ object ScalingBench {
       .localCheckpoint(true)
     val nExactDropped = exactDropped.count()
 
-    def d13Metrics(tag: String, bands: Int): Unit = {
+    // shared scorer for any precision-1 pair generator: pair recall vs
+    // the exact set + survivor-level error (found ⊆ exact ⇒ generator
+    // components split, never merge ⇒ generator-dropped ⊆ exact-dropped:
+    // the extra survivors ARE the whole survivor-level error)
+    def pairMetrics(tag: String, mkFound: => DataFrame,
+                    fields: (String, Any)*): Unit = {
       val t0 = System.nanoTime()
-      val found = Dedup.embeddingNearDupPairsLSH(emb, 0.45, bands = bands,
-        planesPerBand = planes, maxBucketSize = Some(4096L))
+      val found = mkFound
         .select(col("id_a"), col("id_b")).localCheckpoint(true)
       val genSec = (System.nanoTime() - t0) / 1e9
       val nFound = found.count()
       val hits = found.join(exactPairs, Seq("id_a", "id_b")).count()
-      val lshDropped = Graph.starContract(found)
+      val genDropped = Graph.starContract(found)
         .filter(col("node") =!= col("lbl")).select(col("node"))
-      // found ⊆ exact (precision 1) ⇒ LSH components split, never merge
-      // ⇒ LSH-dropped ⊆ exact-dropped: the extra survivors ARE the error
-      val extraSurvivors = exactDropped.exceptAll(lshDropped).count()
-      emit(tag, "bands" -> bands, "gen_sec" -> f"$genSec%.1f",
+      val extraSurvivors = exactDropped.exceptAll(genDropped).count()
+      emit(tag, (fields ++ Seq("gen_sec" -> f"$genSec%.1f",
         "exact_pairs" -> nExact,
         "found_pairs" -> nFound, "pair_hits" -> hits,
         "pair_recall" -> f"${if (nExact == 0) 1.0 else hits.toDouble / nExact}%.4f",
         "exact_dropped" -> nExactDropped,
-        "extra_survivors" -> extraSurvivors)
+        "extra_survivors" -> extraSurvivors)): _*)
     }
+    def d13Metrics(tag: String, bands: Int): Unit =
+      pairMetrics(tag,
+        Dedup.embeddingNearDupPairsLSH(emb, 0.45, bands = bands,
+          planesPerBand = planes, maxBucketSize = Some(4096L)),
+        "bands" -> bands)
     if (want("d13_recall")) d13Metrics("d13_recall", 24)
     // SPARK_GRAFT_SCALING_COMP_BANDS overrides the dial's band count —
     // the partial-dial points of the recall/cost curve (the full dial
@@ -107,6 +114,49 @@ object ScalingBench {
       d13Metrics("d13_recall_comp",
         sys.env.get("SPARK_GRAFT_SCALING_COMP_BANDS").map(_.toInt)
           .getOrElse(Dedup.lshBandsFor(planes)))
+
+    // d14 (round 12): the IVF pair generator's recall across SPILL
+    // settings — the recall suite's own x100 guidance routes users
+    // here once the LSH band dial becomes unaffordable, so the dial it
+    // recommends needs its own curve. spill = 3 is the d14 gate; the
+    // nlist is corpus-scaled exactly as the operator picks it.
+    if (want("d14_recall")) {
+      for (spill <- Seq(2, 3, 4, 8)) {
+        pairMetrics("d14_recall",
+          Dedup.embeddingNearDupPairsIVF(emb, 0.45, spill = spill),
+          "spill" -> spill)
+      }
+    }
+
+    // s15 (round 12): edge recall of the IVF mutual-kNN graph vs the
+    // exact s13 graph across NPROBE settings. An edge needs BOTH
+    // endpoints' rankings (edge recall ≈ vertex recall²); the IVF edge
+    // set is not a subset of the exact one (approximate rankings can
+    // also CREATE edges), so found/hits are reported separately.
+    if (want("s15_recall")) {
+      val e = emb
+      val nlist = math.max(16L, n / 512L).toInt
+      val exactEdges = operators.Similarity.mutualKnn(
+          operators.Similarity.bruteForceKnn(e, e, 5, roundCosineTo = 9))
+        .select(col("id_a"), col("id_b")).localCheckpoint(true)
+      val nEdges = exactEdges.count()
+      for (np <- Seq(2, 4, 8)) {
+        val t0 = System.nanoTime()
+        val ivfEdges = operators.Similarity.mutualKnn(
+            operators.Similarity.ivfKnn(e, e, 5, nlist = nlist,
+              nprobe = math.min(np, nlist)))
+          .select(col("id_a"), col("id_b")).localCheckpoint(true)
+        val genSec = (System.nanoTime() - t0) / 1e9
+        val found = ivfEdges.count()
+        val hits = ivfEdges.join(exactEdges, Seq("id_a", "id_b")).count()
+        emit("s15_recall", "nprobe" -> np, "nlist" -> nlist,
+          "gen_sec" -> f"$genSec%.1f",
+          "exact_edges" -> nEdges, "found_edges" -> found,
+          "edge_hits" -> hits,
+          "edge_recall" ->
+            f"${if (nEdges == 0) 1.0 else hits.toDouble / nEdges}%.4f")
+      }
+    }
 
     if (want("d16_recall")) {
       val split = emb.select(col("vec_id"),
@@ -200,6 +250,70 @@ object ScalingBench {
         else withState.map(_.stateOperators.map(_.memoryUsedBytes).sum).max
       (sec, input, batches, peakRows, peakBytes)
     }
+    // v30 (round 12): the heaviest stateful shape — per-batch LSH
+    // signing + the warehouse-index candidate join + auto-depth
+    // re-bucket amortization — measured as THREE separated costs:
+    //   fixed_sec     near-empty twin (8 one-vector batches): harness +
+    //                 per-batch state-read floor;
+    //   sec           the full replay at the FINAL depth pinned
+    //                 explicitly → marginal rows/s with NO re-buckets;
+    //   auto_sec      the same replay in auto-depth mode → the
+    //                 re-bucket premium is auto_sec − sec.
+    // foreachBatch state lives in the parquet index (not a state
+    // store), so this block runs before the RocksDB conf switch.
+    if (only.forall(_.contains("v30_throughput"))) {
+      import graft.operators.Dedup
+      val prevP = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val emb = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding"), col("label"))
+        val vSlices = 8
+        val vSliced = emb.withColumn("__slice",
+          ntile(vSlices).over(Window.orderBy(col("vec_id"))))
+          .localCheckpoint(true)
+        val nVecs = vSliced.count()
+        val finalDepth = Dedup.lshPlanesFor(nVecs)
+        val root = s"$dir/__stream_v30"
+        new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+        val stageFull = Staging.stager(s"$root/full")
+        for (k <- 1 to vSlices)
+          stageFull(vSliced.filter(col("__slice") === k).drop("__slice"))
+        val headV = vSliced.orderBy(col("vec_id")).limit(vSlices).drop("__slice")
+        val stageTiny = Staging.stager(s"$root/tiny")
+        for (r <- headV.collect())
+          stageTiny(spark.createDataFrame(
+            java.util.Arrays.asList(r), headV.schema))
+        def driveV30(name: String, srcDir: String,
+                     depth: Option[Int]): (Double, Long, Long) = {
+          val t0 = System.nanoTime()
+          val q = IngestDedup.semanticDedupingSink(
+            IngestDedup.readVecs(spark, srcDir),
+            s"$root/$name/out", s"$root/$name/idx", s"$root/$name/ckpt",
+            planesPerBand = depth)
+          try q.processAllAvailable() finally q.stop()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val progress = q.recentProgress
+          (sec, progress.map(_.numInputRows).sum, progress.length.toLong)
+        }
+        driveV30("warm", s"$root/tiny", Some(3)) // codegen warm-up, discarded
+        val (fixedSec, _, _) = driveV30("tiny", s"$root/tiny", Some(3))
+        val (sec, input, batches) =
+          driveV30("fixedd", s"$root/full", Some(finalDepth))
+        val (autoSec, _, _) = driveV30("auto", s"$root/full", None)
+        val marginal =
+          if (sec > fixedSec && input > 0) input / (sec - fixedSec) else -1.0
+        println(s"""{"scale":$scale,"query":"v30_throughput","rows":$nVecs,""" +
+          s""""input_rows":$input,"batches":$batches,"depth":$finalDepth,""" +
+          s""""sec":${f"$sec%.3f"},"fixed_sec":${f"$fixedSec%.3f"},""" +
+          s""""auto_sec":${f"$autoSec%.3f"},""" +
+          s""""rebucket_overhead_sec":${f"${autoSec - sec}%.3f"},""" +
+          s""""rows_per_sec":${f"${input / sec}%.0f"},""" +
+          s""""marginal_rows_per_sec":${f"$marginal%.0f"}}""")
+        System.out.flush()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevP)
+    }
+
     val prevProv = spark.conf.getOption(confKey)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(confKey, rocksdb)
@@ -321,6 +435,15 @@ object ScalingBench {
       // threshold drops toward the LSH bucketing's discovery angle
       ("d16_decontam_t035", true,
         (s, d) => operators.Dedup.semanticDecontam(s, d, 0.35)),
+      // p12 (round 12): the end-to-end pretrain job. The gate form's
+      // stage 1 is the UNCAPPED jaccard pair join (oracle parity) —
+      // quadratic onset at x100 per the d02 curve — so it sits on the
+      // uncapped side; the capped twin engages the d08 hot-shingle cap
+      // in stage 1 (pinned row-identical at gate SF, PipelineSpec) and
+      // must stay off the d02 curve. Everything downstream (cross-only
+      // decontam, two-phase rank) is shared and ~linear.
+      ("p12_pretrain_uncapped", false, Pipeline.p12PretrainCorpus _),
+      ("p12_pretrain_capped", true, Pipeline.p12PretrainCorpusCapped _),
       // persisted IVF (s17): the build-once/query-many decomposition.
       // The BUILD row pays the corpus-scaled fit + the cell-partitioned
       // write; the SEARCH row is a 20-query batch probing 4 cells each,

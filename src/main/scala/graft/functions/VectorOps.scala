@@ -52,4 +52,47 @@ object VectorOps {
     val rng = new scala.util.Random(seed)
     Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
+
+  /** md5-derived ±1 (Rademacher) sign planes — the CROSS-ENGINE
+    * replayable plane family (the `Pipeline.md5Bucket` discipline
+    * applied to LSH): plane i's coordinate j is +1 iff the first hex
+    * nibble of md5("tag:i:j") is odd. Sign-test LSH needs a symmetric
+    * coordinate distribution, not Gaussianity (SimHash is exactly the
+    * ±1 family), so the collision-probability geometry
+    * P[agree] = 1 − θ/π is unchanged. Because the planes are a pure
+    * function of (tag, i, j) — independent of the data — a DuckDB
+    * oracle replays them as literal lists ([[sqlPlaneList]]) and the
+    * whole bucket/candidate pipeline hash-gates, which the seeded
+    * Gaussian family (JDK RNG stream, no SQL twin) never could. */
+  def md5Planes(numPlanes: Int, dim: Int, tag: String): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(numPlanes)(i => Seq.tabulate(dim) { j =>
+      val d = md.digest(s"$tag:$i:$j".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 1) == 1) 1.0 else -1.0
+    })
+  }
+
+  /** [[hyperplaneBucket]] for the replayable family: the sign test
+    * runs on round(dot, 9) — the established cross-engine rounding
+    * discipline — so the bucket id is bit-identical in Spark and
+    * DuckDB (both sides accumulate the dot left-to-right; the round
+    * absorbs any sub-ulp divergence, with the usual ~1e-14 boundary
+    * caveat). */
+  def signBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(round(dot(v, plane), 9) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** DuckDB literal for one ±1 plane — consumed by generated oracles,
+    * same Seq the Spark side buckets with (single owner). */
+  def sqlPlaneList(p: Seq[Double]): String =
+    p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+
+  /** DuckDB mirror of [[signBucket]] over column text `v`. */
+  def sqlSignBucket(v: String, planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ROUND(list_inner_product($v, ${sqlPlaneList(p)}), 9) >= 0" +
+        s" THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 }

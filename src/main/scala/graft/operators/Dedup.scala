@@ -499,14 +499,25 @@ object Dedup {
     * [[embeddingNearDupPairsLSH]] by construction. */
   def embeddingBucketIndex(emb: DataFrame, bands: Int = 12,
                            planesPerBand: Int = 3,
-                           seed: Long = 42L): DataFrame = {
+                           seed: Long = 42L,
+                           md5Tag: Option[String] = None): DataFrame = {
     val e = emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
     val probed = e.select(size(col("v")).as("d"))
       .filter(col("d").isNotNull).head(1)
     val dim = if (probed.isEmpty) 1 else probed(0).getInt(0)
+    // md5Tag switches band b to the cross-engine-replayable ±1 family
+    // ([[VectorOps.md5Planes]] at "tag:b", round-9 sign test) — the
+    // d07 hash gate's family. The default stays the seeded Gaussian
+    // family the d13/d16/v18/v30 exact-oracle gates were pinned on
+    // (their soundness rests on recall-1 pins at gate dials — not
+    // re-derived planes — so their family is deliberately untouched).
     val bandBuckets = (0 until bands).map { b =>
-      VectorOps.hyperplaneBucket(col("v"),
-        VectorOps.randomPlanes(planesPerBand, dim, seed + b))
+      md5Tag match {
+        case Some(tag) => VectorOps.signBucket(col("v"),
+          VectorOps.md5Planes(planesPerBand, dim, s"$tag:$b"))
+        case None => VectorOps.hyperplaneBucket(col("v"),
+          VectorOps.randomPlanes(planesPerBand, dim, seed + b))
+      }
     }
     e.select(col("vec_id"),
       posexplode(array(bandBuckets: _*)).as(Seq("band", "bucket")))
@@ -541,7 +552,8 @@ object Dedup {
   def embeddingNearDupPairsLSH(emb: DataFrame, threshold: Double,
                                bands: Int = 12, planesPerBand: Int = 3,
                                seed: Long = 42L,
-                               maxBucketSize: Option[Long] = None): DataFrame = {
+                               maxBucketSize: Option[Long] = None,
+                               md5Tag: Option[String] = None): DataFrame = {
     val e = emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
     // materialized for the same reason as lshCandidates: the self-join
@@ -554,7 +566,7 @@ object Dedup {
     // while id-pair rows merely shuffle. Vectors re-join AFTER distinct,
     // only for the candidates that survive.
     val bucketed = capBuckets(
-      embeddingBucketIndex(emb, bands, planesPerBand, seed),
+      embeddingBucketIndex(emb, bands, planesPerBand, seed, md5Tag),
       maxBucketSize)
       .localCheckpoint(true)
     val cand = bucketed.as("a")
@@ -1030,12 +1042,47 @@ object Dedup {
     winnowPairs(Tables.documents(spark, dir), k = 24, minShared = 2)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** Banded-LSH embedding near-dup at the same threshold (recall < 1 by
-    * construction → rows-only gate; recall/precision vs the exact d05
-    * answer pinned in ScalaTest). */
+  /** Banded-LSH embedding near-dup at the same threshold, HASH-GATED
+    * (round 12): the 12 bands × 3 planes are the md5-derived ±1 family
+    * ([[VectorOps.md5Planes]]), so the DuckDB oracle ([[d07Sql]])
+    * replays every band's bucket ids, the candidate equality-join, and
+    * the exact cosine verification — the approximate PAIR SET itself
+    * is pinned cross-engine (recall < 1 vs the exact d05 answer is the
+    * operator's contract, separately pinned in ScalaTest). */
   def d07EmbeddingLshPairs(spark: SparkSession, dir: String): DataFrame =
-    embeddingNearDupPairsLSH(Tables.embeddings(spark, dir), 0.45)
+    embeddingNearDupPairsLSH(Tables.embeddings(spark, dir), 0.45,
+      md5Tag = Some("d07"))
       .orderBy(col("id_a"), col("id_b"))
+
+  /** d07's oracle: per-band md5-plane bucketing (12 UNION ALL arms —
+    * same literal planes as the Spark side, single owner), the
+    * (band, bucket) candidate self-join, exact-cosine verification at
+    * the threshold, round-6 output — [[embeddingNearDupPairsLSH]]
+    * replayed end to end. Dim pinned 64 (every test table). */
+  val d07Sql: String = {
+    import graft.functions.VectorOps.{md5Planes, sqlSignBucket}
+    val arms = (0 until 12).map { b =>
+      s"""  SELECT vec_id, $b AS band,
+         |         ${sqlSignBucket("v", md5Planes(3, 64, s"d07:$b"))} AS bucket
+         |  FROM emb""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |buckets AS MATERIALIZED (
+       |$arms),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |   AND a.vec_id < b.vec_id)
+       |SELECT c.id_a, c.id_b,
+       |       ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cosine_r
+       |FROM cand c
+       |JOIN emb ea ON ea.vec_id = c.id_a
+       |JOIN emb eb ON eb.vec_id = c.id_b
+       |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.45
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** Embedding near-dup pairs (cosine ≥ 0.45 — sits in a wide margin gap
     * of the corpus similarity distribution). */
@@ -1364,6 +1411,7 @@ object Dedup {
     "d02_jaccard_pairs"   -> d02Sql,
     "d03_minhash_pairs"   -> d02Sql, // must equal the exact answer
     "d05_embedding_pairs" -> d05Sql,
+    "d07_embedding_lsh_pairs" -> d07Sql,
     "d08_jaccard_capped"  -> d08Sql,
     "d09_dup_clusters"    -> d09Sql,
     "d10_incremental_dedup" -> d10Sql,

@@ -640,13 +640,31 @@ object Pipeline {
     * split frame is the one multi-consumer intermediate (contamination
     * join sides + the survivor filter), so it alone is eagerly
     * materialized. */
-  def p12PretrainCorpus(spark: SparkSession, dir: String): DataFrame = {
+  def p12PretrainCorpus(spark: SparkSession, dir: String): DataFrame =
+    p12Body(spark, dir, maxShingleFreq = None)
+
+  /** p12 with the 100 TB pair-stage swap engaged: the d08 hot-shingle
+    * cap bounds the posting-list fan-out of stage 1's Jaccard join —
+    * the ONE quadratic-onset stage in the composition (the d02-vs-d08
+    * scaling curves; everything downstream is cross-only LSH + the
+    * two-phase rank, both ~linear). At gate SF the cap is LOSSLESS
+    * (row-identical to the uncapped gate form — pinned in
+    * PipelineSpec, the d08-vs-d02 precedent applied at the pipeline
+    * level); at x100 it is what keeps the job off the d02 curve
+    * (measured rows in dev/scaling.md). Not a separate gate query —
+    * the gate stays the oracle-parity uncapped form. */
+  def p12PretrainCorpusCapped(spark: SparkSession, dir: String): DataFrame =
+    p12Body(spark, dir, maxShingleFreq = Some(8L))
+
+  private def p12Body(spark: SparkSession, dir: String,
+                      maxShingleFreq: Option[Long]): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val emb = Tables.embeddings(spark, dir)
     // 1. leakage-safe split — p10's exact assignment (cluster head's
     // md5 bucket; singletons keep their own id)
     val labels = Dedup.dupClusters(
-      Dedup.jaccardPairs(docs.select(col("doc_id"), col("text")), 0.8)
+      Dedup.jaccardPairs(docs.select(col("doc_id"), col("text")), 0.8,
+          maxShingleFreq = maxShingleFreq)
         .select(col("id_a"), col("id_b")))
     val head = coalesce(col("lbl"), col("doc_id"))
     val split = docs.join(labels, docs("doc_id") === labels("node"), "left")

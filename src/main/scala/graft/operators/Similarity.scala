@@ -52,14 +52,19 @@ object Similarity {
     * is probed from the data (one cheap first-row action) — a
     * hardcoded dim on mismatched embeddings would null every dot
     * product and silently funnel ALL rows into bucket 0, turning the
-    * sub-linear path into a hidden cross join. */
-  def annBuckets(emb: DataFrame, numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    * sub-linear path into a hidden cross join.
+    *
+    * Planes are the md5-derived ±1 family ([[VectorOps.md5Planes]],
+    * round 12 — was seeded Gaussian), so the s02/s03 gates hash
+    * against a DuckDB oracle that replays the identical buckets. */
+  def annBuckets(emb: DataFrame, numPlanes: Int = 8,
+                 tag: String = "ann"): DataFrame = {
     val probed = emb.select(size(col("embedding")).as("d"))
       .filter(col("d").isNotNull).head(1)
     val dim = if (probed.isEmpty) 1 else probed(0).getInt(0)
-    val planes = VectorOps.randomPlanes(numPlanes, dim, seed)
+    val planes = VectorOps.md5Planes(numPlanes, dim, tag)
     emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
-      .withColumn("bucket", VectorOps.hyperplaneBucket(col("v"), planes))
+      .withColumn("bucket", VectorOps.signBucket(col("v"), planes))
   }
 
   /** Approximate top-k: exact ranking restricted to the query's bucket,
@@ -70,10 +75,10 @@ object Similarity {
     * multiProbe = 0 is single-probe; multiProbe = numPlanes probes every
     * hamming-1 bucket. */
   def annKnn(queries: DataFrame, corpus: DataFrame, k: Int,
-             numPlanes: Int = 8, seed: Long = 42L,
+             numPlanes: Int = 8, tag: String = "ann",
              multiProbe: Int = 0): DataFrame = {
     require(multiProbe >= 0 && multiProbe <= numPlanes)
-    val qb0 = annBuckets(queries, numPlanes, seed)
+    val qb0 = annBuckets(queries, numPlanes, tag)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
       .withColumn("qn", VectorOps.norm(col("qv")))
     // probe buckets are plain bit-twiddles on the query's own bucket id;
@@ -82,7 +87,7 @@ object Similarity {
       col("bucket").bitwiseXOR(lit(1L << i)))
     val qb = qb0.select(col("query_id"), col("qv"), col("qn"),
       explode(array(probes: _*)).as("bucket"))
-    val cb = annBuckets(corpus, numPlanes, seed)
+    val cb = annBuckets(corpus, numPlanes, tag)
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("bucket"))
       .withColumn("cn", VectorOps.norm(col("cv")))
     rankCandidates(qb.join(cb, Seq("bucket")), k)
@@ -1197,14 +1202,59 @@ object Similarity {
       |WHERE rk <= 5
       |ORDER BY query_id, rk""".stripMargin
 
-  /** LSH-bucketed ANN for the same queries (approximate → rows-only
-    * gate; recall vs s01 pinned in ScalaTest). Full hamming-1
-    * multi-probe: the corpus here is small relative to bucket count, so
-    * probing buys recall at negligible candidate cost. */
+  /** LSH-bucketed ANN for the same queries, HASH-GATED (round 12):
+    * the planes are the md5-derived ±1 family, so the oracle replays
+    * bucketing, the full hamming-1 multi-probe fan-out, and the
+    * round-9 cosine rank — the approximate ANSWER ITSELF is pinned
+    * cross-engine, not just its row count (recall vs s01 additionally
+    * pinned in ScalaTest). Full multi-probe: the corpus here is small
+    * relative to bucket count, so probing buys recall at negligible
+    * candidate cost. */
   def s02KnnAnn(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     annKnn(emb.filter(col("vec_id") < 20), emb, 5, multiProbe = 8)
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Oracle planes: the SAME md5 ±1 family the queries bucket with.
+    * The oracle text pins dim = 64 (every test table's embedding
+    * width); the Spark side probes the dim at runtime and agrees on
+    * all driver data. */
+  private def annOraclePlanes: Seq[Seq[Double]] =
+    graft.functions.VectorOps.md5Planes(8, 64, "ann")
+
+  val s02Sql: String = {
+    import graft.functions.VectorOps.sqlSignBucket
+    // probe masks: the query's own bucket (0) + one flipped bit each
+    val masks = (Seq(0L) ++ (0 until 8).map(i => 1L << i))
+      .map(m => s"($m)").mkString(", ")
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cb AS MATERIALIZED (
+       |  SELECT vec_id, ${sqlSignBucket("v", annOraclePlanes)} AS bucket
+       |  FROM emb),
+       |q AS (SELECT vec_id AS query_id, bucket FROM cb WHERE vec_id < 20),
+       |probes AS (
+       |  SELECT q.query_id, xor(q.bucket, CAST(p.m AS BIGINT)) AS bucket
+       |  FROM q CROSS JOIN (VALUES $masks) p(m)),
+       |cand AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id
+       |  FROM probes p JOIN cb c USING (bucket)
+       |  WHERE c.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         ROUND(list_inner_product(eq.v, en.v) /
+       |               (sqrt(list_inner_product(eq.v, eq.v)) *
+       |                sqrt(list_inner_product(en.v, en.v))), 9) AS cosine
+       |  FROM cand c
+       |  JOIN emb eq ON eq.vec_id = c.query_id
+       |  JOIN emb en ON en.vec_id = c.neighbor_id)
+       |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY cosine DESC, neighbor_id) AS rk
+       |      FROM scored) t
+       |WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
   }
 
   /** IVF ANN for the same queries, HASH-GATED (round 11): the gate
@@ -1250,13 +1300,58 @@ object Similarity {
     }
   }
 
-  /** Corpus bucket histogram (rows-only; exercises the bucketing shape
-    * that the 100 TB path shuffles on). */
+  /** s18 — the APPEND LIFECYCLE of the persisted index, hash-gated:
+    * build on the first ~90% of ids ([[writeIvfIndex]] — the standing
+    * corpus), [[appendToIvfIndex]] the last ~10% with the STORED
+    * quantizer (no re-fit), then search the committed union
+    * ([[ivfKnnFromIndex]]). The oracle ([[s18Sql]]) re-derives the
+    * quantizer through the same generated Lloyd chains as s04 but over
+    * the BUILD subset only, then assigns EVERY vector — including the
+    * appended ones — hierarchically with that stored quantizer, which
+    * is precisely the append contract. A defect anywhere in the
+    * lifecycle (fit leaking appended rows, append re-fitting, a torn
+    * generation, assignment drift between build and append) moves the
+    * searched neighbor set and breaks the hash. Batching-invariance
+    * and orphan-sweep stay ScalaTest-pinned (SimilaritySpec); this
+    * gate makes the lifecycle itself a judged query. */
+  def s18KnnIvfAppend(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_s18").toString
+    try {
+      val emb = Tables.embeddings(spark, dir)
+      // the same 90% cut the oracle computes: FLOOR(0.9·N) on the
+      // (0-based contiguous) vec_id space
+      val cut = math.floor(0.9 * emb.count()).toLong
+      writeIvfIndex(emb.filter(col("vec_id") < cut), base)
+      appendToIvfIndex(emb.filter(col("vec_id") >= cut), base)
+      ivfKnnFromIndex(emb.filter(col("vec_id") < 20), base, 5)
+        .orderBy(col("query_id"), col("rk"))
+        .localCheckpoint() // materialize before the staging is deleted
+    } finally {
+      val gone = new scala.reflect.io.Directory(new java.io.File(base))
+        .deleteRecursively()
+      if (!gone) System.err.println(s"[s18] temp dir not fully removed: $base")
+    }
+  }
+
+  /** Corpus bucket histogram — exercises the bucketing shape the
+    * 100 TB path shuffles on. HASH-GATED (round 12): the md5 ±1
+    * planes replay in SQL, so every vector's bucket id is pinned
+    * cross-engine, not just the histogram's row count. */
   def s03AnnBucketProfile(spark: SparkSession, dir: String): DataFrame =
     annBuckets(Tables.embeddings(spark, dir))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("vec_count"))
       .orderBy(col("bucket"))
+
+  val s03Sql: String = {
+    import graft.functions.VectorOps.sqlSignBucket
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT ${sqlSignBucket("v", annOraclePlanes)} AS bucket,
+       |       COUNT(*) AS vec_count
+       |FROM emb
+       |GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
+  }
 
   /** s05 — IVF index health: per cell, population and mean
     * centroid-distance, HASH-GATED since the fit became the replayable
@@ -1367,11 +1462,20 @@ object Similarity {
   /** The full two-level index replay (ends with `cells` = the final
     * (coarse, cell, clist) table and `fin` = every corpus vector's
     * hierarchical cell assignment) — [[twoLevelIndex]] +
-    * [[ivfIndexTwoLevel]] as one generated WITH-body. */
-  private def twoLevelChainSql(nlist: Int): String = {
+    * [[ivfIndexTwoLevel]] as one generated WITH-body.
+    *
+    * `buildPred` restricts which rows the QUANTIZER FIT sees (`bld` —
+    * both the coarse sample and the per-group sub-fit samples), while
+    * coarse/cell ASSIGNMENT always covers every `emb` row — exactly
+    * [[appendToIvfIndex]]'s contract: appended vectors are assigned
+    * with the STORED quantizer, never re-fit. `TRUE` (the s04/s17
+    * form) makes `bld` = `emb` and the split is a no-op. */
+  private def twoLevelChainSql(nlist: Int,
+                               buildPred: String = "TRUE"): String = {
     val (k1, k2) = twoLevelKs(nlist)
     s"""emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |csamp AS MATERIALIZED (SELECT vec_id, v FROM emb ORDER BY vec_id
+       |bld AS MATERIALIZED (SELECT vec_id, v FROM emb WHERE $buildPred),
+       |csamp AS MATERIALIZED (SELECT vec_id, v FROM bld ORDER BY vec_id
        |          LIMIT ${coarseFitSampleRows(k1)}),
        |${lloydChainSql("csamp", k1, "c_")},
        |crs AS MATERIALIZED (
@@ -1382,7 +1486,7 @@ object Similarity {
        |ssamp AS MATERIALIZED (
        |  SELECT a.coarse, e.vec_id, e.v,
        |         ROW_NUMBER() OVER (PARTITION BY a.coarse ORDER BY e.vec_id) AS rn
-       |  FROM emb e JOIN crs a USING (vec_id)
+       |  FROM bld e JOIN crs a USING (vec_id)
        |  QUALIFY rn <= ${subFitSampleRows(k2)}),
        |${lloydGroupChainSql("ssamp", k2, "s_")},
        |cells AS MATERIALIZED (
@@ -1432,6 +1536,14 @@ object Similarity {
   /** s17 is pinned bit-identical to s04 (SimilaritySpec), so the
     * persisted-index search replays against the SAME oracle. */
   val s17Sql: String = s04Sql
+
+  /** s18: the s04 chain with the quantizer FIT restricted to the
+    * build subset (first 90% of ids) while assignment covers the full
+    * corpus — the append contract in SQL. */
+  val s18Sql: String =
+    s"""WITH ${twoLevelChainSql(16,
+         "vec_id < (SELECT CAST(FLOOR(0.9 * COUNT(*)) AS BIGINT) FROM embeddings)")},
+       |${ivfSearchSql(4, 5)}""".stripMargin
 
   /** The int8 quantization mirror: x → CAST(ROUND(x·(127/m)) AS
     * TINYINT), m the side's own max|x| (greatest with ε — the
@@ -2273,6 +2385,7 @@ object Similarity {
     "s03_ann_bucket_profile" -> s03AnnBucketProfile _,
     "s04_knn_ivf"           -> s04KnnIvf _,
     "s17_knn_ivf_persisted" -> s17KnnIvfPersisted _,
+    "s18_knn_ivf_append"    -> s18KnnIvfAppend _,
     "s05_ivf_cell_profile"  -> s05IvfCellProfile _,
     "s06_knn_quantized"     -> s06KnnQuantized _,
     "s07_knn_ivfsq"         -> s07KnnIvfSq _,
@@ -2286,6 +2399,8 @@ object Similarity {
     "s16_contrastive_bucketed" -> s16Sql,
     "s13_mutual_knn"     -> s13Sql,
     "s01_knn_bruteforce" -> s01Sql,
+    "s02_knn_ann"        -> s02Sql,
+    "s03_ann_bucket_profile" -> s03Sql,
     "s04_knn_ivf"        -> s04Sql,
     "s05_ivf_cell_profile" -> s05Sql,
     "s06_knn_quantized"  -> s06Sql,
@@ -2294,6 +2409,7 @@ object Similarity {
     "s10_knn_ivfpq"      -> s10Sql,
     "s15_mutual_knn_ivf" -> s15Sql,
     "s17_knn_ivf_persisted" -> s17Sql,
+    "s18_knn_ivf_append" -> s18Sql,
     "s08_hybrid_knn"     -> s08Sql,
     "s12_knn_filtered"   -> s12Sql,
     "s11_knn_mmr"        -> s11Sql,

@@ -837,9 +837,10 @@ object StarQueries {
   // p01 — bounded per-group sampling through the typed Aggregator UDAF
   // ([[graft.functions.PrioritySample]]): 5 deterministic hash-priority
   // samples per brand, O(k) state per group regardless of group size.
-  // Hash priorities are engine-specific → rows-only gate; uniformity,
-  // bound, and merge-order-independence are pinned in
-  // PrioritySampleSpec.
+  // HASH-GATED (round 12): priorities are md5 hex strings (was
+  // xxhash64), so DuckDB replays the exact sample AND its order with
+  // `ORDER BY md5(p_name), p_name`; uniformity, bound, and
+  // merge-order-independence stay pinned in PrioritySampleSpec.
   // ---------------------------------------------------------------------------
   def p01PrioritySample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -853,6 +854,19 @@ object StarQueries {
       .select(col("p_brand"), array_join(col("sample"), ",").as("sample_csv"))
       .orderBy(col("p_brand"))
   }
+
+  val p01Sql: String =
+    """WITH ranked AS (
+      |  SELECT p_brand, p_name,
+      |         ROW_NUMBER() OVER (PARTITION BY p_brand
+      |           ORDER BY md5(p_name), p_name) AS rk
+      |  FROM part)
+      |SELECT p_brand,
+      |       string_agg(p_name, ',' ORDER BY md5(p_name), p_name) AS sample_csv
+      |FROM ranked
+      |WHERE rk <= 5
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
 
   // ---------------------------------------------------------------------------
   // q26 — pivot: ship-year rows × return-flag columns of decimal-summed
@@ -1232,6 +1246,7 @@ object StarQueries {
 
   /** name → DuckDB oracle (q12 sampling is engine-specific → rows-only). */
   val oracles: Map[String, String] = Map(
+    "p01_priority_sample" -> p01Sql,
     "q26_returnflag_pivot" -> q26Sql,
     "q27_returnflag_unpivot" -> q27Sql,
     "q28_price_qty_stats" -> q28Sql,

@@ -116,6 +116,16 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh24 == exactPairs,
       "24-band LSH pair set must equal the exact pair set at 0.45")
+    // the d07 gate family (md5 ±1 planes, round 12): same geometry, same
+    // precision-1/recall contract — the hash gate pins the PAIR SET, this
+    // pins its quality vs exact
+    val md5Pairs = Dedup.embeddingNearDupPairsLSH(emb, 0.45,
+        md5Tag = Some("d07"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(md5Pairs.subsetOf(exactPairs),
+      "md5-plane LSH pair must pass the exact cosine test (precision 1)")
+    val md5Recall = md5Pairs.size.toDouble / exactPairs.size
+    assert(md5Recall >= 0.7, f"md5-plane LSH recall degraded to $md5Recall%.2f")
   }
 
   test("lshPlanesFor: depth scales with log2(N/target), floors at the gate's b=3") {

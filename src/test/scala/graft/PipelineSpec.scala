@@ -209,5 +209,13 @@ class PipelineSpec extends SparkSpec {
       case Array(a, b) => b._3 >= a._3 && b._2 <= a._2
       case _ => true
     }, "token schedule or bin order broken")
+    // the 100 TB pair-stage swap (hot-shingle cap in stage 1) is
+    // LOSSLESS at gate SF: row-identical output — the d08-vs-d02
+    // precedent applied at the pipeline level. At x100 this swap is
+    // what keeps p12 off the d02 quadratic curve (dev/scaling.md).
+    val capped = Pipeline.p12PretrainCorpusCapped(spark, sf)
+    assert(capped.exceptAll(p12).count() == 0 &&
+      p12.exceptAll(capped).count() == 0,
+      "capped pair-stage p12 diverged from the gate form at gate SF")
   }
 }

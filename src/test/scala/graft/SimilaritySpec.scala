@@ -93,15 +93,17 @@ class SimilaritySpec extends SparkSpec {
     val exact = Similarity.bruteForceKnn(queries, emb, 5)
       .select("query_id", "neighbor_id")
     val n = exact.count().toDouble
-    // measured on this corpus: 0.61 / 0.68 / 0.58 for seeds 42/7/1234 —
-    // the floor pins the measured band (a quality regression to the old
-    // smoke level 0.4 now fails), not a lucky single draw
-    for (seed <- Seq(42L, 7L, 1234L)) {
+    // measured on this corpus with the md5 ±1 family (round 12):
+    // 0.66 / 0.70 / 0.63 for tags ann/alt/x — the floor pins the
+    // measured band across independent plane draws (a quality
+    // regression to the old smoke level 0.4 now fails), not a lucky
+    // single draw
+    for (tag <- Seq("ann", "alt", "x")) {
       val ann = Similarity.annKnn(queries, emb, 5,
-          numPlanes = 3, seed = seed, multiProbe = 3)
+          numPlanes = 3, tag = tag, multiProbe = 3)
         .select("query_id", "neighbor_id")
       val recall = exact.intersect(ann).count() / n
-      assert(recall >= 0.55, f"recall@5 (seed $seed) degraded to $recall%.2f")
+      assert(recall >= 0.55, f"recall@5 (tag $tag) degraded to $recall%.2f")
     }
   }
 
