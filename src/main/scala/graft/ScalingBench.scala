@@ -70,8 +70,15 @@ object ScalingBench {
       System.out.flush()
     }
 
-    // exact pair set — the shared denominator of d13/v30
-    val exactPairs = Dedup.embeddingNearDupPairs(emb, 0.45)
+    // exact pair set — the shared denominator of d13/v30.
+    // SPARK_GRAFT_SCALING_RECALL_T overrides the pair threshold (default
+    // 0.45, the gate bar): recall is REGIME-dependent — a 0.45-cosine
+    // "near-dup" sits at ~63°, the diffuse end where space partitioning
+    // is weakest, while real near-dup corpora concentrate mass near 1.0
+    // where any cell/band geometry holds far more of it.
+    val recallT = sys.env.get("SPARK_GRAFT_SCALING_RECALL_T")
+      .map(_.toDouble).getOrElse(0.45)
+    val exactPairs = Dedup.embeddingNearDupPairs(emb, recallT)
       .select(col("id_a"), col("id_b")).localCheckpoint(true)
     val nExact = exactPairs.count()
     val exactDropped = Graph.starContract(exactPairs)
@@ -103,7 +110,7 @@ object ScalingBench {
     }
     def d13Metrics(tag: String, bands: Int): Unit =
       pairMetrics(tag,
-        Dedup.embeddingNearDupPairsLSH(emb, 0.45, bands = bands,
+        Dedup.embeddingNearDupPairsLSH(emb, recallT, bands = bands,
           planesPerBand = planes, maxBucketSize = Some(4096L)),
         "bands" -> bands)
     if (want("d13_recall")) d13Metrics("d13_recall", 24)
@@ -115,16 +122,26 @@ object ScalingBench {
         sys.env.get("SPARK_GRAFT_SCALING_COMP_BANDS").map(_.toInt)
           .getOrElse(Dedup.lshBandsFor(planes)))
 
-    // d14 (round 12): the IVF pair generator's recall across SPILL
-    // settings — the recall suite's own x100 guidance routes users
-    // here once the LSH band dial becomes unaffordable, so the dial it
-    // recommends needs its own curve. spill = 3 is the d14 gate; the
-    // nlist is corpus-scaled exactly as the operator picks it.
+    // d14 (round 12): the IVF pair generator's recall across its TWO
+    // dials — spill probes and cell size — both of which multiply the
+    // candidate volume (~N·targetCell·spill²/2). The recall suite's own
+    // x100 guidance routes users here once the LSH band dial becomes
+    // unaffordable, so the dial it recommends needs its own curve, and
+    // at fixed volume the two dials are alternatives: spill² vs
+    // targetCell. (spill, targetCell) points come from
+    // SPARK_GRAFT_SCALING_D14_POINTS=spill:cell,... (default: the spill
+    // sweep at the gate's 256-vector cells; spill = 3 is the d14 gate).
     if (want("d14_recall")) {
-      for (spill <- Seq(2, 3, 4, 8)) {
+      val points = sys.env.get("SPARK_GRAFT_SCALING_D14_POINTS")
+        .map(_.split(",").toSeq.map { p =>
+          val Array(s, c) = p.split(":"); (s.trim.toInt, c.trim.toLong)
+        })
+        .getOrElse(Seq(2, 3, 4, 8).map((_, 256L)))
+      for ((spill, cell) <- points) {
         pairMetrics("d14_recall",
-          Dedup.embeddingNearDupPairsIVF(emb, 0.45, spill = spill),
-          "spill" -> spill)
+          Dedup.embeddingNearDupPairsIVF(emb, recallT, spill = spill,
+            targetCell = cell),
+          "spill" -> spill, "target_cell" -> cell)
       }
     }
 
@@ -289,7 +306,12 @@ object ScalingBench {
           val t0 = System.nanoTime()
           val q = IngestDedup.semanticDedupingSink(
             IngestDedup.readVecs(spark, srcDir),
-            s"$root/$name/out", s"$root/$name/idx", s"$root/$name/ckpt",
+            // run outputs live under run_<name>, NEVER under a source
+            // dir: the file source lists its input path recursively, so
+            // an out/idx/ckpt planted inside it is read back as
+            // conflicting partition structure mid-stream
+            s"$root/run_$name/out", s"$root/run_$name/idx",
+            s"$root/run_$name/ckpt",
             planesPerBand = depth)
           try q.processAllAvailable() finally q.stop()
           val sec = (System.nanoTime() - t0) / 1e9
@@ -301,14 +323,19 @@ object ScalingBench {
         val (sec, input, batches) =
           driveV30("fixedd", s"$root/full", Some(finalDepth))
         val (autoSec, _, _) = driveV30("auto", s"$root/full", None)
+        // marginal divides CORPUS vectors, not numInputRows: each
+        // foreachBatch action re-executes the file-source scan, so the
+        // progress counter reads ~5× the vectors — a per-row COST,
+        // not extra throughput (input_rows stays in the artifact for
+        // transparency)
         val marginal =
-          if (sec > fixedSec && input > 0) input / (sec - fixedSec) else -1.0
+          if (sec > fixedSec && nVecs > 0) nVecs / (sec - fixedSec) else -1.0
         println(s"""{"scale":$scale,"query":"v30_throughput","rows":$nVecs,""" +
           s""""input_rows":$input,"batches":$batches,"depth":$finalDepth,""" +
           s""""sec":${f"$sec%.3f"},"fixed_sec":${f"$fixedSec%.3f"},""" +
           s""""auto_sec":${f"$autoSec%.3f"},""" +
           s""""rebucket_overhead_sec":${f"${autoSec - sec}%.3f"},""" +
-          s""""rows_per_sec":${f"${input / sec}%.0f"},""" +
+          s""""rows_per_sec":${f"${nVecs / sec}%.0f"},""" +
           s""""marginal_rows_per_sec":${f"$marginal%.0f"}}""")
         System.out.flush()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevP)
