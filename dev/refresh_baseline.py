@@ -61,6 +61,11 @@ NOTES = {
     "v32_streamed_funnel": "left-outer stream-stream join through the runtime: null emission waits for watermark proof, type-specific flush — runtime-overhead-dominated (r10)",
     "d16_semantic_decontam": "embedding-space test-set contamination over the md5 split at d13's recall-1 dials, CROSS-ONLY candidates (held-out ⋈ train buckets — no train×train quadrant; x100 217.7 → 110.4s) — the check n-gram decontam (t13) structurally misses (r10)",
     "s17_knn_ivf_persisted": "build-once/query-many incl. the one-time index write; explicit probed-cell + committed-generation partition pruning (DPP measured a no-op); floor re-measured r11 on the shipped form (the pre-pruning floor read 1.18)",
+    "s18_knn_ivf_append": "the persisted-index append lifecycle as one gate: build on the first 90% of ids, stored-quantizer append of the rest, search the committed union (r12)",
+    "s02_knn_ann": "multi-probe LSH ANN on md5-derived ±1 Rademacher planes (r12: hash-gated; floor re-measured on the shipped plane family — the seeded-Gaussian floor predates it)",
+    "s03_ann_bucket_profile": "bucket histogram of s02's index; floor re-measured r12 on the md5-plane family",
+    "d07_embedding_lsh_pairs": "banded embedding-LSH pairs on the md5-plane family (r12: hash-gated end-to-end incl. the 12 bucket arms); floor re-measured r12",
+    "p01_priority_sample": "per-group deterministic top-k sample on md5-hex priorities (r12: hash-gated incl. order; floor re-measured on the string-priority form)",
 }
 
 def main(*argv):
