@@ -132,16 +132,22 @@ object ScalingBench {
     // SPARK_GRAFT_SCALING_D14_POINTS=spill:cell,... (default: the spill
     // sweep at the gate's 256-vector cells; spill = 3 is the d14 gate).
     if (want("d14_recall")) {
+      // spill:cell[:quantizers] — the third field is the round-12
+      // OR-dial (candidate union across independently-init'd
+      // quantizers)
       val points = sys.env.get("SPARK_GRAFT_SCALING_D14_POINTS")
         .map(_.split(",").toSeq.map { p =>
-          val Array(s, c) = p.split(":"); (s.trim.toInt, c.trim.toLong)
+          p.split(":") match {
+            case Array(s, c)    => (s.trim.toInt, c.trim.toLong, 1)
+            case Array(s, c, q) => (s.trim.toInt, c.trim.toLong, q.trim.toInt)
+          }
         })
-        .getOrElse(Seq(2, 3, 4, 8).map((_, 256L)))
-      for ((spill, cell) <- points) {
+        .getOrElse(Seq(2, 3, 4, 8).map((_, 256L, 1)))
+      for ((spill, cell, q) <- points) {
         pairMetrics("d14_recall",
           Dedup.embeddingNearDupPairsIVF(emb, recallT, spill = spill,
-            targetCell = cell),
-          "spill" -> spill, "target_cell" -> cell)
+            targetCell = cell, quantizers = q),
+          "spill" -> spill, "target_cell" -> cell, "quantizers" -> q)
       }
     }
 
@@ -157,16 +163,26 @@ object ScalingBench {
           operators.Similarity.bruteForceKnn(e, e, 5, roundCosineTo = 9))
         .select(col("id_a"), col("id_b")).localCheckpoint(true)
       val nEdges = exactEdges.count()
-      for (np <- Seq(2, 4, 8)) {
+      // nprobe[:quantizers] — the second field is the round-12 OR-dial
+      val s15Points = sys.env.get("SPARK_GRAFT_SCALING_S15_POINTS")
+        .map(_.split(",").toSeq.map { p =>
+          p.split(":") match {
+            case Array(np)    => (np.trim.toInt, 1)
+            case Array(np, q) => (np.trim.toInt, q.trim.toInt)
+          }
+        })
+        .getOrElse(Seq(2, 4, 8).map((_, 1)))
+      for ((np, orQ) <- s15Points) {
         val t0 = System.nanoTime()
         val ivfEdges = operators.Similarity.mutualKnn(
             operators.Similarity.ivfKnn(e, e, 5, nlist = nlist,
-              nprobe = math.min(np, nlist)))
+              nprobe = math.min(np, nlist), quantizers = orQ))
           .select(col("id_a"), col("id_b")).localCheckpoint(true)
         val genSec = (System.nanoTime() - t0) / 1e9
         val found = ivfEdges.count()
         val hits = ivfEdges.join(exactEdges, Seq("id_a", "id_b")).count()
-        emit("s15_recall", "nprobe" -> np, "nlist" -> nlist,
+        emit("s15_recall", "nprobe" -> np, "quantizers" -> orQ,
+          "nlist" -> nlist,
           "gen_sec" -> f"$genSec%.1f",
           "exact_edges" -> nEdges, "found_edges" -> found,
           "edge_hits" -> hits,

@@ -90,6 +90,18 @@ object VectorOps {
     p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
 
   /** DuckDB mirror of [[signBucket]] over column text `v`. */
+  /** Fixed odd 64-bit mixing constants (splitmix64 / golden-ratio and
+    * sqrt-prime fractions) shared by the multi-quantizer OR-dials
+    * (Dedup.embeddingNearDupPairsIVF, Similarity.ivfKnn): quantizer q
+    * orders its fit sample by id XOR orMixConstants(q) — a bijection
+    * (deterministic, tie-free, overflow-free under ANSI) that hands
+    * each fit an independent bounded sample and init. Index 0 is the
+    * identity: the historical single-quantizer gate path. */
+  val orMixConstants: IndexedSeq[Long] = IndexedSeq(
+    0L, 0x9E3779B97F4A7C15L, 0x6A09E667F3BCC909L, 0xBF58476D1CE4E5B9L,
+    0x94D049BB133111EBL, 0xD6E8FEB86659FD93L, 0xA5A3564DC6EF372FL,
+    0xC2B2AE3D27D4EB4FL)
+
   def sqlSignBucket(v: String, planes: Seq[Seq[Double]]): String =
     planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN ROUND(list_inner_product($v, ${sqlPlaneList(p)}), 9) >= 0" +

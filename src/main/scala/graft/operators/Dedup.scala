@@ -699,7 +699,10 @@ object Dedup {
     * Precision is exactly 1 (every pair passes the true cosine test);
     * recall comes from spill — a pair at cosine ≥ threshold is missed
     * only if the two vectors share none of their `spill` nearest
-    * centroids (pinned vs the exact pair set in DedupSpec).
+    * centroids (pinned vs the exact pair set in DedupSpec) — and from
+    * the `quantizers` OR-dial, the better exchange rate of the two
+    * (recall compounds as 1−(1−r)^q for ~q× volume; measured at x100
+    * to three decimals of the independence prediction, dev/scaling.md).
     *
     * Why this scales where banded LSH does not: `nlist` grows with the
     * corpus (`max(minNlist, N/targetCell)`), so cell population stays
@@ -713,7 +716,10 @@ object Dedup {
     * `distinct` for verification only. */
   def embeddingNearDupPairsIVF(emb: DataFrame, threshold: Double,
                                spill: Int = 3, targetCell: Long = 256L,
-                               minNlist: Int = 16): DataFrame = {
+                               minNlist: Int = 16,
+                               quantizers: Int = 1): DataFrame = {
+    require(quantizers >= 1 && quantizers < VectorOps.orMixConstants.size,
+      s"quantizers must be in [1, ${VectorOps.orMixConstants.size - 1}]")
     val e = emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
       .localCheckpoint(true) // three consumers: count, assign, verify
@@ -728,20 +734,41 @@ object Dedup {
     // fit bug, dev/scaling.md) ran out of road. The spill-assignment
     // and candidate joins below are indifferent to which quantizer
     // produced the (cell, centroid, cn2) table.
-    val centroids = Similarity.twoLevelCentroids(
-      e.select(col("vec_id").as("id"), col("v")), nlist)
-      .localCheckpoint(true) // broadcast side of the spill assignment
-    // spill assignment: rank cells by |v−c|² = |v|² − 2v·c + |c|² (the
-    // |v|² term is constant per vector) and keep the `spill` nearest
-    val wCell = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdist"), col("cell")) // cell id breaks exact ties
-    val assigned = e
-      .crossJoin(broadcast(centroids))
-      .withColumn("cdist",
-        VectorOps.dot(col("v"), col("centroid")) * lit(-2.0) + col("cn2"))
-      .withColumn("crk", row_number().over(wCell))
-      .filter(col("crk") <= spill)
-      .select(col("vec_id"), col("cell"))
+    //
+    // `quantizers` > 1 (round 12) is the OR-dial the recall curves
+    // motivated: candidate pairs are UNIONED across q INDEPENDENTLY
+    // initialized quantizers — the band-OR principle applied to IVF.
+    // A pair is missed only if it straddles cell boundaries in EVERY
+    // quantizer, so recall compounds as 1−(1−r₁)^q for ~q× candidate
+    // volume, a better exchange rate at x100 than either spill² or
+    // cell size (measured, dev/scaling.md). Independence comes from
+    // the fit's sample/init order: quantizer q orders by vec_id XOR a
+    // fixed odd constant — a bijection (deterministic, tie-free,
+    // overflow-free under ANSI) that hands each fit a different
+    // bounded sample and init. quantizers = 1 is bit-identical to the
+    // historical single-quantizer path (the d14 gate).
+    def assignedBy(q: Int): DataFrame = {
+      val fitId =
+        if (q == 0) col("vec_id")
+        else col("vec_id").bitwiseXOR(lit(VectorOps.orMixConstants(q)))
+      val centroids = Similarity.twoLevelCentroids(
+        e.select(fitId.as("id"), col("v")), nlist)
+        .localCheckpoint(true) // broadcast side of the spill assignment
+      // spill assignment: rank cells by |v−c|² = |v|² − 2v·c + |c|²
+      // (the |v|² term is constant per vector), keep the `spill`
+      // nearest; cell ids offset by q·nlist so the self-join below
+      // never pairs across quantizers
+      val wCell = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cdist"), col("cell")) // cell id breaks exact ties
+      e.crossJoin(broadcast(centroids))
+        .withColumn("cdist",
+          VectorOps.dot(col("v"), col("centroid")) * lit(-2.0) + col("cn2"))
+        .withColumn("crk", row_number().over(wCell))
+        .filter(col("crk") <= spill)
+        .select(col("vec_id"), (col("cell") + lit(q * nlist)).as("cell"))
+    }
+    val assigned = (0 until quantizers).map(assignedBy)
+      .reduce(_ union _)
       .localCheckpoint(true) // consumed twice by the self-join
     val cand = assigned.as("a")
       .join(assigned.as("b"),

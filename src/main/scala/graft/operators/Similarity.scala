@@ -137,12 +137,20 @@ object Similarity {
     * merge order is task-completion-dependent (not bit-deterministic),
     * and k-means|| init is not SQL-replayable, which kept s05/s07/s10
     * rows-only. */
-  private[operators] def ivfIndex(corpus: DataFrame, nlist: Int): (DataFrame, DataFrame) = {
+  /** `orderMix` != 0 orders the fit sample by neighbor_id XOR the mix
+    * (a tie-free bijection) — an INDEPENDENTLY initialized quantizer
+    * over the same corpus, the [[ivfKnn]] OR-dial's source of
+    * independence. 0 (every gate path) is the historical id order. */
+  private[operators] def ivfIndex(corpus: DataFrame, nlist: Int,
+                                  orderMix: Long = 0L): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c0 = corpus.select(col("vec_id").as("neighbor_id"),
       VectorOps.asDouble(col("embedding")).as("cv"))
-    val sample = c0.orderBy(col("neighbor_id"))
+    val sampleKey =
+      if (orderMix == 0L) col("neighbor_id")
+      else col("neighbor_id").bitwiseXOR(lit(orderMix))
+    val sample = c0.orderBy(sampleKey)
       .limit(flatFitSampleRows(nlist))
       .select(col("cv")).as[Seq[Double]].collect().map(_.toArray)
     val cents = lloydFit(sample, nlist)
@@ -323,17 +331,68 @@ object Similarity {
       .withColumn("cn", VectorOps.norm(col("cv")))
   }
 
+  /** `quantizers` > 1 (round 12) is the OR-dial the d14 recall curves
+    * validated, applied to kNN: candidates are UNIONED across q
+    * independently initialized quantizers (fit-sample order id XOR a
+    * fixed mix — [[VectorOps.orMixConstants]]), deduped per
+    * (query, neighbor), then exact-re-ranked as one pool. The top-k
+    * over a candidate SUPERSET can only move toward the exact ranking
+    * (anything displacing a true top-k hit is a better hit), so
+    * per-query recall is monotone in q — pinned in SimilaritySpec.
+    * quantizers = 1 (every gate) is the historical single-fit path.
+    * Flat quantizer only: the OR-dial exists precisely for the regime
+    * where nlist is still flat-fittable but recall needs compounding. */
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
              nlist: Int = 16, nprobe: Int = 4,
-             twoLevel: Boolean = false): DataFrame = {
+             twoLevel: Boolean = false,
+             quantizers: Int = 1): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist)
-    val (cells, centroids) =
-      if (twoLevel) ivfIndexTwoLevel(corpus, nlist)
-      else ivfIndex(corpus, nlist)
+    require(quantizers >= 1 && quantizers < VectorOps.orMixConstants.size,
+      s"quantizers must be in [1, ${VectorOps.orMixConstants.size - 1}]")
+    require(quantizers == 1 || !twoLevel,
+      "the OR-dial composes with the flat quantizer only")
     val q = queries.select(col("vec_id").as("query_id"),
       VectorOps.asDouble(col("embedding")).as("qv"))
       .withColumn("qn", VectorOps.norm(col("qv")))
-    rankCandidates(probeCells(q, centroids, nprobe).join(cells, Seq("cell")), k)
+    if (quantizers == 1) {
+      val (cells, centroids) =
+        if (twoLevel) ivfIndexTwoLevel(corpus, nlist)
+        else ivfIndex(corpus, nlist)
+      rankCandidates(probeCells(q, centroids, nprobe).join(cells, Seq("cell")), k)
+    } else {
+      // cross-quantizer dedup runs on NARROW (query, neighbor) id
+      // pairs — 16 B/row — and the vectors re-join only for the
+      // surviving pool (the d14 candidate-join discipline): deduping
+      // rows that still carry both embedding arrays would shuffle
+      // ~1 KB/candidate and was measured to exhaust the host's spill
+      // disk at 50k×50k, q=2
+      val idPairs = (0 until quantizers).map { qi =>
+        val (cells, centroids) =
+          ivfIndex(corpus, nlist, VectorOps.orMixConstants(qi))
+        probeCells(q.select(col("query_id"), col("qv")), centroids, nprobe)
+          .join(cells, Seq("cell"))
+          .select(col("query_id"), col("neighbor_id"))
+      }.reduce(_ union _).distinct()
+      val c0n = corpus.select(col("vec_id").as("neighbor_id"),
+        VectorOps.asDouble(col("embedding")).as("cv"))
+        .withColumn("cn", VectorOps.norm(col("cv")))
+      // vector re-join strategy is SIZE-CONDITIONAL (the probe-frame
+      // rule at ivfKnnFromIndex): broadcast the vector tables while
+      // they fit, so the pair fan-out PIPELINES through cosine+prune
+      // and no wide row ever hits an exchange — a sort-merge plan here
+      // sorts candidate-volume rows carrying a 64-double array each,
+      // measured to exhaust the host's spill disk at 50k×50k q=2.
+      // Past the bound, fall back to keyed shuffles of the (narrow)
+      // pair list against corpus-sized vector tables.
+      val smallSide = 200000L
+      def vec(df: DataFrame, n: Long) =
+        if (n <= smallSide) broadcast(df) else df
+      val nCorpus = c0n.count()
+      val nQ = q.count()
+      rankCandidates(
+        idPairs.join(vec(q, nQ), Seq("query_id"))
+          .join(vec(c0n, nCorpus), Seq("neighbor_id")), k)
+    }
   }
 
   /** Centroid ranking shared by every IVF probe: argmin over

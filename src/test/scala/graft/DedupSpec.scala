@@ -220,6 +220,19 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(full == exactPairs,
       "spill = nlist must reproduce the exact pair set")
+    // the OR-dial (round 12): unioning candidates across independently
+    // initialized quantizers can only ADD verified pairs (precision
+    // stays 1 — the identical exact-cosine verify), never lose one,
+    // and quantizers = 1 is the historical path bit-for-bit
+    val or2 = Dedup.embeddingNearDupPairsIVF(emb, 0.45, quantizers = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(ivfPairs.subsetOf(or2),
+      "a second quantizer must never drop a pair the first found")
+    assert(or2.subsetOf(exactPairs),
+      "OR-dial pairs must still pass the exact cosine test (precision 1)")
+    val or2Again = Dedup.embeddingNearDupPairsIVF(emb, 0.45, quantizers = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(or2 == or2Again, "the OR-dial must be deterministic")
   }
 
   test("hot-shingle guard drops high-frequency shingles before the join") {

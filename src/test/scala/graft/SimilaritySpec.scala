@@ -134,6 +134,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, f"IVF recall@5 degraded to $recall%.2f")
   }
 
+  test("ivfKnn OR-dial: recall monotone in quantizers, deterministic, exact unchanged at q=1") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceKnn(queries, emb, 5)
+      .select("query_id", "neighbor_id")
+    def hits(q: Int): Long = exact.intersect(
+      Similarity.ivfKnn(queries, emb, 5, quantizers = q)
+        .select("query_id", "neighbor_id")).count()
+    // top-k over a candidate SUPERSET only moves toward the exact
+    // ranking: anything displacing a true top-k hit is a better true
+    // hit — so recall is monotone in the quantizer count
+    assert(hits(2) >= hits(1),
+      "a second quantizer must not lose exact-top-k hits")
+    val a = Similarity.ivfKnn(queries, emb, 5, quantizers = 2).collect().toSet
+    val b = Similarity.ivfKnn(queries, emb, 5, quantizers = 2).collect().toSet
+    assert(a == b, "the kNN OR-dial must be deterministic")
+  }
+
   test("two-level ivfKnn: exact at exhaustive probe, recall floor, partitioning-invariant") {
     // the s04 gate's quantizer (round 9): coarse fit + distributed
     // per-group sub-fits. The probe/rerank plumbing is shared with the
