@@ -401,6 +401,135 @@ object ScalingBench {
     }
   }
 
+  /** Estimation-mode boundary suite (`SPARK_GRAFT_SCALING_EST=1`) —
+    * the measured exact→estimation transition the sketch family's
+    * documentation argues from construction: q39's theta sketches are
+    * EXACT below 2^12 retained hashes and q40's QuantileSketch below
+    * 4096 distinct values (that soundness argument carries their hash
+    * gates at gate SF), and deterministic ESTIMATORS above. This
+    * crosses the boundary on scaled REAL tables
+    * ([[ScaleCorpus.lineitem]] with partial flag overlaps,
+    * [[ScaleCorpus.orders]] with replica-cent price spread): x1 sits
+    * below both capacities and must read error 0; x10/x100 sit above
+    * and read the actual estimation error — against exact twins
+    * computed in-engine on the same scaled tables (q39: the distinct
+    * (flag, part) set algebra; q40: the sketch's own r = ⌈q·n⌉
+    * rule). Each operator is also re-run twice and under a different
+    * shuffle-partition count: in estimation mode determinism and
+    * partitioning-invariance are CLAIMS (SketchesSpec pins them at
+    * gate SF), and this suite re-checks them where estimation is
+    * actually engaged. w08's maintenance blobs are these same two
+    * mechanisms. */
+  private def estimationSuite(spark: SparkSession, baseDir: String,
+                              scale: Int, only: Option[Set[String]]): Unit = {
+    val dir = s"/tmp/graft_scaling/est_x$scale"
+    val parts = spark.conf.get("spark.sql.shuffle.partitions")
+    ScaleCorpus.lineitem(Tables.lineitem(spark, baseDir), scale, keepPct = 70)
+      .repartition(parts.toInt)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    ScaleCorpus.orders(Tables.orders(spark, baseDir), scale)
+      .repartition(parts.toInt)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    def rows(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    // (deterministic re-run, different-shuffle-partitioning re-run)
+    def stability(mk: => DataFrame): (Boolean, Boolean) = {
+      val a = rows(mk)
+      val det = a == rows(mk)
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val inv = try a == rows(mk)
+        finally spark.conf.set("spark.sql.shuffle.partitions", parts)
+      (det, inv)
+    }
+    def relErr(est: Long, exact: Long): Double =
+      if (exact == 0L) math.abs(est.toDouble)
+      else math.abs(est - exact).toDouble / exact
+
+    if (only.forall(_.contains("q39"))) {
+      val fp = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag").as("flag"), col("l_partkey").as("p"))
+        .distinct()
+      val cnt = fp.groupBy(col("flag")).agg(count(lit(1)).as("n"))
+      val inter = fp.as("x")
+        .join(fp.as("y"),
+          col("x.p") === col("y.p") && col("x.flag") < col("y.flag"))
+        .groupBy(col("x.flag").as("fa"), col("y.flag").as("fb"))
+        .agg(count(lit(1)).as("ni"))
+      val exact = cnt.as("ca")
+        .join(cnt.as("cb"), col("ca.flag") < col("cb.flag"))
+        .join(inter,
+          col("fa") === col("ca.flag") && col("fb") === col("cb.flag"), "left")
+        .select(
+          col("ca.flag").as("flag_a"), col("cb.flag").as("flag_b"),
+          col("ca.n").as("e_a"), col("cb.n").as("e_b"),
+          (col("ca.n") + col("cb.n") - coalesce(col("ni"), lit(0L)))
+            .as("e_union"),
+          coalesce(col("ni"), lit(0L)).as("e_inter"),
+          (col("ca.n") - coalesce(col("ni"), lit(0L))).as("e_diff"))
+      val est = operators.Sketches.q39ThetaFlagOverlap(spark, dir)
+      // the largest UNION is the first population to cross the sketch
+      // capacity — the honest mode label for the pairwise algebra
+      val maxUnion = exact.agg(max(col("e_union"))).head().getLong(0)
+      val joined = est.join(exact, Seq("flag_a", "flag_b")).collect()
+      for (r <- joined) {
+        val stats = Seq("a", "b", "union", "inter", "diff").map { s =>
+          val e = r.getAs[Long](s"n_$s"); val x = r.getAs[Long](s"e_$s")
+          s""""rel_err_$s":${f"${relErr(e, x)}%.4f"}"""
+        }
+        println(s"""{"suite":"estimation","scale":$scale,"query":"q39",""" +
+          s""""pair":"${r.getAs[String]("flag_a")}|${r.getAs[String]("flag_b")}",""" +
+          s""""exact_union":${r.getAs[Long]("e_union")},""" +
+          s""""est_union":${r.getAs[Long]("n_union")},""" +
+          stats.mkString(",") + "}")
+      }
+      val (det, inv) =
+        stability(operators.Sketches.q39ThetaFlagOverlap(spark, dir))
+      println(s"""{"suite":"estimation","scale":$scale,"query":"q39",""" +
+        s""""largest_union":$maxUnion,"capacity":4096,""" +
+        s""""mode":"${if (maxUnion <= 4096) "exact" else "estimation"}",""" +
+        s""""deterministic":$det,"part_invariant":$inv}""")
+      System.out.flush()
+    }
+
+    if (only.forall(_.contains("q40"))) {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(spark, dir)
+        .select(year(col("o_orderdate")).as("order_year"),
+          col("o_totalprice").as("v"))
+      val w = Window.partitionBy(col("order_year")).orderBy(col("v"))
+      val ranked = o
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy(col("order_year"))))
+      def atQ(q: Double) = max(when(
+        col("rn") === ceil(lit(q) * col("n")), col("v")))
+      val exact = ranked.groupBy(col("order_year")).agg(
+        countDistinct(col("v")).as("n_distinct"),
+        atQ(0.25).as("e25"), atQ(0.5).as("e50"),
+        atQ(0.75).as("e75"), atQ(0.9).as("e90"))
+      val est = operators.Sketches.q40QuantileRollup(spark, dir)
+      val joined = est.join(exact, Seq("order_year"))
+        .orderBy(col("order_year")).collect()
+      for (r <- joined) {
+        val errs = Seq(("p25_price", "e25"), ("p50_price", "e50"),
+          ("p75_price", "e75"), ("p90_price", "e90"))
+          .map { case (a, b) =>
+            math.abs(r.getAs[Double](a) - r.getAs[Double](b)) }
+        val nd = r.getAs[Long]("n_distinct")
+        println(s"""{"suite":"estimation","scale":$scale,"query":"q40",""" +
+          s""""year":${r.getAs[Int]("order_year")},"n_distinct":$nd,""" +
+          s""""mode":"${if (nd <= 4096) "exact" else "grid"}",""" +
+          s""""max_abs_err":${f"${errs.max}%.4f"},"bin_width":62.5}""")
+      }
+      val (det, inv) =
+        stability(operators.Sketches.q40QuantileRollup(spark, dir))
+      println(s"""{"suite":"estimation","scale":$scale,"query":"q40",""" +
+        s""""deterministic":$det,"part_invariant":$inv}""")
+      System.out.flush()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.01")
     val scales =
@@ -576,18 +705,23 @@ object ScalingBench {
 
     val recallMode = sys.env.contains("SPARK_GRAFT_SCALING_RECALL")
     val streamMode = sys.env.contains("SPARK_GRAFT_SCALING_STREAM")
-    for (r <- scales if sfDirAxis.isEmpty && recallMode) {
+    val estMode = sys.env.contains("SPARK_GRAFT_SCALING_EST")
+    for (r <- scales if sfDirAxis.isEmpty && estMode)
+      estimationSuite(spark, base, r, only)
+    for (r <- scales if sfDirAxis.isEmpty && recallMode && !estMode) {
       val dir = s"/tmp/graft_scaling/x$r"
       ScaleCorpus.write(base, dir, r, spark)
       recallSuite(spark, dir, r, only)
     }
-    for (r <- scales if sfDirAxis.isEmpty && streamMode && !recallMode) {
+    for (r <- scales if sfDirAxis.isEmpty && streamMode && !recallMode
+           && !estMode) {
       val dir = s"/tmp/graft_scaling/x$r"
       ScaleCorpus.write(base, dir, r, spark)
       streamSuite(spark, base, dir, r, only)
     }
 
-    for (r <- scales if sfDirAxis.isEmpty && !recallMode && !streamMode) {
+    for (r <- scales if sfDirAxis.isEmpty && !recallMode && !streamMode
+           && !estMode) {
       val dir = s"/tmp/graft_scaling/x$r"
       ScaleCorpus.write(base, dir, r, spark)
       val nDocs = Tables.documents(spark, dir).count()

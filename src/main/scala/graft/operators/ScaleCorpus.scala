@@ -86,6 +86,48 @@ object ScaleCorpus {
         col("event_type"), col("value"), col("props"))
   }
 
+  /** `lineitem` replicated `replicas`× with order/part keys offset per
+    * replica — each per-flag part population (the q39 theta set) grows
+    * exactly R×. `keepPct` < 100 additionally thins by a deterministic
+    * per-(partkey, flag, replica) hash, so each flag's set keeps
+    * ~keepPct% of its replica's parts INDEPENDENTLY of the other flags
+    * — partial pairwise overlaps instead of the fixture's
+    * every-flag-sees-every-part degeneracy, which is what makes
+    * intersection/difference estimation error measurable in the
+    * estimation-mode suite. */
+  def lineitem(li: DataFrame, replicas: Int, keepPct: Int = 100): DataFrame = {
+    val spark = li.sparkSession
+    val head = li.agg(max(col("l_orderkey")), max(col("l_partkey"))).head()
+    val (okStride, pkStride) = (head.getLong(0) + 1, head.getLong(1) + 1)
+    val reps = spark.range(replicas.toLong).select(col("id").cast("int").as("k"))
+    li.crossJoin(reps)
+      .filter(lit(keepPct >= 100) ||
+        pmod(xxhash64(col("l_partkey"), col("l_returnflag"), col("k")),
+          lit(100)) < lit(keepPct))
+      .withColumn("l_orderkey",
+        col("l_orderkey") + col("k").cast("long") * okStride)
+      .withColumn("l_partkey",
+        col("l_partkey") + col("k").cast("long") * pkStride)
+      .drop("k")
+  }
+
+  /** `orders` replicated `replicas`× — keys offset; `o_totalprice`
+    * shifted by a per-replica cent (+k·0.01 — at most R·0.01, far
+    * below the q40 grid's 62.5 bin width), so the per-year DISTINCT
+    * price count (the QuantileSketch capacity axis) grows ~R× while
+    * every quantile VALUE moves by under a cent. */
+  def orders(o: DataFrame, replicas: Int): DataFrame = {
+    val spark = o.sparkSession
+    val stride = o.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+    val reps = spark.range(replicas.toLong).select(col("id").cast("int").as("k"))
+    o.crossJoin(reps)
+      .withColumn("o_orderkey",
+        col("o_orderkey") + col("k").cast("long") * stride)
+      .withColumn("o_totalprice",
+        col("o_totalprice") + col("k").cast("double") * lit(0.01))
+      .drop("k")
+  }
+
   /** Writes a scaled corpus dir shaped like the driver fixtures
     * (`documents.parquet`, `embeddings.parquet`, `events.parquet`) so
     * every gate entry point runs against it unmodified. */

@@ -1392,6 +1392,28 @@ object Similarity {
     }
   }
 
+  /** s19 — the multi-quantizer OR-dial ([[ivfKnn]] `quantizers = 2`)
+    * as a judged query, HASH-GATED: candidates are unioned across two
+    * INDEPENDENTLY initialized flat quantizers (fit-sample order
+    * vec_id XOR [[VectorOps.orMixConstants]](1)), deduped, and
+    * exact-re-ranked — the recall dial dev/scaling.md measured to
+    * 0.38→0.62→0.76 at x100 where every other single-host dial topped
+    * out. Both fits are the replayable [[lloydFit]], and XOR is the
+    * same two's-complement operation in both engines, so the oracle
+    * ([[s19Sql]]) re-derives BOTH quantizers through generated Lloyd
+    * chains over their mixed-order samples, replays both probe sets,
+    * unions/dedups the candidate pairs, and re-ranks — a drift
+    * anywhere (a fit seeing the wrong sample order, a lost arm, a
+    * dedup miss double-counting a pair) moves the neighbor set and
+    * breaks the hash. Recall monotonicity in q and q=1 ≡ the
+    * historical path stay pinned in SimilaritySpec. */
+  def s19KnnIvfOrDial(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    ivfKnn(emb.filter(col("vec_id") < 20), emb, 5, nlist = 16, nprobe = 4,
+      quantizers = 2)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Corpus bucket histogram — exercises the bucketing shape the
     * 100 TB path shuffles on. HASH-GATED (round 12): the md5 ±1
     * planes replay in SQL, so every vector's bucket id is pinned
@@ -1603,6 +1625,60 @@ object Similarity {
     s"""WITH ${twoLevelChainSql(16,
          "vec_id < (SELECT CAST(FLOOR(0.9 * COUNT(*)) AS BIGINT) FROM embeddings)")},
        |${ivfSearchSql(4, 5)}""".stripMargin
+
+  /** One OR-dial arm as DuckDB CTEs: the flat [[ivfIndex]] fit over
+    * the `xor(vec_id, mix)`-ordered bounded sample (XOR is identical
+    * two's-complement arithmetic in both engines, so the sample — and
+    * thus the whole fit — replays exactly), full-corpus assignment,
+    * the nprobe-4 probe ranking for the `q` query frame, and the arm's
+    * (query_id, neighbor_id) candidate pairs.
+    *
+    * The sample CTE REMAPS vec_id to the mixed key: [[lloydFit]]'s
+    * init is the first k points in COLLECTED order, which for an arm
+    * is the xor order — and [[lloydChainSql]]'s cent0 orders by
+    * vec_id, so handing it the mixed key as `vec_id` replays exactly
+    * that init (the remap is a bijection, so the chain's per-vector
+    * joins are unaffected; everything past init is order-free —
+    * struct-MIN assignment, exact decimal sums). */
+  private def orDialArmSql(mix: Long, pfx: String): String =
+    s"""${pfx}samp AS MATERIALIZED (
+       |  SELECT xor(vec_id, CAST($mix AS BIGINT)) AS vec_id, v FROM emb
+       |  ORDER BY 1
+       |  LIMIT ${flatFitSampleRows(16)}),
+       |${lloydChainSql(s"${pfx}samp", 16, pfx)},
+       |${pfx}asn AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |         (MIN({'d': ${sqlDist("e.v", "ct.clist")}, 'c': ct.cell})).c AS cell
+       |  FROM emb e CROSS JOIN ${pfx}cent$lloydIters ct
+       |  GROUP BY e.vec_id),
+       |${pfx}probe AS MATERIALIZED (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, ct.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${sqlDist("q.qv", "ct.clist")}, ct.cell) AS crk
+       |    FROM q CROSS JOIN ${pfx}cent$lloydIters ct) t
+       |  WHERE crk <= 4),
+       |${pfx}cand AS MATERIALIZED (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM ${pfx}probe p JOIN ${pfx}asn a USING (cell)
+       |  WHERE a.vec_id <> p.query_id)""".stripMargin
+
+  /** s19: both arms' candidates unioned and deduped, then the shared
+    * round-9 exact re-rank — [[ivfKnn]]'s `quantizers = 2` path in
+    * SQL. */
+  val s19Sql: String = {
+    val arms = (0 until 2)
+      .map(qi => orDialArmSql(VectorOps.orMixConstants(qi), s"g${qi}_"))
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 20),
+       |${arms.mkString(",\n")},
+       |cand AS (
+       |  SELECT DISTINCT query_id, neighbor_id FROM (
+       |    SELECT * FROM g0_cand UNION ALL SELECT * FROM g1_cand))
+       |${sqlRerank("cand", 5)}""".stripMargin
+  }
 
   /** The int8 quantization mirror: x → CAST(ROUND(x·(127/m)) AS
     * TINYINT), m the side's own max|x| (greatest with ε — the
@@ -2445,6 +2521,7 @@ object Similarity {
     "s04_knn_ivf"           -> s04KnnIvf _,
     "s17_knn_ivf_persisted" -> s17KnnIvfPersisted _,
     "s18_knn_ivf_append"    -> s18KnnIvfAppend _,
+    "s19_knn_ivf_ordial"    -> s19KnnIvfOrDial _,
     "s05_ivf_cell_profile"  -> s05IvfCellProfile _,
     "s06_knn_quantized"     -> s06KnnQuantized _,
     "s07_knn_ivfsq"         -> s07KnnIvfSq _,
@@ -2469,6 +2546,7 @@ object Similarity {
     "s15_mutual_knn_ivf" -> s15Sql,
     "s17_knn_ivf_persisted" -> s17Sql,
     "s18_knn_ivf_append" -> s18Sql,
+    "s19_knn_ivf_ordial" -> s19Sql,
     "s08_hybrid_knn"     -> s08Sql,
     "s12_knn_filtered"   -> s12Sql,
     "s11_knn_mmr"        -> s11Sql,
