@@ -1392,6 +1392,46 @@ object Similarity {
     }
   }
 
+  /** s20 — the MAINTENANCE lifecycle of the persisted index,
+    * hash-gated: build on the first ~90% of ids, append the rest
+    * (s18's lifecycle), then FORCE a drift re-fit
+    * ([[maintainIvfIndex]] with maxSkew 0 — any populated cell trips
+    * the trigger) and search the swapped-in index. The re-fit fits the
+    * stored-quantizer corpus read back from the index's own cells —
+    * every committed generation, compacted to gen=0 — through the same
+    * deterministic two-level fit a fresh build runs, and the fit
+    * sample is id-ordered, so a correct maintenance pass is
+    * BIT-IDENTICAL to building once over the full corpus: the oracle
+    * is [[s04Sql]] itself. A defect anywhere (a vector lost or
+    * duplicated across append+compaction, a re-fit seeing a stale
+    * generation, a torn swap leaving the old quantizer, double
+    * float→double conversion skewing stored vectors) moves the
+    * neighbor set and breaks the hash. The swap-crash repair and
+    * drift-trigger threshold stay ScalaTest-pinned (SimilaritySpec);
+    * this gate makes the re-fit path itself a judged query. */
+  def s20KnnIvfMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s20").toString
+    // the index lives in a SUBDIR: maintainIvfIndex renames indexDir
+    // itself (move-aside-atomic), so its parent must survive the swap
+    val base = s"$tmp/idx"
+    try {
+      val emb = Tables.embeddings(spark, dir)
+      val cut = math.floor(0.9 * emb.count()).toLong
+      writeIvfIndex(emb.filter(col("vec_id") < cut), base)
+      appendToIvfIndex(emb.filter(col("vec_id") >= cut), base)
+      val refit = maintainIvfIndex(spark, base, maxSkew = 0.0,
+        nlist = Some(16))
+      require(refit, "s20: the forced maintenance re-fit did not run")
+      ivfKnnFromIndex(emb.filter(col("vec_id") < 20), base, 5)
+        .orderBy(col("query_id"), col("rk"))
+        .localCheckpoint() // materialize before the staging is deleted
+    } finally {
+      val gone = new scala.reflect.io.Directory(new java.io.File(tmp))
+        .deleteRecursively()
+      if (!gone) System.err.println(s"[s20] temp dir not fully removed: $tmp")
+    }
+  }
+
   /** s19 — the multi-quantizer OR-dial ([[ivfKnn]] `quantizers = 2`)
     * as a judged query, HASH-GATED: candidates are unioned across two
     * INDEPENDENTLY initialized flat quantizers (fit-sample order
@@ -2522,6 +2562,7 @@ object Similarity {
     "s17_knn_ivf_persisted" -> s17KnnIvfPersisted _,
     "s18_knn_ivf_append"    -> s18KnnIvfAppend _,
     "s19_knn_ivf_ordial"    -> s19KnnIvfOrDial _,
+    "s20_knn_ivf_maintain"  -> s20KnnIvfMaintain _,
     "s05_ivf_cell_profile"  -> s05IvfCellProfile _,
     "s06_knn_quantized"     -> s06KnnQuantized _,
     "s07_knn_ivfsq"         -> s07KnnIvfSq _,
@@ -2547,6 +2588,10 @@ object Similarity {
     "s17_knn_ivf_persisted" -> s17Sql,
     "s18_knn_ivf_append" -> s18Sql,
     "s19_knn_ivf_ordial" -> s19Sql,
+    // a correct maintenance re-fit over the full committed corpus is
+    // bit-identical to a fresh full-corpus build — s04's replay IS the
+    // oracle (the s17-shares-s04Sql precedent, one lifecycle later)
+    "s20_knn_ivf_maintain" -> s04Sql,
     "s08_hybrid_knn"     -> s08Sql,
     "s12_knn_filtered"   -> s12Sql,
     "s11_knn_mmr"        -> s11Sql,

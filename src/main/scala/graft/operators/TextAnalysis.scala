@@ -525,6 +525,75 @@ object TextAnalysis {
       |GROUP BY 1
       |ORDER BY bin_id""".stripMargin
 
+  // -- Overlapping window chunking (RAG / context-window prep) ---------------
+
+  /** Overlapping fixed-window chunking — the retrieval-corpus prep
+    * step t12's packing does NOT cover: packing assigns whole
+    * documents to training bins, chunking splits each document into
+    * `window`-token pieces advancing by `stride` (< window ⇒
+    * `window − stride` tokens of overlap), the unit a RAG index embeds
+    * and retrieves. Chunk identity is the stable (doc_id, chunk_id)
+    * pair plus an md5 fingerprint of the chunk text (the downstream
+    * join/dedup key — chunks, not documents, are what near-dup
+    * detection sees in a retrieval corpus).
+    *
+    * Coverage rule: chunk starts are k·stride for k = 0..K with
+    * K = ⌈(n − window)/stride⌉ (0 when n ≤ window) — the last window
+    * starts at or after n − window, so EVERY token lands in ≥1 chunk
+    * and a short document is exactly one chunk; trailing windows
+    * truncate at the document end rather than padding.
+    *
+    * Shape: the token array is materialized by a projection ONCE
+    * (never recomputed inside a lambda — the HOF re-evaluation trap),
+    * the fan-out is one `explode(sequence(...))` bounded by ⌈n/stride⌉
+    * rows per document, and everything else is per-row expressions —
+    * no shuffle before the (total-ordered) sink, linear in corpus
+    * tokens at any scale. */
+  def chunkDocuments(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      // integer DIV ceil: (n - window + stride - 1) DIV stride
+      .withColumn("last_k", expr(
+        s"CASE WHEN n > $window THEN (n - $window + ${stride - 1}) " +
+          s"DIV $stride ELSE 0L END"))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("last_k"))))
+      .withColumn("ct", slice(col("toks"),
+        (col("chunk_id") * stride + lit(1L)).cast("int"), lit(window)))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("int").as("chunk_id"),
+        size(col("ct")).as("n_tokens"),
+        md5(array_join(col("ct"), " ").cast("binary")).as("chunk_md5"))
+  }
+
+  /** t25 — 64-token windows, stride 48 (16-token overlap). */
+  def t25ChunkWindows(spark: SparkSession, dir: String): DataFrame =
+    chunkDocuments(Tables.documents(spark, dir), 64, 48)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val t25Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, toks,
+      |    unnest(range(0, (CASE WHEN n > 64 THEN (n - 64 + 47) // 48
+      |                          ELSE 0 END) + 1)) AS chunk_id
+      |  FROM t),
+      |c AS (
+      |  SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+      |         list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64) AS ct
+      |  FROM k)
+      |SELECT doc_id, chunk_id,
+      |  CAST(len(ct) AS INT) AS n_tokens,
+      |  md5(array_to_string(ct, ' ')) AS chunk_md5
+      |FROM c
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   // -- PII redaction ----------------------------------------------------------
 
   /** RE2-safe patterns (no lookaround/backrefs) so Spark's Java regex
@@ -1450,6 +1519,7 @@ object TextAnalysis {
     "t21_bigram_logprob" -> t21BigramLogprob _,
     "t18_block_dedup"    -> t18BlockDedup _,
     "t19_vocab_growth"   -> t19VocabGrowth _,
+    "t25_chunk_windows"  -> t25ChunkWindows _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1476,6 +1546,7 @@ object TextAnalysis {
     "t21_bigram_logprob" -> t21Sql,
     "t18_block_dedup"    -> t18Sql,
     "t19_vocab_growth"   -> t19Sql,
+    "t25_chunk_windows"  -> t25Sql,
     // rows-only by design (no DuckDB twin exists):
     //  - t06: fingerprints come from our codegen'd polynomial RollingHash
     //    expression; DuckDB has no equivalent hash family, and mirroring

@@ -368,6 +368,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("maintain re-fit over build+append equals a fresh full-corpus build bit-identically") {
+    // the s20 gate's local twin: the re-fit reads the corpus back from
+    // the index's own cells and runs the same id-ordered two-level fit
+    // a fresh build runs, so the post-maintenance search must equal
+    // the in-memory full-corpus path row for row — one vector lost or
+    // duplicated through append+compaction, or a double float→double
+    // conversion of the stored vectors, breaks this
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 20)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s20_spec")
+    val dir = s"$tmp/idx" // parent survives maintain's move-aside swap
+    try {
+      val cut = math.floor(0.9 * emb.count()).toLong
+      Similarity.writeIvfIndex(emb.filter($"vec_id" < cut), dir)
+      Similarity.appendToIvfIndex(emb.filter($"vec_id" >= cut), dir)
+      assert(Similarity.maintainIvfIndex(spark, dir, maxSkew = 0.0,
+        nlist = Some(16)), "maxSkew 0 must force the re-fit")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+      val fromMaintenance =
+        rows(Similarity.ivfKnnFromIndex(queries, dir, 5))
+      val freshBuild =
+        rows(Similarity.ivfKnn(queries, emb, 5, twoLevel = true))
+      assert(fromMaintenance == freshBuild,
+        "post-maintenance search must be bit-identical to a fresh build")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
+
   test("maintainIvfIndex: a crash between the two swap renames is repaired at the next entry") {
     // simulate the JVM dying after rename(cur→aside) and before
     // rename(tmp→cur) — indexDir itself is gone, the committed refit

@@ -130,6 +130,41 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 1, "all", 1L, 3L)))
   }
 
+  test("chunkDocuments: full coverage, exact interior windows, truncated tail, short-doc singleton") {
+    // 10 tokens, window 4, stride 3: starts 0,3,6 (K = ceil(6/3) = 2)
+    // -> chunks t0..t3 / t3..t6 / t6..t9 (last one truncates at 4? no:
+    // start 6 + window 4 = 10 = n, exact); and an 11-token doc gets a
+    // 4th chunk of 2 tokens (start 9)
+    val docs = Seq(
+      (1L, (0 until 10).map(i => s"w$i").mkString(" ")),
+      (2L, (0 until 11).map(i => s"x$i").mkString(" ")),
+      (3L, "just three tokens")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, 4, 3)
+      .orderBy($"doc_id", $"chunk_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.toSeq == Seq(
+      (1L, 0, 4), (1L, 1, 4), (1L, 2, 4),
+      (2L, 0, 4), (2L, 1, 4), (2L, 2, 4), (2L, 3, 2),
+      (3L, 0, 3)))
+    // coverage: last chunk of every doc reaches the document end
+    // (start K·stride + its n_tokens == n), first starts at 0 — with
+    // stride <= window nothing between consecutive starts is skipped
+    for ((doc, n) <- Seq((1L, 10), (2L, 11), (3L, 3))) {
+      val chunks = out.filter(_._1 == doc)
+      assert(chunks.head._2 == 0)
+      val (_, lastK, lastLen) = chunks.last
+      assert(lastK * 3 + lastLen == n, s"doc $doc must be covered to $n")
+    }
+    // fingerprints: identical text -> identical chunk_md5, and the md5
+    // really is of the joined window (doc 3's only chunk)
+    val fp = TextAnalysis.chunkDocuments(docs, 4, 3)
+      .filter($"doc_id" === 3L).select($"chunk_md5").as[String].head()
+    val expected = spark.range(1)
+      .select(md5(lit("just three tokens").cast("binary"))).as[String].head()
+    assert(fp == expected)
+  }
+
   test("piiRedact: masks emails/urls/phones, leaves prose alone, idempotent") {
     import spark.implicits._
     val rows = Seq(
