@@ -424,29 +424,42 @@ object ScalingBench {
                               scale: Int, only: Option[Set[String]]): Unit = {
     val dir = s"/tmp/graft_scaling/est_x$scale"
     val parts = spark.conf.get("spark.sql.shuffle.partitions")
-    ScaleCorpus.lineitem(Tables.lineitem(spark, baseDir), scale, keepPct = 70)
-      .repartition(parts.toInt)
-      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-    ScaleCorpus.orders(Tables.orders(spark, baseDir), scale)
-      .repartition(parts.toInt)
-      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // capacity/bin-width labels come from the operators' own dials
+    // (single owner — Sketches), never re-hardcoded here
+    val thetaCap = 1L << operators.Sketches.thetaLgK
+    val qsCap = operators.Sketches.qsCap
+    val binWidth = operators.Sketches.qsBinWidth
+    val wantQ39 = only.forall(_.contains("q39"))
+    val wantQ40 = only.forall(_.contains("q40"))
+    if (wantQ39)
+      ScaleCorpus.lineitem(Tables.lineitem(spark, baseDir), scale, keepPct = 70)
+        .repartition(parts.toInt)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    if (wantQ40)
+      ScaleCorpus.orders(Tables.orders(spark, baseDir), scale)
+        .repartition(parts.toInt)
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
 
     def rows(df: DataFrame): Seq[String] =
       df.collect().map(_.toString).toSeq.sorted
     // (deterministic re-run, different-shuffle-partitioning re-run)
-    def stability(mk: => DataFrame): (Boolean, Boolean) = {
-      val a = rows(mk)
-      val det = a == rows(mk)
+    // against the caller's already-collected baseline — one re-run
+    // each, never a third baseline evaluation of a corpus-scale plan
+    def stability(baseline: Seq[String], mk: => DataFrame)
+        : (Boolean, Boolean) = {
+      val det = baseline == rows(mk)
       spark.conf.set("spark.sql.shuffle.partitions", "7")
-      val inv = try a == rows(mk)
+      val inv = try baseline == rows(mk)
         finally spark.conf.set("spark.sql.shuffle.partitions", parts)
       (det, inv)
     }
+    // -1 is the undefined-relative-error sentinel (exact = 0 with a
+    // nonzero estimate has no meaningful ratio — the Bench convention)
     def relErr(est: Long, exact: Long): Double =
-      if (exact == 0L) math.abs(est.toDouble)
+      if (exact == 0L) { if (est == 0L) 0.0 else -1.0 }
       else math.abs(est - exact).toDouble / exact
 
-    if (only.forall(_.contains("q39"))) {
+    if (wantQ39) {
       val fp = Tables.lineitem(spark, dir)
         .select(col("l_returnflag").as("flag"), col("l_partkey").as("p"))
         .distinct()
@@ -468,6 +481,7 @@ object ScalingBench {
           coalesce(col("ni"), lit(0L)).as("e_inter"),
           (col("ca.n") - coalesce(col("ni"), lit(0L))).as("e_diff"))
       val est = operators.Sketches.q39ThetaFlagOverlap(spark, dir)
+      val estBaseline = rows(est)
       // the largest UNION is the first population to cross the sketch
       // capacity — the honest mode label for the pairwise algebra
       val maxUnion = exact.agg(max(col("e_union"))).head().getLong(0)
@@ -483,16 +497,16 @@ object ScalingBench {
           s""""est_union":${r.getAs[Long]("n_union")},""" +
           stats.mkString(",") + "}")
       }
-      val (det, inv) =
-        stability(operators.Sketches.q39ThetaFlagOverlap(spark, dir))
+      val (det, inv) = stability(estBaseline,
+        operators.Sketches.q39ThetaFlagOverlap(spark, dir))
       println(s"""{"suite":"estimation","scale":$scale,"query":"q39",""" +
-        s""""largest_union":$maxUnion,"capacity":4096,""" +
-        s""""mode":"${if (maxUnion <= 4096) "exact" else "estimation"}",""" +
+        s""""largest_union":$maxUnion,"capacity":$thetaCap,""" +
+        s""""mode":"${if (maxUnion <= thetaCap) "exact" else "estimation"}",""" +
         s""""deterministic":$det,"part_invariant":$inv}""")
       System.out.flush()
     }
 
-    if (only.forall(_.contains("q40"))) {
+    if (wantQ40) {
       import org.apache.spark.sql.expressions.Window
       val o = Tables.orders(spark, dir)
         .select(year(col("o_orderdate")).as("order_year"),
@@ -509,6 +523,7 @@ object ScalingBench {
         atQ(0.25).as("e25"), atQ(0.5).as("e50"),
         atQ(0.75).as("e75"), atQ(0.9).as("e90"))
       val est = operators.Sketches.q40QuantileRollup(spark, dir)
+      val estBaseline = rows(est)
       val joined = est.join(exact, Seq("order_year"))
         .orderBy(col("order_year")).collect()
       for (r <- joined) {
@@ -519,11 +534,11 @@ object ScalingBench {
         val nd = r.getAs[Long]("n_distinct")
         println(s"""{"suite":"estimation","scale":$scale,"query":"q40",""" +
           s""""year":${r.getAs[Int]("order_year")},"n_distinct":$nd,""" +
-          s""""mode":"${if (nd <= 4096) "exact" else "grid"}",""" +
-          s""""max_abs_err":${f"${errs.max}%.4f"},"bin_width":62.5}""")
+          s""""mode":"${if (nd <= qsCap) "exact" else "grid"}",""" +
+          s""""max_abs_err":${f"${errs.max}%.4f"},"bin_width":$binWidth}""")
       }
-      val (det, inv) =
-        stability(operators.Sketches.q40QuantileRollup(spark, dir))
+      val (det, inv) = stability(estBaseline,
+        operators.Sketches.q40QuantileRollup(spark, dir))
       println(s"""{"suite":"estimation","scale":$scale,"query":"q40",""" +
         s""""deterministic":$det,"part_invariant":$inv}""")
       System.out.flush()

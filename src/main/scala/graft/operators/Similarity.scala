@@ -1344,20 +1344,31 @@ object Similarity {
     * EXPLICIT probed-cell partition pruning on the files-read METRIC
     * (one probe reads one of 16 partition files — never a plan-string
     * pin; see [[ivfKnnFromIndex]] for why DPP was rejected). */
-  def s17KnnIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_s17").toString
-    try {
+  /** Scratch-index lifecycle shared by the persisted-index gates
+    * (s17/s18/s20): mint a temp parent, run `body` against a `/idx`
+    * SUBDIR of it (maintenance renames the index dir itself — the
+    * parent must survive the swap), wipe the parent afterwards. Every
+    * body localCheckpoints its result before the staging disappears. */
+  private def withScratchIndex(tag: String)
+                              (body: String => DataFrame): DataFrame = {
+    val parent = java.nio.file.Files.createTempDirectory(tag).toString
+    try body(s"$parent/idx")
+    finally {
+      val gone = new scala.reflect.io.Directory(new java.io.File(parent))
+        .deleteRecursively()
+      if (!gone)
+        System.err.println(s"[$tag] temp dir not fully removed: $parent")
+    }
+  }
+
+  def s17KnnIvfPersisted(spark: SparkSession, dir: String): DataFrame =
+    withScratchIndex("graft_s17") { base =>
       val emb = Tables.embeddings(spark, dir)
       writeIvfIndex(emb, base)
       ivfKnnFromIndex(emb.filter(col("vec_id") < 20), base, 5)
         .orderBy(col("query_id"), col("rk"))
         .localCheckpoint() // materialize before the staging is deleted
-    } finally {
-      val gone = new scala.reflect.io.Directory(new java.io.File(base))
-        .deleteRecursively()
-      if (!gone) System.err.println(s"[s17] temp dir not fully removed: $base")
     }
-  }
 
   /** s18 — the APPEND LIFECYCLE of the persisted index, hash-gated:
     * build on the first ~90% of ids ([[writeIvfIndex]] — the standing
@@ -1373,9 +1384,8 @@ object Similarity {
     * searched neighbor set and breaks the hash. Batching-invariance
     * and orphan-sweep stay ScalaTest-pinned (SimilaritySpec); this
     * gate makes the lifecycle itself a judged query. */
-  def s18KnnIvfAppend(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_s18").toString
-    try {
+  def s18KnnIvfAppend(spark: SparkSession, dir: String): DataFrame =
+    withScratchIndex("graft_s18") { base =>
       val emb = Tables.embeddings(spark, dir)
       // the same 90% cut the oracle computes: FLOOR(0.9·N) on the
       // (0-based contiguous) vec_id space
@@ -1385,12 +1395,7 @@ object Similarity {
       ivfKnnFromIndex(emb.filter(col("vec_id") < 20), base, 5)
         .orderBy(col("query_id"), col("rk"))
         .localCheckpoint() // materialize before the staging is deleted
-    } finally {
-      val gone = new scala.reflect.io.Directory(new java.io.File(base))
-        .deleteRecursively()
-      if (!gone) System.err.println(s"[s18] temp dir not fully removed: $base")
     }
-  }
 
   /** s20 — the MAINTENANCE lifecycle of the persisted index,
     * hash-gated: build on the first ~90% of ids, append the rest
@@ -1409,12 +1414,8 @@ object Similarity {
     * neighbor set and breaks the hash. The swap-crash repair and
     * drift-trigger threshold stay ScalaTest-pinned (SimilaritySpec);
     * this gate makes the re-fit path itself a judged query. */
-  def s20KnnIvfMaintain(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s20").toString
-    // the index lives in a SUBDIR: maintainIvfIndex renames indexDir
-    // itself (move-aside-atomic), so its parent must survive the swap
-    val base = s"$tmp/idx"
-    try {
+  def s20KnnIvfMaintain(spark: SparkSession, dir: String): DataFrame =
+    withScratchIndex("graft_s20") { base =>
       val emb = Tables.embeddings(spark, dir)
       val cut = math.floor(0.9 * emb.count()).toLong
       writeIvfIndex(emb.filter(col("vec_id") < cut), base)
@@ -1425,12 +1426,7 @@ object Similarity {
       ivfKnnFromIndex(emb.filter(col("vec_id") < 20), base, 5)
         .orderBy(col("query_id"), col("rk"))
         .localCheckpoint() // materialize before the staging is deleted
-    } finally {
-      val gone = new scala.reflect.io.Directory(new java.io.File(tmp))
-        .deleteRecursively()
-      if (!gone) System.err.println(s"[s20] temp dir not fully removed: $tmp")
     }
-  }
 
   /** s19 — the multi-quantizer OR-dial ([[ivfKnn]] `quantizers = 2`)
     * as a judged query, HASH-GATED: candidates are unioned across two

@@ -189,7 +189,7 @@ object Sketches {
     val sk = Tables.lineitem(spark, dir)
       .select(col("l_returnflag").as("flag"), col("l_partkey"))
       .groupBy(col("flag"))
-      .agg(expr("theta_sketch_agg(l_partkey, 12)").as("sk"))
+      .agg(expr(s"theta_sketch_agg(l_partkey, $thetaLgK)").as("sk"))
     sk.as("a").join(sk.as("b"), col("a.flag") < col("b.flag"))
       .select(
         col("a.flag").as("flag_a"), col("b.flag").as("flag_b"),
@@ -236,7 +236,13 @@ object Sketches {
   // histogram above it (deterministic, merge-order-invariant;
   // value error ≤ binWidth, pinned in QuantileSketchSpec).
   // ---------------------------------------------------------------------------
-  private val (qsCap, qsLo, qsHi, qsBins) = (4096, 0.0, 512000.0, 8192)
+  // single owner of the q40 sketch dials and the q39 theta lgK — the
+  // estimation-mode suite (ScalingBench) derives its capacity/bin-width
+  // labels from THESE, so a dial change can't silently desynchronize
+  // the suite's exact-vs-estimation mode labels
+  private[graft] val (qsCap, qsLo, qsHi, qsBins) = (4096, 0.0, 512000.0, 8192)
+  private[graft] val thetaLgK = 12
+  private[graft] def qsBinWidth: Double = (qsHi - qsLo) / qsBins
 
   def q40QuantileRollup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.QuantileSketch
