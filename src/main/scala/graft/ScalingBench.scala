@@ -593,6 +593,13 @@ object ScalingBench {
       ("c01_kmeans_assign", true, operators.Clustering.c01KmeansAssign _),
       ("t17_bpe_merges", true, operators.TextAnalysis.t17BpeMerges _),
       ("m07_image_phash", true, operators.Media.m07ImagePhash _),
+      // chunking is one projection + a bounded explode (claim: linear
+      // in corpus tokens); p13 adds the chunk_md5-keyed doc-frequency
+      // join + keep-first window on top (claim: stays ~linear — the
+      // shuffle keys on content hashes, whose population grows with
+      // the corpus, never a pair join)
+      ("t25_chunk_windows", true, operators.TextAnalysis.t25ChunkWindows _),
+      ("p13_rag_corpus", true, Pipeline.p13RagCorpus _),
       // mutual-kNN graph: the exact all-pairs candidate stage (the s13
       // gate) vs the same mutual filter over IVF candidates with a
       // corpus-scaled cell count (~512 vectors/cell, nprobe 4 → ~2k

@@ -772,6 +772,88 @@ object Pipeline {
        |ORDER BY curriculum_rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // p13 — the RETRIEVAL-corpus build (the RAG twin of p12's pretrain
+  // path): chunk every document into t25's overlapping windows, drop
+  // BOILERPLATE chunks (chunk content recurring across > maxDocFreq
+  // distinct documents — headers/footers/navigation, the population
+  // RefinedWeb-style line dedup targets, here at chunk granularity),
+  // exact-dedup the survivors to their first occurrence under the
+  // (doc_id, chunk_id) total order, and quality-filter on the t02
+  // heuristic over the CHUNK text (a document's good prose keeps its
+  // chunks even when a sibling chunk is digit-soup). Output: the
+  // surviving chunk manifest — the frame a RAG pipeline hands to the
+  // embedder.
+  //
+  // Scale shape: chunking is one projection + one bounded explode
+  // (t25); the boilerplate count and keep-first window both key on
+  // chunk_md5 — one hash-shuffle partitioning reused by the join and
+  // the window, no global window, nothing driver-side. Every stage is
+  // deterministic (md5 identity, integer counts, the t24-precedent
+  // engine-identical quality doubles), so the whole composition
+  // hash-gates: the oracle rebuilds chunks through the SHARED t25 CTE
+  // chain and replays frequency, dedup and quality verbatim.
+  // ---------------------------------------------------------------------------
+  def ragCorpus(docs: DataFrame, window: Int, stride: Int,
+                maxDocFreq: Long, minQuality: Double): DataFrame = {
+    val chunks = TextAnalysis.chunkRaw(docs, window, stride)
+      // chunk text materialized ONCE; everything downstream reads it
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ct")).as("n_tokens"),
+        array_join(col("ct"), " ").as("text"))
+      .withColumn("chunk_md5", md5(col("text").cast("binary")))
+      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+    val docFreq = chunks
+      .groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("docs"))
+    chunks
+      .join(docFreq, Seq("chunk_md5"))
+      .filter(col("docs") <= maxDocFreq && col("q") >= minQuality)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        col("chunk_md5"))
+  }
+
+  /** p13 at t25's 64/48 windows; boilerplate bar 2 distinct docs,
+    * quality bar 0.35 (≈ the corpus median — both bars bite at gate
+    * SF: the fixture carries one 3-doc boilerplate chunk, six 2-doc
+    * duplicated chunks, and a ~half-splitting quality spread). */
+  def p13RagCorpus(spark: SparkSession, dir: String): DataFrame =
+    ragCorpus(Tables.documents(spark, dir), 64, 48,
+      maxDocFreq = 2L, minQuality = 0.35)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val p13Sql: String = {
+    import TextAnalysis.sqlQuality
+    s"""WITH ${TextAnalysis.chunkCtesSql(64, 48)},
+       |ch AS (
+       |  SELECT doc_id, chunk_id, CAST(len(ct) AS INT) AS n_tokens,
+       |         array_to_string(ct, ' ') AS text
+       |  FROM c),
+       |sc AS (
+       |  SELECT doc_id, chunk_id, n_tokens,
+       |         md5(text) AS chunk_md5, $sqlQuality AS q
+       |  FROM ch),
+       |df AS (
+       |  SELECT chunk_md5, COUNT(DISTINCT doc_id) AS docs
+       |  FROM sc GROUP BY 1),
+       |kept AS (
+       |  SELECT sc.doc_id, sc.chunk_id, sc.n_tokens, sc.chunk_md5
+       |  FROM sc JOIN df USING (chunk_md5)
+       |  WHERE df.docs <= 2 AND sc.q >= 0.35),
+       |firsts AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk_md5
+       |           ORDER BY doc_id, chunk_id) AS rn
+       |  FROM kept)
+       |SELECT doc_id, chunk_id, n_tokens, chunk_md5
+       |FROM firsts WHERE rn = 1
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p02_pipeline_funnel" -> p02PipelineFunnel _,
     "p04_hash_split"      -> p04HashSplit _,
@@ -782,6 +864,7 @@ object Pipeline {
     "p10_leakage_safe_split" -> p10LeakageSafeSplit _,
     "p11_curriculum_order" -> p11CurriculumOrder _,
     "p12_pretrain_corpus" -> p12PretrainCorpus _,
+    "p13_rag_corpus"      -> p13RagCorpus _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -794,5 +877,6 @@ object Pipeline {
     "p10_leakage_safe_split" -> p10Sql,
     "p11_curriculum_order" -> p11Sql,
     "p12_pretrain_corpus" -> p12Sql,
+    "p13_rag_corpus"      -> p13Sql,
   )
 }

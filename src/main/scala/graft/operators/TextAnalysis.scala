@@ -549,7 +549,11 @@ object TextAnalysis {
     * rows per document, and everything else is per-row expressions —
     * no shuffle before the (total-ordered) sink, linear in corpus
     * tokens at any scale. */
-  def chunkDocuments(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+  /** The raw chunk frame (doc_id, chunk_id: Int, ct: Array[String]) —
+    * the shared core of [[chunkDocuments]] (t25) and the p13 RAG
+    * composition. */
+  private[operators] def chunkRaw(docs: DataFrame, window: Int,
+                                  stride: Int): DataFrame = {
     require(window >= 1 && stride >= 1 && stride <= window,
       s"need 1 <= stride <= window, got window=$window stride=$stride")
     docs
@@ -560,14 +564,40 @@ object TextAnalysis {
         s"CASE WHEN n > $window THEN (n - $window + ${stride - 1}) " +
           s"DIV $stride ELSE 0L END"))
       .withColumn("chunk_id", explode(sequence(lit(0L), col("last_k"))))
-      .withColumn("ct", slice(col("toks"),
-        (col("chunk_id") * stride + lit(1L)).cast("int"), lit(window)))
       .select(
         col("doc_id"),
         col("chunk_id").cast("int").as("chunk_id"),
+        slice(col("toks"),
+          (col("chunk_id") * stride + lit(1L)).cast("int"), lit(window))
+          .as("ct"))
+  }
+
+  /** DuckDB CTE chain ending in `c` = (doc_id, chunk_id, ct) — the
+    * [[chunkRaw]] mirror shared by the t25 and p13 oracles (single
+    * owner of the coverage arithmetic on the SQL side too). */
+  private[operators] def chunkCtesSql(window: Int, stride: Int): String =
+    s"""t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |         len(string_split(text, ' ')) AS n
+       |  FROM documents),
+       |k AS (
+       |  SELECT doc_id, toks,
+       |    unnest(range(0, (CASE WHEN n > $window
+       |                          THEN (n - $window + ${stride - 1}) // $stride
+       |                          ELSE 0 END) + 1)) AS chunk_id
+       |  FROM t),
+       |c AS (
+       |  SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       |         list_slice(toks, chunk_id * $stride + 1,
+       |                    chunk_id * $stride + $window) AS ct
+       |  FROM k)""".stripMargin
+
+  def chunkDocuments(docs: DataFrame, window: Int, stride: Int): DataFrame =
+    chunkRaw(docs, window, stride)
+      .select(
+        col("doc_id"), col("chunk_id"),
         size(col("ct")).as("n_tokens"),
         md5(array_join(col("ct"), " ").cast("binary")).as("chunk_md5"))
-  }
 
   /** t25 — 64-token windows, stride 48 (16-token overlap). */
   def t25ChunkWindows(spark: SparkSession, dir: String): DataFrame =
@@ -575,24 +605,12 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_id"))
 
   val t25Sql: String =
-    """WITH t AS (
-      |  SELECT doc_id, string_split(text, ' ') AS toks,
-      |         len(string_split(text, ' ')) AS n
-      |  FROM documents),
-      |k AS (
-      |  SELECT doc_id, toks,
-      |    unnest(range(0, (CASE WHEN n > 64 THEN (n - 64 + 47) // 48
-      |                          ELSE 0 END) + 1)) AS chunk_id
-      |  FROM t),
-      |c AS (
-      |  SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
-      |         list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64) AS ct
-      |  FROM k)
-      |SELECT doc_id, chunk_id,
-      |  CAST(len(ct) AS INT) AS n_tokens,
-      |  md5(array_to_string(ct, ' ')) AS chunk_md5
-      |FROM c
-      |ORDER BY doc_id, chunk_id""".stripMargin
+    s"""WITH ${chunkCtesSql(64, 48)}
+       |SELECT doc_id, chunk_id,
+       |  CAST(len(ct) AS INT) AS n_tokens,
+       |  md5(array_to_string(ct, ' ')) AS chunk_md5
+       |FROM c
+       |ORDER BY doc_id, chunk_id""".stripMargin
 
   // -- PII redaction ----------------------------------------------------------
 

@@ -135,6 +135,39 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("p13 ragCorpus: boilerplate bar, keep-first dedup, per-chunk quality — each mechanism isolated") {
+    import org.apache.spark.sql.functions._
+    // window 4 / stride 4 (no overlap) so each doc's chunks are its
+    // consecutive 4-token groups — hand-checkable
+    // q ≈ 0.49 (passes the 0.35 bar — only the doc-frequency bar may
+    // drop it); planted in docs 1, 2, 3
+    val boiler = "the footer navigation bar"
+    val good = "the weather is that of a mild and clear morning in the"
+    val digits = "1234 5678 9012 3456"             // digit soup, q ~ 0.2
+    val docs = Seq(
+      (1L, s"$good $boiler"),
+      (2L, s"$good $boiler"),                      // chunk 0 dup of doc 1's
+      (3L, s"$boiler"),
+      (4L, s"$digits")
+    ).toDF("doc_id", "text")
+    val out = Pipeline.ragCorpus(docs, 4, 4, maxDocFreq = 2L,
+        minQuality = 0.35)
+      .select($"doc_id", $"chunk_id").as[(Long, Int)].collect().toSet
+    // doc 1: chunks 0,1,2 = good tokens (kept), chunk 3 = boilerplate
+    // (3 distinct docs > bar 2 → dropped). doc 2: same text — every
+    // kept chunk md5-duplicates doc 1's → keep-first drops them all.
+    // doc 3: only the boilerplate chunk → nothing. doc 4: digit soup
+    // fails the quality bar.
+    assert(out == Set((1L, 0), (1L, 1), (1L, 2)),
+      s"expected doc 1's three prose chunks only, got $out")
+    // raising the boilerplate bar to 3 re-admits the footer chunk —
+    // FIRST occurrence only (doc 1, chunk 3)
+    val loose = Pipeline.ragCorpus(docs, 4, 4, maxDocFreq = 3L,
+        minQuality = 0.35)
+      .select($"doc_id", $"chunk_id").as[(Long, Int)].collect().toSet
+    assert(loose == Set((1L, 0), (1L, 1), (1L, 2), (1L, 3)), s"got $loose")
+  }
+
   test("hashMix: rate 1 keeps all, 0 keeps none, 205/256 IS the train split") {
     import org.apache.spark.sql.functions.lit
     val docs = Tables.documents(spark, sf)
