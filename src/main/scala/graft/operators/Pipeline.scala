@@ -803,6 +803,10 @@ object Pipeline {
         array_join(col("ct"), " ").as("text"))
       .withColumn("chunk_md5", md5(col("text").cast("binary")))
       .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      // two consumers (docFreq aggregate + join probe side) — without
+      // this the tokenize/explode/md5/quality pipeline executes twice
+      // per run (the p02 multi-consumer rule)
+      .localCheckpoint(true)
     val docFreq = chunks
       .groupBy(col("chunk_md5"))
       .agg(countDistinct(col("doc_id")).as("docs"))
@@ -818,13 +822,22 @@ object Pipeline {
         col("chunk_md5"))
   }
 
-  /** p13 at t25's 64/48 windows; boilerplate bar 2 distinct docs,
-    * quality bar 0.35 (≈ the corpus median — both bars bite at gate
-    * SF: the fixture carries one 3-doc boilerplate chunk, six 2-doc
-    * duplicated chunks, and a ~half-splitting quality spread). */
+  /** p13's dials — single owners interpolated into BOTH the gate
+    * function and [[p13Sql]] (the p02 `$minQuality` discipline), so a
+    * retune cannot desynchronize the two sides of the hash gate.
+    * Deliberately NOT [[minQuality]]: p02 scores whole documents,
+    * p13 scores 64-token chunks — same value today, different dial. */
+  val ragMaxDocFreq = 2L
+  val ragMinQuality = 0.35
+
+  /** p13 at t25's 64/48 windows; boilerplate bar [[ragMaxDocFreq]]
+    * distinct docs, quality bar [[ragMinQuality]] (≈ the corpus
+    * median — both bars bite at gate SF: the fixture carries one
+    * 3-doc boilerplate chunk, six 2-doc duplicated chunks, and a
+    * ~half-splitting quality spread). */
   def p13RagCorpus(spark: SparkSession, dir: String): DataFrame =
     ragCorpus(Tables.documents(spark, dir), 64, 48,
-      maxDocFreq = 2L, minQuality = 0.35)
+      maxDocFreq = ragMaxDocFreq, minQuality = ragMinQuality)
       .orderBy(col("doc_id"), col("chunk_id"))
 
   val p13Sql: String = {
@@ -834,7 +847,7 @@ object Pipeline {
        |  SELECT doc_id, chunk_id, CAST(len(ct) AS INT) AS n_tokens,
        |         array_to_string(ct, ' ') AS text
        |  FROM c),
-       |sc AS (
+       |sc AS MATERIALIZED (
        |  SELECT doc_id, chunk_id, n_tokens,
        |         md5(text) AS chunk_md5, $sqlQuality AS q
        |  FROM ch),
@@ -844,7 +857,7 @@ object Pipeline {
        |kept AS (
        |  SELECT sc.doc_id, sc.chunk_id, sc.n_tokens, sc.chunk_md5
        |  FROM sc JOIN df USING (chunk_md5)
-       |  WHERE df.docs <= 2 AND sc.q >= 0.35),
+       |  WHERE df.docs <= $ragMaxDocFreq AND sc.q >= $ragMinQuality),
        |firsts AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk_md5
        |           ORDER BY doc_id, chunk_id) AS rn

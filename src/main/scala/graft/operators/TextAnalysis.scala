@@ -527,15 +527,9 @@ object TextAnalysis {
 
   // -- Overlapping window chunking (RAG / context-window prep) ---------------
 
-  /** Overlapping fixed-window chunking — the retrieval-corpus prep
-    * step t12's packing does NOT cover: packing assigns whole
-    * documents to training bins, chunking splits each document into
-    * `window`-token pieces advancing by `stride` (< window ⇒
-    * `window − stride` tokens of overlap), the unit a RAG index embeds
-    * and retrieves. Chunk identity is the stable (doc_id, chunk_id)
-    * pair plus an md5 fingerprint of the chunk text (the downstream
-    * join/dedup key — chunks, not documents, are what near-dup
-    * detection sees in a retrieval corpus).
+  /** The raw chunk frame (doc_id, chunk_id: Int, ct: Array[String]) —
+    * the shared core of [[chunkDocuments]] (t25) and the p13 RAG
+    * composition ([[Pipeline.ragCorpus]]).
     *
     * Coverage rule: chunk starts are k·stride for k = 0..K with
     * K = ⌈(n − window)/stride⌉ (0 when n ≤ window) — the last window
@@ -547,11 +541,7 @@ object TextAnalysis {
     * (never recomputed inside a lambda — the HOF re-evaluation trap),
     * the fan-out is one `explode(sequence(...))` bounded by ⌈n/stride⌉
     * rows per document, and everything else is per-row expressions —
-    * no shuffle before the (total-ordered) sink, linear in corpus
-    * tokens at any scale. */
-  /** The raw chunk frame (doc_id, chunk_id: Int, ct: Array[String]) —
-    * the shared core of [[chunkDocuments]] (t25) and the p13 RAG
-    * composition. */
+    * no shuffle, linear in corpus tokens at any scale. */
   private[operators] def chunkRaw(docs: DataFrame, window: Int,
                                   stride: Int): DataFrame = {
     require(window >= 1 && stride >= 1 && stride <= window,
@@ -592,6 +582,16 @@ object TextAnalysis {
        |                    chunk_id * $stride + $window) AS ct
        |  FROM k)""".stripMargin
 
+  /** Overlapping fixed-window chunking — the retrieval-corpus prep
+    * step t12's packing does NOT cover: packing assigns whole
+    * documents to training bins, chunking splits each document into
+    * `window`-token pieces advancing by `stride` (< window ⇒
+    * `window − stride` tokens of overlap), the unit a RAG index embeds
+    * and retrieves. Chunk identity is the stable (doc_id, chunk_id)
+    * pair plus an md5 fingerprint of the chunk text (the downstream
+    * join/dedup key — chunks, not documents, are what near-dup
+    * detection sees in a retrieval corpus). Coverage/shape contract:
+    * [[chunkRaw]]. */
   def chunkDocuments(docs: DataFrame, window: Int, stride: Int): DataFrame =
     chunkRaw(docs, window, stride)
       .select(
