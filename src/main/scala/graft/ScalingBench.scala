@@ -431,11 +431,12 @@ object ScalingBench {
     val binWidth = operators.Sketches.qsBinWidth
     val wantQ39 = only.forall(_.contains("q39"))
     val wantQ40 = only.forall(_.contains("q40"))
+    val wantQ30 = only.forall(_.contains("q30"))
     if (wantQ39)
       ScaleCorpus.lineitem(Tables.lineitem(spark, baseDir), scale, keepPct = 70)
         .repartition(parts.toInt)
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-    if (wantQ40)
+    if (wantQ40 || wantQ30)
       ScaleCorpus.orders(Tables.orders(spark, baseDir), scale)
         .repartition(parts.toInt)
         .write.mode("overwrite").parquet(s"$dir/orders.parquet")
@@ -540,6 +541,35 @@ object ScalingBench {
       val (det, inv) = stability(estBaseline,
         operators.Sketches.q40QuantileRollup(spark, dir))
       println(s"""{"suite":"estimation","scale":$scale,"query":"q40",""" +
+        s""""deterministic":$det,"part_invariant":$inv}""")
+      System.out.flush()
+    }
+
+    // q30 — the HLL third of the sketch family (rows-only at the gate:
+    // DuckDB cannot replay DataSketches HLL). Its ≤5% pin lives at
+    // gate SF; this measures the real error against the exact per-year
+    // distinct-customer count where the population is 10×/100× bigger,
+    // plus the same determinism/invariance re-checks (HLL unions are
+    // order-insensitive by design — measured, not assumed).
+    if (wantQ30) {
+      val exact = Tables.orders(spark, dir)
+        .select(year(col("o_orderdate")).as("order_year"), col("o_custkey"))
+        .groupBy(col("order_year"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      val est = operators.Sketches.q30HllDistinctRollup(spark, dir)
+      val estBaseline = rows(est)
+      val joined = est.join(exact, Seq("order_year"))
+        .orderBy(col("order_year")).collect()
+      for (r <- joined) {
+        val e = r.getAs[Long]("est_unique_customers")
+        val x = r.getAs[Long]("n_exact")
+        println(s"""{"suite":"estimation","scale":$scale,"query":"q30",""" +
+          s""""year":${r.getAs[Int]("order_year")},"n_exact":$x,""" +
+          s""""n_est":$e,"rel_err":${f"${relErr(e, x)}%.4f"}}""")
+      }
+      val (det, inv) = stability(estBaseline,
+        operators.Sketches.q30HllDistinctRollup(spark, dir))
+      println(s"""{"suite":"estimation","scale":$scale,"query":"q30",""" +
         s""""deterministic":$det,"part_invariant":$inv}""")
       System.out.flush()
     }

@@ -111,18 +111,23 @@ object ScaleCorpus {
       .drop("k")
   }
 
-  /** `orders` replicated `replicas`× — keys offset; `o_totalprice`
-    * shifted by a per-replica cent (+k·0.01 — at most R·0.01, far
-    * below the q40 grid's 62.5 bin width), so the per-year DISTINCT
-    * price count (the QuantileSketch capacity axis) grows ~R× while
+  /** `orders` replicated `replicas`× — order AND customer keys offset
+    * per replica; `o_totalprice` shifted by a per-replica cent
+    * (+k·0.01 — at most R·0.01, far below the q40 grid's 62.5 bin
+    * width). Grows BOTH estimation axes at once: the per-year DISTINCT
+    * price count (the QuantileSketch capacity, q40) and the per-year
+    * distinct customer population (the HLL axis, q30) scale ~R× while
     * every quantile VALUE moves by under a cent. */
   def orders(o: DataFrame, replicas: Int): DataFrame = {
     val spark = o.sparkSession
-    val stride = o.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+    val head = o.agg(max(col("o_orderkey")), max(col("o_custkey"))).head()
+    val (stride, custStride) = (head.getLong(0) + 1, head.getLong(1) + 1)
     val reps = spark.range(replicas.toLong).select(col("id").cast("int").as("k"))
     o.crossJoin(reps)
       .withColumn("o_orderkey",
         col("o_orderkey") + col("k").cast("long") * stride)
+      .withColumn("o_custkey",
+        col("o_custkey") + col("k").cast("long") * custStride)
       .withColumn("o_totalprice",
         col("o_totalprice") + col("k").cast("double") * lit(0.01))
       .drop("k")
