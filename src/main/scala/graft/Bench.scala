@@ -65,6 +65,23 @@ object Bench {
     if (warmFailures > 0)
       System.err.println(s"[bench] $warmFailures/${2 * names.size} warmup runs failed (dir=$warmDir)")
 
+    // host-speed anchor (round 13): a PINNED CPU-bound in-memory query
+    // — 200M xxhash64-sum over range(), no IO, no shuffle, whole-stage
+    // codegen — timed min-of-3 in the same JVM right after warmup.
+    // BASELINE.md floors record the anchor of the host that set them,
+    // so a later adjudication can normalize apparent regressions by the
+    // anchor ratio instead of re-measuring the whole catalog on a
+    // drifted host (the round-12 adjudication cost four full passes).
+    def anchorOnce(): Double = {
+      import org.apache.spark.sql.functions.{col, sum, xxhash64}
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, cpus)
+        .select(sum(xxhash64(col("id")))).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    anchorOnce() // its own warmup — JIT of the anchor loop itself
+    val anchorSecs = (1 to 3).map(_ => anchorOnce()).min
+
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
     val results = names.map { name =>
       val secs = (1 to repeats).map { _ =>
@@ -87,7 +104,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","anchor_secs":${fmt(anchorSecs)},"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // stdout of an sbt run is scraped into a BOUNDED tail window: with
     // 183+ queries the headline alone can overflow it and truncate
@@ -107,7 +124,7 @@ object Bench {
       java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
     }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n":${results.size},""" +
-      s""""secs_by_sorted_name_gz_b64":"$gz"}""")
+      s""""anchor_secs":${fmt(anchorSecs)},"secs_by_sorted_name_gz_b64":"$gz"}""")
     // also persist the plain line so the round artifact is
     // machine-readable in full regardless of stdout capture
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")

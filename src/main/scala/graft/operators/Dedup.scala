@@ -717,7 +717,9 @@ object Dedup {
   def embeddingNearDupPairsIVF(emb: DataFrame, threshold: Double,
                                spill: Int = 3, targetCell: Long = 256L,
                                minNlist: Int = 16,
-                               quantizers: Int = 1): DataFrame = {
+                               quantizers: Int = 1,
+                               volumeBudget: Long =
+                                 Similarity.IvfCandidateVolumeBudget): DataFrame = {
     require(quantizers >= 1 && quantizers < VectorOps.orMixConstants.size,
       s"quantizers must be in [1, ${VectorOps.orMixConstants.size - 1}]")
     val e = emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
@@ -725,6 +727,15 @@ object Dedup {
       .localCheckpoint(true) // three consumers: count, assign, verify
     val n = e.count()
     val nlist = math.max(minNlist.toLong, n / targetCell).toInt
+    // pre-flight affordability (round 13): refuse un-affordable dials
+    // up front — the closed-form volume estimate against the measured
+    // disk wall (see [[Similarity.IvfCandidateVolumeBudget]]) — instead
+    // of a multi-hundred-second doomed run into a DISK-OOM
+    Similarity.checkIvfVolume(
+      n * targetCell * spill.toLong * spill * quantizers / 2L,
+      volumeBudget,
+      s"embeddingNearDupPairsIVF(N=$n, spill=$spill, " +
+        s"targetCell=$targetCell, quantizers=$quantizers)")
     // TWO-LEVEL quantizer ([[Similarity.twoLevelCentroids]], round 9):
     // coarse k-means over a bounded deterministic sample, then one
     // DISTRIBUTED sub-fit task per coarse group — fit work spread over

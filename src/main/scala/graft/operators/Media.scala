@@ -748,13 +748,9 @@ object Media {
     (hi, lo, set)
   }
 
-  /** m07 — perceptual hashes of every image payload, REAL decode:
-    * ImageIO decodes the PNG, [[phash64]] signs the pixels, and DuckDB
-    * re-derives every bit from the closed-form pixel formulas — so the
-    * gate pins the whole decode→signature path bit-for-bit. Payloads
-    * die inside the task; only (id, 2×32-bit halves, popcount) ever
-    * moves. */
-  def m07ImagePhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Decode every image payload and sign it with [[phash64]] — the
+    * shared producer of the m07 profile and the m10 pairing. */
+  private def imagePhashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaFixture(Tables.documents(spark, dir))
       .filter(col("kind") === "image").as[MediaRow]
@@ -766,8 +762,16 @@ object Media {
           (m.media_id, hi, lo, set)
         }
       }.toDF("media_id", "phash_hi", "phash_lo", "n_set")
-      .orderBy(col("media_id"))
   }
+
+  /** m07 — perceptual hashes of every image payload, REAL decode:
+    * ImageIO decodes the PNG, [[phash64]] signs the pixels, and DuckDB
+    * re-derives every bit from the closed-form pixel formulas — so the
+    * gate pins the whole decode→signature path bit-for-bit. Payloads
+    * die inside the task; only (id, 2×32-bit halves, popcount) ever
+    * moves. */
+  def m07ImagePhash(spark: SparkSession, dir: String): DataFrame =
+    imagePhashes(spark, dir).orderBy(col("media_id"))
 
   // the pixel/dim formulas and the %3 kind assignment are [[Codec]]'s
   // (mirrored like m03Sql); block index and bit rule mirror [[phash64]]
@@ -829,12 +833,9 @@ object Media {
     (fp, rise)
   }
 
-  /** m08 — audio fingerprints of every WAV payload, REAL decode:
-    * AudioSystem reassembles the PCM, [[audioFingerprint]] signs the
-    * energy contour, DuckDB re-derives every bit from the closed-form
-    * sample formulas — pinning the decode→signature path bit-for-bit.
-    * Payloads die inside the task; 12 bytes per asset move. */
-  def m08AudioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+  /** Decode every WAV payload and sign it with [[audioFingerprint]] —
+    * the shared producer of the m08 profile and the m11 pairing. */
+  private def audioFingerprints(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaFixture(Tables.documents(spark, dir))
       .filter(col("kind") === "audio").as[MediaRow]
@@ -844,8 +845,15 @@ object Media {
           (m.media_id, fp, rise)
         }
       }.toDF("media_id", "afp", "n_rise")
-      .orderBy(col("media_id"))
   }
+
+  /** m08 — audio fingerprints of every WAV payload, REAL decode:
+    * AudioSystem reassembles the PCM, [[audioFingerprint]] signs the
+    * energy contour, DuckDB re-derives every bit from the closed-form
+    * sample formulas — pinning the decode→signature path bit-for-bit.
+    * Payloads die inside the task; 12 bytes per asset move. */
+  def m08AudioFingerprint(spark: SparkSession, dir: String): DataFrame =
+    audioFingerprints(spark, dir).orderBy(col("media_id"))
 
   // sample/count formulas are [[Codec]]'s; window index and bit rule
   // mirror [[audioFingerprint]]
@@ -917,6 +925,164 @@ object Media {
       |GROUP BY id, f
       |ORDER BY media_id, pair_no""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Multimodal near-dup PAIRING (m10 image / m11 audio) — the d04
+  // Hamming band join over the decoded signatures
+  // ---------------------------------------------------------------------------
+
+  /** Near-dup pairs within `maxDist` Hamming over integer signatures —
+    * [[graft.operators.Dedup.simhashPairs]]' pigeonhole band join,
+    * generalized: `sig` carries (media_id, signature columns), `chunks`
+    * are the band values (any pair within maxDist < chunks.size must
+    * agree on ≥1 band exactly), candidates come from the (band, chunk)
+    * equi-join, and the exact Hamming re-check runs only on candidates.
+    * Scale posture: the banded frame is narrow (id + signature ints),
+    * the join is an equi-join whose bucket population is bounded by the
+    * band width (16/8 real bits here), and only 24-byte verified pairs
+    * leave — the same never-all-pairs discipline as d04. At 100 TB a
+    * hot-band cap (the d11 `maxBucketSize` dial) bounds any degenerate
+    * band; unnecessary at these signature entropies. */
+  private def signatureNearDupPairs(sig: DataFrame, chunks: Seq[Column],
+                                    sigCols: Seq[String],
+                                    maxDist: Int): DataFrame = {
+    require(maxDist < chunks.size,
+      s"${chunks.size}-band pigeonhole guarantees recall only below ${chunks.size}")
+    // materialized once for the self-join's two sides (the decode +
+    // signing upstream is the cost, not these narrow rows)
+    val banded = sig
+      .select(col("media_id") +: sigCols.map(col) :+
+        posexplode(array(chunks: _*)).as(Seq("band", "chunk")): _*)
+      .localCheckpoint(true)
+    val ham = sigCols
+      .map(c => bit_count(col(s"a_$c").bitwiseXOR(col(s"b_$c"))))
+      .reduce(_ + _)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a") +: col("b.media_id").as("id_b") +:
+        sigCols.flatMap(c =>
+          Seq(col(s"a.$c").as(s"a_$c"), col(s"b.$c").as(s"b_$c"))): _*)
+      .distinct()
+      .withColumn("hamming", ham.cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** m10 — IMAGE near-dup pairs, hash-gated: every image's [[phash64]]
+    * (m07's REAL decode→signature path) banded into 4×16-bit chunks,
+    * candidates from exact band agreement, pairs kept at Hamming ≤ 3
+    * (pigeonhole: 3 differing bits cannot touch all 4 bands, so recall
+    * over the threshold is exactly 1). The oracle re-derives every
+    * signature bit from the closed-form pixel formulas and replays the
+    * same band join + integer Hamming — unlike d04's xxhash64
+    * signatures this is all-integer bit arithmetic on both sides, so
+    * the pairing is a hash gate, not rows-only. */
+  def m10ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val ph = imagePhashes(spark, dir)
+    val chunks = Seq(
+      col("phash_lo").bitwiseAND(lit(0xFFFFL)),
+      shiftright(col("phash_lo"), 16).bitwiseAND(lit(0xFFFFL)),
+      col("phash_hi").bitwiseAND(lit(0xFFFFL)),
+      shiftright(col("phash_hi"), 16).bitwiseAND(lit(0xFFFFL)))
+    signatureNearDupPairs(ph, chunks, Seq("phash_hi", "phash_lo"), maxDist = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ph is the m07Sql chain; bands split the 2×32-bit halves into the
+  // same 4×16-bit chunks as [[m10ImageNearDup]]
+  val m10Sql: String =
+    """WITH img AS (
+      |  SELECT doc_id AS id,
+      |         8 + (doc_id % 24) AS w,
+      |         8 + ((doc_id * 7) % 24) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT id,
+      |         (yy.y * 8 // h) * 8 + (xx.x * 8 // w) AS b,
+      |         (id * 31 + xx.x * 7 + yy.y * 13) % 256 AS pix
+      |  FROM img
+      |  CROSS JOIN LATERAL (SELECT unnest(range(0, w)) AS x) xx
+      |  CROSS JOIN LATERAL (SELECT unnest(range(0, h)) AS y) yy),
+      |blocks AS (
+      |  SELECT id, b, SUM(pix) AS sb, COUNT(*) AS cb FROM px GROUP BY 1, 2),
+      |tot AS (SELECT id, SUM(sb) AS s, SUM(cb) AS n FROM blocks GROUP BY 1),
+      |bits AS (
+      |  SELECT bl.id, bl.b,
+      |         CASE WHEN bl.sb * t.n >= t.s * bl.cb THEN 1 ELSE 0 END AS bit
+      |  FROM blocks bl JOIN tot t ON bl.id = t.id),
+      |ph AS MATERIALIZED (
+      |  SELECT id AS media_id,
+      |    CAST(SUM(CASE WHEN bit = 1 AND b >= 32
+      |                  THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INT))
+      |                  ELSE 0 END) AS BIGINT) AS phash_hi,
+      |    CAST(SUM(CASE WHEN bit = 1 AND b < 32
+      |                  THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+      |                  ELSE 0 END) AS BIGINT) AS phash_lo
+      |  FROM bits GROUP BY id),
+      |banded AS MATERIALIZED (
+      |  SELECT media_id, phash_hi, phash_lo, g.band,
+      |         CASE g.band WHEN 0 THEN phash_lo & 65535
+      |                     WHEN 1 THEN (phash_lo >> 16) & 65535
+      |                     WHEN 2 THEN phash_hi & 65535
+      |                     ELSE (phash_hi >> 16) & 65535 END AS chunk
+      |  FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS band) g)
+      |SELECT id_a, id_b, hamming FROM (
+      |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+      |         CAST(bit_count(xor(a.phash_hi, b.phash_hi)) +
+      |              bit_count(xor(a.phash_lo, b.phash_lo)) AS INT) AS hamming
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.chunk = b.chunk
+      |   AND a.media_id < b.media_id) t
+      |WHERE hamming <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** m11 — AUDIO near-dup pairs, hash-gated: every track's 31-bit
+    * energy contour ([[audioFingerprint]], m08's REAL decode path)
+    * banded into 4×8-bit chunks (the top band carries 7 real bits),
+    * candidates from exact band agreement, pairs kept at Hamming ≤ 3 —
+    * the same pigeonhole-exact mechanism as m10 over the audio
+    * signature. All-integer on both sides → hash gate. */
+  def m11AudioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val fp = audioFingerprints(spark, dir)
+    val chunks = (0 until 4).map(k =>
+      shiftright(col("afp"), 8 * k).bitwiseAND(lit(0xFFL)))
+    signatureNearDupPairs(fp, chunks, Seq("afp"), maxDist = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // fp is the m08Sql chain; bands are the same 4×8-bit chunks
+  val m11Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS id, 64 + (doc_id % 192) AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |s AS (
+      |  SELECT id, (ii.i * 32) // n AS w,
+      |         ((id * 31 + ii.i * 7) % 4096) - 2048 AS v
+      |  FROM a CROSS JOIN LATERAL (SELECT unnest(range(0, n)) AS i) ii),
+      |e AS (SELECT id, w, SUM(v * v) AS e FROM s GROUP BY 1, 2),
+      |d AS (SELECT id, w, e,
+      |             lag(e) OVER (PARTITION BY id ORDER BY w) AS pe
+      |      FROM e),
+      |fp AS MATERIALIZED (
+      |  SELECT id AS media_id,
+      |    CAST(COALESCE(SUM(CASE WHEN e > pe
+      |                      THEN (CAST(1 AS BIGINT) << CAST(w - 1 AS INT))
+      |                      END), 0) AS BIGINT) AS afp
+      |  FROM d GROUP BY id),
+      |banded AS MATERIALIZED (
+      |  SELECT media_id, afp, g.band,
+      |         (afp >> (8 * g.band)) & 255 AS chunk
+      |  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band) g)
+      |SELECT id_a, id_b, hamming FROM (
+      |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+      |         CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.chunk = b.chunk
+      |   AND a.media_id < b.media_id) t
+      |WHERE hamming <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m09_scene_cuts"     -> m09SceneCuts _,
     "m01_media_stats"    -> m01MediaStats _,
@@ -927,6 +1093,8 @@ object Media {
     "m06_pixel_resize"   -> m06PixelResize _,
     "m07_image_phash"    -> m07ImagePhash _,
     "m08_audio_fingerprint" -> m08AudioFingerprint _,
+    "m10_image_neardup"  -> m10ImageNearDup _,
+    "m11_audio_neardup"  -> m11AudioNearDup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -939,5 +1107,7 @@ object Media {
     "m07_image_phash"  -> m07Sql,
     "m08_audio_fingerprint" -> m08Sql,
     "m09_scene_cuts"        -> m09Sql,
+    "m10_image_neardup"     -> m10Sql,
+    "m11_audio_neardup"     -> m11Sql,
   )
 }

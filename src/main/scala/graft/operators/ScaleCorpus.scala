@@ -51,17 +51,46 @@ object ScaleCorpus {
     perturbed.withColumn("n_chars", length(col("text")).cast("long"))
   }
 
-  /** `emb` replicated `replicas`× with per-(replica, dim) sign flips. */
-  def embeddings(emb: DataFrame, replicas: Int): DataFrame = {
+  /** `emb` replicated `replicas`× with per-(replica, dim) sign flips.
+    *
+    * `tightPct` > 0 (round 13) plants the TIGHT-regime near-dup
+    * population the recall suite's regime axis needs: a deterministic
+    * ~tightPct% of base vec_ids (token-hashed — `xxhash64(vec_id)` mod
+    * 100) become, in every replica k ≥ 1, a small multiplicative
+    * perturbation of the ORIGINAL vector instead of the sign-flipped
+    * scatter: v′ᵢ = vᵢ·(1 + ε·sᵢ) with per-(vec_id, k, dim) signs
+    * sᵢ = ±1 and ε = `tightEps`. Closed-form geometry: with random
+    * signs, cos(v, v′) ≈ 1/√(1+ε²) and cos(v′(k₁), v′(k₂)) ≈ 1/(1+ε²)
+    * — at the default ε = 0.2 that is ≈ 0.980 and ≈ 0.962, with
+    * per-pair spread ~ε/√dim ≈ 0.03 — so each tight id carries a
+    * deterministic clique of `replicas` mutually ≥ 0.9-cosine vectors
+    * (the regime real near-dup corpora concentrate in), while every
+    * tight copy stays far from every OTHER id's vectors (the base
+    * corpus has no cross-id pairs ≥ 0.6). The exact pair set is still
+    * measured by the suite's brute-force denominator — the closed
+    * form predicts the population, the scan defines it.
+    * `tightPct` = 0 (the default, and every non-recall path) is
+    * bit-identical to the historical replication. */
+  def embeddings(emb: DataFrame, replicas: Int, tightPct: Int = 0,
+                 tightEps: Double = 0.2): DataFrame = {
     val spark = emb.sparkSession
     val stride = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
     val reps = spark.range(replicas.toLong).select(col("id").cast("int").as("k"))
+    // all refs below see the BASE vec_id (the offset is aliased in the
+    // same select) — tightness and the perturbation signs hash it, so
+    // every replica agrees on WHICH ids are tight
+    val isTight = pmod(xxhash64(col("vec_id")), lit(100)) < lit(tightPct)
     emb.crossJoin(reps)
       .select(
         (col("vec_id") + col("k").cast("long") * stride).as("vec_id"),
         when(col("k") === 0, col("embedding"))
+          .otherwise(when(isTight,
+            transform(col("embedding"), (x, i) =>
+              x * (lit(1.0) + lit(tightEps) *
+                when(pmod(xxhash64(col("vec_id"), col("k"), i), lit(2)) === 0,
+                  lit(1.0)).otherwise(lit(-1.0)))))
           .otherwise(transform(col("embedding"), (x, i) =>
-            when(pmod(xxhash64(col("k"), i), lit(2)) === 0, x).otherwise(-x)))
+            when(pmod(xxhash64(col("k"), i), lit(2)) === 0, x).otherwise(-x))))
           .as("embedding"),
         col("label"))
   }
@@ -137,11 +166,12 @@ object ScaleCorpus {
     * (`documents.parquet`, `embeddings.parquet`, `events.parquet`) so
     * every gate entry point runs against it unmodified. */
   def write(baseDir: String, outDir: String, replicas: Int,
-            spark: org.apache.spark.sql.SparkSession): Unit = {
+            spark: org.apache.spark.sql.SparkSession,
+            tightPct: Int = 0): Unit = {
     documents(graft.Tables.documents(spark, baseDir), replicas)
       .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    embeddings(graft.Tables.embeddings(spark, baseDir), replicas)
+    embeddings(graft.Tables.embeddings(spark, baseDir), replicas, tightPct)
       .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     events(graft.Tables.events(spark, baseDir), replicas)

@@ -106,6 +106,30 @@ object Similarity {
     * query touches nprobe/nlist of the corpus — the recall/compute
     * dial. `nprobe = nlist` degenerates to exact brute force, which the
     * ScalaTest pin exploits. */
+  /** Default candidate-volume budget of the IVF dials (round 13) —
+    * the pre-flight affordability bar for [[ivfKnn]]'s OR-dial and
+    * [[graft.operators.Dedup.embeddingNearDupPairsIVF]]. Candidate
+    * volume is closed-form (pair generator: ~N·targetCell·spill²/2·q;
+    * kNN: ~nQ·nprobe·(N/nlist)·q scored pairs) and this host's disk
+    * walls were measured by dying (dev/scaling.md: at N = 50k the
+    * generator DISK-OOM'd at 230M estimated pairs — spill 8, cell
+    * 1024, and q = 5 shapes alike — while every ≤ 173M shape
+    * completed). 200M sits between the worst survivor and the best
+    * casualty; a run above the budget now REFUSES up front with the
+    * estimate in the message instead of spending multi-hundred-second
+    * doomed I/O. Callers with more disk (a real cluster spreads the
+    * same volume across executors) raise or disable it per call. */
+  val IvfCandidateVolumeBudget: Long = 200000000L
+
+  private[operators] def checkIvfVolume(estimate: Long, budget: Long,
+                                        detail: String): Unit =
+    require(estimate <= budget,
+      f"estimated IVF candidate volume $estimate%,d exceeds the " +
+        f"volume budget $budget%,d [$detail] — the measured single-host " +
+        "disk wall sits at ~230M pairs (dev/scaling.md); shrink the " +
+        "dials (spill/targetCell/nprobe/quantizers), or raise " +
+        "volumeBudget if the backing store can absorb the spill")
+
   /** Codegen'd argmin-cell projection over LITERAL centroids — the
     * Clustering.assignCell shape: round(−2·v·c + |c|², 9) ranked with
     * the cell id as tie-break (a total order), |c|² precomputed to a
@@ -345,7 +369,8 @@ object Similarity {
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
              nlist: Int = 16, nprobe: Int = 4,
              twoLevel: Boolean = false,
-             quantizers: Int = 1): DataFrame = {
+             quantizers: Int = 1,
+             volumeBudget: Long = IvfCandidateVolumeBudget): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist)
     require(quantizers >= 1 && quantizers < VectorOps.orMixConstants.size,
       s"quantizers must be in [1, ${VectorOps.orMixConstants.size - 1}]")
@@ -360,6 +385,17 @@ object Similarity {
         else ivfIndex(corpus, nlist)
       rankCandidates(probeCells(q, centroids, nprobe).join(cells, Seq("cell")), k)
     } else {
+      // pre-flight affordability (round 13): candidate volume is
+      // closed-form — ~nQ·nprobe·(N/nlist)·q scored pairs — and the
+      // disk walls were measured by dying (dev/scaling.md); refuse
+      // BEFORE the fits rather than discover the wall mid-join
+      val nCorpus0 = corpus.count()
+      val nQ0 = queries.count()
+      checkIvfVolume(
+        nQ0 * nprobe.toLong * math.max(1L, nCorpus0 / nlist) * quantizers,
+        volumeBudget,
+        s"ivfKnn(nQ=$nQ0, N=$nCorpus0, nlist=$nlist, nprobe=$nprobe, " +
+          s"quantizers=$quantizers)")
       // cross-quantizer dedup runs on NARROW (query, neighbor) id
       // pairs — 16 B/row — and the vectors re-join only for the
       // surviving pool (the d14 candidate-join discipline): deduping
@@ -387,11 +423,9 @@ object Similarity {
       val smallSide = 200000L
       def vec(df: DataFrame, n: Long) =
         if (n <= smallSide) broadcast(df) else df
-      val nCorpus = c0n.count()
-      val nQ = q.count()
       rankCandidates(
-        idPairs.join(vec(q, nQ), Seq("query_id"))
-          .join(vec(c0n, nCorpus), Seq("neighbor_id")), k)
+        idPairs.join(vec(q, nQ0), Seq("query_id"))
+          .join(vec(c0n, nCorpus0), Seq("neighbor_id")), k)
     }
   }
 
@@ -1450,6 +1484,27 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** s21 — the mutual-kNN graph over the OR-dial candidate generator:
+    * s15's composition with [[ivfKnn]] `quantizers = 2` — the point
+    * dev/scaling.md's s15×quantizers curve motivated (quantizer
+    * diversity beats deeper probing per cell probed: nprobe 4 × q3
+    * matches nprobe 8 × q2's edge recall at 44% of its wall-clock).
+    * HASH-GATED: [[mutualKnn]] composes with any top-k ranking by
+    * construction, and every piece of this one already replays —
+    * the oracle ([[s21Sql]]) is s19's two-arm Lloyd-chain replay with
+    * the query frame widened to the whole corpus, re-ranked to top-5,
+    * then s13/s15's column-swap mutual filter. A drift anywhere (an
+    * arm's fit, the candidate union/dedup, the re-rank, the mutual
+    * join) moves the edge set and breaks the hash. Edge-recall
+    * monotonicity in q stays measured in the scaling suite
+    * (dev/scaling.md), not pinned here — the gate pins that both
+    * engines make the SAME approximation. */
+  def s21MutualKnnOrDial(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    mutualKnn(ivfKnn(emb, emb, 5, nlist = 16, nprobe = 4, quantizers = 2))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Corpus bucket histogram — exercises the bucketing shape the
     * 100 TB path shuffles on. HASH-GATED (round 12): the md5 ±1
     * planes replay in SQL, so every vector's bucket id is pinned
@@ -1714,6 +1769,39 @@ object Similarity {
        |  SELECT DISTINCT query_id, neighbor_id FROM (
        |    SELECT * FROM g0_cand UNION ALL SELECT * FROM g1_cand))
        |${sqlRerank("cand", 5)}""".stripMargin
+  }
+
+  /** s21: s19's two arms with the query frame = the WHOLE corpus,
+    * candidates unioned/deduped, top-5 re-ranked, then the s13/s15
+    * mutual filter. */
+  val s21Sql: String = {
+    val arms = (0 until 2)
+      .map(qi => orDialArmSql(VectorOps.orMixConstants(qi), s"g${qi}_"))
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, v AS qv FROM emb),
+       |${arms.mkString(",\n")},
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT query_id, neighbor_id FROM (
+       |    SELECT * FROM g0_cand UNION ALL SELECT * FROM g1_cand)),
+       |knn AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, rk FROM (
+       |    SELECT c.query_id, c.neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+       |             ROUND(list_inner_product(eq.v, en.v) /
+       |                   (sqrt(list_inner_product(eq.v, eq.v)) *
+       |                    sqrt(list_inner_product(en.v, en.v))), 9) DESC,
+       |             c.neighbor_id) AS rk
+       |    FROM cand c JOIN emb eq ON eq.vec_id = c.query_id
+       |    JOIN emb en ON en.vec_id = c.neighbor_id) t
+       |  WHERE rk <= 5)
+       |SELECT f.query_id AS id_a, f.neighbor_id AS id_b,
+       |       CAST(f.rk AS INT) AS rk_ab, CAST(r.rk AS INT) AS rk_ba
+       |FROM knn f JOIN knn r
+       |  ON r.query_id = f.neighbor_id AND r.neighbor_id = f.query_id
+       |WHERE f.query_id < f.neighbor_id
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** The int8 quantization mirror: x → CAST(ROUND(x·(127/m)) AS
@@ -2559,6 +2647,7 @@ object Similarity {
     "s18_knn_ivf_append"    -> s18KnnIvfAppend _,
     "s19_knn_ivf_ordial"    -> s19KnnIvfOrDial _,
     "s20_knn_ivf_maintain"  -> s20KnnIvfMaintain _,
+    "s21_mutual_knn_ordial" -> s21MutualKnnOrDial _,
     "s05_ivf_cell_profile"  -> s05IvfCellProfile _,
     "s06_knn_quantized"     -> s06KnnQuantized _,
     "s07_knn_ivfsq"         -> s07KnnIvfSq _,
@@ -2584,6 +2673,7 @@ object Similarity {
     "s17_knn_ivf_persisted" -> s17Sql,
     "s18_knn_ivf_append" -> s18Sql,
     "s19_knn_ivf_ordial" -> s19Sql,
+    "s21_mutual_knn_ordial" -> s21Sql,
     // a correct maintenance re-fit over the full committed corpus is
     // bit-identical to a fresh full-corpus build — s04's replay IS the
     // oracle (the s17-shares-s04Sql precedent, one lifecycle later)

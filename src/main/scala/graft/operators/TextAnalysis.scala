@@ -566,10 +566,10 @@ object TextAnalysis {
     * [[chunkRaw]] mirror shared by the t25 and p13 oracles (single
     * owner of the coverage arithmetic on the SQL side too). */
   private[operators] def chunkCtesSql(window: Int, stride: Int): String =
-    s"""t AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks,
-       |         len(string_split(text, ' ')) AS n
-       |  FROM documents),
+    s"""t0 AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |t AS (
+       |  SELECT doc_id, toks, len(toks) AS n FROM t0),
        |k AS (
        |  SELECT doc_id, toks,
        |    unnest(range(0, (CASE WHEN n > $window

@@ -235,6 +235,22 @@ class DedupSpec extends SparkSpec {
     assert(or2 == or2Again, "the OR-dial must be deterministic")
   }
 
+  test("volume budget (round 13): un-affordable IVF dials are refused up front") {
+    val emb = Tables.embeddings(spark, sf)
+    // estimate N·targetCell·spill²·q/2 over a tiny budget → refuse with
+    // the estimate in the message, BEFORE any fit or join runs
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupPairsIVF(emb, 0.45, volumeBudget = 1000L)
+    }
+    assert(e.getMessage.contains("volume budget"),
+      s"unexpected refusal message: ${e.getMessage}")
+    val e2 = intercept[IllegalArgumentException] {
+      operators.Similarity.ivfKnn(emb, emb, 5, nlist = 16, nprobe = 4,
+        quantizers = 2, volumeBudget = 10L)
+    }
+    assert(e2.getMessage.contains("volume budget"))
+  }
+
   test("hot-shingle guard drops high-frequency shingles before the join") {
     val n = Dedup.docShingles(docs, n = 3, maxShingleFreq = Some(2L))
     // shingles travel as xxhash64 of the n-gram string — probe by hash

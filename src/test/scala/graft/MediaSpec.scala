@@ -247,6 +247,43 @@ class MediaSpec extends SparkSpec {
     assert(rt == Codec.decode(MediaRow(id, "image", Codec.encode(id, "image"))))
   }
 
+  test("m10: pairing equals the brute-force Hamming<=3 set (4-band pigeonhole recall 1)") {
+    val ph = Media.m07ImagePhash(spark, sf).localCheckpoint()
+    val brute = ph.as("a").join(ph.as("b"), $"a.media_id" < $"b.media_id")
+      .withColumn("hamming",
+        (bit_count($"a.phash_hi".bitwiseXOR($"b.phash_hi")) +
+          bit_count($"a.phash_lo".bitwiseXOR($"b.phash_lo"))).cast("int"))
+      .filter($"hamming" <= 3)
+      .select($"a.media_id".as("id_a"), $"b.media_id".as("id_b"), $"hamming")
+    val got = Media.m10ImageNearDup(spark, sf)
+    assert(got.count() > 0)
+    assert(got.exceptAll(brute).count() == 0 && brute.exceptAll(got).count() == 0)
+  }
+
+  test("m10 mechanism: id and id+768 are planted exact dups (identical payload, Hamming 0)") {
+    // pixel formula repeats mod 256 in id (768·31 ≡ 0 mod 256) and the
+    // dim formulas mod 24 — so id and id+768 (both % 3 == 0: image
+    // kind) encode byte-identical PNGs and must sign identically
+    val a = Codec.encode(6L, "image")
+    val b = Codec.encode(6L + 768L, "image")
+    assert(java.util.Arrays.equals(a, b))
+    val pa = Media.phash64(ImageIO.read(new ByteArrayInputStream(a)))
+    val pb = Media.phash64(ImageIO.read(new ByteArrayInputStream(b)))
+    assert(pa == pb)
+  }
+
+  test("m11: pairing equals the brute-force Hamming<=3 set over audio contours") {
+    val fp = Media.m08AudioFingerprint(spark, sf).localCheckpoint()
+    val brute = fp.as("a").join(fp.as("b"), $"a.media_id" < $"b.media_id")
+      .withColumn("hamming",
+        bit_count($"a.afp".bitwiseXOR($"b.afp")).cast("int"))
+      .filter($"hamming" <= 3)
+      .select($"a.media_id".as("id_a"), $"b.media_id".as("id_b"), $"hamming")
+    val got = Media.m11AudioNearDup(spark, sf)
+    assert(got.count() > 0)
+    assert(got.exceptAll(brute).count() == 0 && brute.exceptAll(got).count() == 0)
+  }
+
   test("m04: every image's nearest pixel-space neighbor is itself-excluded and ranked 1") {
     val knn = Media.m04FeatureKnn(spark, sf)
     assert(knn.filter($"query_id" === $"neighbor_id").count() == 0)

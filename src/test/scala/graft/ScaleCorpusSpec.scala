@@ -109,4 +109,35 @@ class ScaleCorpusSpec extends SparkSpec {
     assert(cross <= e3.count() / 20,
       s"$cross cross-replica near-dup pairs on ${e3.count()} vectors")
   }
+
+  test("tight population (round 13): planted cliques are exactly the >=0.9 pair set") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 100)
+    val t3 = ScaleCorpus.embeddings(emb, 3, tightPct = 20).localCheckpoint()
+    // the deterministic tight subset: xxhash64(base id) mod 100 < 20
+    val tightIds = emb.select(col("vec_id"))
+      .filter(pmod(xxhash64(col("vec_id")), lit(100)) < 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(tightIds.nonEmpty)
+    val pairs = Dedup.embeddingNearDupPairs(t3, 0.9)
+      .select(col("id_a"), col("id_b")).collect()
+    // every >= 0.9 pair sits INSIDE one tight id's clique (stride = 100
+    // here, so base id = vec_id mod 100) …
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a % 100 == b % 100 && tightIds.contains(a % 100),
+        s"unexpected tight-regime pair $a-$b")
+    }
+    // … and every clique pair clears the bar: C(3,2) = 3 pairs per
+    // tight id (ε = 0.2 ⇒ base-copy cos ≈ 0.980, copy-copy ≈ 0.962 —
+    // the closed form the ScaleCorpus doc derives; deterministic corpus,
+    // so this is a pin, not a probabilistic hope)
+    assert(pairs.length == tightIds.size * 3,
+      s"expected ${tightIds.size * 3} planted pairs, found ${pairs.length}")
+    // non-tight ids keep the historical sign-flip scatter: their copies
+    // must not enter the tight pair set at all (checked above by the
+    // membership assert) and the tightPct = 0 path stays bit-identical
+    val plain = ScaleCorpus.embeddings(emb, 3).localCheckpoint()
+    val zero = ScaleCorpus.embeddings(emb, 3, tightPct = 0)
+    assert(plain.exceptAll(zero).count() == 0)
+  }
 }

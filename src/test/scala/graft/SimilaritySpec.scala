@@ -860,4 +860,17 @@ class SimilaritySpec extends SparkSpec {
         s"edge ($a,$b) ranks disagree with the kNN answer")
     }
   }
+
+  test("s21: OR-dial mutual graph is well-formed and deterministic") {
+    val g1 = Similarity.s21MutualKnnOrDial(spark, sf)
+      .as[(Long, Long, Int, Int)].collect()
+    assert(g1.nonEmpty)
+    g1.foreach { case (a, b, rab, rba) =>
+      assert(a < b && rab >= 1 && rab <= 5 && rba >= 1 && rba <= 5)
+    }
+    val g2 = Similarity.s21MutualKnnOrDial(spark, sf)
+      .as[(Long, Long, Int, Int)].collect()
+    assert(g1.toSeq == g2.toSeq,
+      "the OR-dial mutual graph must replay bit-identically")
+  }
 }

@@ -80,12 +80,17 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
-  // NOTE (round 12, dev/scaling.md): this pin holds on the FIXTURE's
-  // file layout. At ~1.2k distincts the sketches sit at the set→HLL
-  // promotion boundary, where the union estimate depends on partial
-  // grouping — the estimation suite reproduces a counterexample on a
-  // rewritten copy of the same rows. Fully-dense sketches (x10/x100)
-  // are genuinely layout-invariant (register-wise max union).
+  // NOTE (round 12, dev/scaling.md §"estimation-mode boundary", the
+  // q30 promotion-boundary finding): this pin holds on the FIXTURE's
+  // file layout and is NOT a general property at this cardinality. At
+  // ~1.2k distincts the sketches sit at the set→HLL promotion
+  // boundary, where the union estimate depends on partial grouping —
+  // the estimation suite reproduces a counterexample on a rewritten
+  // copy of the same rows. Fully-dense sketches (x10/x100) are
+  // genuinely layout-invariant (register-wise max union). If you widen
+  // the fixture and this test breaks, you have most likely moved the
+  // promotion boundary, not introduced nondeterminism — read the
+  // scaling.md section before "fixing" anything.
   test("q30 merged yearly estimate is order-independent (repartition-proof)") {
     val a = Sketches.q30HllDistinctRollup(spark, sf)
     val b = {
@@ -95,7 +100,9 @@ class SketchesSpec extends SparkSpec {
         .collect().toSeq // materialize under the altered conf
       finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
-    assert(a.collect().toSeq == b)
+    assert(a.collect().toSeq == b,
+      "q30 layout-sensitivity: likely the set->HLL promotion boundary " +
+        "(dev/scaling.md, q30 estimation-mode finding), not nondeterminism")
   }
 
   test("q39 theta set algebra is exact below nominal entries and internally consistent") {
