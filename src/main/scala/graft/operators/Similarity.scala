@@ -121,6 +121,15 @@ object Similarity {
     * same volume across executors) raise or disable it per call. */
   val IvfCandidateVolumeBudget: Long = 200000000L
 
+  /** [[ivfKnn]]'s own default budget — an order of magnitude looser.
+    * The kNN path has NO measured wall: its candidates are narrow id
+    * pairs re-joined conditionally (the 50k×50k wide-row spill failure
+    * was designed out before the dial shipped), and the largest
+    * measured-complete x100 point (nprobe 8, q = 2) already scores
+    * ~412M candidates. 2G catches runaway dials (nprobe ≈ nlist over a
+    * huge corpus) without refusing measured-good ones. */
+  val IvfKnnCandidateVolumeBudget: Long = 2000000000L
+
   private[operators] def checkIvfVolume(estimate: Long, budget: Long,
                                         detail: String): Unit =
     require(estimate <= budget,
@@ -370,7 +379,7 @@ object Similarity {
              nlist: Int = 16, nprobe: Int = 4,
              twoLevel: Boolean = false,
              quantizers: Int = 1,
-             volumeBudget: Long = IvfCandidateVolumeBudget): DataFrame = {
+             volumeBudget: Long = IvfKnnCandidateVolumeBudget): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist)
     require(quantizers >= 1 && quantizers < VectorOps.orMixConstants.size,
       s"quantizers must be in [1, ${VectorOps.orMixConstants.size - 1}]")
