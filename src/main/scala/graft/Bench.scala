@@ -73,10 +73,12 @@ object Bench {
     // anchor ratio instead of re-measuring the whole catalog on a
     // drifted host (the round-12 adjudication cost four full passes).
     def anchorOnce(): Double = {
-      import org.apache.spark.sql.functions.{col, sum, xxhash64}
+      import org.apache.spark.sql.functions.{bit_count, col, sum, xxhash64}
       val t0 = System.nanoTime()
+      // bit_count keeps the per-row term in [0, 64] so the 200M-row sum
+      // can never overflow a long under ANSI (a raw xxhash64 sum does)
       spark.range(0L, 200000000L, 1L, cpus)
-        .select(sum(xxhash64(col("id")))).head()
+        .select(sum(bit_count(xxhash64(col("id"))).cast("long"))).head()
       (System.nanoTime() - t0) / 1e9
     }
     anchorOnce() // its own warmup — JIT of the anchor loop itself
