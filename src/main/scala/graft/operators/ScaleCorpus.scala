@@ -83,6 +83,12 @@ object ScaleCorpus {
     emb.crossJoin(reps)
       .select(
         (col("vec_id") + col("k").cast("long") * stride).as("vec_id"),
+        // cast restores the fixture's array<float> element type: the
+        // tight branch's double literals would otherwise promote the
+        // WHOLE when() to array<double> (type unification is static —
+        // even at tightPct = 0), breaking strict-schema readers like
+        // the v30 file-stream source; the non-tight branches round-trip
+        // float→double→float exactly
         when(col("k") === 0, col("embedding"))
           .otherwise(when(isTight,
             transform(col("embedding"), (x, i) =>
@@ -91,6 +97,7 @@ object ScaleCorpus {
                   lit(1.0)).otherwise(lit(-1.0)))))
           .otherwise(transform(col("embedding"), (x, i) =>
             when(pmod(xxhash64(col("k"), i), lit(2)) === 0, x).otherwise(-x))))
+          .cast("array<float>")
           .as("embedding"),
         col("label"))
   }
