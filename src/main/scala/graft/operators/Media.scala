@@ -939,20 +939,39 @@ object Media {
     * Scale posture: the banded frame is narrow (id + signature ints),
     * the join is an equi-join whose bucket population is bounded by the
     * band width (16/8 real bits here), and only 24-byte verified pairs
-    * leave — the same never-all-pairs discipline as d04. At 100 TB a
-    * hot-band cap (the d11 `maxBucketSize` dial) bounds any degenerate
-    * band; unnecessary at these signature entropies. */
-  private def signatureNearDupPairs(sig: DataFrame, chunks: Seq[Column],
+    * leave — the same never-all-pairs discipline as d04. At 100 TB the
+    * `maxBucketSize` hot-band cap (the d11 dial, same trade — see the
+    * inline note) bounds any degenerate bucket; the gates run uncapped
+    * for pigeonhole recall 1. */
+  private[operators] def signatureNearDupPairs(sig: DataFrame, chunks: Seq[Column],
                                     sigCols: Seq[String],
-                                    maxDist: Int): DataFrame = {
+                                    maxDist: Int,
+                                    maxBucketSize: Option[Long] = None): DataFrame = {
     require(maxDist < chunks.size,
       s"${chunks.size}-band pigeonhole guarantees recall only below ${chunks.size}")
     // materialized once for the self-join's two sides (the decode +
     // signing upstream is the cost, not these narrow rows)
-    val banded = sig
+    val banded0 = sig
       .select(col("media_id") +: sigCols.map(col) :+
         posexplode(array(chunks: _*)).as(Seq("band", "chunk")): _*)
       .localCheckpoint(true)
+    // the 100 TB dial (d11's hot-bucket cap, same trade): a 16-bit band
+    // has only 65k values, so at billions of assets the band join's
+    // quadratic mass concentrates in hot (band, chunk) buckets — the
+    // cap drops buckets past the limit from candidate generation,
+    // surrendering the pigeonhole recall guarantee only inside
+    // signature clusters larger than the cap (cluster-level-policy
+    // territory, exactly d08/d11's contract). None (the m10/m11 gates)
+    // keeps recall-1.
+    val banded = maxBucketSize match {
+      case None => banded0
+      case Some(limit) =>
+        val hot = banded0.groupBy(col("band"), col("chunk"))
+          .agg(count(lit(1)).as("pop"))
+          .filter(col("pop") > limit)
+          .select(col("band"), col("chunk"))
+        banded0.join(hot, Seq("band", "chunk"), "left_anti")
+    }
     val ham = sigCols
       .map(c => bit_count(col(s"a_$c").bitwiseXOR(col(s"b_$c"))))
       .reduce(_ + _)
@@ -978,16 +997,23 @@ object Media {
     * same band join + integer Hamming — unlike d04's xxhash64
     * signatures this is all-integer bit arithmetic on both sides, so
     * the pairing is a hash gate, not rows-only. */
-  def m10ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val ph = imagePhashes(spark, dir)
+  /** pHash near-dup pairs over any (media_id, phash_hi, phash_lo)
+    * frame — the public operator m10 gates (cap: see
+    * [[signatureNearDupPairs]]). */
+  def phashNearDupPairs(sig: DataFrame, maxDist: Int = 3,
+                        maxBucketSize: Option[Long] = None): DataFrame = {
     val chunks = Seq(
       col("phash_lo").bitwiseAND(lit(0xFFFFL)),
       shiftright(col("phash_lo"), 16).bitwiseAND(lit(0xFFFFL)),
       col("phash_hi").bitwiseAND(lit(0xFFFFL)),
       shiftright(col("phash_hi"), 16).bitwiseAND(lit(0xFFFFL)))
-    signatureNearDupPairs(ph, chunks, Seq("phash_hi", "phash_lo"), maxDist = 3)
-      .orderBy(col("id_a"), col("id_b"))
+    signatureNearDupPairs(sig, chunks, Seq("phash_hi", "phash_lo"),
+      maxDist, maxBucketSize)
   }
+
+  def m10ImageNearDup(spark: SparkSession, dir: String): DataFrame =
+    phashNearDupPairs(imagePhashes(spark, dir))
+      .orderBy(col("id_a"), col("id_b"))
 
   // ph is the m07Sql chain; bands split the 2×32-bit halves into the
   // same 4×16-bit chunks as [[m10ImageNearDup]]
@@ -1043,13 +1069,18 @@ object Media {
     * candidates from exact band agreement, pairs kept at Hamming ≤ 3 —
     * the same pigeonhole-exact mechanism as m10 over the audio
     * signature. All-integer on both sides → hash gate. */
-  def m11AudioNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val fp = audioFingerprints(spark, dir)
+  /** Audio-contour near-dup pairs over any (media_id, afp) frame —
+    * the public operator m11 gates. */
+  def audioNearDupPairs(sig: DataFrame, maxDist: Int = 3,
+                        maxBucketSize: Option[Long] = None): DataFrame = {
     val chunks = (0 until 4).map(k =>
       shiftright(col("afp"), 8 * k).bitwiseAND(lit(0xFFL)))
-    signatureNearDupPairs(fp, chunks, Seq("afp"), maxDist = 3)
-      .orderBy(col("id_a"), col("id_b"))
+    signatureNearDupPairs(sig, chunks, Seq("afp"), maxDist, maxBucketSize)
   }
+
+  def m11AudioNearDup(spark: SparkSession, dir: String): DataFrame =
+    audioNearDupPairs(audioFingerprints(spark, dir))
+      .orderBy(col("id_a"), col("id_b"))
 
   // fp is the m08Sql chain; bands are the same 4×8-bit chunks
   val m11Sql: String =

@@ -284,6 +284,19 @@ class MediaSpec extends SparkSpec {
     assert(got.exceptAll(brute).count() == 0 && brute.exceptAll(got).count() == 0)
   }
 
+  test("m10 hot-band cap engages: capped pairs lose only over-cap signature clusters") {
+    val ph = Media.m07ImagePhash(spark, sf).localCheckpoint()
+    val uncapped = Media.phashNearDupPairs(ph)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // the fixture has a 47-member Hamming-0 family at the gate corpus;
+    // cap below it so the dial genuinely engages
+    val capped = Media.phashNearDupPairs(ph, maxBucketSize = Some(8L))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(uncapped),
+      "the cap can only DROP candidate buckets, never invent pairs")
+    assert(capped.size < uncapped.size, "cap did not engage on this corpus")
+  }
+
   test("m04: every image's nearest pixel-space neighbor is itself-excluded and ranked 1") {
     val knn = Media.m04FeatureKnn(spark, sf)
     assert(knn.filter($"query_id" === $"neighbor_id").count() == 0)
