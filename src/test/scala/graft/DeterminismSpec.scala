@@ -87,4 +87,14 @@ class DeterminismSpec extends SparkSpec {
   test("round-10-tail queries digest identically under different shuffle widths") {
     pinWidths(roundTenTail)
   }
+
+  // round 13: the multimodal pairings (band join + distinct + Hamming
+  // verify must not depend on partitioning) and the OR-dial mutual
+  // graph (two fits + candidate union + mutual filter)
+  private val roundThirteen = Seq("m10_image_neardup", "m11_audio_neardup",
+    "s21_mutual_knn_ordial")
+
+  test("round-13 queries digest identically under different shuffle widths") {
+    pinWidths(roundThirteen)
+  }
 }
