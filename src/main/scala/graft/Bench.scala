@@ -84,6 +84,33 @@ object Bench {
     anchorOnce() // its own warmup — JIT of the anchor loop itself
     val anchorSecs = (1 to 3).map(_ => anchorOnce()).min
 
+    // IO anchor (round 14): the CPU anchor is blind to disk-latency
+    // drift — round 13's v32 "regression" was fsync latency doubling on
+    // the bench host while anchor_secs read FASTER. This pins the exact
+    // pattern the disk-backed gates pay (many small fsync'd files:
+    // state-store delta commits, warehouse batch_id partitions): 64
+    // sequential 64 KiB create+write+fsync files in java.io.tmpdir
+    // (the device temp checkpoints land on), min-of-3. Adjudication
+    // rule: a slow artifact whose io_anchor_secs is elevated against
+    // the floor's is host IO drift — normalize, don't re-measure.
+    def ioAnchorOnce(): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_io_anchor")
+      try {
+        val buf = java.nio.ByteBuffer.allocate(65536)
+        val t0 = System.nanoTime()
+        (1 to 64).foreach { i =>
+          val ch = java.nio.channels.FileChannel.open(dir.resolve(s"f$i"),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE)
+          try { buf.rewind(); ch.write(buf); ch.force(true) } finally ch.close()
+        }
+        (System.nanoTime() - t0) / 1e9
+      } finally
+        new scala.reflect.io.Directory(dir.toFile).deleteRecursively()
+    }
+    ioAnchorOnce() // warmup (dentry cache, JIT)
+    val ioAnchorSecs = (1 to 3).map(_ => ioAnchorOnce()).min
+
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
     val results = names.map { name =>
       val secs = (1 to repeats).map { _ =>
@@ -106,7 +133,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","anchor_secs":${fmt(anchorSecs)},"queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","anchor_secs":${fmt(anchorSecs)},"io_anchor_secs":${fmt(ioAnchorSecs)},"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // stdout of an sbt run is scraped into a BOUNDED tail window: with
     // 183+ queries the headline alone can overflow it and truncate
@@ -126,7 +153,7 @@ object Bench {
       java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
     }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n":${results.size},""" +
-      s""""anchor_secs":${fmt(anchorSecs)},"secs_by_sorted_name_gz_b64":"$gz"}""")
+      s""""anchor_secs":${fmt(anchorSecs)},"io_anchor_secs":${fmt(ioAnchorSecs)},"secs_by_sorted_name_gz_b64":"$gz"}""")
     // also persist the plain line so the round artifact is
     // machine-readable in full regardless of stdout capture
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")

@@ -448,9 +448,27 @@ object EventStreams {
     // should clone the session (`spark.newSession()`) first.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // Checkpoint the REPLAY HARNESS on tmpfs when the host has one.
+    // Every micro-batch commits one fsync'd delta file per state-store
+    // instance (a stream-stream join = 4 stores × 8 partitions = 32
+    // fsyncs per batch, data or not — measured ~0.9 s/batch even for
+    // 0-row no-data batches on a disk-backed java.io.tmpdir, and the
+    // round-13 adjudication caught v32 at 2.1× floor purely from fsync
+    // latency drift the CPU anchor is blind to). The bounded replay's
+    // checkpoint is pure harness scaffolding — it is never restarted
+    // from — so RAM-backed durability is sound here; the production
+    // path (v15 / sinkToWarehouse) keeps explicit on-disk checkpoints
+    // because THOSE are the crash-recovery contract.
+    val ckptBase = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptBase, "graft_replay_ckpt_")
     try {
       val q = transform(ms.toDF()).writeStream
         .format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString)
         .outputMode(OutputMode.Append()).start()
       try {
         val batchSize = math.max(1, rows.length / 4 + 1)
@@ -459,7 +477,11 @@ object EventStreams {
         }
         ms.addData(flush); q.processAllAvailable()
       } finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // tmpfs is RAM — a leaked checkpoint dir is leaked memory
+      new scala.reflect.io.Directory(ckpt.toFile).deleteRecursively()
+    }
     spark.table(name)
   }
 
