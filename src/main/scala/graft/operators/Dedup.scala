@@ -768,12 +768,16 @@ object Dedup {
       // spill assignment: rank cells by |v−c|² = |v|² − 2v·c + |c|²
       // (the |v|² term is constant per vector), keep the `spill`
       // nearest; cell ids offset by q·nlist so the self-join below
-      // never pairs across quantizers
+      // never pairs across quantizers. ROUND 9 (round 14): the same
+      // round-9 argmin discipline as every other assignment/probe in
+      // the engine ([[Similarity.sqlDist]]) — what makes the d14
+      // oracle's DuckDB replay of this ranking exact rather than
+      // hostage to float noise at cell boundaries.
       val wCell = Window.partitionBy(col("vec_id"))
         .orderBy(col("cdist"), col("cell")) // cell id breaks exact ties
       e.crossJoin(broadcast(centroids))
-        .withColumn("cdist",
-          VectorOps.dot(col("v"), col("centroid")) * lit(-2.0) + col("cn2"))
+        .withColumn("cdist", round(
+          VectorOps.dot(col("v"), col("centroid")) * lit(-2.0) + col("cn2"), 9))
         .withColumn("crk", row_number().over(wCell))
         .filter(col("crk") <= spill)
         .select(col("vec_id"), (col("cell") + lit(q * nlist)).as("cell"))
@@ -1332,19 +1336,64 @@ object Dedup {
     * dev/scaling.md for the measured curves). Same downstream as
     * d12/d13 via [[semanticSurvivors]].
     *
-    * Rows-only gate BY DESIGN: cell partitioning trades boundary-pair
-    * recall for linear scaling (a threshold-angle pair can straddle
-    * cells that share none of their spill assignments — the same trade
-    * SemDeDup makes with within-cluster-only pairing), so the survivor
-    * checksum is legitimately ≠ d12's on corpora with straddling pairs.
-    * What IS pinned (DedupSpec): precision exactly 1, recall ≥ 0.8 at
-    * defaults on the fixture corpus, and — the machinery-correctness
-    * pin — spill = nlist (probe every cell) degenerates to the EXACT
-    * pair set, the same dial s04's nprobe=nlist pin turns. */
+    * HASH-GATED from round 14 against a generated oracle that makes
+    * the SAME approximation (the s15 precedent): cell partitioning
+    * still trades boundary-pair recall for linear scaling, so the
+    * survivor checksum is legitimately ≠ d12's on corpora with
+    * straddling pairs — but every stage is cross-engine replayable
+    * (the seedless two-level Lloyd fit via [[Similarity.twoLevelChainSql]],
+    * the round-9 flat spill ranking, in-cell pairs, exact cosine ≥ t,
+    * the d12 recursive-CTE closure), so DuckDB reproduces the
+    * approximate survivor set bit for bit. Still pinned in DedupSpec:
+    * precision exactly 1, recall ≥ 0.8 at defaults, and spill = nlist
+    * (probe every cell) degenerates to the EXACT pair set. */
   def d14SemanticDedupIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     semanticSurvivors(emb, embeddingNearDupPairsIVF(emb, 0.45))
   }
+
+  /** d14's generated oracle: replay the WHOLE approximate pipeline in
+    * DuckDB — both engines make the SAME approximation (the s15
+    * precedent), so the gate checks the machinery, not recall.
+    * Chain: [[Similarity.twoLevelChainSql]](16) (nlist = max(16,
+    * N/256) = 16 at the 500-vector gate SF — mirrored literally, the
+    * m03/m06 convention: change the Scala dials and this constant
+    * together) → flat round-9 spill-3 ranking over ALL cells (d14's
+    * `assignedBy`, NOT the chain's hierarchical `fin`) → distinct
+    * in-cell pairs → exact cosine ≥ 0.45 → the d12 recursive-CTE
+    * closure and survivor checksum. */
+  val d14Sql: String =
+    s"""WITH RECURSIVE ${Similarity.twoLevelChainSql(16, withFin = false)},
+      |spl AS MATERIALIZED (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, ct.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${Similarity.sqlDist("e.v", "ct.clist")}, ct.cell) AS crk
+      |    FROM emb e CROSS JOIN cells ct) t
+      |  WHERE crk <= 3),
+      |cand AS MATERIALIZED (
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM spl a JOIN spl b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+      |pairs AS MATERIALIZED (
+      |  SELECT id_a, id_b FROM cand
+      |  JOIN emb ea ON ea.vec_id = cand.id_a
+      |  JOIN emb eb ON eb.vec_id = cand.id_b
+      |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.45),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |labels AS (
+      |  SELECT src AS node, least(src, MIN(dst)) AS lbl
+      |  FROM reach GROUP BY src),
+      |dropped AS (SELECT node FROM labels WHERE node <> lbl)
+      |SELECT COUNT(*) AS kept_vecs,
+      |  CAST(SUM(vec_id) AS BIGINT) AS kept_id_sum,
+      |  (SELECT COUNT(*) FROM dropped) AS dropped_vecs
+      |FROM embeddings
+      |WHERE vec_id NOT IN (SELECT node FROM dropped)""".stripMargin
 
   val d12Sql: String =
     """WITH RECURSIVE pairs AS (
@@ -1456,10 +1505,11 @@ object Dedup {
     "d11_minhash_capped"  -> d02Sql, // cap must not lose true pairs here
     "d12_semantic_dedup"  -> d12Sql,
     "d13_semantic_dedup_lsh" -> d12Sql, // scale path must equal the exact answer
+    // d14's oracle makes the SAME cell-partitioning approximation (the
+    // s15 precedent): the seedless fit, round-9 spill ranking, and
+    // closure all replay exactly — see d14Sql
+    "d14_semantic_dedup_ivf" -> d14Sql,
     "d15_containment_pairs" -> d15Sql,
     "d16_semantic_decontam" -> d16Sql,
-    // d14 is rows-only BY DESIGN: IVF cell partitioning trades
-    // boundary-pair recall for linear candidate volume (pins in
-    // DedupSpec: precision 1, recall ≥ 0.8, spill=nlist == exact)
   )
 }

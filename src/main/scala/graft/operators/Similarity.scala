@@ -1567,8 +1567,9 @@ object Similarity {
   // ---------------------------------------------------------------------------
 
   /** ROUND(−2·v·c + |c|², 9) — the assignment/probe distance term, the
-    * c01 chain's expression verbatim. */
-  private def sqlDist(v: String, c: String): String =
+    * c01 chain's expression verbatim. Shared with the d14 oracle
+    * ([[graft.operators.Dedup.d14Sql]]). */
+  private[operators] def sqlDist(v: String, c: String): String =
     s"ROUND(-2 * list_inner_product($v, $c) + " +
       s"list_inner_product($c, $c), 9)"
 
@@ -1650,9 +1651,13 @@ object Similarity {
     * coarse/cell ASSIGNMENT always covers every `emb` row — exactly
     * [[appendToIvfIndex]]'s contract: appended vectors are assigned
     * with the STORED quantizer, never re-fit. `TRUE` (the s04/s17
-    * form) makes `bld` = `emb` and the split is a no-op. */
-  private def twoLevelChainSql(nlist: Int,
-                               buildPred: String = "TRUE"): String = {
+    * form) makes `bld` = `emb` and the split is a no-op.
+    * `withFin = false` ends the chain at `cells` (the d14 oracle does
+    * its own FLAT spill ranking over all cells, so the hierarchical
+    * single-cell assignment `fin` would be dead weight). */
+  private[operators] def twoLevelChainSql(nlist: Int,
+                                          buildPred: String = "TRUE",
+                                          withFin: Boolean = true): String = {
     val (k1, k2) = twoLevelKs(nlist)
     s"""emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |bld AS MATERIALIZED (SELECT vec_id, v FROM emb WHERE $buildPred),
@@ -1672,13 +1677,13 @@ object Similarity {
        |${lloydGroupChainSql("ssamp", k2, "s_")},
        |cells AS MATERIALIZED (
        |  SELECT coarse, coarse * $k2 + cell AS cell, clist
-       |  FROM s_cent$lloydIters),
+       |  FROM s_cent$lloydIters)${if (withFin) s""",
        |fin AS MATERIALIZED (
        |  SELECT e.vec_id,
        |         (MIN({'d': ${sqlDist("e.v", "ct.clist")}, 'c': ct.cell})).c AS cell
        |  FROM emb e JOIN crs a USING (vec_id)
        |  JOIN cells ct ON ct.coarse = a.coarse
-       |  GROUP BY e.vec_id)""".stripMargin
+       |  GROUP BY e.vec_id)""" else ""}""".stripMargin
   }
 
   /** Probe + exact-cosine-rank tail shared by the s04/s17 oracles:
