@@ -108,13 +108,23 @@ object ScalingBench {
         "exact_dropped" -> nExactDropped,
         "extra_survivors" -> extraSurvivors)): _*)
     } catch {
-      // the round-13 volume-budget pre-flight raises on un-affordable
-      // dials — record the refusal as a row instead of killing the
-      // remaining grid points (the runs-table per-query convention)
-      case e: Exception =>
+      // the round-13 volume-budget pre-flight raises
+      // IllegalArgumentException on un-affordable dials — record the
+      // refusal as a row instead of killing the remaining grid points
+      // (the runs-table per-query convention). ONLY that type: a
+      // genuine failure (Spark job abort, OOM-wrapped SparkException,
+      // analysis error) must not masquerade as an intentional refusal
+      // (round-14 ADVICE item) — it is recorded as its own
+      // failed-not-refused row and the grid continues.
+      case e: IllegalArgumentException =>
         emit(tag, (fields ++ Seq("refused" -> true,
-          "reason" -> ("\"" + e.getMessage.takeWhile(_ != '\n')
-            .replace("\"", "'") + "\""))): _*)
+          "reason" -> ("\"" + Option(e.getMessage).getOrElse("")
+            .takeWhile(_ != '\n').replace("\"", "'") + "\""))): _*)
+      case scala.util.control.NonFatal(e) =>
+        emit(tag, (fields ++ Seq("failed" -> true,
+          "error" -> ("\"" + (e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse(""))
+            .takeWhile(_ != '\n').replace("\"", "'") + "\""))): _*)
     }
     def d13Metrics(tag: String, bands: Int): Unit =
       pairMetrics(tag,
@@ -197,11 +207,20 @@ object ScalingBench {
           "edge_recall" ->
             f"${if (nEdges == 0) 1.0 else hits.toDouble / nEdges}%.4f")
       } catch {
-        case e: Exception =>
+        // same typed split as pairMetrics: only the volume-budget
+        // pre-flight's IllegalArgumentException is a refusal; anything
+        // else is a real failure recorded as such (null-safe message)
+        case e: IllegalArgumentException =>
           emit("s15_recall", "nprobe" -> np, "quantizers" -> orQ,
             "refused" -> true,
-            "reason" -> ("\"" + e.getMessage.takeWhile(_ != '\n')
-              .replace("\"", "'") + "\""))
+            "reason" -> ("\"" + Option(e.getMessage).getOrElse("")
+              .takeWhile(_ != '\n').replace("\"", "'") + "\""))
+        case scala.util.control.NonFatal(e) =>
+          emit("s15_recall", "nprobe" -> np, "quantizers" -> orQ,
+            "failed" -> true,
+            "error" -> ("\"" + (e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse(""))
+              .takeWhile(_ != '\n').replace("\"", "'") + "\""))
       }
     }
 

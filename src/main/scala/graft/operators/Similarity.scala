@@ -397,7 +397,15 @@ object Similarity {
       // pre-flight affordability (round 13): candidate volume is
       // closed-form — ~nQ·nprobe·(N/nlist)·q scored pairs — and the
       // disk walls were measured by dying (dev/scaling.md); refuse
-      // BEFORE the fits rather than discover the wall mid-join
+      // BEFORE the fits rather than discover the wall mid-join.
+      // BALANCED-CELL ASSUMPTION (round-14 ADVICE note): N/nlist is the
+      // AVERAGE cell population — a skewed fit's hot cells can be
+      // probed disproportionately often, so true volume can exceed the
+      // estimate; the 10× headroom in IvfKnnCandidateVolumeBudget is
+      // the mitigation, not a bound. When an index is already
+      // materialized, max cell size would bound it exactly — but this
+      // path fits fresh per call, so the estimate must precede the fit
+      // by construction.
       val nCorpus0 = corpus.count()
       val nQ0 = queries.count()
       checkIvfVolume(

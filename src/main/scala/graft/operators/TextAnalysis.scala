@@ -566,7 +566,7 @@ object TextAnalysis {
     * [[chunkRaw]] mirror shared by the t25 and p13 oracles (single
     * owner of the coverage arithmetic on the SQL side too). */
   private[operators] def chunkCtesSql(window: Int, stride: Int): String =
-    s"""t0 AS (
+    s"""t0 AS MATERIALIZED (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |t AS (
        |  SELECT doc_id, toks, len(toks) AS n FROM t0),
