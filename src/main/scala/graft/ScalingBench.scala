@@ -78,13 +78,16 @@ object ScalingBench {
     // where any cell/band geometry holds far more of it.
     val recallT = sys.env.get("SPARK_GRAFT_SCALING_RECALL_T")
       .map(_.toDouble).getOrElse(0.45)
-    val exactPairs = Dedup.embeddingNearDupPairs(emb, recallT)
+    // lazy (round 14): a media-cap-only invocation (m10_cap/m11_cap)
+    // must not pay the exact all-pairs scan — at x100 that is a
+    // 2.5B-cosine denominator no cap row reads
+    lazy val exactPairs = Dedup.embeddingNearDupPairs(emb, recallT)
       .select(col("id_a"), col("id_b")).localCheckpoint(true)
-    val nExact = exactPairs.count()
-    val exactDropped = Graph.starContract(exactPairs)
+    lazy val nExact = exactPairs.count()
+    lazy val exactDropped = Graph.starContract(exactPairs)
       .filter(col("node") =!= col("lbl")).select(col("node"))
       .localCheckpoint(true)
-    val nExactDropped = exactDropped.count()
+    lazy val nExactDropped = exactDropped.count()
 
     // shared scorer for any precision-1 pair generator: pair recall vs
     // the exact set + survivor-level error (found ⊆ exact ⇒ generator
@@ -181,26 +184,37 @@ object ScalingBench {
           operators.Similarity.bruteForceKnn(e, e, 5, roundCosineTo = 9))
         .select(col("id_a"), col("id_b")).localCheckpoint(true)
       val nEdges = exactEdges.count()
-      // nprobe[:quantizers] — the second field is the round-12 OR-dial
+      // nprobe[:quantizers[:pool]] — the second field is the round-12
+      // OR-dial; the third (round 14) is the pool-depth re-rank dial:
+      // pool > 5 routes through mutualKnnPooled (directed lists cut at
+      // rk <= pool, symmetrized, re-ranked to top-5), pool <= 5 (or
+      // absent) is the historical unpooled path
       val s15Points = sys.env.get("SPARK_GRAFT_SCALING_S15_POINTS")
         .map(_.split(",").toSeq.map { p =>
           p.split(":") match {
-            case Array(np)    => (np.trim.toInt, 1)
-            case Array(np, q) => (np.trim.toInt, q.trim.toInt)
+            case Array(np)       => (np.trim.toInt, 1, 0)
+            case Array(np, q)    => (np.trim.toInt, q.trim.toInt, 0)
+            case Array(np, q, pl) =>
+              (np.trim.toInt, q.trim.toInt, pl.trim.toInt)
           }
         })
-        .getOrElse(Seq(2, 4, 8).map((_, 1)))
-      for ((np, orQ) <- s15Points) try {
+        .getOrElse(Seq((2, 1, 0), (4, 1, 0), (8, 1, 0)))
+      for ((np, orQ, pool) <- s15Points) try {
         val t0 = System.nanoTime()
-        val ivfEdges = operators.Similarity.mutualKnn(
-            operators.Similarity.ivfKnn(e, e, 5, nlist = nlist,
-              nprobe = math.min(np, nlist), quantizers = orQ))
+        val ivfEdges = (if (pool > 5)
+            operators.Similarity.mutualKnnPooled(e,
+              operators.Similarity.ivfKnn(e, e, pool, nlist = nlist,
+                nprobe = math.min(np, nlist), quantizers = orQ), 5)
+          else
+            operators.Similarity.mutualKnn(
+              operators.Similarity.ivfKnn(e, e, 5, nlist = nlist,
+                nprobe = math.min(np, nlist), quantizers = orQ)))
           .select(col("id_a"), col("id_b")).localCheckpoint(true)
         val genSec = (System.nanoTime() - t0) / 1e9
         val found = ivfEdges.count()
         val hits = ivfEdges.join(exactEdges, Seq("id_a", "id_b")).count()
         emit("s15_recall", "nprobe" -> np, "quantizers" -> orQ,
-          "nlist" -> nlist,
+          "pool" -> pool, "nlist" -> nlist,
           "gen_sec" -> f"$genSec%.1f",
           "exact_edges" -> nEdges, "found_edges" -> found,
           "edge_hits" -> hits,
@@ -212,12 +226,12 @@ object ScalingBench {
         // else is a real failure recorded as such (null-safe message)
         case e: IllegalArgumentException =>
           emit("s15_recall", "nprobe" -> np, "quantizers" -> orQ,
-            "refused" -> true,
+            "pool" -> pool, "refused" -> true,
             "reason" -> ("\"" + Option(e.getMessage).getOrElse("")
               .takeWhile(_ != '\n').replace("\"", "'") + "\""))
         case scala.util.control.NonFatal(e) =>
           emit("s15_recall", "nprobe" -> np, "quantizers" -> orQ,
-            "failed" -> true,
+            "pool" -> pool, "failed" -> true,
             "error" -> ("\"" + (e.getClass.getSimpleName + ": " +
               Option(e.getMessage).getOrElse(""))
               .takeWhile(_ != '\n').replace("\"", "'") + "\""))
@@ -259,6 +273,67 @@ object ScalingBench {
       emit("v30_recall", "exact_survivors" -> exactSurv.count(),
         "landed" -> landed.count(), "missing" -> missing, "extra" -> extra)
     }
+
+    // m10/m11 hot-band cap at scale (round 14): the multimodal pairing
+    // join where a band bucket is GENUINELY hot — the regime the cap
+    // exists for. Signature-level synthesis (the gates already pin
+    // decode→signature bit-for-bit; the operator under measure is the
+    // band join): organic signatures are xxhash64-derived per scaled
+    // doc_id (random 64-bit pHashes barely collide in 16-bit bands;
+    // random audio contours collide plenty in 8-bit bands — both
+    // organic regimes represented), plus one PLANTED identical-
+    // signature cluster of 8,192 (> the 4,096 cap — the degenerate
+    // clump: re-uploads of one asset) and one of 2,048 (< cap — a
+    // popular-but-legitimate near-dup family the cap must KEEP).
+    // Emitted: capped vs uncapped wall-clock and pair counts; the
+    // surrendered pairs are exactly the hot cluster's C(8193,2) —
+    // cluster-level-policy territory, the d08/d11 contract.
+    def capPoint(tag: String, mkSig: DataFrame => DataFrame,
+                 pairs: (DataFrame, Option[Long]) => DataFrame): Unit = {
+      val ids = Tables.documents(spark, dir).select(col("doc_id"))
+      val nOrg = ids.count()
+      val organic = mkSig(ids)
+      val hot = 8192L; val cold = 2048L
+      // constant-signature cluster: sign ONE seed id, replicate the
+      // signature under fresh media_ids disjoint from the organic range
+      def plantedConst(salt: Long, copies: Long) = {
+        val seed = mkSig(spark.range(1)
+          .select(lit(salt).as("doc_id")))
+          .drop("media_id")
+        spark.range(copies)
+          .select((col("id") + lit(nOrg * 8 + salt * 4000000L)).as("media_id"))
+          .crossJoin(broadcast(seed))
+      }
+      val corpus = organic
+        .unionByName(plantedConst(1L, hot))
+        .unionByName(plantedConst(2L, cold))
+        .localCheckpoint(true)
+      def run(cap: Option[Long]): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = pairs(corpus, cap).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (uncSec, uncPairs) = run(None)
+      val (capSec, capPairs) = run(Some(4096L))
+      emit(tag, "organic" -> nOrg, "hot" -> hot, "cold" -> cold,
+        "uncapped_sec" -> f"$uncSec%.1f", "uncapped_pairs" -> uncPairs,
+        "capped_sec" -> f"$capSec%.1f", "capped_pairs" -> capPairs,
+        "surrendered" -> (uncPairs - capPairs))
+    }
+    if (want("m10_cap"))
+      capPoint("m10_cap",
+        ids => ids.select(col("doc_id").as("media_id"),
+          xxhash64(col("doc_id"), lit("m10hi")).as("phash_hi"),
+          xxhash64(col("doc_id"), lit("m10lo")).as("phash_lo")),
+        (sig, cap) => operators.Media.phashNearDupPairs(sig,
+          maxBucketSize = cap))
+    if (want("m11_cap"))
+      capPoint("m11_cap",
+        ids => ids.select(col("doc_id").as("media_id"),
+          pmod(xxhash64(col("doc_id"), lit("m11")), lit(1L << 31))
+            .as("afp")),
+        (sig, cap) => operators.Media.audioNearDupPairs(sig,
+          maxBucketSize = cap))
   }
 
   /** STREAMING THROUGHPUT suite (`SPARK_GRAFT_SCALING_STREAM=1`) — the

@@ -1522,6 +1522,23 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** s22 — s21's composition with the round-14 POOL-DEPTH dial
+    * ([[mutualKnnPooled]], P = 10, k = 5): the directed OR-dial lists
+    * go twice as deep, the pool is symmetrized, and the top-5 cut
+    * happens on the pooled exact re-rank. Same dials as s21 otherwise,
+    * so the two gates bracket the dial. HASH-GATED: every stage of the
+    * pooling (the deeper rk ≤ P cut, the swap-union, the round-9
+    * re-rank, the mutual filter) is the same replayable arithmetic as
+    * s21's — both engines make the SAME approximation. Recall-vs-P
+    * curves live in dev/scaling.md; monotonicity is pinned in
+    * SimilaritySpec. */
+  def s22MutualKnnPooled(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    mutualKnnPooled(emb,
+      ivfKnn(emb, emb, 10, nlist = 16, nprobe = 4, quantizers = 2), 5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Corpus bucket histogram — exercises the bucketing shape the
     * 100 TB path shuffles on. HASH-GATED (round 12): the md5 ±1
     * planes replay in SQL, so every vector's bucket id is pinned
@@ -1817,6 +1834,55 @@ object Similarity {
        |             c.neighbor_id) AS rk
        |    FROM cand c JOIN emb eq ON eq.vec_id = c.query_id
        |    JOIN emb en ON en.vec_id = c.neighbor_id) t
+       |  WHERE rk <= 5)
+       |SELECT f.query_id AS id_a, f.neighbor_id AS id_b,
+       |       CAST(f.rk AS INT) AS rk_ab, CAST(r.rk AS INT) AS rk_ba
+       |FROM knn f JOIN knn r
+       |  ON r.query_id = f.neighbor_id AND r.neighbor_id = f.query_id
+       |WHERE f.query_id < f.neighbor_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** s22: s21's chain with the pool-depth tail — directed lists cut at
+    * rk ≤ 10, symmetrized (swap-union, distinct), pooled candidates
+    * re-ranked round-9 to top-5, then the column-swap mutual filter. */
+  val s22Sql: String = {
+    val arms = (0 until 2)
+      .map(qi => orDialArmSql(VectorOps.orMixConstants(qi), s"g${qi}_"))
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, v AS qv FROM emb),
+       |${arms.mkString(",\n")},
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT query_id, neighbor_id FROM (
+       |    SELECT * FROM g0_cand UNION ALL SELECT * FROM g1_cand)),
+       |dir AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT c.query_id, c.neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+       |             ROUND(list_inner_product(eq.v, en.v) /
+       |                   (sqrt(list_inner_product(eq.v, eq.v)) *
+       |                    sqrt(list_inner_product(en.v, en.v))), 9) DESC,
+       |             c.neighbor_id) AS rk
+       |    FROM cand c JOIN emb eq ON eq.vec_id = c.query_id
+       |    JOIN emb en ON en.vec_id = c.neighbor_id) t
+       |  WHERE rk <= 10),
+       |pool AS MATERIALIZED (
+       |  SELECT DISTINCT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id FROM dir
+       |    UNION ALL SELECT neighbor_id AS query_id, query_id AS neighbor_id
+       |    FROM dir)),
+       |knn AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, rk FROM (
+       |    SELECT p.query_id, p.neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+       |             ROUND(list_inner_product(eq.v, en.v) /
+       |                   (sqrt(list_inner_product(eq.v, eq.v)) *
+       |                    sqrt(list_inner_product(en.v, en.v))), 9) DESC,
+       |             p.neighbor_id) AS rk
+       |    FROM pool p JOIN emb eq ON eq.vec_id = p.query_id
+       |    JOIN emb en ON en.vec_id = p.neighbor_id) t
        |  WHERE rk <= 5)
        |SELECT f.query_id AS id_a, f.neighbor_id AS id_b,
        |       CAST(f.rk AS INT) AS rk_ab, CAST(r.rk AS INT) AS rk_ba
@@ -2412,6 +2478,45 @@ object Similarity {
         col("rk_ab"), col("rk_ba"))
   }
 
+  /** The POOL-DEPTH re-rank dial (round 14) — the fix for the measured
+    * tight-regime edge-recall ceiling (0.59 at x100, q=3,
+    * dev/scaling.md): feed this any DIRECTED top-P ranking (P > k,
+    * e.g. [[ivfKnn]] run with k = P), SYMMETRIZE the candidate pool
+    * (if b's probes discovered a, that donates b into a's pool even
+    * when a's own probes missed b — turning per-edge discovery from an
+    * AND over both directions into an OR), exact-re-rank each query's
+    * pooled candidates (round-9 cosine, neighbor-id tiebreak — the
+    * [[rankCandidates]] total order), cut at k, then the [[mutualKnn]]
+    * column-swap filter.
+    *
+    * Why recall over the EXACT mutual graph is monotone in P (the
+    * SimilaritySpec pin): an exact edge's endpoints rank ≤ k against
+    * the WHOLE corpus, so they rank ≤ k in any candidate subset that
+    * contains them — growing the pool can only demote non-exact
+    * candidates. pool(P) ⊆ pool(P′) for P ≤ P′, and pool(k) already
+    * contains every pair the unpooled filter passes, so
+    * exact∩pooled(P) ⊇ exact∩pooled(k) ⊇ exact∩unpooled.
+    *
+    * Scale shape: the symmetrized pool is ≤ 2·P·N narrow id pairs; the
+    * re-rank joins vectors back only for that pool (the d14 candidate-
+    * join discipline) and the mutual filter never touches the corpus. */
+  def mutualKnnPooled(emb: DataFrame, directed: DataFrame,
+                      k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+    val pool = directed.select(col("query_id"), col("neighbor_id"))
+      .union(directed.select(col("neighbor_id").as("query_id"),
+        col("query_id").as("neighbor_id")))
+      .distinct()
+    val scored = pool
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn")), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("nrm").as("cn")), Seq("neighbor_id"))
+    mutualKnn(rankCandidates(scored, k))
+  }
+
   /** s13 — the mutual-kNN graph over the WHOLE corpus (every vector a
     * query, k = 5), hash-gated: integer-only output, ranks built on
     * round(cosine, 9) so the rank lists are bit-stable across engines
@@ -2670,6 +2775,7 @@ object Similarity {
     "s19_knn_ivf_ordial"    -> s19KnnIvfOrDial _,
     "s20_knn_ivf_maintain"  -> s20KnnIvfMaintain _,
     "s21_mutual_knn_ordial" -> s21MutualKnnOrDial _,
+    "s22_mutual_knn_pooled" -> s22MutualKnnPooled _,
     "s05_ivf_cell_profile"  -> s05IvfCellProfile _,
     "s06_knn_quantized"     -> s06KnnQuantized _,
     "s07_knn_ivfsq"         -> s07KnnIvfSq _,
@@ -2696,6 +2802,7 @@ object Similarity {
     "s18_knn_ivf_append" -> s18Sql,
     "s19_knn_ivf_ordial" -> s19Sql,
     "s21_mutual_knn_ordial" -> s21Sql,
+    "s22_mutual_knn_pooled" -> s22Sql,
     // a correct maintenance re-fit over the full committed corpus is
     // bit-identical to a fresh full-corpus build — s04's replay IS the
     // oracle (the s17-shares-s04Sql precedent, one lifecycle later)

@@ -873,4 +873,40 @@ class SimilaritySpec extends SparkSpec {
     assert(g1.toSeq == g2.toSeq,
       "the OR-dial mutual graph must replay bit-identically")
   }
+
+  test("s22: pool-depth recall is monotone — pooled ⊇ unpooled on exact edges, and in P") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.mutualKnn(Similarity.bruteForceKnn(emb, emb, 5))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def pooled(p: Int) = edges(Similarity.mutualKnnPooled(emb,
+      Similarity.ivfKnn(emb, emb, p, nlist = 16, nprobe = 4,
+        quantizers = 2), 5))
+    val unpooled = edges(Similarity.mutualKnn(
+      Similarity.ivfKnn(emb, emb, 5, nlist = 16, nprobe = 4,
+        quantizers = 2)))
+    val p5 = pooled(5); val p10 = pooled(10); val p20 = pooled(20)
+    // the monotonicity argument (mutualKnnPooled scaladoc): an exact
+    // edge's endpoints rank <= k in ANY pool containing them, so
+    // symmetrizing can only add exact edges, and deeper P only grows
+    // the pools — exact∩pooled is a chain of supersets
+    assert((exact & unpooled).subsetOf(exact & p5),
+      "pooling at P=k lost an exact edge the unpooled filter kept")
+    assert((exact & p5).subsetOf(exact & p10) &&
+      (exact & p10).subsetOf(exact & p20),
+      "exact-edge recall must be monotone in pool depth")
+    // the dial must actually move on this corpus (not a vacuous pin):
+    // s22's gate point (P=10) recovers strictly more exact edges than
+    // the unpooled s21 point
+    assert((exact & p10).size > (exact & unpooled).size,
+      s"pooling should lift exact-edge recall: ${(exact & p10).size} vs ${(exact & unpooled).size}")
+    // degenerate dial: with every cell probed the directed lists are
+    // the exact top-P, pooling adds only reciprocal discoveries, and
+    // the pooled graph IS the exact graph
+    val full = edges(Similarity.mutualKnnPooled(emb,
+      Similarity.ivfKnn(emb, emb, 10, nlist = 16, nprobe = 16), 5))
+    assert(full == exact,
+      "nprobe = nlist pooled must reproduce the exact mutual-kNN edge set")
+  }
 }
