@@ -553,7 +553,26 @@ object Dedup {
                                bands: Int = 12, planesPerBand: Int = 3,
                                seed: Long = 42L,
                                maxBucketSize: Option[Long] = None,
-                               md5Tag: Option[String] = None): DataFrame = {
+                               md5Tag: Option[String] = None,
+                               volumeBudget: Long =
+                                 Similarity.IvfCandidateVolumeBudget): DataFrame = {
+    // pre-flight affordability (round 14 — the d13 x1000 lesson: the
+    // round-13 budgets covered only the IVF paths, and the un-budgeted
+    // LSH generator JVM-OOM'd at 500k vectors where the closed-form
+    // expected volume reads ~1.5G). Expected candidates per band are
+    // N·pop/2 with pop = min(cap, N/2^b) — the same balanced-population
+    // convention as the IVF estimate; depth-scaled callers
+    // ([[lshPlanesFor]]) hold pop ≈ targetBucket, so the estimate is
+    // ~bands·N·targetBucket/2: LINEAR in N, and the refusal threshold
+    // is therefore a corpus-size bound at fixed dials, exactly like
+    // d14's.
+    val nVol = emb.count()
+    val expPop = math.max(1L, nVol >> planesPerBand)
+    val popBound = maxBucketSize.fold(expPop)(c => math.min(c, expPop))
+    Similarity.checkIvfVolume(bands.toLong * nVol * popBound / 2L,
+      volumeBudget,
+      s"embeddingNearDupPairsLSH(N=$nVol, bands=$bands, " +
+        s"planesPerBand=$planesPerBand, cap=$maxBucketSize)")
     val e = emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
     // materialized for the same reason as lshCandidates: the self-join
@@ -1198,8 +1217,22 @@ object Dedup {
     * TRAIN rows on (band, bucket). Returns (held_id, held_sp,
     * train_id, cosine). */
   def crossSplitContamination(emb: DataFrame, split: DataFrame,
-                              threshold: Double): DataFrame = {
-    val planes = lshPlanesFor(emb.count())
+                              threshold: Double,
+                              volumeBudget: Long =
+                                Similarity.IvfCandidateVolumeBudget): DataFrame = {
+    val nVol = emb.count()
+    val planes = lshPlanesFor(nVol)
+    // pre-flight affordability (round 14 — p12's x1000 attempt spilled
+    // past the 80 GB disk in THIS stage): cross-only expected volume
+    // per band is held·min(cap, train/2^b) with held ≈ 51/256 and
+    // train ≈ 205/256 of the corpus (the md5 split's arithmetic) —
+    // ~37M at x100 (completes, measured) vs ~470M at x1000 (the disk
+    // wall). Refuse up front, the d13/d14 convention.
+    val heldEst = nVol * 51L / 256L
+    val trainEst = nVol * 205L / 256L
+    val popBound = math.min(4096L, math.max(1L, trainEst >> planes))
+    Similarity.checkIvfVolume(24L * heldEst * popBound, volumeBudget,
+      s"crossSplitContamination(N=$nVol, bands=24, planesPerBand=$planes)")
     // cap BEFORE the split flag, on whole-corpus populations — the
     // same degenerate-clump guard semantics as d13's generator. The
     // flagged bucket frame feeds both join sides with differing

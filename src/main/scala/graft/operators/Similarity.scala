@@ -133,10 +133,11 @@ object Similarity {
   private[operators] def checkIvfVolume(estimate: Long, budget: Long,
                                         detail: String): Unit =
     require(estimate <= budget,
-      f"estimated IVF candidate volume $estimate%,d exceeds the " +
+      f"estimated candidate volume $estimate%,d exceeds the " +
         f"volume budget $budget%,d [$detail] — the measured single-host " +
-        "disk wall sits at ~230M pairs (dev/scaling.md); shrink the " +
-        "dials (spill/targetCell/nprobe/quantizers), or raise " +
+        "walls sit at ~230M generated pairs / JVM-OOM at ~1.5G LSH " +
+        "candidates (dev/scaling.md); shrink the dials " +
+        "(spill/targetCell/nprobe/quantizers/bands/depth), or raise " +
         "volumeBudget if the backing store can absorb the spill")
 
   /** Codegen'd argmin-cell projection over LITERAL centroids — the

@@ -249,6 +249,15 @@ class DedupSpec extends SparkSpec {
         quantizers = 2, volumeBudget = 10L)
     }
     assert(e2.getMessage.contains("volume budget"))
+    // round 14: the banded-LSH generator is budgeted too (the d13
+    // x1000 lesson — it JVM-OOM'd at 500k vectors where the expected
+    // volume reads ~1.5G, because the round-13 budgets covered only
+    // the IVF paths)
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupPairsLSH(emb, 0.45, volumeBudget = 10L)
+    }
+    assert(e3.getMessage.contains("volume budget"),
+      s"unexpected LSH refusal message: ${e3.getMessage}")
   }
 
   test("hot-shingle guard drops high-frequency shingles before the join") {
