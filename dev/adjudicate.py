@@ -36,8 +36,10 @@ def parse_baseline():
     floors = {}
     for m in re.finditer(r"^\| (\w+) \| ([0-9.]+) \|", md, re.M):
         floors[m.group(1)] = float(m.group(2))
-    cpu = re.search(r"Floor anchor: ([0-9.]+)\s*s", md)
-    io = re.search(r"Floor IO anchor: ([0-9.]+)\s*s", md)
+    # \s+ between words: the prose wraps at 72 cols, so "Floor IO
+    # anchor" can straddle a line break
+    cpu = re.search(r"Floor\s+anchor:\s+([0-9.]+)\s*s", md)
+    io = re.search(r"Floor\s+IO\s+anchor:\s+([0-9.]+)\s*s", md)
     return (floors,
             float(cpu.group(1)) if cpu else None,
             float(io.group(1)) if io else None)
