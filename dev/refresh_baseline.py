@@ -66,7 +66,7 @@ NOTES = {
     "s03_ann_bucket_profile": "bucket histogram of s02's index; floor re-measured r12 on the md5-plane family",
     "d07_embedding_lsh_pairs": "banded embedding-LSH pairs on the md5-plane family (r12: hash-gated end-to-end incl. the 12 bucket arms); floor re-measured r12",
     "p01_priority_sample": "per-group deterministic top-k sample on md5-hex priorities (r12: hash-gated incl. order; floor re-measured on the string-priority form)",
-    "s22_mutual_knn_pooled": "s21 + the pool-depth re-rank dial (directed lists P=10 deep, symmetrized pool, top-5 cut, mutual filter); same-window readings sit 0.2-0.9 s over s21's; floored r14 in an io-drifted window (io_anchor 2-3x the 0.047 floor) — conservative upper bound",
+    "s22_mutual_knn_pooled": "s21 + the pool-depth re-rank dial (directed lists P=10 deep, symmetrized pool, top-5 cut, mutual filter); re-floored from the r14 full pass (cpu anchor 0.96x floor) after the first same-day floor landed in an io-drifted window",
 }
 
 def main(*argv):
