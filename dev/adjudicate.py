@@ -51,7 +51,12 @@ def main(argv):
     art_path = argv[0]
     opts = argv[1:]
     def opt(name, default):
-        return opts[opts.index(name) + 1] if name in opts else default
+        if name not in opts:
+            return default
+        i = opts.index(name) + 1
+        if i >= len(opts):
+            sys.exit(f"missing value for {name}\n\n{__doc__}")
+        return opts[i]
     threshold = float(opt("--threshold", "2.0"))
     sfdir = opt("--sfdir", "/root/testdata/sf0.1")
     out = opt("--out", os.path.join(REPO, "dev", "bench_adjiso.json"))
@@ -80,21 +85,30 @@ def main(argv):
               " non-drifted host can call a regression REAL.")
 
     suspects = []
+    failed = []  # outright failures in the full pass are ALSO suspects
     for q, secs in art.get("queries", {}).items():
         f = floors.get(q)
-        if secs is not None and secs >= 0 and f and secs > threshold * f:
+        if secs is None or secs < 0:
+            failed.append((q, float("nan"), f or 0.0))
+        elif f and secs > threshold * f:
             suspects.append((q, secs, f))
-    if not suspects:
+    if failed:
+        print(f"{len(failed)} query(ies) FAILED in the full-pass artifact:")
+        for q, _, _ in failed:
+            print(f"  {q}: failed (secs < 0) — re-measuring in isolation")
+    if not suspects and not failed:
         print(f"no query above {threshold}x floor — nothing to adjudicate")
         return 0
     suspects.sort(key=lambda t: -(t[1] / t[2]))
-    print(f"{len(suspects)} suspect(s) above {threshold}x floor:")
-    for q, secs, f in suspects:
-        print(f"  {q}: {secs:.2f}s vs floor {f:.2f} ({secs / f:.2f}x)")
+    if suspects:
+        print(f"{len(suspects)} suspect(s) above {threshold}x floor:")
+        for q, secs, f in suspects:
+            print(f"  {q}: {secs:.2f}s vs floor {f:.2f} ({secs / f:.2f}x)")
     if no_run:
-        return 0
+        # full-pass failures are real until an isolated run clears them
+        return 1 if failed else 0
 
-    names = ",".join(q for q, _, _ in suspects)
+    names = ",".join(q for q, _, _ in suspects + failed)
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sfdir, SPARK_GRAFT_CPUS="32",
                SPARK_GRAFT_BENCH_ONLY=names, SPARK_GRAFT_BENCH_OUT=out)
@@ -114,6 +128,16 @@ def main(argv):
         for got, floor in ((iso_cpu, cpu_floor), (iso_io, io_floor)))
 
     real = 0
+    for q, _, f in failed:
+        got = iso.get("queries", {}).get(q)
+        if got is None or got < 0:
+            print(f"VERDICT {q}: FAILED in the full pass AND in isolation "
+                  "— a real breakage, investigate")
+            real += 1
+        else:
+            print(f"VERDICT {q}: recovered — failed in the full pass but "
+                  f"ran {got:.2f}s isolated; transient, but check the "
+                  "full-pass stderr for the cause")
     for q, secs, f in suspects:
         got = iso.get("queries", {}).get(q)
         if got is None or got < 0:

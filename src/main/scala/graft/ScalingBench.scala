@@ -111,15 +111,16 @@ object ScalingBench {
         "exact_dropped" -> nExactDropped,
         "extra_survivors" -> extraSurvivors)): _*)
     } catch {
-      // the round-13 volume-budget pre-flight raises
-      // IllegalArgumentException on un-affordable dials — record the
+      // the volume-budget pre-flight raises the TYPED
+      // VolumeBudgetExceeded on un-affordable dials — record the
       // refusal as a row instead of killing the remaining grid points
-      // (the runs-table per-query convention). ONLY that type: a
-      // genuine failure (Spark job abort, OOM-wrapped SparkException,
-      // analysis error) must not masquerade as an intentional refusal
-      // (round-14 ADVICE item) — it is recorded as its own
-      // failed-not-refused row and the grid continues.
-      case e: IllegalArgumentException =>
+      // (the runs-table per-query convention). ONLY that type (round-15
+      // ADVICE: matching the bare IllegalArgumentException also caught
+      // unrelated preconditions — quantizer-range requires, band-count
+      // requires — and recorded genuine misconfigurations as polite
+      // refusals); everything else, IAE included, is recorded as its
+      // own failed-not-refused row and the grid continues.
+      case e: operators.Similarity.VolumeBudgetExceeded =>
         emit(tag, (fields ++ Seq("refused" -> true,
           "reason" -> ("\"" + Option(e.getMessage).getOrElse("")
             .takeWhile(_ != '\n').replace("\"", "'") + "\""))): _*)
@@ -222,9 +223,9 @@ object ScalingBench {
             f"${if (nEdges == 0) 1.0 else hits.toDouble / nEdges}%.4f")
       } catch {
         // same typed split as pairMetrics: only the volume-budget
-        // pre-flight's IllegalArgumentException is a refusal; anything
+        // pre-flight's VolumeBudgetExceeded is a refusal; anything
         // else is a real failure recorded as such (null-safe message)
-        case e: IllegalArgumentException =>
+        case e: operators.Similarity.VolumeBudgetExceeded =>
           emit("s15_recall", "nprobe" -> np, "quantizers" -> orQ,
             "pool" -> pool, "refused" -> true,
             "reason" -> ("\"" + Option(e.getMessage).getOrElse("")
