@@ -1115,18 +1115,29 @@ object Dedup {
       md5Tag = Some("d07"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** The md5-plane bucket arms of the d07 oracle as a reusable
+    * WITH-body fragment over an `emb(vec_id, v)` CTE — single owner of
+    * the literal planes shared by [[d07Sql]] and the s23 cross-pool
+    * oracle ([[Similarity.s23Sql]]). Dim pinned 64 (every test
+    * table). */
+  private[operators] def lshBucketArmsSql(bands: Int = 12,
+                                          planes: Int = 3,
+                                          tag: String = "d07"): String = {
+    import graft.functions.VectorOps.{md5Planes, sqlSignBucket}
+    (0 until bands).map { b =>
+      s"""  SELECT vec_id, $b AS band,
+         |         ${sqlSignBucket("v", md5Planes(planes, 64, s"$tag:$b"))} AS bucket
+         |  FROM emb""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
   /** d07's oracle: per-band md5-plane bucketing (12 UNION ALL arms —
     * same literal planes as the Spark side, single owner), the
     * (band, bucket) candidate self-join, exact-cosine verification at
     * the threshold, round-6 output — [[embeddingNearDupPairsLSH]]
     * replayed end to end. Dim pinned 64 (every test table). */
   val d07Sql: String = {
-    import graft.functions.VectorOps.{md5Planes, sqlSignBucket}
-    val arms = (0 until 12).map { b =>
-      s"""  SELECT vec_id, $b AS band,
-         |         ${sqlSignBucket("v", md5Planes(3, 64, s"d07:$b"))} AS bucket
-         |  FROM emb""".stripMargin
-    }.mkString("\nUNION ALL\n")
+    val arms = lshBucketArmsSql()
     s"""WITH emb AS MATERIALIZED (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |buckets AS MATERIALIZED (

@@ -25,6 +25,17 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
+  /** Typed pre-flight volume-budget refusal (round 15 — ADVICE: other
+    * driver-side preconditions also throw IllegalArgumentException, so
+    * harnesses matching on the bare type recorded genuine
+    * misconfigurations as polite refusals). Subclasses
+    * IllegalArgumentException so callers treating a refusal as an
+    * invalid-argument error keep working; harnesses that must
+    * distinguish (ScalingBench's refused-vs-failed rows) match on THIS
+    * type. */
+  final class VolumeBudgetExceeded(msg: String)
+    extends IllegalArgumentException(msg)
+
   /** Exact top-k neighbors (cosine) for each query vector. Norms are
     * computed once per side (O(rows)) so the pair loop pays only the
     * dot product. */
@@ -132,7 +143,7 @@ object Similarity {
 
   private[operators] def checkIvfVolume(estimate: Long, budget: Long,
                                         detail: String): Unit =
-    require(estimate <= budget,
+    if (estimate > budget) throw new VolumeBudgetExceeded(
       f"estimated candidate volume $estimate%,d exceeds the " +
         f"volume budget $budget%,d [$detail] — the measured single-host " +
         "walls sit at ~230M generated pairs / JVM-OOM at ~1.5G LSH " +
@@ -1540,6 +1551,102 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** s23 — CROSS-GENERATOR pooling (round 15): s22's symmetrized pool
+    * widened with the banded md5-plane LSH generator's verified pairs
+    * ([[Dedup.embeddingNearDupPairsLSH]] at d07's exact dials) before
+    * the exact re-rank. The round-14 measurement left a pure DISCOVERY
+    * residual in the tight regime — exact edges neither endpoint's IVF
+    * probes found, which no pool depth can recover — while the banded
+    * LSH generator discovers exactly those pairs (recall 1 at
+    * cos ≥ 0.9, dev/scaling.md round 13) through an independent
+    * mechanism (hyperplane sign agreement vs centroid-cell sharing).
+    * Soundness is [[mutualKnnPooled]]'s own superset argument: an
+    * exact edge's endpoints rank ≤ k in ANY candidate pool containing
+    * them, so unioning a second generator's pairs never loses an edge
+    * — exact∩s23 ⊇ exact∩s22, pinned in SimilaritySpec. HASH-GATED:
+    * the composition is s22's chain with one more pool arm, and that
+    * arm is d07's already-replayable bucket arms ([[Dedup.d07Sql]]'s
+    * literal planes, single owner) — the oracle ([[s23Sql]]) unions
+    * the verified LSH pairs into the pool CTE and re-runs s22's tail
+    * verbatim. Scale shape: the extra arm adds verified-pair id rows
+    * to a pool that is already ≤ 2·P·N narrow pairs; the generator
+    * itself is the budgeted, bucketed d07/d13 path — no new quadratic
+    * anywhere. */
+  def s23MutualKnnCrossPool(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val directed = ivfKnn(emb, emb, 10, nlist = 16, nprobe = 4,
+      quantizers = 2)
+      .select(col("query_id"), col("neighbor_id"))
+    val lshPairs = Dedup.embeddingNearDupPairsLSH(emb, 0.45,
+      md5Tag = Some("d07"))
+      .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
+    mutualKnnPooled(emb, directed.union(lshPairs), 5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** s23's oracle: s22's chain with the d07 bucket arms' verified
+    * pairs unioned into the pool CTE — both generators replayed, same
+    * tail. */
+  val s23Sql: String = {
+    val arms = (0 until 2)
+      .map(qi => orDialArmSql(VectorOps.orMixConstants(qi), s"g${qi}_"))
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, v AS qv FROM emb),
+       |${arms.mkString(",\n")},
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT query_id, neighbor_id FROM (
+       |    SELECT * FROM g0_cand UNION ALL SELECT * FROM g1_cand)),
+       |dir AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT c.query_id, c.neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+       |             ROUND(list_inner_product(eq.v, en.v) /
+       |                   (sqrt(list_inner_product(eq.v, eq.v)) *
+       |                    sqrt(list_inner_product(en.v, en.v))), 9) DESC,
+       |             c.neighbor_id) AS rk
+       |    FROM cand c JOIN emb eq ON eq.vec_id = c.query_id
+       |    JOIN emb en ON en.vec_id = c.neighbor_id) t
+       |  WHERE rk <= 10),
+       |lshb AS MATERIALIZED (
+       |${Dedup.lshBucketArmsSql()}),
+       |lshp AS MATERIALIZED (
+       |  SELECT c.id_a AS query_id, c.id_b AS neighbor_id
+       |  FROM (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |        FROM lshb a JOIN lshb b
+       |          ON a.band = b.band AND a.bucket = b.bucket
+       |         AND a.vec_id < b.vec_id) c
+       |  JOIN emb ea ON ea.vec_id = c.id_a
+       |  JOIN emb eb ON eb.vec_id = c.id_b
+       |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.45),
+       |pool AS MATERIALIZED (
+       |  SELECT DISTINCT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id FROM dir
+       |    UNION ALL SELECT neighbor_id AS query_id, query_id AS neighbor_id
+       |    FROM dir
+       |    UNION ALL SELECT query_id, neighbor_id FROM lshp
+       |    UNION ALL SELECT neighbor_id AS query_id, query_id AS neighbor_id
+       |    FROM lshp)),
+       |knn AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, rk FROM (
+       |    SELECT p.query_id, p.neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+       |             ROUND(list_inner_product(eq.v, en.v) /
+       |                   (sqrt(list_inner_product(eq.v, eq.v)) *
+       |                    sqrt(list_inner_product(en.v, en.v))), 9) DESC,
+       |             p.neighbor_id) AS rk
+       |    FROM pool p JOIN emb eq ON eq.vec_id = p.query_id
+       |    JOIN emb en ON en.vec_id = p.neighbor_id) t
+       |  WHERE rk <= 5)
+       |SELECT f.query_id AS id_a, f.neighbor_id AS id_b,
+       |       CAST(f.rk AS INT) AS rk_ab, CAST(r.rk AS INT) AS rk_ba
+       |FROM knn f JOIN knn r
+       |  ON r.query_id = f.neighbor_id AND r.neighbor_id = f.query_id
+       |WHERE f.query_id < f.neighbor_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Corpus bucket histogram — exercises the bucketing shape the
     * 100 TB path shuffles on. HASH-GATED (round 12): the md5 ±1
     * planes replay in SQL, so every vector's bucket id is pinned
@@ -2777,6 +2884,7 @@ object Similarity {
     "s20_knn_ivf_maintain"  -> s20KnnIvfMaintain _,
     "s21_mutual_knn_ordial" -> s21MutualKnnOrDial _,
     "s22_mutual_knn_pooled" -> s22MutualKnnPooled _,
+    "s23_mutual_knn_crosspool" -> s23MutualKnnCrossPool _,
     "s05_ivf_cell_profile"  -> s05IvfCellProfile _,
     "s06_knn_quantized"     -> s06KnnQuantized _,
     "s07_knn_ivfsq"         -> s07KnnIvfSq _,
@@ -2804,6 +2912,7 @@ object Similarity {
     "s19_knn_ivf_ordial" -> s19Sql,
     "s21_mutual_knn_ordial" -> s21Sql,
     "s22_mutual_knn_pooled" -> s22Sql,
+    "s23_mutual_knn_crosspool" -> s23Sql,
     // a correct maintenance re-fit over the full committed corpus is
     // bit-identical to a fresh full-corpus build — s04's replay IS the
     // oracle (the s17-shares-s04Sql precedent, one lifecycle later)

@@ -909,4 +909,29 @@ class SimilaritySpec extends SparkSpec {
     assert(full == exact,
       "nprobe = nlist pooled must reproduce the exact mutual-kNN edge set")
   }
+
+  test("s23: cross-generator pool is a superset dial — exact∩s23 ⊇ exact∩s22, deterministic") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.mutualKnn(Similarity.bruteForceKnn(emb, emb, 5))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val s22 = edges(Similarity.s22MutualKnnPooled(spark, sf))
+    val g1 = Similarity.s23MutualKnnCrossPool(spark, sf)
+      .as[(Long, Long, Int, Int)].collect()
+    val s23 = g1.map { case (a, b, _, _) => (a, b) }.toSet
+    // the superset argument one generator wider: s23's pool is s22's
+    // pool ∪ the LSH arm's symmetrized pairs, and exact∩pooled is
+    // monotone in the pool (mutualKnnPooled scaladoc) — unioning a
+    // second generator can only add exact edges
+    assert((exact & s22).subsetOf(exact & s23),
+      "the cross-generator pool lost an exact edge the s22 pool kept")
+    g1.foreach { case (a, b, rab, rba) =>
+      assert(a < b && rab >= 1 && rab <= 5 && rba >= 1 && rba <= 5)
+    }
+    val g2 = Similarity.s23MutualKnnCrossPool(spark, sf)
+      .as[(Long, Long, Int, Int)].collect()
+    assert(g1.toSeq == g2.toSeq,
+      "the cross-generator mutual graph must replay bit-identically")
+  }
 }
