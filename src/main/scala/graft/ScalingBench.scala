@@ -728,6 +728,12 @@ object ScalingBench {
       // plane depth with log₂(N/256) and caps hot buckets, so it sits
       // on the capped side; the x100 row must COMPLETE, that's the claim
       ("d13_semantic_lsh", true, Dedup.d13SemanticDedupLsh _),
+      // band-at-a-time (round 15): same dials, same result set, peak
+      // candidate spill / 12 — the row that must COMPLETE at x1000
+      // where the single-pass form correctly refuses (~1.5G estimate
+      // vs the 200M peak budget; /12 -> ~122M per chunk)
+      ("d13_semantic_lsh_chunked", true,
+        Dedup.d13SemanticDedupLshChunked(12) _),
       ("d14_semantic_ivf", true, Dedup.d14SemanticDedupIvf _),
       ("t13_decontam_uncapped", false,
         (s, d) => TextAnalysis.decontaminate(Tables.documents(s, d), 5)),
@@ -789,6 +795,12 @@ object ScalingBench {
       // decontam, two-phase rank) is shared and ~linear.
       ("p12_pretrain_uncapped", false, Pipeline.p12PretrainCorpus _),
       ("p12_pretrain_capped", true, Pipeline.p12PretrainCorpusCapped _),
+      // the decontam stage band-at-a-time (round 15): x1000's ~466M
+      // cross-only estimate / 6 chunks -> ~117M per chunk under the
+      // 200M peak budget — the one refusal a real pre-train pipeline
+      // would demand completed
+      ("p12_pretrain_chunked", true,
+        Pipeline.p12PretrainCorpusChunked(6) _),
       // persisted IVF (s17): the build-once/query-many decomposition.
       // The BUILD row pays the corpus-scaled fit + the cell-partitioned
       // write; the SEARCH row is a 20-query batch probing 4 cells each,

@@ -554,8 +554,11 @@ object Dedup {
                                seed: Long = 42L,
                                maxBucketSize: Option[Long] = None,
                                md5Tag: Option[String] = None,
+                               bandChunks: Int = 1,
                                volumeBudget: Long =
                                  Similarity.IvfCandidateVolumeBudget): DataFrame = {
+    require(bandChunks >= 1 && bandChunks <= bands,
+      s"bandChunks must be in [1, $bands]")
     // pre-flight affordability (round 14 — the d13 x1000 lesson: the
     // round-13 budgets covered only the IVF paths, and the un-budgeted
     // LSH generator JVM-OOM'd at 500k vectors where the closed-form
@@ -566,13 +569,28 @@ object Dedup {
     // ~bands·N·targetBucket/2: LINEAR in N, and the refusal threshold
     // is therefore a corpus-size bound at fixed dials, exactly like
     // d14's.
+    //
+    // BAND-AT-A-TIME (round 15): the budget guards PEAK transient
+    // volume — the candidate distinct's shuffle/spill, which is what
+    // actually hit the measured walls — and peak divides by processing
+    // band groups sequentially: `bandChunks` > 1 runs each group's
+    // candidate join + distinct + cosine verify as its own eagerly
+    // materialized job and unions the VERIFIED pairs (a pair found in
+    // any band is the same pair — idempotent union, the result set
+    // unchanged; pinned chunked == unchunked in DedupSpec). Total work
+    // is identical; the refusal threshold therefore checks the
+    // PER-CHUNK estimate, turning the d13/p12 x1000 refusals into
+    // bounded completions at the same peak budget.
     val nVol = emb.count()
     val expPop = math.max(1L, nVol >> planesPerBand)
     val popBound = maxBucketSize.fold(expPop)(c => math.min(c, expPop))
-    Similarity.checkIvfVolume(bands.toLong * nVol * popBound / 2L,
+    val chunkBands = (bands + bandChunks - 1) / bandChunks
+    Similarity.checkIvfVolume(chunkBands.toLong * nVol * popBound / 2L,
       volumeBudget,
       s"embeddingNearDupPairsLSH(N=$nVol, bands=$bands, " +
-        s"planesPerBand=$planesPerBand, cap=$maxBucketSize)")
+        s"planesPerBand=$planesPerBand, cap=$maxBucketSize, " +
+        s"bandChunks=$bandChunks — raising bandChunks divides the " +
+        "peak estimate)")
     val e = emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
     // materialized for the same reason as lshCandidates: the self-join
@@ -588,18 +606,42 @@ object Dedup {
       embeddingBucketIndex(emb, bands, planesPerBand, seed, md5Tag),
       maxBucketSize)
       .localCheckpoint(true)
-    val cand = bucketed.as("a")
-      .join(bucketed.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
-    cand
-      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
-      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
-      .withColumn("cosine", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
+    def verifiedPairs(bk: DataFrame): DataFrame = {
+      val cand = bk.as("a")
+        .join(bk.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .distinct()
+      cand
+        .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
+        .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+        .withColumn("cosine", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
+    }
+    if (bandChunks == 1) verifiedPairs(bucketed)
+    else {
+      val chunks = (0 until bandChunks).map { ci =>
+        // eager per chunk: the next chunk's candidate shuffle must not
+        // overlap this one's — that sequencing IS the peak division
+        val out = verifiedPairs(
+          bucketed.filter(col("band") % bandChunks === ci))
+          .localCheckpoint(true)
+        // nudge the context cleaner so the finished chunk's shuffle
+        // files are dropped before the next chunk writes its own —
+        // without it total DISK still accumulates toward the unchunked
+        // footprint (the cleaner keys off JVM GC, default-periodic at
+        // 30 min — far longer than a chunk)
+        System.gc()
+        out
+      }
+      // a boundary pair discovered by bands in two different chunks
+      // appears once per chunk (identical row — cosine is a pure
+      // function of the pair): distinct restores exactly the unchunked
+      // set
+      chunks.reduce(_ union _).distinct()
+    }
   }
 
   /** Corpus-scaled hyperplane depth: the smallest b ≥ 3 with
@@ -1229,8 +1271,11 @@ object Dedup {
     * train_id, cosine). */
   def crossSplitContamination(emb: DataFrame, split: DataFrame,
                               threshold: Double,
+                              bandChunks: Int = 1,
                               volumeBudget: Long =
                                 Similarity.IvfCandidateVolumeBudget): DataFrame = {
+    require(bandChunks >= 1 && bandChunks <= 24,
+      s"bandChunks must be in [1, 24]")
     val nVol = emb.count()
     val planes = lshPlanesFor(nVol)
     // pre-flight affordability (round 14 — p12's x1000 attempt spilled
@@ -1238,12 +1283,19 @@ object Dedup {
     // per band is held·min(cap, train/2^b) with held ≈ 51/256 and
     // train ≈ 205/256 of the corpus (the md5 split's arithmetic) —
     // ~37M at x100 (completes, measured) vs ~470M at x1000 (the disk
-    // wall). Refuse up front, the d13/d14 convention.
+    // wall). Refuse up front, the d13/d14 convention. `bandChunks` > 1
+    // processes band groups sequentially (the
+    // [[embeddingNearDupPairsLSH]] round-15 mechanism — same union-of-
+    // verified-pairs idempotence, pinned chunked == unchunked in
+    // DedupSpec), so the budget checks the PER-CHUNK estimate.
     val heldEst = nVol * 51L / 256L
     val trainEst = nVol * 205L / 256L
     val popBound = math.min(4096L, math.max(1L, trainEst >> planes))
-    Similarity.checkIvfVolume(24L * heldEst * popBound, volumeBudget,
-      s"crossSplitContamination(N=$nVol, bands=24, planesPerBand=$planes)")
+    val chunkBands = (24 + bandChunks - 1) / bandChunks
+    Similarity.checkIvfVolume(chunkBands * heldEst * popBound, volumeBudget,
+      s"crossSplitContamination(N=$nVol, bands=24, planesPerBand=$planes, " +
+        s"bandChunks=$bandChunks — raising bandChunks divides the peak " +
+        "estimate)")
     // cap BEFORE the split flag, on whole-corpus populations — the
     // same degenerate-clump guard semantics as d13's generator. The
     // flagged bucket frame feeds both join sides with differing
@@ -1254,23 +1306,38 @@ object Dedup {
         Some(4096L))
       .join(split, Seq("vec_id"))
       .localCheckpoint(true)
-    val cand = buckets.filter(col("sp") =!= "train").as("a")
-      .join(buckets.filter(col("sp") === "train").as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
-      .select(col("a.vec_id").as("held_id"), col("a.sp").as("held_sp"),
-        col("b.vec_id").as("train_id"))
-      .distinct()
     val e = emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
-    cand
-      .join(e.select(col("vec_id").as("held_id"), col("v").as("va"),
-        col("nrm").as("na")), Seq("held_id"))
-      .join(e.select(col("vec_id").as("train_id"), col("v").as("vb"),
-        col("nrm").as("nb")), Seq("train_id"))
-      .withColumn("cosine",
-        VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cosine") >= threshold)
-      .select(col("held_id"), col("held_sp"), col("train_id"), col("cosine"))
+    def verifiedFor(bk: DataFrame): DataFrame = {
+      val cand = bk.filter(col("sp") =!= "train").as("a")
+        .join(bk.filter(col("sp") === "train").as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+        .select(col("a.vec_id").as("held_id"), col("a.sp").as("held_sp"),
+          col("b.vec_id").as("train_id"))
+        .distinct()
+      cand
+        .join(e.select(col("vec_id").as("held_id"), col("v").as("va"),
+          col("nrm").as("na")), Seq("held_id"))
+        .join(e.select(col("vec_id").as("train_id"), col("v").as("vb"),
+          col("nrm").as("nb")), Seq("train_id"))
+        .withColumn("cosine",
+          VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cosine") >= threshold)
+        .select(col("held_id"), col("held_sp"), col("train_id"), col("cosine"))
+    }
+    if (bandChunks == 1) verifiedFor(buckets)
+    else {
+      val chunks = (0 until bandChunks).map { ci =>
+        val out = verifiedFor(
+          buckets.filter(col("band") % bandChunks === ci))
+          .localCheckpoint(true)
+        System.gc() // drop the finished chunk's shuffle files (cleaner)
+        out
+      }
+      // cosine is a pure function of the pair — cross-chunk duplicates
+      // are identical rows; distinct restores the unchunked set
+      chunks.reduce(_ union _).distinct()
+    }
   }
 
   /** Exact cross-split replay: same md5 arithmetic as p04's oracle,
@@ -1372,6 +1439,22 @@ object Dedup {
     val planes = lshPlanesFor(emb.count())
     semanticSurvivors(emb, embeddingNearDupPairsLSH(emb, 0.45, bands = 24,
       planesPerBand = planes, maxBucketSize = Some(4096L)))
+  }
+
+  /** d13 with band-at-a-time execution engaged — the x1000 completion
+    * path (round 15): identical pair set and survivor set (chunked ==
+    * unchunked pinned in DedupSpec; the union of verified pairs is
+    * idempotent), peak candidate spill ÷ bandChunks. Not a separate
+    * gate query — the gate stays the single-pass form; this is the
+    * ScalingBench row that turns the round-14 refusal into a bounded
+    * completion. */
+  def d13SemanticDedupLshChunked(bandChunks: Int)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val planes = lshPlanesFor(emb.count())
+    semanticSurvivors(emb, embeddingNearDupPairsLSH(emb, 0.45, bands = 24,
+      planesPerBand = planes, maxBucketSize = Some(4096L),
+      bandChunks = bandChunks))
   }
 
   /** d14 — semantic dedup over the IVF-CELLED pair generator

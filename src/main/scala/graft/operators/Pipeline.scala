@@ -656,8 +656,19 @@ object Pipeline {
   def p12PretrainCorpusCapped(spark: SparkSession, dir: String): DataFrame =
     p12Body(spark, dir, maxShingleFreq = Some(8L))
 
+  /** The capped p12 with the decontam stage's band-at-a-time execution
+    * engaged (round 15) — the x1000 completion path: the cross-only
+    * candidate join (p12's one measured disk wall) runs one band group
+    * at a time, peak spill ÷ bandChunks, result row-identical (the
+    * crossSplitContamination chunked == unchunked pin). ScalingBench
+    * row only; the gate stays the single-pass oracle-parity form. */
+  def p12PretrainCorpusChunked(bandChunks: Int)(
+      spark: SparkSession, dir: String): DataFrame =
+    p12Body(spark, dir, maxShingleFreq = Some(8L), bandChunks = bandChunks)
+
   private def p12Body(spark: SparkSession, dir: String,
-                      maxShingleFreq: Option[Long]): DataFrame = {
+                      maxShingleFreq: Option[Long],
+                      bandChunks: Int = 1): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val emb = Tables.embeddings(spark, dir)
     // 1. leakage-safe split — p10's exact assignment (cluster head's
@@ -673,7 +684,8 @@ object Pipeline {
     // 2. semantic decontamination: drop every train doc contaminated
     // by a held-out doc under THIS split (the doc/vec id domains are
     // the shared fixture ids)
-    val contaminated = Dedup.crossSplitContamination(emb, split, 0.45)
+    val contaminated = Dedup.crossSplitContamination(emb, split, 0.45,
+        bandChunks = bandChunks)
       .select(col("train_id").as("doc_id")).distinct()
     // 3. p11's curriculum over the decontaminated train corpus
     val train = docs

@@ -178,6 +178,47 @@ class DedupSpec extends SparkSpec {
       "d13's scale guards must be lossless on the gate corpus")
   }
 
+  test("bandChunks: band-at-a-time equals the single pass, and divides the peak budget") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val single = Dedup.embeddingNearDupPairsLSH(emb, 0.45, bands = 24,
+        maxBucketSize = Some(4096L))
+      .as[(Long, Long, Double)].collect().toSet
+    // 5 does not divide 24 — exercises the uneven last chunk
+    val chunked = Dedup.embeddingNearDupPairsLSH(emb, 0.45, bands = 24,
+        maxBucketSize = Some(4096L), bandChunks = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(chunked == single,
+      "chunked execution must reproduce the single-pass pair set exactly")
+    // the budget check moves to the PER-CHUNK estimate: a budget below
+    // the full 24-band volume but above one chunk's refuses the single
+    // pass and completes chunked — the x1000 mechanism at gate scale
+    val pop = math.min(4096L, math.max(1L, n >> 3))
+    val fullEst = 24L * n * pop / 2L
+    val tight = fullEst / 2L
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupPairsLSH(emb, 0.45, bands = 24,
+        maxBucketSize = Some(4096L), volumeBudget = tight)
+    }
+    val underTight = Dedup.embeddingNearDupPairsLSH(emb, 0.45, bands = 24,
+        maxBucketSize = Some(4096L), bandChunks = 4, volumeBudget = tight)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(underTight == single,
+      "the chunked pass must complete (identically) under the budget " +
+        "that refuses the single pass")
+    // the cross-split generator: same mechanism, same invariance
+    val split = emb.select(col("vec_id"),
+      operators.Pipeline.splitOf(
+        operators.Pipeline.md5Bucket(col("vec_id"))).as("sp"))
+    val csSingle = Dedup.crossSplitContamination(emb, split, 0.45)
+      .as[(Long, String, Long, Double)].collect().toSet
+    val csChunked = Dedup.crossSplitContamination(emb, split, 0.45,
+        bandChunks = 7)
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(csChunked == csSingle,
+      "chunked cross-split contamination must equal the single pass")
+  }
+
   test("embedding hot-bucket cap drops an identical-vector clump, keeps organic pairs") {
     // 40 IDENTICAL vectors: every band maps the clump to one bucket, so
     // uncapped candidate volume pays C(40,2) quadratic per band. Two
