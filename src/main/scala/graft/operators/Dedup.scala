@@ -400,14 +400,38 @@ object Dedup {
 
   // -- SimHash ----------------------------------------------------------------
 
-  /** 64-bit SimHash over whitespace tokens (multiplicity-weighted). */
-  def simhashes(docs: DataFrame): DataFrame = {
-    val tok = docs
+  /** 64-bit SimHash over whitespace tokens (multiplicity-weighted).
+    *
+    * `md5Mode` (round 15 — the d04 hash-gate conversion, the
+    * s02/s03/d07 md5-plane precedent one hash family over): the
+    * per-token ±1 weights come from the first 16 hex digits of
+    * md5(token) instead of xxhash64 — bit b of the signature reads bit
+    * (b mod 4) of hex digit ⌊b/4⌋, which replays in DuckDB as literal
+    * strpos/shift arithmetic ([[d04Sql]]), so the whole pair set is
+    * pinned cross-engine. The xxhash64 default stays for callers whose
+    * pins predate the family (engine-specific → rows-only). The digit
+    * values are materialized through a projection — never recomputed
+    * inside the 64 aggregate expressions' when() conditions beyond the
+    * cheap shift — so the md5 runs once per token. */
+  def simhashes(docs: DataFrame, md5Mode: Boolean = false): DataFrame = {
+    val tok0 = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
+    val (tok, bitSet: (Int => Column)) =
+      if (!md5Mode) {
+        val t = tok0.withColumn("h", xxhash64(col("w")))
+        (t, (b: Int) =>
+          shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L)
+      } else {
+        val digits = (0 until 16).map { i =>
+          conv(substring(md5(col("w")), i + 1, 1), 16, 10)
+            .cast("int").as(s"dg$i")
+        }
+        val t = tok0.select(col("doc_id") +: digits: _*)
+        (t, (b: Int) =>
+          shiftright(col(s"dg${b / 4}"), b % 4).bitwiseAND(lit(1)) === 1)
+      }
     val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b$b")
+      sum(when(bitSet(b), 1).otherwise(-1)).as(s"b$b")
     }
     val packed = (0 until 64).map { b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
@@ -419,9 +443,10 @@ object Dedup {
 
   /** Pairs within hamming distance maxDist (≤3 with the 4×16-bit
     * pigeonhole banding: any such pair agrees on ≥1 band). */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+                   md5Mode: Boolean = false): DataFrame = {
     require(maxDist <= 3, "4-band pigeonhole guarantees recall only for maxDist <= 3")
-    val sh = simhashes(docs)
+    val sh = simhashes(docs, md5Mode)
     // materialized once for the self-join's two sides (same rationale
     // as lshCandidates — the 64-bit-sum aggregation above is the cost)
     val banded = sh.select(col("doc_id"), col("simhash"),
@@ -1133,11 +1158,55 @@ object Dedup {
       |  AND id_b >= s
       |ORDER BY doc_id, dup_id""".stripMargin
 
-  /** SimHash fingerprint pairs within hamming ≤ 3 (engine-specific
-    * hashing → rows-only gate; properties pinned in ScalaTest). */
+  /** SimHash fingerprint pairs within hamming ≤ 3, HASH-GATED (round
+    * 15 — previously rows-only): the md5 hex-digit bit family
+    * ([[simhashes]] `md5Mode`) replays in DuckDB as literal
+    * strpos/shift arithmetic, so the oracle ([[d04Sql]]) re-derives
+    * every fingerprint bit, the 4×16 pigeonhole banding, the candidate
+    * join, and the hamming cut — the whole approximate pair set pinned
+    * cross-engine (the s02/s03/d07 conversion precedent). Semantics
+    * (verbatim pair at distance 0, unrelated excluded) stay pinned in
+    * DedupSpec for BOTH families. */
   def d04SimhashPairs(spark: SparkSession, dir: String): DataFrame =
-    simhashPairs(Tables.documents(spark, dir), 3)
+    simhashPairs(Tables.documents(spark, dir), 3, md5Mode = true)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** d04's oracle: fingerprints as 64-char bit STRINGS (bit b of the
+    * packed long ⟺ position b+1 — band k's 16-bit chunk ⟺
+    * substring(1+16k, 16), hamming(long) ⟺ hamming(string)), the same
+    * md5 hex-digit bit rule as the Spark side, banding self-join,
+    * distance cut. */
+  val d04Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS m
+      |  FROM documents),
+      |bits AS (
+      |  SELECT doc_id, bb.b,
+      |         SUM(CASE WHEN ((strpos('0123456789abcdef',
+      |                    substring(m, 1 + bb.b // 4, 1)) - 1)
+      |                  >> (bb.b % 4)) & 1 = 1
+      |             THEN 1 ELSE -1 END) AS s
+      |  FROM tok CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+      |  GROUP BY doc_id, bb.b),
+      |fp AS (
+      |  SELECT doc_id,
+      |         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,
+      |                    '' ORDER BY b) AS f
+      |  FROM bits GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, f, kk.k AS band,
+      |         substring(f, 1 + 16 * kk.k, 16) AS chunk
+      |  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS k) kk),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         a.f AS fa, b.f AS fb
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.chunk = b.chunk
+      |   AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, CAST(hamming(fa, fb) AS INT) AS hamming
+      |FROM cand
+      |WHERE hamming(fa, fb) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Winnowing near-dup pairs (engine-specific wrapping-arithmetic
     * hash → rows-only gate; semantics pinned in ScalaTest). */
@@ -1624,6 +1693,7 @@ object Dedup {
     "d01_exact_dedup"     -> d01Sql,
     "d02_jaccard_pairs"   -> d02Sql,
     "d03_minhash_pairs"   -> d02Sql, // must equal the exact answer
+    "d04_simhash_pairs"   -> d04Sql,
     "d05_embedding_pairs" -> d05Sql,
     "d07_embedding_lsh_pairs" -> d07Sql,
     "d08_jaccard_capped"  -> d08Sql,

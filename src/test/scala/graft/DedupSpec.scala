@@ -96,6 +96,13 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 0))
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // the d04 gate family (md5 hex-digit bits, round 15): identical
+    // token multisets still collide at distance 0 and unrelated docs
+    // stay excluded — the semantic contract is family-independent
+    val md5Pairs = Dedup.simhashPairs(docs, maxDist = 3, md5Mode = true)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(md5Pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 0))
+    assert(!md5Pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
   test("banded-LSH embedding pairs: precision 1, recall high vs exact") {
