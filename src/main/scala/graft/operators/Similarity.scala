@@ -709,7 +709,8 @@ object Similarity {
     * metadata-cost filter beats a planner heuristic the operator
     * can't rely on. */
   def ivfKnnFromIndex(queries: DataFrame, indexDir: String, k: Int,
-                      nprobe: Int = 4): DataFrame = {
+                      nprobe: Int = 4,
+                      volumeBudget: Long = IvfKnnCandidateVolumeBudget): DataFrame = {
     val meta = readIvfMeta(indexDir)
     val spark = queries.sparkSession
     val centroids = spark.read.parquet(s"$indexDir/centroids")
@@ -728,6 +729,23 @@ object Similarity {
       .collect().map(_.getInt(0)).sorted // bounded by nlist
     val pruned = cells.filter(col("cell")
       .isin(probedCells.map(Int.box).toIndexedSeq: _*))
+    // EXACT volume bound (round 15, closing the round-14 ADVICE note):
+    // unlike the fresh-fit ivfKnn path — which must estimate with the
+    // balanced N/nlist BEFORE any fit exists — a materialized index
+    // already knows its true per-cell populations, so the pre-flight
+    // sums the ACTUAL sizes of exactly the (query, cell) probes: a
+    // skew-proof bound, not a balanced-cell guess (a hot cell probed
+    // by every query is charged at its real population). Cost: one
+    // count-aggregate over the pruned cell partitions (parquet
+    // metadata-cheap) — the established pre-flight price.
+    val cellSizes = pruned.groupBy(col("cell")).agg(count(lit(1)).as("csz"))
+    val exactVolume = probed.select(col("query_id"), col("cell"))
+      .join(cellSizes, Seq("cell"))
+      .agg(coalesce(sum(col("csz")), lit(0L))).head().getLong(0)
+    checkIvfVolume(exactVolume, volumeBudget,
+      s"ivfKnnFromIndex($indexDir, nprobe=$nprobe — EXACT bound from " +
+        "stored cell sizes; shrink nprobe/the query batch, or split " +
+        "the batch")
     // broadcast the probe frame ONLY when it provably fits: it carries
     // the query VECTORS (|queries|·nprobe rows × dim doubles), so a
     // million-query batch would OOM the driver under an unconditional

@@ -244,6 +244,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfKnnFromIndex: exact volume bound from stored cell sizes refuses skew the balanced estimate misses") {
+    // 97 identical vectors collapse into ONE cell (same argmin), so
+    // the index is maximally skewed: the fresh-fit path's balanced
+    // guess (nQ·nprobe·N/nlist = 10·1·25 = 250) would wave this batch
+    // through, but every query's single probe lands on the 97-strong
+    // cell — TRUE candidate volume 970. The materialized index knows
+    // its real cell sizes, and the round-15 exact bound must refuse at
+    // a budget sitting between guess and truth.
+    val clump = (0L until 97L).map(i => (i, Array(1.0f, 0.01f, 0.0f, 0.0f)))
+    val rest = Seq(
+      (97L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (98L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (99L, Array(0.0f, 0.0f, 0.0f, 1.0f)))
+    val emb = (clump ++ rest).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_exact_bound")
+    try {
+      Similarity.writeIvfIndex(emb, s"$dir/idx", 4)
+      val queries = emb.filter($"vec_id" < 10)
+      val e = intercept[Similarity.VolumeBudgetExceeded] {
+        Similarity.ivfKnnFromIndex(queries, s"$dir/idx", 5, nprobe = 1,
+          volumeBudget = 500L)
+      }
+      assert(e.getMessage.contains("EXACT bound"))
+      // and under the real budget the same search completes
+      assert(Similarity.ivfKnnFromIndex(queries, s"$dir/idx", 5,
+        nprobe = 1).count() > 0)
+    } finally {
+      new scala.reflect.io.Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
   test("appendToIvfIndex: batching-invariant, exact at full probe, snapshot via the gen marker") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" < 20)
