@@ -335,6 +335,40 @@ object ScalingBench {
             .as("afp")),
         (sig, cap) => operators.Media.audioNearDupPairs(sig,
           maxBucketSize = cap))
+
+    // x02 wedge cap at scale (round 15): the (deg, id) orientation
+    // already defuses a STAR hub (the celebrity ends up with out-deg
+    // 0), so the true degenerate is a DENSE CLUMP — one order holding
+    // 512 mutually co-purchased parts makes a 512-clique whose wedge
+    // volume is Σ j² ≈ 45M regardless of corpus size. Planted beside
+    // the organic graph, capped (maxWedgeDegree 64 → ~2M clump
+    // wedges) vs uncapped wall-clock and the surrendered triangle
+    // mass — the m10/m11 shape applied to the graph family.
+    if (want("x02_cap")) {
+      val base = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val mx = base.agg(max(col("l_orderkey")).as("o"),
+        max(col("l_partkey")).as("p")).head()
+      val (maxOrd, maxPart) = (mx.getLong(0), mx.getLong(1))
+      val cliqueN = 512L
+      val planted = spark.range(cliqueN)
+        .select(lit(maxOrd + 1L).as("l_orderkey"),
+          (col("id") + maxPart + 1L).as("l_partkey"))
+      val liG = base.unionByName(planted).localCheckpoint(true)
+      def runTri(cap: Option[Int]): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val s = operators.Graph.triangles(liG, cap)
+          .agg(coalesce(sum(col("n_tri")), lit(0L)).as("s"))
+          .head().getLong(0)
+        ((System.nanoTime() - t0) / 1e9, s)
+      }
+      val (uncSec, uncTri) = runTri(None)
+      val (capSec, capTri) = runTri(Some(64))
+      emit("x02_cap", "clique" -> cliqueN, "cap" -> 64,
+        "uncapped_sec" -> f"$uncSec%.1f", "uncapped_tri_sum" -> uncTri,
+        "capped_sec" -> f"$capSec%.1f", "capped_tri_sum" -> capTri,
+        "surrendered" -> (uncTri - capTri))
+    }
   }
 
   /** STREAMING THROUGHPUT suite (`SPARK_GRAFT_SCALING_STREAM=1`) — the

@@ -157,8 +157,24 @@ object Graph {
   }
 
   /** Per-node triangle count + local clustering coefficient over the
-    * co-purchase graph: (part_key, deg, n_tri, cc_r). */
-  def triangles(lineitem: DataFrame): DataFrame = {
+    * co-purchase graph: (part_key, deg, n_tri, cc_r).
+    *
+    * `maxWedgeDegree` (round 15 — the x02 scale-killer insurance): the
+    * (deg, id) orientation bounds out-degree by O(√m) on ORGANIC
+    * graphs, but a single celebrity node at billions of orders makes
+    * its Σ out-deg² wedge contribution quadratic in its degree anyway
+    * — the same degenerate-clump shape the d08/d11/m10 caps guard.
+    * The cap TRUNCATES each oriented out-list to its `cap` smallest
+    * neighbor ids (deterministic): triangles whose wedge corners
+    * survive are still counted exactly, over-cap corners undercount —
+    * triangle counting's standard sparsification trade, candidate
+    * volume back to O(m·cap). capped n_tri ≤ uncapped per node and
+    * exact-below-cap are pinned in GraphSpec; the x02 gate runs
+    * uncapped (oracle parity), the cap is the 100 TB dial. Degrees
+    * and cc denominators stay the TRUE degrees — only the wedge
+    * enumeration is sparsified. */
+  def triangles(lineitem: DataFrame,
+                maxWedgeDegree: Option[Int] = None): DataFrame = {
     val und = copurchaseEdges(lineitem)
       .select(col("src").as("u"), col("dst").as("v"))
       .localCheckpoint(true)
@@ -172,10 +188,14 @@ object Graph {
     val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
     val low = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val oe = und.join(du, "u").join(dv, "v")
+    val oe0 = und.join(du, "u").join(dv, "v")
       .select(when(low, col("u")).otherwise(col("v")).as("a"),
         when(low, col("v")).otherwise(col("u")).as("b"))
-      .localCheckpoint(true)
+    val oe = maxWedgeDegree.fold(oe0) { cap =>
+      val w = Window.partitionBy(col("a")).orderBy(col("b"))
+      oe0.withColumn("ork", row_number().over(w))
+        .filter(col("ork") <= cap).drop("ork")
+    }.localCheckpoint(true)
     val tri = oe.as("e1")
       .join(oe.as("e2"), col("e1.b") === col("e2.a"))
       .join(oe.as("e3"),

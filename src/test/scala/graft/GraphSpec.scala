@@ -234,6 +234,38 @@ class GraphSpec extends SparkSpec {
     assert(got === naive)
   }
 
+  test("triangles: maxWedgeDegree caps the planted hub, exact below the cap") {
+    // hub 100 co-purchased with 20 spokes (plus spoke-spoke edges so
+    // the hub anchors real triangles), and an untouched distinct
+    // triangle {1,2,3} elsewhere. Orientation points spokes (deg 2) at
+    // the hub... and the hub's own out-list is what the cap truncates.
+    val hubOrders = (1L to 20L).map(i => (200L + i, Seq(100L, 300L + i,
+      300L + (i % 20L) + 1L)))
+    val fixture = li((Seq(999L -> Seq(1L, 2L, 3L)) ++
+      hubOrders.map { case (o, ps) => o -> ps }): _*)
+    val uncapped = Graph.triangles(fixture)
+      .select($"part_key", $"n_tri").as[(Long, Long)].collect().toMap
+    val capped = Graph.triangles(fixture, maxWedgeDegree = Some(2))
+      .select($"part_key", $"n_tri").as[(Long, Long)].collect().toMap
+    // sparsification only ever removes triangles
+    assert(capped.keySet == uncapped.keySet,
+      "the cap must not change the node set (degrees are untouched)")
+    assert(capped.forall { case (n, t) => t <= uncapped(n) },
+      "capped n_tri must be <= uncapped everywhere")
+    // the cap engaged: total triangle mass strictly dropped
+    assert(capped.values.sum < uncapped.values.sum,
+      "the planted hub must push some out-list over the cap")
+    // the isolated triangle's corners are all below the cap — exact
+    for (n <- Seq(1L, 2L, 3L))
+      assert(capped(n) == uncapped(n),
+        s"sub-cap node $n must keep its exact count")
+    // a cap at/above the max out-degree is the identity
+    val wide = Graph.triangles(fixture, maxWedgeDegree = Some(1000))
+      .select($"part_key", $"n_tri").as[(Long, Long)].collect().toMap
+    assert(wide == uncapped,
+      "a cap above every out-degree must be a no-op")
+  }
+
   test("kCore: pendant peels off, clique survives with in-core degrees") {
     // order 1 -> a 5-clique {10..14}; order 2 -> pendant 99 on node 10.
     // E(directed) = 5*4 + 2 = 22, N = 6 -> k = 7*(22/6)/10 = 2.
