@@ -8,14 +8,17 @@ package graft
   *  - the timed action is a noop-sink write, which materializes every
   *    output column (a bare count() lets Catalyst skip computing
   *    projected values — under-measures scan/compute-heavy queries);
-  *  - each query's recorded number is the MINIMUM of three
-  *    back-to-back timed repeats. A single-shot pass is hostage to
-  *    transient host contention — one noisy-neighbor window once
-  *    recorded a phantom 10-20× "regression" across a contiguous
-  *    alphabetical block of queries. The minimum of three repeats is
+  *  - each query's recorded number is the MINIMUM of three timed
+  *    repeats, SPLIT 2+1 ACROSS TWO FULL CATALOG PASSES (round 15). A
+  *    single-shot pass is hostage to transient host contention — one
+  *    noisy-neighbor window once recorded a phantom 10-20×
+  *    "regression" across a contiguous alphabetical block of queries;
+  *    back-to-back repeats sit INSIDE such a window, so rounds 13/14
+  *    still produced 3-4 phantom >2× readings each. The minimum is
   *    the statistic least sensitive to one-sided noise (contention
-  *    only ever adds time), and matches how BASELINE.md rows are
-  *    adjudicated (isolated 3-run minimums).
+  *    only ever adds time), the cross-pass split decorrelates it from
+  *    windows spanning minutes, and it matches how BASELINE.md rows
+  *    are adjudicated (isolated 3-run minimums).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -112,16 +115,33 @@ object Bench {
     val ioAnchorSecs = (1 to 3).map(_ => ioAnchorOnce()).min
 
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
+    // TWO DECORRELATED CATALOG PASSES (round 15): three back-to-back
+    // repeats defeat per-query noise but not CONTENTION WINDOWS, which
+    // span minutes — i.e. several contiguous queries — and produced
+    // 3-4 phantom >2x-floor readings per round (every one cleared
+    // isolated, each costing a judge an adjudication pass). Same total
+    // work, split 2+1 across two full passes: a window now has to hit
+    // the SAME query in both passes, minutes apart, to fake a
+    // regression. Per-query minimum over all runs of both passes.
+    val passPlan: Seq[Int] =
+      if (repeats == 1) Seq(1)
+      else Seq(repeats - repeats / 2, repeats / 2)
+    val measured: Seq[Map[String, Double]] = passPlan.map { k =>
+      names.map { name =>
+        val secs = (1 to k).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = runOnce(sfDir, name)
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (ok) sec else -1.0
+        }
+        // a query that fails any repeat is reported failed (-1), not
+        // flattered by a successful earlier repeat
+        name -> (if (secs.exists(_ < 0)) -1.0 else secs.min)
+      }.toMap
+    }
     val results = names.map { name =>
-      val secs = (1 to repeats).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = runOnce(sfDir, name)
-        val sec = (System.nanoTime() - t0) / 1e9
-        if (ok) sec else -1.0
-      }
-      // a query that fails any repeat is reported failed (-1), not
-      // flattered by a successful earlier repeat
-      name -> (if (secs.exists(_ < 0)) -1.0 else secs.min)
+      val vs = measured.map(_(name))
+      name -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
     }
     // millisecond resolution: bench numbers live in a ±5-10% host-noise
     // band, and full-precision doubles nearly double the line the
