@@ -185,28 +185,44 @@ object ScalingBench {
           operators.Similarity.bruteForceKnn(e, e, 5, roundCosineTo = 9))
         .select(col("id_a"), col("id_b")).localCheckpoint(true)
       val nEdges = exactEdges.count()
-      // nprobe[:quantizers[:pool]] — the second field is the round-12
-      // OR-dial; the third (round 14) is the pool-depth re-rank dial:
-      // pool > 5 routes through mutualKnnPooled (directed lists cut at
-      // rk <= pool, symmetrized, re-ranked to top-5), pool <= 5 (or
-      // absent) is the historical unpooled path
+      // nprobe[:quantizers[:pool[:lsh]]] — the second field is the
+      // round-12 OR-dial; the third (round 14) is the pool-depth
+      // re-rank dial: pool > 5 routes through mutualKnnPooled
+      // (directed lists cut at rk <= pool, symmetrized, re-ranked to
+      // top-5), pool <= 5 (or absent) is the historical unpooled
+      // path; the fourth (round 15, the s23 composition) set to 1
+      // unions the banded-LSH generator's verified pairs (d13's
+      // corpus-scaled dials) into the pool before the re-rank —
+      // CROSS-GENERATOR discovery for the edges neither endpoint's
+      // probes found
       val s15Points = sys.env.get("SPARK_GRAFT_SCALING_S15_POINTS")
         .map(_.split(",").toSeq.map { p =>
           p.split(":") match {
-            case Array(np)       => (np.trim.toInt, 1, 0)
-            case Array(np, q)    => (np.trim.toInt, q.trim.toInt, 0)
+            case Array(np)       => (np.trim.toInt, 1, 0, 0)
+            case Array(np, q)    => (np.trim.toInt, q.trim.toInt, 0, 0)
             case Array(np, q, pl) =>
-              (np.trim.toInt, q.trim.toInt, pl.trim.toInt)
+              (np.trim.toInt, q.trim.toInt, pl.trim.toInt, 0)
+            case Array(np, q, pl, ls) =>
+              (np.trim.toInt, q.trim.toInt, pl.trim.toInt, ls.trim.toInt)
           }
         })
-        .getOrElse(Seq((2, 1, 0), (4, 1, 0), (8, 1, 0)))
-      for ((np, orQ, pool) <- s15Points) try {
+        .getOrElse(Seq((2, 1, 0, 0), (4, 1, 0, 0), (8, 1, 0, 0)))
+      for ((np, orQ, pool, lsh) <- s15Points) try {
         val t0 = System.nanoTime()
-        val ivfEdges = (if (pool > 5)
-            operators.Similarity.mutualKnnPooled(e,
-              operators.Similarity.ivfKnn(e, e, pool, nlist = nlist,
-                nprobe = math.min(np, nlist), quantizers = orQ), 5)
-          else
+        val ivfEdges = (if (pool > 5) {
+            val directed0 = operators.Similarity.ivfKnn(e, e, pool,
+                nlist = nlist, nprobe = math.min(np, nlist),
+                quantizers = orQ)
+              .select(col("query_id"), col("neighbor_id"))
+            val directed = if (lsh == 0) directed0 else
+              directed0.union(
+                Dedup.embeddingNearDupPairsLSH(e, recallT, bands = 24,
+                  planesPerBand = Dedup.lshPlanesFor(n),
+                  maxBucketSize = Some(4096L), bandChunks = 4)
+                .select(col("id_a").as("query_id"),
+                  col("id_b").as("neighbor_id")))
+            operators.Similarity.mutualKnnPooled(e, directed, 5)
+          } else
             operators.Similarity.mutualKnn(
               operators.Similarity.ivfKnn(e, e, 5, nlist = nlist,
                 nprobe = math.min(np, nlist), quantizers = orQ)))
@@ -215,7 +231,7 @@ object ScalingBench {
         val found = ivfEdges.count()
         val hits = ivfEdges.join(exactEdges, Seq("id_a", "id_b")).count()
         emit("s15_recall", "nprobe" -> np, "quantizers" -> orQ,
-          "pool" -> pool, "nlist" -> nlist,
+          "pool" -> pool, "lsh" -> lsh, "nlist" -> nlist,
           "gen_sec" -> f"$genSec%.1f",
           "exact_edges" -> nEdges, "found_edges" -> found,
           "edge_hits" -> hits,
@@ -227,12 +243,12 @@ object ScalingBench {
         // else is a real failure recorded as such (null-safe message)
         case e: operators.Similarity.VolumeBudgetExceeded =>
           emit("s15_recall", "nprobe" -> np, "quantizers" -> orQ,
-            "pool" -> pool, "refused" -> true,
+            "pool" -> pool, "lsh" -> lsh, "refused" -> true,
             "reason" -> ("\"" + Option(e.getMessage).getOrElse("")
               .takeWhile(_ != '\n').replace("\"", "'") + "\""))
         case scala.util.control.NonFatal(e) =>
           emit("s15_recall", "nprobe" -> np, "quantizers" -> orQ,
-            "pool" -> pool, "failed" -> true,
+            "pool" -> pool, "lsh" -> lsh, "failed" -> true,
             "error" -> ("\"" + (e.getClass.getSimpleName + ": " +
               Option(e.getMessage).getOrElse(""))
               .takeWhile(_ != '\n').replace("\"", "'") + "\""))
@@ -392,9 +408,23 @@ object ScalingBench {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     val confKey = "spark.sql.streaming.stateStore.providerClass"
     val dim = Tables.customer(spark, baseDir) // dims don't scale with events
+    val evEnc: org.apache.spark.sql.Encoder[EventStreams.Ev] =
+      org.apache.spark.sql.Encoders.product[EventStreams.Ev]
     val shapes: Seq[(String, DataFrame => DataFrame)] = Seq(
       ("v16_join_throughput", df => EventStreams.attributedPurchases(df)),
-      ("v31_enrich_throughput", df => EventStreams.segmentRollup(df, dim)))
+      ("v31_enrich_throughput", df => EventStreams.segmentRollup(df, dim)),
+      // round 15: the newer runtime gates' stateful shapes on the
+      // x-axis — the two fMGWS regimes (v23 incremental pair
+      // emission, v28 bounded-deque + EventTimeTimeout) and the
+      // left-outer join's eviction path (v32; final-window nulls stay
+      // pending without a flush — irrelevant to throughput, which
+      // measures the processed input volume)
+      ("v23_transitions_throughput",
+        df => EventStreams.transitionPairs(df.as[EventStreams.Ev](evEnc)).toDF()),
+      ("v28_spikes_throughput",
+        df => EventStreams.spikeHourly(df.as[EventStreams.Ev](evEnc)).toDF()),
+      ("v32_outer_join_throughput",
+        df => EventStreams.attributionFunnel(df)))
     val ev = Tables.events(spark, dir)
     val slices = 8
     // contiguous ts-ordered slices: watermark advancement across
