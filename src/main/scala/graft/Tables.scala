@@ -70,4 +70,30 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Hash-repartition `df` on `by` across the session's configured
+    * shuffle width — the round-15 fix for compute-dense pipelines whose
+    * parallelism would otherwise be inherited from the INPUT layout.
+    *
+    * Two layout pathologies motivate it (guide §2.5/§6): (a) a
+    * single-row-group parquet file is unsplittable, so a scan of it is
+    * ONE task and everything pipelined on top (shingle explodes,
+    * all-pairs cosine scoring, wedge enumeration) runs on one core of
+    * the whole cluster; (b) AQE's partition coalescing sizes
+    * post-shuffle partitions by their INPUT bytes, so a small frame
+    * feeding a high-fan-out join/generate is coalesced to one partition
+    * and the fan-out work serializes. An explicit numPartitions pins
+    * the width (AQE never coalesces user-specified repartitioning), and
+    * `spark.sql.shuffle.partitions` is the ONE deployment-tracked width
+    * knob ([[GraftSession]]) — cores locally, thousands on a cluster —
+    * so the spread scales with the deployment instead of hardcoding a
+    * local constant. Hash partitioning on an explicit key keeps the
+    * assignment deterministic under task retry (a keyless round-robin
+    * repartition pays a per-partition sort and rides on input order).
+    * Results are partitioning-invariant by the engine's determinism
+    * conventions (DeterminismSpec) — this changes plan shape only. */
+  def spread(df: DataFrame, by: org.apache.spark.sql.Column*): DataFrame = {
+    require(by.nonEmpty, "spread needs an explicit deterministic key")
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, by: _*)
+  }
 }

@@ -73,12 +73,24 @@ object Clustering {
   /** The fit with its final centroids exposed (assignment is argmin
     * against exactly THESE — the self-consistency the spec pins). */
   def kmeansFit(emb: DataFrame, k: Int = numCells, rounds: Int = numRounds)
+      : (Seq[(Int, Seq[Double])], DataFrame) =
+    kmeansFitOn(checkpointCorpus(emb), k, rounds)
+
+  /** The cast corpus, materialized once — the multi-consumer frame
+    * every fit round scans. Shared by [[c05ElbowCurve]] so the k-ladder
+    * pays the materialization once, not per fit. (A round-15 experiment
+    * spread it across the shuffle width first; per-round fit work is
+    * k·dim dots per row — so small that the added width cost ~0.4 s of
+    * task overhead per round at gate scale for no win. At deployment
+    * scale the scan arrives parallel from the file layout.) */
+  private def checkpointCorpus(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .localCheckpoint(true)
+
+  /** [[kmeansFit]] over an already-materialized (vec_id, v) corpus. */
+  private def kmeansFitOn(e: DataFrame, k: Int, rounds: Int)
       : (Seq[(Int, Seq[Double])], DataFrame) = {
     val D12 = DecimalType(18, 12)
-    // consumed rounds+1 times: materialize the cast corpus once
-    val e = emb
-      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
-      .localCheckpoint(true)
     var cents: Seq[(Int, Seq[Double])] = e.orderBy(col("vec_id")).limit(k)
       .select(col("v")).collect().toSeq
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toSeq) }
@@ -347,23 +359,37 @@ object Clustering {
   def c05ElbowCurve(spark: SparkSession, dir: String): DataFrame = {
     val D9 = DecimalType(18, 9)
     val emb = Tables.embeddings(spark, dir)
-    val e = emb.select(col("vec_id"),
-      VectorOps.asDouble(col("embedding")).as("v"))
-    val rows = elbowKs.map { k =>
-      val (cents, assigned) = kmeansFit(emb, k)
-      val d2own = cents.tail.foldLeft(
-        when(col("cell") === cents.head._1, d2Expr(col("v"), cents.head._2))) {
-        case (acc, (c, arr)) =>
-          acc.when(col("cell") === c, d2Expr(col("v"), arr))
+    // ONE materialized corpus for all four fits (round 15 — each fit
+    // used to checkpoint its own copy of the identical projection), and
+    // the four fits run CONCURRENTLY from a driver thread pool (guide
+    // §2.6): each fit is a chain of small sequential driver actions
+    // (one mean-collect per round), so overlapping the independent k
+    // arms back-fills the idle executor time between one fit's jobs
+    // with another's. Every fit's arithmetic is unchanged and
+    // self-contained — results are assembled in ladder order, so the
+    // output (and its oracle) is identical to the sequential form.
+    val e = checkpointCorpus(emb)
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(elbowKs.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val rows = try elbowKs.map { k =>
+      Future {
+        val (cents, assigned) = kmeansFitOn(e, k, numRounds)
+        val d2own = cents.tail.foldLeft(
+          when(col("cell") === cents.head._1, d2Expr(col("v"), cents.head._2))) {
+          case (acc, (c, arr)) =>
+            acc.when(col("cell") === c, d2Expr(col("v"), arr))
+        }
+        e.join(assigned, "vec_id")
+          .withColumn("d2", d2own)
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            round(graft.functions.DecimalSums.asDouble(sum(col("d2").cast(D9))) /
+              count(lit(1)).cast(DoubleType), 6).as("mean_d2_r"))
+          .select(lit(k).as("k"), col("n_vecs"), col("mean_d2_r"))
       }
-      e.join(assigned, "vec_id")
-        .withColumn("d2", d2own)
-        .agg(
-          count(lit(1)).as("n_vecs"),
-          round(graft.functions.DecimalSums.asDouble(sum(col("d2").cast(D9))) /
-            count(lit(1)).cast(DoubleType), 6).as("mean_d2_r"))
-        .select(lit(k).as("k"), col("n_vecs"), col("mean_d2_r"))
-    }
+    }.map(Await.result(_, scala.concurrent.duration.Duration.Inf))
+    finally pool.shutdown()
     rows.reduce(_.unionByName(_)).orderBy(col("k"))
   }
 

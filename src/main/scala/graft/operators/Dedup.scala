@@ -62,9 +62,16 @@ object Dedup {
   def shingleArray(text: Column, n: Int): Column =
     shingleTokens(split(text, " "), n)
 
-  /** (doc_id, tokens) with the split materialized once per row. */
+  /** (doc_id, tokens) with the split materialized once per row — and
+    * spread across the shuffle width first (round 15): tokenize +
+    * shingle-explode + the map-side partial aggregation above every
+    * posting shuffle otherwise pipeline on the document SCAN, whose
+    * parallelism is the input's split count (one task on a
+    * single-row-group file — measured as the dominant cost of the whole
+    * d02 family). The shuffle moves each document once, narrow. */
   private def tokenized(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    graft.Tables.spread(docs, col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
 
   /** (doc_id, shingle) exploded, optionally dropping shingles hotter
     * than maxShingleFreq (scale guard — see class doc).
@@ -120,7 +127,14 @@ object Dedup {
     * incremental variants differ only in how they normalize `inter`. */
   private def pairIntersections(docs: DataFrame, n: Int,
                                 maxShingleFreq: Option[Long]): DataFrame = {
-    val sh = docShingles(docs, n, maxShingleFreq)
+    // capped mode: the surviving posting frame (explode + hot-shingle
+    // count + anti-join) has TWO consumers below (sizes and inter) —
+    // materialize it once (round 15; it used to be recomputed per
+    // consumer, hot-count and anti-join included)
+    val sh = maxShingleFreq match {
+      case None    => docShingles(docs, n, None)
+      case Some(_) => docShingles(docs, n, maxShingleFreq).localCheckpoint(true)
+    }
     // per-doc set size: without a hot-shingle cap it is just the
     // shingle-array length — one narrow pass over docs, no second
     // explode+shuffle; with a cap, sizes must count what SURVIVED it
@@ -140,7 +154,12 @@ object Dedup {
     // trading the per-list O(k log k) sort + array copy for O(1) per
     // pair.
     val ds = col("ds")
-    val inter = sh
+    // spread on the grouping key (round 15): the posting frame is small
+    // in BYTES, so the groupBy's ENSURE exchange gets AQE-coalesced to
+    // one partition — and the quadratic in-list pair expansion below it
+    // then runs on one core. The pinned-width repartition is the same
+    // single shuffle the groupBy needed anyway.
+    val inter = graft.Tables.spread(sh, col("shingle"))
       .groupBy(col("shingle"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(ds) > 1)
@@ -422,13 +441,22 @@ object Dedup {
         (t, (b: Int) =>
           shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L)
       } else {
-        val digits = (0 until 16).map { i =>
-          conv(substring(md5(col("w")), i + 1, 1), 16, 10)
-            .cast("int").as(s"dg$i")
+        // the 16 hex digits packed as TWO 32-bit halves (round 15 —
+        // was 16 separate conv(substring) columns, measured ~2× the
+        // query): digit i is a nibble of one half, so each of the 64
+        // bit reads below is one shift+mask on a long. Same md5-bit
+        // semantics, digit i = nibble (7 - i%8) of half i/8 (hex
+        // strings are big-endian).
+        val halves = (0 until 2).map { h =>
+          conv(substring(md5(col("w")), 8 * h + 1, 8), 16, 10)
+            .cast("long").as(s"hx$h")
         }
-        val t = tok0.select(col("doc_id") +: digits: _*)
-        (t, (b: Int) =>
-          shiftright(col(s"dg${b / 4}"), b % 4).bitwiseAND(lit(1)) === 1)
+        val t = tok0.select(col("doc_id") +: halves: _*)
+        (t, (b: Int) => {
+          val digit = b / 4
+          val shift = 4 * (7 - digit % 8) + b % 4
+          shiftright(col(s"hx${digit / 8}"), shift).bitwiseAND(lit(1L)) === 1L
+        })
       }
     val bitSums = (0 until 64).map { b =>
       sum(when(bitSet(b), 1).otherwise(-1)).as(s"b$b")

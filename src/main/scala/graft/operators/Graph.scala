@@ -58,14 +58,30 @@ object Graph {
   val scale = 1000000000000L // 10^12 micro-units per unit of mass
 
   /** Undirected co-purchase edges (src < dst, w = #co-occurring
-    * orders) from the distinct (order, part) projection. */
+    * orders) from the distinct (order, part) projection.
+    *
+    * Round 15 reshape: was distinct() + an o-keyed self-join (three
+    * exchanges, and the pair fan-out ran at whatever width AQE left the
+    * join). Now ONE spread-width exchange on the order key builds each
+    * order's distinct part set, and the C(k,2) pair expansion is the
+    * d02 posting-list shape — two codegen'd generator explodes
+    * (posexplode + tail slice), parallel across the pinned width — into
+    * the same (src < dst, w) aggregate. Per-order fan-out is bounded by
+    * the order-size distribution exactly as before; results identical
+    * (each unordered pair of an order's distinct parts appears once,
+    * counted per order). */
   def copurchaseEdges(lineitem: DataFrame): DataFrame = {
-    val op = lineitem
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+    val ps = col("ps")
+    val sets = graft.Tables.spread(
+        lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        col("o"))
+      .groupBy(col("o")).agg(collect_set(col("p")).as("ps"))
+      .filter(size(ps) > 1)
+    sets
+      .select(posexplode(ps).as(Seq("i", "a")), ps)
+      .select(col("a"), explode(slice(ps, col("i") + lit(2), size(ps))).as("b"))
+      .groupBy(least(col("a"), col("b")).as("src"),
+        greatest(col("a"), col("b")).as("dst"))
       .agg(count(lit(1)).as("w"))
   }
 
@@ -124,9 +140,17 @@ object Graph {
     // [[pagerankBucketed]] (the x07 gate) runs exactly that recipe.
     val edges = e.join(out.select(col("src"), col("outw")), "src")
       .localCheckpoint(true)
+    // Rounds stay LAZY (round 15 — was one eager localCheckpoint per
+    // round): the round count is FIXED and each round's pr feeds the
+    // next exactly once, so the 5-round chain is a linear plan that one
+    // action executes stage-by-stage — same shuffles, none of the
+    // per-round job submission + RDD materialization overhead
+    // (measured: 46 jobs → ~5 AQE stage-jobs at sf0.1). Iterations with
+    // a per-round ACTION (convergence tests: kCore, starContract) or a
+    // frame consumed twice per round keep their checkpoints.
     var pr = pr0
     for (_ <- 1 to rounds)
-      pr = prRound(edges, pr, base).localCheckpoint(true)
+      pr = prRound(edges, pr, base)
     prFinish(out, pr)
   }
 
@@ -150,9 +174,10 @@ object Graph {
     graft.sources.Warehouse.writeBucketed(
       e.join(out.select(col("src"), col("outw")), "src"), table, "src", 32)
     val edges = spark.table(table)
+    // lazy rounds — the [[pagerank]] round-15 rationale
     var pr = pr0
     for (_ <- 1 to rounds)
-      pr = prRound(edges, pr, base).localCheckpoint(true)
+      pr = prRound(edges, pr, base)
     prFinish(out, pr)
   }
 
@@ -196,8 +221,16 @@ object Graph {
       oe0.withColumn("ork", row_number().over(w))
         .filter(col("ork") <= cap).drop("ork")
     }.localCheckpoint(true)
+    // spread the wedge join's build side (round 15): the oriented edge
+    // list is tiny in bytes, so AQE coalesces the join's exchanges to
+    // one partition — and the O(Σ out-deg²) wedge ENUMERATION (the
+    // whole cost of this query; measured as one 20 s single-core job at
+    // sf0.1) then serializes. Pinning one side's width pins the join's
+    // — the fan-out runs across the shuffle width, and the wedge⋈e3
+    // exchange's map side inherits it.
+    val oeA = graft.Tables.spread(oe, col("a"))
     val tri = oe.as("e1")
-      .join(oe.as("e2"), col("e1.b") === col("e2.a"))
+      .join(oeA.as("e2"), col("e1.b") === col("e2.a"))
       .join(oe.as("e3"),
         col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
@@ -239,12 +272,17 @@ object Graph {
       lit(seed).as("node"), lit(0).as("dist")).localCheckpoint(true)
     var frontier = visited
     for (d <- 1 to maxHops) {
+      // only the FRONTIER is eagerly checkpointed per round (it feeds
+      // two consumers next round — expansion and anti-join); visited
+      // stays a LAZY union of already-materialized frontiers, whose
+      // re-scan is free (round 15 — was a second eager checkpoint per
+      // round, i.e. a second job re-copying every earlier frontier).
       frontier = e.join(frontier, e("src") === frontier("node"))
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .select(col("node"), lit(d).as("dist"))
         .localCheckpoint(true)
-      visited = visited.unionAll(frontier).localCheckpoint(true)
+      visited = visited.unionAll(frontier)
     }
     visited.select(col("node").as("part_key"), col("dist"))
       .orderBy(col("part_key"))
@@ -276,6 +314,7 @@ object Graph {
       when(isSeed(col("src")), lit(scale / nSeeds)).otherwise(lit(0L))
         .as("pr")).localCheckpoint(true)
     val base = (15L * scale) / (100L * nSeeds)
+    // lazy rounds — the [[pagerank]] round-15 rationale
     for (_ <- 1 to rounds) {
       pr = edges.join(pr, edges("src") === pr("node"))
         .select(col("dst"), expr("pr * w DIV outw").as("c"))
@@ -283,7 +322,6 @@ object Graph {
         .agg((when(isSeed(col("dst")), lit(base)).otherwise(lit(0L)) +
           expr("85 * sum(c) DIV 100")).as("pr"))
         .select(col("dst").as("node"), col("pr"))
-        .localCheckpoint(true)
     }
     out.join(pr, out("src") === pr("node"))
       .select(col("src").as("part_key"), isSeed(col("src")).as("is_seed"),
@@ -307,18 +345,29 @@ object Graph {
     * distributed (never a driver collect); per-round localCheckpoint
     * keeps the lineage flat. */
   def labelPropagation(lineitem: DataFrame, rounds: Int = lpRounds): DataFrame = {
-    val e = directed(copurchaseEdges(lineitem))
-      .select(col("src"), col("dst")).localCheckpoint(true)
+    // Round 15 reshape: the static edge frame carries a SELF-LOOP per
+    // node, so one round is a single join + MIN aggregate —
+    // min(own ∪ neighbors) — instead of a neighbor-min join PLUS a
+    // left-join/least against the previous labels. Each round then
+    // consumes the previous label frame exactly ONCE, which makes the
+    // fixed-round chain linear and lets it run LAZY end-to-end (the
+    // [[pagerank]] round-15 rationale: same shuffles, none of the
+    // per-round job + checkpoint overhead). Round arithmetic identical:
+    // least(lbl, coalesce(min over nbrs, lbl)) == min over (nbrs ∪ self).
+    val e0 = directed(copurchaseEdges(lineitem))
+      .select(col("src"), col("dst"))
+    val nodes = e0.select(col("src").as("node")).distinct()
+    val e = e0.unionAll(
+        nodes.select(col("node").as("src"), col("node").as("dst")))
+      .localCheckpoint(true)
+    // init from the CHECKPOINTED frame (self-loops make every node a
+    // src), so the lazy chain's final action never re-derives e0
     var lbl = e.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val nbrMin = e.join(lbl, e("src") === lbl("node"))
-        .groupBy(col("dst")).agg(min(col("lbl")).as("nmin"))
-      lbl = lbl.join(nbrMin, lbl("node") === nbrMin("dst"), "left")
-        .select(col("node"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
-    }
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to rounds)
+      lbl = e.join(lbl, e("src") === lbl("node"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("lbl"))
+        .select(col("dst").as("node"), col("lbl"))
     val wc = Window.partitionBy(col("lbl"))
     lbl.select(col("node").as("part_key"), col("lbl").as("community"),
         count(lit(1)).over(wc).as("community_size"))
@@ -524,8 +573,15 @@ object Graph {
     * core_deg ≥ k for every row by the fixpoint property (pinned in
     * GraphSpec). */
   def kCore(lineitem: DataFrame): DataFrame = {
-    val e0 = directed(copurchaseEdges(lineitem))
-      .select(col("src"), col("dst")).localCheckpoint(true)
+    // spread BEFORE the first checkpoint (round 15): every peel round's
+    // degree partial-aggregation and broadcast semi-joins pipeline
+    // directly on the previous round's checkpointed partitions — with
+    // no exchange anywhere in the round, the width set here is the
+    // width of EVERY round.
+    val e0 = graft.Tables.spread(
+        directed(copurchaseEdges(lineitem)).select(col("src"), col("dst")),
+        col("src"))
+      .localCheckpoint(true)
     val scalars = e0
       .agg(count(lit(1)).as("e"), countDistinct(col("src")).as("n"))
       .head() // bounded: two longs

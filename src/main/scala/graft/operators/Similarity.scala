@@ -41,9 +41,17 @@ object Similarity {
     * dot product. */
   def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int,
                     roundCosineTo: Int = -1): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"),
-      VectorOps.asDouble(col("embedding")).as("qv"))
-      .withColumn("qn", VectorOps.norm(col("qv")))
+    // spread the query side across the shuffle width BEFORE the
+    // all-pairs join (round 15): the N·|q| scoring + per-query top-k
+    // sort pipelines directly on the query-side scan, whose parallelism
+    // is the input's split count — one task on a single-row-group file,
+    // i.e. the whole quadratic stage on one core (measured: s13's one
+    // 3.9 s job). The shuffle moves only the narrow query projection.
+    val q = graft.Tables.spread(
+      queries.select(col("vec_id").as("query_id"),
+        VectorOps.asDouble(col("embedding")).as("qv"))
+        .withColumn("qn", VectorOps.norm(col("qv"))),
+      col("query_id"))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       VectorOps.asDouble(col("embedding")).as("cv"))
       .withColumn("cn", VectorOps.norm(col("cv")))
@@ -431,13 +439,20 @@ object Similarity {
       // rows that still carry both embedding arrays would shuffle
       // ~1 KB/candidate and was measured to exhaust the host's spill
       // disk at 50k×50k, q=2
-      val idPairs = (0 until quantizers).map { qi =>
-        val (cells, centroids) =
-          ivfIndex(corpus, nlist, VectorOps.orMixConstants(qi))
-        probeCells(q.select(col("query_id"), col("qv")), centroids, nprobe)
-          .join(cells, Seq("cell"))
-          .select(col("query_id"), col("neighbor_id"))
-      }.reduce(_ union _).distinct()
+      // spread (round 15): the deduped pair list is small in BYTES, so
+      // AQE coalesces the distinct's output to one partition — and the
+      // wide vector re-join + per-query rank below then run serially.
+      // Hash width on query_id parallelizes the re-join and
+      // pre-satisfies rankCandidates' window partitioning.
+      val idPairs = graft.Tables.spread(
+        (0 until quantizers).map { qi =>
+          val (cells, centroids) =
+            ivfIndex(corpus, nlist, VectorOps.orMixConstants(qi))
+          probeCells(q.select(col("query_id"), col("qv")), centroids, nprobe)
+            .join(cells, Seq("cell"))
+            .select(col("query_id"), col("neighbor_id"))
+        }.reduce(_ union _).distinct(),
+        col("query_id"))
       val c0n = corpus.select(col("vec_id").as("neighbor_id"),
         VectorOps.asDouble(col("embedding")).as("cv"))
         .withColumn("cn", VectorOps.norm(col("cv")))
@@ -465,13 +480,22 @@ object Similarity {
     * Expects (query_id, qv[, qn]) × (cell, centroid, cn2). */
   private def probeCells(q: DataFrame, centroids: DataFrame,
                          nprobe: Int): DataFrame =
-    q.crossJoin(broadcast(centroids))
-      .withColumn("d2p", round(
-        VectorOps.dot(col("qv"), col("centroid")) * lit(-2.0) + col("cn2"), 9))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("d2p"), col("cell"))))
-      .filter(col("crk") <= nprobe)
-      .select((q.columns.map(col) :+ col("cell")).toIndexedSeq: _*)
+    // spread (round 15): the probe frame feeds a cell-fan-out candidate
+    // join (each row multiplies by the probed cell's population) whose
+    // map side would otherwise inherit this window's AQE-coalesced
+    // width — one partition on gate-sized inputs, serializing the
+    // scoring stage. Hash width on query_id also pre-satisfies the
+    // downstream rankCandidates window, so the wide candidate rows
+    // never hit an exchange.
+    graft.Tables.spread(
+      q.crossJoin(broadcast(centroids))
+        .withColumn("d2p", round(
+          VectorOps.dot(col("qv"), col("centroid")) * lit(-2.0) + col("cn2"), 9))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("d2p"), col("cell"))))
+        .filter(col("crk") <= nprobe)
+        .select((q.columns.map(col) :+ col("cell")).toIndexedSeq: _*),
+      col("query_id"))
 
   /** Commit metadata of a persisted IVF index — the content of the
     * `_graft_ivf_commit` marker. `gen` is the highest COMMITTED
@@ -2631,10 +2655,15 @@ object Similarity {
     val e = emb.select(col("vec_id"),
       VectorOps.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
-    val pool = directed.select(col("query_id"), col("neighbor_id"))
-      .union(directed.select(col("neighbor_id").as("query_id"),
-        col("query_id").as("neighbor_id")))
-      .distinct()
+    // spread (round 15): same rationale as ivfKnn's idPairs — the
+    // symmetrized pool is narrow, AQE coalesces it, and the exact
+    // re-rank's vector joins + window would serialize on one partition.
+    val pool = graft.Tables.spread(
+      directed.select(col("query_id"), col("neighbor_id"))
+        .union(directed.select(col("neighbor_id").as("query_id"),
+          col("query_id").as("neighbor_id")))
+        .distinct(),
+      col("query_id"))
     val scored = pool
       .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn")), Seq("query_id"))
