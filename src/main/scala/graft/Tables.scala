@@ -96,4 +96,21 @@ object Tables {
     require(by.nonEmpty, "spread needs an explicit deterministic key")
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, by: _*)
   }
+
+  /** [[spread]] ONLY when the frame's actual scan layout is narrower
+    * than half the configured shuffle width — the input-layout-adaptive
+    * form for heavy aggregations DIRECTLY over a base-table scan.
+    * At deployment scale the fact table arrives as thousands of
+    * splits, the condition is false, and this is the identity: the
+    * partial aggregation stays map-side on the scan and no raw-row
+    * shuffle is ever added (repartitioning a 100 TB scan before its
+    * partial agg would be a full extra pass). On a narrow layout (the
+    * gate fixtures are single-row-group files — unsplittable, one task
+    * per scan) it pays one narrow exchange of the pruned columns to buy
+    * the full width for the per-row work. Column pruning pushes the
+    * projection below the repartition, so only consumed columns move. */
+  def spreadIfNarrow(df: DataFrame, by: org.apache.spark.sql.Column*): DataFrame = {
+    val w = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (2 * df.rdd.getNumPartitions >= w) df else spread(df, by: _*)
+  }
 }

@@ -127,23 +127,36 @@ object Dedup {
     * incremental variants differ only in how they normalize `inter`. */
   private def pairIntersections(docs: DataFrame, n: Int,
                                 maxShingleFreq: Option[Long]): DataFrame = {
-    // capped mode: the surviving posting frame (explode + hot-shingle
-    // count + anti-join) has TWO consumers below (sizes and inter) —
-    // materialize it once (round 15; it used to be recomputed per
-    // consumer, hot-count and anti-join included)
-    val sh = maxShingleFreq match {
-      case None    => docShingles(docs, n, None)
-      case Some(_) => docShingles(docs, n, maxShingleFreq).localCheckpoint(true)
-    }
-    // per-doc set size: without a hot-shingle cap it is just the
-    // shingle-array length — one narrow pass over docs, no second
-    // explode+shuffle; with a cap, sizes must count what SURVIVED it
-    val sizes = maxShingleFreq match {
-      case None => tokenized(docs).select(col("doc_id"),
-        size(shingleTokens(col("toks"), n)).cast("long").as("sz"))
-      case Some(_) => sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    }
-    // postings: every doc pair sharing this shingle, ordered id_a < id_b.
+    // postings grouped ONCE by shingle (round 15): the per-shingle doc
+    // list's LENGTH *is* the shingle's document frequency, so the hot-
+    // shingle cap is a filter on size(ds) — the capped path used to pay
+    // a separate hot-count aggregation plus an anti-join and then
+    // re-group the survivors. The spread on the grouping key pins the
+    // width AQE would otherwise coalesce away (the posting frame is
+    // small in BYTES but the in-list pair expansion below is the
+    // quadratic cost of the whole family — it must not run on one
+    // core); it is the same single shuffle the groupBy needed anyway.
+    val ds = col("ds")
+    val lists = graft.Tables.spread(docShingles(docs, n, None), col("shingle"))
+      .groupBy(col("shingle"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .transform(l => maxShingleFreq.fold(l)(lim => l.filter(size(ds) <= lim)))
+      .localCheckpoint(true)
+    // per-doc set size FROM THE POSTING LISTS (round 15): a doc's
+    // surviving-shingle count is exactly its posting occurrences —
+    // uncapped it equals size(shingleTokens(toks)) because per-doc
+    // shingles are array_distinct'd before the explode. Deriving it
+    // from the materialized lists frame (a) reuses the one tokenize
+    // pass instead of re-tokenizing per join side, and (b) keeps the
+    // score filter's inferred isnotnull(sz) constraint OFF the scan —
+    // Catalyst was pushing the entire interpreted shingle HOF into the
+    // document scan as a DataFilter, where it re-ran single-task per
+    // sizes branch (measured as d02's residual 4.3 s one-task stage).
+    // The lists frame has two consumers (sizes + pairs) — checkpointed
+    // once, post-cap.
+    val sizes = lists.select(explode(ds).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // pairs: every doc pair sharing this shingle, ordered id_a < id_b.
     // Pair expansion is TWO generator explodes (posexplode the left
     // element, explode the list's tail slice for its partners) — both
     // codegen'd Generates — rather than nested transform/flatten HOFs,
@@ -153,20 +166,20 @@ object Dedup {
     // doc ids); id_a < id_b comes from least/greatest at emit time,
     // trading the per-list O(k log k) sort + array copy for O(1) per
     // pair.
-    val ds = col("ds")
-    // spread on the grouping key (round 15): the posting frame is small
-    // in BYTES, so the groupBy's ENSURE exchange gets AQE-coalesced to
-    // one partition — and the quadratic in-list pair expansion below it
-    // then runs on one core. The pinned-width repartition is the same
-    // single shuffle the groupBy needed anyway.
-    val inter = graft.Tables.spread(sh, col("shingle"))
-      .groupBy(col("shingle"))
-      .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(ds) > 1)
-      .select(posexplode(ds).as(Seq("i", "a")), ds)
-      .select(col("a"), explode(slice(ds, col("i") + lit(2), size(ds))).as("b"))
-      .groupBy(least(col("a"), col("b")).as("id_a"),
-        greatest(col("a"), col("b")).as("id_b"))
+    // the pair-count exchange is ALSO width-pinned: the pair frame is
+    // ~24 B/row, so AQE coalesces its ENSURE exchange to one partition
+    // and the count + size-joins + score filter over the million-pair
+    // frame serialize (measured: d02's residual 3.1 s one-task stage)
+    val inter = graft.Tables.spread(
+        lists
+          .filter(size(ds) > 1)
+          .select(posexplode(ds).as(Seq("i", "a")), ds)
+          .select(col("a"),
+            explode(slice(ds, col("i") + lit(2), size(ds))).as("b"))
+          .select(least(col("a"), col("b")).as("id_a"),
+            greatest(col("a"), col("b")).as("id_b")),
+        col("id_a"), col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))

@@ -324,7 +324,14 @@ object Media {
     * parameters and contents are closed-form in `doc_id`. */
   def mediaFixture(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    // spread (round 15): everything downstream of the fixture is the
+    // typed encode/decode mapPartitions pipeline (ImageIO/WAV/container
+    // parse per asset) — pure per-row CPU that pipelines on THESE
+    // partitions with no exchange in between, so an unsplittable
+    // one-row-group doc scan would run every decode on one core
+    // (measured: m07/m08/m09's two ~1.2 s single-task jobs each).
+    graft.Tables.spread(docs.select(col("doc_id")), col("doc_id"))
+      .as[Long].mapPartitions { ids =>
       ids.map { id =>
         val kind = kinds((id % 3).toInt)
         MediaRow(id, kind, Codec.encode(id, kind))

@@ -56,7 +56,9 @@ object StarQueries {
   // exchange(key) → final HashAggregate → sort. Two stages at any scale.
   // ---------------------------------------------------------------------------
   def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    // layout-adaptive spread (round 15): the partial aggregate pipelines
+    // on the scan — one task on a one-row-group file; identity at scale
+    Tables.spreadIfNarrow(Tables.lineitem(spark, dir), col("l_orderkey"))
       .filter(col("l_quantity").isNotNull && col("l_extendedprice").isNotNull)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -87,7 +89,9 @@ object StarQueries {
   // part is a dimension → broadcast hash join: no shuffle of lineitem.
   // ---------------------------------------------------------------------------
   def q02PartTypeRevenue(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    // layout-adaptive spread — the q01 rationale (broadcast join +
+    // partial agg pipeline on the scan)
+    Tables.spreadIfNarrow(Tables.lineitem(spark, dir), col("l_orderkey"))
       .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_type"))
       .agg(
@@ -242,7 +246,10 @@ object StarQueries {
   // quantile_cont oracle is bit-comparable — SURVEY.md §7.4 risk 4).
   // ---------------------------------------------------------------------------
   def q07FlagPriceStats(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q07_lineitem")
+    // layout-adaptive spread — the q01 rationale (percentile buffers
+    // collect per-group values map-side)
+    Tables.spreadIfNarrow(Tables.lineitem(spark, dir), col("l_orderkey"))
+      .createOrReplaceTempView("graft_q07_lineitem")
     spark.sql(
       s"""SELECT l_returnflag,
          |  COUNT(*) AS cnt,
@@ -311,7 +318,10 @@ object StarQueries {
   // a bucketed-by-orderkey layout would make shuffle-free), then re-agg.
   // ---------------------------------------------------------------------------
   def q09OrderWidthPerf(spark: SparkSession, dir: String): DataFrame = {
-    val widths = Tables.lineitem(spark, dir)
+    // layout-adaptive spread on the GROUPING key — the groupBy reuses
+    // this exchange (guide §2.4), so no shuffle is added even locally
+    val widths = Tables.spreadIfNarrow(Tables.lineitem(spark, dir),
+        col("l_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("line_count"),
            dsum(revenue).as("order_revenue"))
@@ -689,7 +699,10 @@ object StarQueries {
   // re-plannable) then customer→nation→region broadcast chain.
   // ---------------------------------------------------------------------------
   def q20RegionYearRevenue(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    // layout-adaptive spread on the fact-fact JOIN key: the join's own
+    // exchange subsumes it, and the post-join broadcast chain + partial
+    // aggregate inherit the width
+    Tables.spreadIfNarrow(Tables.lineitem(spark, dir), col("l_orderkey"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
@@ -932,7 +945,9 @@ object StarQueries {
   def q28PriceQtyStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.DecimalSums.{mdec, asDouble}
     val x = col("l_quantity"); val y = col("l_extendedprice")
-    Tables.lineitem(spark, dir)
+    // layout-adaptive spread — the q01 rationale; the six decimal
+    // moment sums are exact (order-proof), so width changes nothing
+    Tables.spreadIfNarrow(Tables.lineitem(spark, dir), col("l_orderkey"))
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),

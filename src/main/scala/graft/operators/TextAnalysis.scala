@@ -647,7 +647,10 @@ object TextAnalysis {
       lit(" contact user"), col("doc_id"), lit("@mail.example.org via "),
       lit("https://ex.org/d/"), col("doc_id"), lit("?ref=abc or 555-"),
       id3, lit("-"), id4)
-    Tables.documents(spark, dir)
+    // layout-adaptive spread (round 15): three regexp_count passes + a
+    // triple regexp_replace per row with NO shuffle anywhere — on a
+    // one-row-group scan the whole query ran on one core
+    Tables.spreadIfNarrow(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), augmented.as("aug"))
       .select(
         col("doc_id"),

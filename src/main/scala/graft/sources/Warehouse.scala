@@ -1218,7 +1218,16 @@ object Warehouse {
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
-    df.write
+    // cluster rows by the bucket hash BEFORE the write (round 15): a
+    // bucketed write emits one file per (task, bucket-held) pair, so an
+    // unclustered input of t tasks can fan out to t × buckets files —
+    // and a 1-task input (an AQE-coalesced join tail) sorts and writes
+    // every bucket serially. Repartitioning on the bucket column at the
+    // bucket count gives one task per bucket: parallel sort+write,
+    // exactly `buckets` output files, and identical table contents
+    // (bucket membership is a pure function of the column).
+    df.repartition(buckets, df(bucketCol))
+      .write
       .mode(mode)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
