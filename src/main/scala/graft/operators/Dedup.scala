@@ -544,9 +544,12 @@ object Dedup {
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
     // norms once per row (O(n)); the quadratic pair loop pays only the
     // codegen'd dot product
+    // left side spread (round 15 — the bruteForceKnn rationale): the
+    // quadratic scoring pipelines on the left scan's split count
     val e = emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    graft.Tables.spread(e, col("vec_id")).as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cosine",
         VectorOps.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cosine") >= threshold)
